@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the core LLM-corpus dedup toolkit, all shuffle-bounded (no
+O(n²) pass ever touches the full corpus).
+
+Design for 100 TB:
+- exact dedup: one hash-shuffle on a 128-bit content key;
+- MinHash LSH: explode→min-agg per (doc, salt) then a self-join ON
+  band signature — candidate pairs only, never all pairs;
+- n-gram Jaccard verification runs only on LSH candidates;
+- SimHash: 32 conditional sums per doc, then bucket joins on rotated
+  prefixes.
+
+Determinism: all hashing is md5 (identical in Spark & DuckDB); minhash
+is the lexicographic MIN of salted md5 hex strings — no engine-specific
+integer hashing anywhere, so every step has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+N_HASHES = 12  # minhash signature length
+BAND_ROWS = 3  # rows per LSH band -> 4 bands
+SHINGLE_WORDS = 3
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized content: one row per
+    distinct content with the canonical (min) id and duplicate count."""
+    h = F.md5(_norm_text(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = SHINGLE_WORDS) -> Column:
+    """Distinct n-word shingles of the normalized text (array<string>).
+
+    Built from split + transform over index range — pure JVM
+    expressions, no UDF.
+    """
+    words = F.split(_norm_text(text_col), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])  # noqa: E731
+    return F.when(n_sh > 0, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash signature per doc: for salt i, min(md5(i || ':' ||
+    shingle)) as a hex string. One explode + one grouped aggregation —
+    the agg is n_hashes MIN columns, shuffle carries one row per doc."""
+    sh = shingle_table(df, id_col, text_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become a candidate
+    pair (id_a < id_b). The join key is (band_idx, band_sig) — the
+    self-join only ever meets docs inside a bucket."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)])
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (defaults to
+    LSH candidates — never all pairs). Returns (id_a, id_b, jaccard)
+    with jaccard >= threshold, rounded to 6."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, id_col, text_col)
+    sh = shingle_table(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        pairs.alias("p")
+        .join(a, F.col("p.id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            b,
+            (F.col("p.id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word hashes (md5-hex first 8 chars → int).
+
+    Per doc: bit j of the signature is 1 iff Σ_words (±1 for word-hash
+    bit j) > 0. Computed as 32 conditional SUMs in one aggregation —
+    no UDF, one shuffle. Near-dup candidates are then docs whose
+    signatures match on a rotated prefix (not part of this function).
+    """
+    words = F.explode(
+        F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
+    ).alias("word")
+    wh = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
+    exploded = df.select(F.col(id_col), words).select(
+        id_col, wh.alias("wh")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash32"))
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup summary: every content group with its canonical doc
+    and copy count, restricted to groups (ordering-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = exact_dedup_groups(d)
+    return g.select("content_key", "canonical_id", "n_copies")
+
+
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs on documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over LSH candidates, thresholded at 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d)

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque ``binary`` payload columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked stub (`decode_image_stub`) with a deterministic fake
+feature extractor; everything Spark-side — schema, batch iteration,
+partitioning, UDF signatures — is real and tested. Swapping the stub
+for PIL/torchvision/ffmpeg is a one-function change.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a
+time (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
+bytes); never collect binaries to the driver; feature extraction is a
+narrow map — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, n_bytes:bigint>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "byte_mean double, header_hex string"
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decode — a real pipeline calls PIL/libvips here.
+
+    Raises NotImplementedError for non-synthetic media; for synthetic
+    (UTF-8 text) payloads produces deterministic fake features so the
+    Spark plumbing is fully exercisable in tests.
+    """
+    try:
+        payload.decode("utf-8")
+    except UnicodeDecodeError as exc:  # real image bytes land here
+        raise NotImplementedError(
+            "real media decoding requires an image library not present "
+            "in this environment"
+        ) from exc
+    return {
+        "n_bytes": len(payload),
+        "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
+        "header_hex": payload[:8].hex(),
+    }
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap documents.text as a synthetic binary media column with a
+    typed metadata struct — the storage convention for multimodal data
+    (payload opaque, metadata queryable without decoding)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.lit("synthetic/text").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` keeps whole-batch vectorization and lets one input
+    row produce 0..N output rows (corrupt payloads are dropped, like a
+    real decode pipeline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    f = decode_image_stub(bytes(payload))
+                except NotImplementedError:
+                    continue
+                feats.append(
+                    (doc_id, mtype, f["n_bytes"], f["byte_mean"], f["header_hex"])
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=["doc_id", "media_type", "n_bytes", "byte_mean", "header_hex"],
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: metadata-only scan (no decode — the point of the
+    typed-metadata convention): payload byte stats per media type."""
+    m = documents_as_media(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.round(F.avg(F.col("meta.n_bytes")), 4).alias("avg_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: decoded (stub) per-item features via
+    mapInPandas; byte_mean rounded for oracle stability."""
+    feats = extract_features(documents_as_media(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "header_hex",
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators over the ``documents`` table: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure built-in expressions (split/regexp/md5) — whole-stage codegen,
+zero Python per row. Each has an exact DuckDB oracle (registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+# Tiny language-marker stopword lists for the heuristic language ID.
+# Deterministic and oracle-expressible; a real pipeline would swap in
+# fastText — the Spark-side shape (per-doc score per language, argmax)
+# is what matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def words_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization with empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword-regex token count
+    (letters / digits / single other chars — a cheap proxy with the
+    same plan shape as a real pretokenizer regex)."""
+    ws = F.size(words_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0))
+    return df.withColumns({"n_tokens_ws": ws, "n_tokens_bpe": bpe})
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, word stats, punctuation /
+    uppercase / stopword ratios. Ratios rounded to 6 for oracle
+    stability."""
+    words = words_col(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    safe = lambda num, den: F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_words": n_words,
+            "avg_word_len": safe(n_chars - n_words + 1, n_words),
+            "punct_ratio": safe(n_punct, n_chars),
+            "upper_ratio": safe(n_upper, n_chars),
+            "stopword_ratio": safe(n_stop, n_words),
+        }
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language marker-word hit counts and
+    argmax guess ('und' when no marker hits)."""
+    words = words_col(text_col)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*markers)))
+        out = out.withColumn(f"score_{lang}", hits)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    guess = F.when(best <= 0, F.lit("und"))
+    # Deterministic tie-break: first language in fixed order wins.
+    for lang in LANG_MARKERS:
+        guess = guess.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_guess", guess)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (lowercased,
+    whitespace collapsed) + a 64-bit integer prefix for compact joins.
+
+    The reference has no content hashing at all; this is the exact-dup
+    key used by :mod:`inf2106_map_reduce_spark.functions.dedup`.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.md5(norm)
+    h64 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    return df.withColumns({"fp_md5": h, "fp_int64": h64})
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: full per-document text-analysis record."""
+    d = load_table(spark, sf_dir, "documents")
+    out = fingerprint(lang_scores(quality_features(token_counts(d))))
+    return out.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_words",
+        "punct_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "lang_guess",
+        "fp_md5",
+        "fp_int64",
+    )
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: guessed-language distribution vs labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    out = lang_scores(d)
+    return out.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,184 @@
+"""Similarity search over the ``embeddings`` table.
+
+- Brute-force cosine top-k (the correctness baseline; oracle-checked).
+- LSH-bucketed ANN (random signed projections) — the 100 TB path:
+  candidates come from hash buckets, never a full cross join.
+
+Dot products are sequential left-to-right folds over double-cast
+elements (``F.aggregate``), which is bit-identical to DuckDB's
+``list_sum(list_transform(list_zip(...)))`` — verified empirically, so
+cosines hash-match exactly without tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+DEFAULT_QUERY_IDS: tuple[int, ...] = (0, 1, 2)
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Scale: the query set is tiny → broadcast; the scan side streams
+    once, per-partition top-k via window-on-rank. Cost is O(n·|Q|) —
+    right for a handful of queries; use :func:`lsh_ann_topk` for
+    query sets that grow with the data.
+    """
+    q = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select("vec_id", "embedding")
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (driver-side constants, broadcast as
+    literals into the plan — deterministic across runs)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-projection bucket id: bit i = sign(<emb, plane_i>)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                _dbl(emb),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: candidates share the query's sign-projection
+    bucket; exact cosine + top-k only within the bucket.
+
+    Scale: one narrow pass to bucket the corpus (bucketing can be
+    precomputed & written as a partition column), then an equi-join on
+    bucket id — shuffle-bounded, no cross join. Recall grows with
+    multiple tables (repeat with different seeds and union).
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = bucketed.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def pairwise_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-vector L2 norm + mean component (array agg
+    coverage, exact oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mean_comp = dot(F.col("embedding"), F.array_repeat(F.lit(1.0), 64)) / F.lit(64.0)
+    return e.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(mean_comp, 6).alias("mean_component"),
+        "label",
+    )
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: exact cosine top-10 for query vectors 0,1,2."""
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: LSH-bucketed ANN top-10 (rows-only oracle; the
+    recall test against brute force lives in tests/test_vector.py)."""
+    return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (element-wise avg via posexplode) and each
+    label's centroid L2 norm — a grouped vector aggregation pattern."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_dbl(F.col("embedding"))).alias("pos", "v")
+    )
+    cent = exploded.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+             F.count(F.lit(1)).alias("dim"))
+    )

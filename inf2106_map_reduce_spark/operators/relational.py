@@ -1,0 +1,550 @@
+"""Relational query operators over the test star schema.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; each
+has a DuckDB oracle in :mod:`inf2106_map_reduce_spark.queries`. The
+reference implements none of these (SURVEY.md §2.5) — a reference user
+writes map/reduce UDFs for each; here they are declarative plans that
+Catalyst optimizes (pushdown, pruning, join selection).
+
+Determinism rules (oracle hash-matches exact values):
+- every floating aggregate is ``round(x, 2)`` (or 6 for unit-scale
+  math) in BOTH engines;
+- every LIMIT / ranking query orders by a TOTAL order (unique key
+  tiebreak);
+- column names are aliased identically in Spark and SQL.
+
+Scale notes are per-function docstrings; the common ones:
+- dimension tables (region/nation/supplier/part) are broadcast — at
+  TPC-H shape they stay < 10s of MB far beyond sf1k;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  handles skew/coalescing;
+- aggregates are partial+final hash aggregation (map-side combine
+  automatic — the reference's opt-in combiner M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + groupBy + multi-aggregate on lineitem.
+
+    Scale: single scan, filter pushed to parquet, partial+final hash
+    agg on a 6-value grouping key — no skew risk, shuffle is 6 rows per
+    map partition.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) + SUM DISTINCT per group (expand-based
+    distinct aggregation; at scale prefer approx_count_distinct — kept
+    exact here for oracle parity)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 2).alias("sum_distinct_price"),
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) — subtotals + grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status),(priority),()) via SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: qty by linestatus × returnflag (reshape; oracle uses
+    conditional aggregation — same plan shape Spark generates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    Scale: customer filter is pushed down then broadcast into orders;
+    orders⋈lineitem shuffles on orderkey (co-partitioned fact join —
+    bucketing both facts by orderkey removes this shuffle entirely on a
+    real deployment).
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→{customer,
+    supplier}, revenue per nation.
+
+    Scale: region/nation/supplier/customer are broadcast dims; the
+    only shuffles are orders⋈lineitem on orderkey and the final 25-row
+    agg. The c_nationkey = s_nationkey condition makes the supplier
+    join selective — expressed as an equi-join predicate so Catalyst
+    keeps it a hash join.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one 'F' order.
+
+    Scale: semi-join never widens rows (no dup explosion); Catalyst
+    picks broadcast or shuffled hash on the filtered orders side.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + agg: order count & revenue per customer, zeros kept.
+
+    Scale: aggregate orders BEFORE the join (smaller build side, no
+    row explosion), then left-join customers to the per-key aggregate.
+    """
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+    )
+
+
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier balances."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "cust_bal",
+        "supp_bal",
+    )
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts bucketed into literal price bands.
+
+    Scale: the band table is tiny → broadcast nested-loop is the right
+    physical plan; for large-range joins prefer binning both sides to
+    an equi-join on the bin id (see asof.py for that pattern).
+    """
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def self_join_same_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: supplier pairs in the same nation (s1 < s2)."""
+    s1 = _t(spark, sf_dir, "supplier").alias("s1")
+    s2 = _t(spark, sf_dir, "supplier").alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_suppkey") < F.col("s2.s_suppkey")),
+        )
+        .select(
+            F.col("s1.s_suppkey").alias("suppkey_a"),
+            F.col("s2.s_suppkey").alias("suppkey_b"),
+            F.col("s1.s_nationkey").alias("nationkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER ranking: top-3 orders by price per customer.
+
+    Scale: one shuffle on the partition key; at 100 TB use the same
+    plan — Spark's window sorts within partitions with managed spill.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead / ntile over a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per customer (frame: unbounded
+    preceding → current row, deterministic total order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by price (deterministic tiebreak).
+
+    Scale: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; never a full
+    sort of 100 TB.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dropDuplicates ≡ groupBy on all cols)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two customer segments' keys."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of the same two sets."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: BUILDING customers not above the balance cut."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Subquery patterns
+# --------------------------------------------------------------------------
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders above their customer's
+    average order value — decorrelated as join-with-aggregate (the
+    plan Catalyst produces for the subquery form, written explicitly).
+    """
+    o = _t(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
+    oa = o.alias("o")
+    return (
+        oa.join(avg_per_cust.alias("a"), F.col("o.o_custkey") == F.col("a.o_custkey"))
+        .filter(F.col("o.o_totalprice") > F.col("a.avg_price"))
+        .select(
+            F.col("o.o_orderkey").alias("o_orderkey"),
+            F.col("o.o_custkey").alias("o_custkey"),
+            F.round("o.o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+def scalar_subquery_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the global average price."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, ROUND(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function batteries
+# --------------------------------------------------------------------------
+
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage: case, substring, trim/pad, replace,
+    split, concat, length, reverse, position."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.col("p_name").like("%steel%").alias("has_steel"),
+    )
+
+
+def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage on order dates."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("wd_mon0"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+    )
+
+
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage (rounded to 6 for cross-engine libm
+    stability)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        (F.col("l_partkey") % 7).alias("pk_mod7"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN buckets + conditional aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(bucket.alias("bal_bucket"), "c_acctbal", "c_mktsegment")
+        .groupBy("bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+        )
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def explode_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode: top-20 words across documents (the word-count
+    pattern as a relational query with an oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage over the embedding column: size,
+    element access, slice aggregation (JVM-side, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    head_sum = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(head_sum, 6).alias("head8_sum"),
+        "label",
+    )

@@ -1,0 +1,834 @@
+"""Query registry: every implemented operator as a named query with a
+DuckDB oracle (the driver's t2 correctness gate).
+
+Each entry: name -> QuerySpec(fn, oracle, desc). ``fn(spark, sf_dir)``
+returns a DataFrame; ``oracle`` is ANSI SQL DuckDB runs over the same
+parquet views — or ``None`` for genuinely non-SQL-expressible ops
+(weaker rows-only check, per the driver contract).
+
+Determinism contract (column names AND values hash-match):
+- identical aliases in Spark and SQL;
+- floating aggregates rounded identically on both sides;
+- rankings/limits ordered by a total order;
+- all content hashing via md5 (identical hex in both engines);
+- dot products are sequential folds (bit-identical, verified).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inf2106_map_reduce_spark.functions import dedup, multimodal, text, vector
+from inf2106_map_reduce_spark.operators import asof, relational
+from inf2106_map_reduce_spark.streaming import windows as stream_windows
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    desc: str
+    tags: tuple[str, ...] = field(default=())
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (dedup pipeline, vector math)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+  )) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+)
+"""
+
+_MINS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(dedup.N_HASHES)
+)
+
+_BAND_CASE = "CASE b.band_idx " + " ".join(
+    f"WHEN {b} THEN md5(mh{b * dedup.BAND_ROWS} || mh{b * dedup.BAND_ROWS + 1} || mh{b * dedup.BAND_ROWS + 2})"
+    for b in range(dedup.N_HASHES // dedup.BAND_ROWS)
+) + " END"
+
+_CANDIDATES_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band_idx, {_BAND_CASE} AS band_sig
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)
+"""
+
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(32)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32)
+)
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+_STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+def _marker_list(lang: str) -> str:
+    return "['" + "', '".join(text.LANG_MARKERS[lang]) + "']"
+
+
+_LANG_SCORES = ", ".join(
+    f"len(list_filter({_WORDS}, w -> list_contains({_marker_list(lang)}, lower(w)))) AS score_{lang}"
+    for lang in text.LANG_MARKERS
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+_GUESS = (
+    "CASE WHEN " + _BEST + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in text.LANG_MARKERS
+    )
+    + " END"
+)
+
+_SESSION_CTES = """
+gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+per AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS span_sec
+  FROM sess GROUP BY user_id, session_id
+)
+"""
+
+# Spark's session_window merges while gap < 30min (new session at
+# gap >= 30min); the >= below mirrors that exactly.
+_SESSION_CTES_GE = _SESSION_CTES.replace("> 1800000000", ">= 1800000000")
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # -- aggregation ------------------------------------------------------
+    "q1_pricing_summary": QuerySpec(
+        relational.q1_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "TPC-H Q1 shape: filter + multi-aggregate",
+        ("agg",),
+    ),
+    "agg_count_distinct": QuerySpec(
+        relational.agg_count_distinct,
+        """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(DISTINCT o_totalprice), 2) AS sum_distinct_price
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "exact distinct aggregation",
+        ("agg",),
+    ),
+    "rollup_revenue": QuerySpec(
+        relational.rollup_revenue,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "ROLLUP subtotals",
+        ("agg",),
+    ),
+    "cube_quantity": QuerySpec(
+        relational.cube_quantity,
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_items
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "CUBE over two dims",
+        ("agg",),
+    ),
+    "grouping_sets_revenue": QuerySpec(
+        relational.grouping_sets_revenue,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "explicit GROUPING SETS",
+        ("agg",),
+    ),
+    "pivot_returnflag": QuerySpec(
+        relational.pivot_returnflag,
+        """
+        SELECT l_linestatus,
+               ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+               ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        FROM lineitem GROUP BY l_linestatus
+        """,
+        "pivot (conditional aggregation)",
+        ("agg",),
+    ),
+    # -- joins -------------------------------------------------------------
+    "q3_shipping_priority": QuerySpec(
+        relational.q3_shipping_priority,
+        """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "TPC-H Q3 shape: 3-way join + top-10",
+        ("join",),
+    ),
+    "q5_local_supplier_volume": QuerySpec(
+        relational.q5_local_supplier_volume,
+        """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """,
+        "TPC-H Q5 shape: 6-way join",
+        ("join",),
+    ),
+    "semi_join_customers_with_orders": QuerySpec(
+        relational.semi_join_customers_with_orders,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "LEFT SEMI join (EXISTS)",
+        ("join",),
+    ),
+    "anti_join_customers_without_orders": QuerySpec(
+        relational.anti_join_customers_without_orders,
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "LEFT ANTI join (NOT EXISTS)",
+        ("join",),
+    ),
+    "outer_join_order_counts": QuerySpec(
+        relational.outer_join_order_counts,
+        """
+        SELECT c_custkey, COALESCE(cnt, 0) AS n_orders,
+               ROUND(COALESCE(rev, 0), 2) AS revenue
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS cnt, SUM(o_totalprice) AS rev
+          FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o.o_custkey
+        """,
+        "LEFT OUTER with pre-aggregated build side",
+        ("join",),
+    ),
+    "full_outer_nation_balance": QuerySpec(
+        relational.full_outer_nation_balance,
+        """
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               c.cust_bal, s.supp_bal
+        FROM (SELECT c_nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+              FROM customer GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+                   FROM supplier GROUP BY s_nationkey) s
+          ON c.c_nationkey = s.s_nationkey
+        """,
+        "FULL OUTER join",
+        ("join",),
+    ),
+    "range_join_price_bands": QuerySpec(
+        relational.range_join_price_bands,
+        """
+        SELECT band, COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part JOIN (VALUES ('budget', 0.0, 500.0),
+                               ('mid', 500.0, 1200.0),
+                               ('premium', 1200.0, 1e9)) b(band, lo, hi)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+        """,
+        "range (non-equi) join on literal bands",
+        ("join",),
+    ),
+    "self_join_same_nation_pairs": QuerySpec(
+        relational.self_join_same_nation_pairs,
+        """
+        SELECT s1.s_suppkey AS suppkey_a, s2.s_suppkey AS suppkey_b,
+               s1.s_nationkey AS nationkey
+        FROM supplier s1 JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+        """,
+        "self join pairs",
+        ("join",),
+    ),
+    "asof_clicks_to_purchase": QuerySpec(
+        asof.asof_clicks_to_purchase,
+        """
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "as-of (point-in-time) join, union+window implementation",
+        ("join", "custom"),
+    ),
+    # -- windows ------------------------------------------------------------
+    "window_top_orders_per_customer": QuerySpec(
+        relational.window_top_orders_per_customer,
+        """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        """,
+        "ROW_NUMBER top-3 per group",
+        ("window",),
+    ),
+    "window_rank_battery": QuerySpec(
+        relational.window_rank_battery,
+        """
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               LAG(o_orderkey, 1) OVER w AS prev_order,
+               LEAD(o_orderkey, 1) OVER w AS next_order,
+               NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "rank/dense_rank/lag/lead/ntile",
+        ("window",),
+    ),
+    "window_running_revenue": QuerySpec(
+        relational.window_running_revenue,
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+        FROM orders
+        """,
+        "running cumulative sum",
+        ("window",),
+    ),
+    # -- sort / limit / set ops ---------------------------------------------
+    "top_k_orders": QuerySpec(
+        relational.top_k_orders,
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "global top-k (TakeOrderedAndProject)",
+        ("sort",),
+    ),
+    "distinct_segments": QuerySpec(
+        relational.distinct_segments,
+        "SELECT DISTINCT c_mktsegment FROM customer",
+        "DISTINCT projection",
+        ("sort",),
+    ),
+    "setop_union": QuerySpec(
+        relational.setop_union,
+        """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "UNION distinct",
+        ("setop",),
+    ),
+    "setop_intersect": QuerySpec(
+        relational.setop_intersect,
+        """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "INTERSECT",
+        ("setop",),
+    ),
+    "setop_except": QuerySpec(
+        relational.setop_except,
+        """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "EXCEPT",
+        ("setop",),
+    ),
+    # -- subqueries -----------------------------------------------------------
+    "orders_above_customer_avg": QuerySpec(
+        relational.orders_above_customer_avg,
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
+        FROM orders o JOIN (
+          SELECT o_custkey, AVG(o_totalprice) AS avg_price
+          FROM orders GROUP BY o_custkey
+        ) a ON o.o_custkey = a.o_custkey
+        WHERE o.o_totalprice > a.avg_price
+        """,
+        "correlated-subquery pattern, decorrelated",
+        ("subquery",),
+    ),
+    "scalar_subquery_global_avg": QuerySpec(
+        relational.scalar_subquery_global_avg,
+        """
+        SELECT p_partkey, ROUND(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        """,
+        "scalar subquery",
+        ("subquery",),
+    ),
+    # -- scalar batteries -------------------------------------------------------
+    "scalar_string_battery": QuerySpec(
+        relational.scalar_string_battery,
+        """
+        SELECT p_partkey,
+               upper(p_name) AS up, lower(p_brand) AS lo,
+               length(p_name) AS len,
+               substr(p_name, 1, 5) AS sub5,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               replace(p_name, ' ', '_') AS snake,
+               split_part(p_type, ' ', 1) AS type_head,
+               lpad(p_brand, 12, '*') AS padded,
+               reverse(p_brand) AS rev,
+               strpos(p_name, 'a') AS pos_a,
+               p_name LIKE '%steel%' AS has_steel
+        FROM part
+        """,
+        "string function battery",
+        ("scalar",),
+    ),
+    "scalar_date_battery": QuerySpec(
+        relational.scalar_date_battery,
+        """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+               isodow(o_orderdate) - 1 AS wd_mon0,
+               date_trunc('month', o_orderdate) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate AS DATE) + 30 AS plus30,
+               DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS days_to_eoy
+        FROM orders
+        """,
+        "date/time function battery",
+        ("scalar",),
+    ),
+    "scalar_math_battery": QuerySpec(
+        relational.scalar_math_battery,
+        """
+        SELECT l_orderkey,
+               ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+               ROUND(ln(l_extendedprice), 6) AS ln_price,
+               ROUND(exp(l_discount), 6) AS exp_disc,
+               ROUND(pow(l_quantity, 2), 6) AS qty_sq,
+               ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
+               l_partkey % 7 AS pk_mod7,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(sign(l_quantity - 25) AS INT) AS qty_sign,
+               greatest(l_discount, l_tax) AS max_rate,
+               least(l_discount, l_tax) AS min_rate
+        FROM lineitem WHERE l_linenumber = 1
+        """,
+        "math function battery",
+        ("scalar",),
+    ),
+    "case_when_bucketing": QuerySpec(
+        relational.case_when_bucketing,
+        """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS bal_bucket,
+               COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 4) AS avg_bal,
+               COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building
+        FROM customer GROUP BY 1
+        """,
+        "CASE WHEN buckets + conditional agg",
+        ("scalar",),
+    ),
+    "json_extract_events": QuerySpec(
+        relational.json_extract_events,
+        """
+        SELECT event_type,
+               ROUND(AVG(k), 4) AS avg_k, MAX(k) AS max_k, COUNT(*) AS n
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        GROUP BY event_type
+        """,
+        "JSON extraction",
+        ("scalar",),
+    ),
+    "explode_doc_words": QuerySpec(
+        relational.explode_doc_words,
+        """
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != ''
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+        """,
+        "lateral explode word count",
+        ("scalar",),
+    ),
+    "array_ops_embeddings": QuerySpec(
+        relational.array_ops_embeddings,
+        f"""
+        SELECT vec_id, len(embedding) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+               label
+        FROM embeddings
+        """,
+        "array function coverage",
+        ("scalar", "vector"),
+    ),
+    # -- sessionization / time windows ---------------------------------------
+    "session_stats": QuerySpec(
+        asof.session_stats,
+        f"""
+        WITH {_SESSION_CTES}
+        SELECT user_id, COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               ROUND(AVG(span_sec), 4) AS avg_span_sec
+        FROM per GROUP BY user_id
+        """,
+        "gap-based sessionization (lag + running sum)",
+        ("window", "events"),
+    ),
+    "batch_tumbling_hourly": QuerySpec(
+        stream_windows.batch_tumbling_hourly,
+        _TUMBLING_SQL,
+        "tumbling window agg (batch)",
+        ("events",),
+    ),
+    "streaming_tumbling_hourly": QuerySpec(
+        stream_windows.streaming_tumbling_hourly,
+        _TUMBLING_SQL,
+        "tumbling window agg via Structured Streaming AvailableNow",
+        ("events", "streaming"),
+    ),
+    "batch_sliding_windows": QuerySpec(
+        stream_windows.batch_sliding,
+        """
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - o.o * INTERVAL '30 minutes' AS window_start,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1)) o(o)
+        GROUP BY 1
+        """,
+        "sliding window agg (1h / 30m slide)",
+        ("events",),
+    ),
+    "session_windows_native": QuerySpec(
+        stream_windows.batch_session_windows,
+        f"""
+        WITH {_SESSION_CTES_GE}
+        SELECT user_id, COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events
+        FROM per GROUP BY user_id
+        """,
+        "native session_window aggregation",
+        ("events",),
+    ),
+    # -- text analysis ----------------------------------------------------------
+    "text_stats": QuerySpec(
+        text.text_stats,
+        f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')) AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_tokens_bpe,
+               n_words,
+               ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1), 6) AS punct_ratio,
+               ROUND(CAST(n_upper AS DOUBLE) / greatest(n_chars2, 1), 6) AS upper_ratio,
+               ROUND(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio,
+               {_GUESS} AS lang_guess,
+               md5({_NORM}) AS fp_md5,
+               CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp_int64
+        FROM (
+          SELECT *,
+                 len({_WORDS}) AS n_words,
+                 length(text) AS n_chars2,
+                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                 len(list_filter({_WORDS}, w -> list_contains({_STOPLIST}, lower(w)))) AS n_stop,
+                 {_LANG_SCORES}
+          FROM documents
+        )
+        """,
+        "per-document text analysis (tokens, quality, lang-ID, fingerprint)",
+        ("text",),
+    ),
+    "lang_distribution": QuerySpec(
+        text.lang_distribution,
+        f"""
+        SELECT lang, {_GUESS} AS lang_guess, COUNT(*) AS n
+        FROM (SELECT lang, {_LANG_SCORES} FROM documents)
+        GROUP BY 1, 2
+        """,
+        "language-ID heuristic vs labels",
+        ("text",),
+    ),
+    # -- dedup -------------------------------------------------------------------
+    "dedup_exact": QuerySpec(
+        dedup.dedup_exact_stats,
+        f"""
+        SELECT md5({_NORM}) AS content_key,
+               MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+        """,
+        "exact dedup by content hash",
+        ("dedup",),
+    ),
+    "dedup_minhash_candidates": QuerySpec(
+        dedup.dedup_minhash_candidates,
+        _CANDIDATES_SQL + "SELECT id_a, id_b FROM cand",
+        "MinHash-LSH candidate pairs (12 hashes, 4 bands of 3)",
+        ("dedup",),
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup.dedup_ngram_jaccard,
+        _CANDIDATES_SQL
+        + """,
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(c.n_common / (za.sz + zb.sz - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+        WHERE c.n_common / (za.sz + zb.sz - c.n_common) >= 0.5
+        """,
+        "exact n-gram Jaccard over LSH candidates",
+        ("dedup",),
+    ),
+    "dedup_simhash": QuerySpec(
+        dedup.dedup_simhash_signatures,
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh
+          FROM w WHERE word != ''
+        ),
+        bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({_SIMHASH_SIG}) AS simhash32 FROM bits
+        """,
+        "32-bit SimHash signatures",
+        ("dedup",),
+    ),
+    # -- vector similarity ---------------------------------------------------------
+    "vector_norms": QuerySpec(
+        vector.pairwise_norms,
+        f"""
+        SELECT vec_id,
+               ROUND(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS l2_norm,
+               ROUND(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * 1.0)) / 64.0, 6) AS mean_component,
+               label
+        FROM embeddings
+        """,
+        "vector norms / array aggregation",
+        ("vector",),
+    ),
+    "ann_brute_force": QuerySpec(
+        vector.ann_brute_force,
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND({_dot_sql('q.q_emb', 'e.embedding')}
+                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                      * sqrt({_dot_sql('e.embedding', 'e.embedding')})), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 10
+        """,
+        "brute-force cosine top-k",
+        ("vector",),
+    ),
+    "ann_lsh": QuerySpec(
+        vector.ann_lsh,
+        None,  # seeded random hyperplanes are not SQL-expressible;
+        # recall vs brute force is tested in tests/test_vector.py
+        "LSH-bucketed approximate NN top-k",
+        ("vector",),
+    ),
+    "label_centroids": QuerySpec(
+        vector.label_centroid_similarity,
+        """
+        WITH ex AS (
+          SELECT label, i.range - 1 AS pos,
+                 CAST(embedding[CAST(i.range AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) i
+        ),
+        cent AS (SELECT label, pos, AVG(v) AS c FROM ex GROUP BY 1, 2)
+        SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+               COUNT(*) AS dim
+        FROM cent GROUP BY label
+        """,
+        "per-label centroid norms (grouped vector aggregation)",
+        ("vector",),
+    ),
+    # -- multimodal ------------------------------------------------------------------
+    "media_metadata_stats": QuerySpec(
+        multimodal.media_metadata_stats,
+        """
+        SELECT 'synthetic/text' AS media_type,
+               COUNT(*) AS n_items,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+               MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents
+        """,
+        "multimodal metadata-only scan",
+        ("multimodal",),
+    ),
+    "media_features": QuerySpec(
+        multimodal.media_features,
+        """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ROUND(CAST(list_sum(list_transform(
+                       range(1, length(text) + 1),
+                       i -> ascii(substr(text, CAST(i AS INT), 1))))
+                     AS DOUBLE) / octet_length(encode(text)), 6) AS byte_mean,
+               lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+        FROM documents
+        """,
+        "multimodal feature extraction via Arrow mapInPandas (stub decode)",
+        ("multimodal",),
+    ),
+}
+
+
+def _doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's word count expressed over the documents table
+    (its own app ran on flat text; same plan: explode + count —
+    SURVEY.md §2 M1/R3)."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+REGISTRY["doc_word_count"] = QuerySpec(
+    _doc_word_count,
+    """
+    SELECT word, COUNT(*) AS count
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents)
+    WHERE word != ''
+    GROUP BY word
+    """,
+    "reference word count over the documents table",
+    ("mrlite",),
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

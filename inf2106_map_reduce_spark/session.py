@@ -39,6 +39,10 @@ _SCALE_DEFAULTS: dict[str, str] = {
     # ANSI off: permissive coercion matches DuckDB-oracle-friendly
     # behavior for the test queries (no overflow in these datasets).
     "spark.sql.ansi.enabled": "false",
+    # events.parquet carries TIMESTAMP(NANOS); Spark's reader rejects it
+    # unless read as raw nanos (we floor-convert to microseconds in
+    # tables.load_table — DuckDB's scan truncates identically).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

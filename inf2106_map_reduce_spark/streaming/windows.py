@@ -1,0 +1,115 @@
+"""Windowed aggregations over events — batch and streaming forms.
+
+Each aggregation is defined ONCE as a DataFrame transform and applied
+to either a batch scan or a ``readStream`` source; the streaming form
+adds a watermark (late-data bound → state eviction — mandatory for
+unbounded state at scale).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import convert_event_ts, load_table
+
+WATERMARK = "1 hour"
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows: per (window, event_type) count + sum."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide (each event in 2
+    windows)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged), Spark's native
+    session_window — count of sessions & events per user."""
+    per_session = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def _run_available_now(
+    spark: SparkSession, sf_dir: str, transform, with_watermark: bool = True
+) -> DataFrame:
+    """Execute a windowed transform as a REAL stream over the parquet
+    events table (Trigger.AvailableNow → memory sink, complete mode)
+    and return the result table. Used for batch-parity checks; the
+    same code ships against kafka/file sources in production."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source wants a directory; glob-filter to the
+    # events file within the sf dir
+    stream = convert_event_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if with_watermark:
+        stream = stream.withWatermark("ts", WATERMARK)
+    out = transform(stream)
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: tumbling-window agg executed through Structured
+    Streaming (AvailableNow) — oracle-checked against the same SQL the
+    batch form uses."""
+    return _run_available_now(spark, sf_dir, tumbling_hourly)
+
+
+def batch_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: same aggregation, batch execution."""
+    return tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+def batch_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: sliding-window agg (batch)."""
+    return sliding_hourly(load_table(spark, sf_dir, "events"))
+
+
+def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: native session_window agg (batch)."""
+    return session_windows(load_table(spark, sf_dir, "events"))
