@@ -106,36 +106,60 @@ def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate NN: candidates share the query's sign-projection
-    bucket; exact cosine + top-k only within the bucket.
+    """Approximate NN via multi-table sign-projection LSH.
 
-    Scale: one narrow pass to bucket the corpus (bucketing can be
-    precomputed & written as a partition column), then an equi-join on
-    bucket id — shuffle-bounded, no cross join. Recall grows with
-    multiple tables (repeat with different seeds and union).
+    Standard L-tables construction: a candidate is any vector sharing
+    the query's bucket in ANY of the ``n_tables`` independent tables
+    (per-table collision p = (1 - θ/π)^n_planes; union over tables
+    lifts recall exponentially — one table alone is useless for the
+    moderate-similarity neighbors real embeddings have).
+
+    Scale: one narrow pass computes all table buckets per vector
+    (precomputable as stored columns); candidates come from an
+    equi-join on (table, bucket) + distinct — shuffle-bounded, never a
+    cross join. Bucket sizes shrink as n/2^n_planes, so cost tracks
+    corpus size × tables, not corpus².
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("embedding"),
+                    random_hyperplanes(dim, n_planes, seed + 1000 * t),
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = embeddings.select(
+        "vec_id", "embedding", F.explode(tables).alias("tb")
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
     q = bucketed.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    scored = (
+    candidates = (
         bucketed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket"))
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -1,0 +1,86 @@
+"""Behavioral dedup tests on synthetic corpora with KNOWN duplicates —
+the sf tables have no exact dups, so these fixtures inject them and
+assert the operators actually find what they claim to find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import dedup
+
+VOCAB = (
+    "spark table scan filter join merge sort window batch stream value key "
+    "row column vector hash group agg query data fast slow big small"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs + exact dups of 0-4 + near-dups (one word changed)
+    of 5-9."""
+    rng = random.Random(123)
+    rows = []
+    texts = {}
+    for i in range(60):
+        words = [rng.choice(VOCAB) for _ in range(80)]
+        texts[i] = " ".join(words)
+        rows.append((i, texts[i]))
+    for j in range(5):  # exact duplicates
+        rows.append((100 + j, texts[j]))
+    for j in range(5, 10):  # near duplicates: mutate one word
+        words = texts[j].split()
+        words[40] = "MUTATED"
+        rows.append((200 + j, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_finds_planted_duplicates(corpus):
+    groups = dedup.exact_dedup_groups(corpus)
+    dups = {r["canonical_id"]: r["n_copies"] for r in groups.filter(F.col("n_copies") > 1).collect()}
+    assert dups == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+    assert groups.count() == 65  # 70 docs, 5 merged
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(corpus).collect()}
+    for j in range(5):
+        assert (j, 100 + j) in pairs, f"exact dup pair ({j},{100+j}) missed"
+    near_found = sum((j, 200 + j) in pairs for j in range(5, 10))
+    assert near_found >= 4, f"only {near_found}/5 near-dup pairs found"
+
+
+def test_ngram_jaccard_scores(corpus):
+    scored = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    for j in range(5):
+        assert scored.get((j, 100 + j)) == 1.0  # exact dup -> jaccard 1
+    for j in range(5, 10):
+        pair = (j, 200 + j)
+        if pair in scored:  # near dup: one word changed in 80 -> high jaccard
+            assert 0.8 <= scored[pair] < 1.0
+
+
+def test_simhash_near_dups_have_small_hamming_distance(corpus):
+    sigs = {r["doc_id"]: r["simhash32"] for r in dedup.simhash(corpus).collect()}
+    for j in range(5):
+        assert sigs[j] == sigs[100 + j]  # identical text -> identical simhash
+    for j in range(5, 10):
+        dist = bin(sigs[j] ^ sigs[200 + j]).count("1")
+        assert dist <= 6, f"near-dup hamming distance {dist} too large"
+    # random doc pairs should be far apart
+    far = bin(sigs[10] ^ sigs[30]).count("1")
+    assert far >= 4
+
+
+def test_minhash_approximates_jaccard(corpus):
+    """Minhash collision rate across the 12 hashes estimates Jaccard."""
+    sigs = dedup.minhash_signatures(corpus)
+    a = sigs.filter(F.col("doc_id") == 5).collect()[0]
+    b = sigs.filter(F.col("doc_id") == 205).collect()[0]
+    agree = sum(a[f"mh{i}"] == b[f"mh{i}"] for i in range(dedup.N_HASHES))
+    assert agree >= 8  # true jaccard ~0.9 -> expect most hashes to agree

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: schema convention, Arrow batch flow,
+corrupt-payload handling (the stub decode's NotImplementedError path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import multimodal
+
+
+def test_media_schema_convention(spark, sf_smoke):
+    m = multimodal.documents_as_media(spark, sf_smoke)
+    assert dict(m.dtypes) == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "payload": "binary",
+        "meta": "struct<width:int,height:int,n_bytes:bigint>",
+    }
+
+
+def test_feature_extraction_roundtrip(spark, sf_smoke):
+    m = multimodal.documents_as_media(spark, sf_smoke)
+    feats = multimodal.extract_features(m)
+    row = feats.orderBy("doc_id").first()
+    assert row["n_bytes"] > 0
+    assert 0 < row["byte_mean"] < 128  # ASCII text
+    assert len(row["header_hex"]) == 16
+
+
+def test_corrupt_payload_dropped_not_fatal(spark):
+    rows = [
+        (1, "img", bytearray(b"valid ascii")),
+        (2, "img", bytearray(b"\xff\xfe\x93binary junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media_type string, payload binary")
+    out = multimodal.extract_features(df)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids == [1]  # corrupt row dropped, pipeline survives
+
+
+def test_decode_stub_raises_on_real_binary():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_metadata_scan_does_not_touch_payload(spark, sf_smoke):
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    stats = multimodal.media_metadata_stats(spark, sf_smoke)
+    # the metadata-only aggregate must not evaluate the decode UDF path
+    assert "mapInPandas" not in explain_str(stats, "simple").lower()
+    assert stats.count() == 1

@@ -1,0 +1,78 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast — the 100 TB
+properties the brief calls out explicitly. Results being right is
+necessary; the plan being right is what survives a 1000× scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.operators import relational
+from inf2106_map_reduce_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_oracle):
+    df = relational.q1_pricing_summary(spark, sf_oracle)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, f"shipdate filter not pushed: {filters}"
+
+
+def test_column_pruning_on_q1(spark, sf_oracle):
+    df = relational.q1_pricing_summary(spark, sf_oracle)
+    cols = scan_columns(df)
+    assert cols, "no parquet scans found"
+    read = set().union(*cols)
+    # lineitem has 11 columns; Q1 needs exactly these 7
+    assert read == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, f"scan reads extra columns: {read}"
+
+
+def test_q3_broadcasts_dimension_side(spark, sf_oracle):
+    assert has_broadcast_join(relational.q3_shipping_priority(spark, sf_oracle))
+
+
+def test_q5_broadcasts_all_dims(spark, sf_oracle):
+    df = relational.q5_local_supplier_volume(spark, sf_oracle)
+    # one shuffle for orders⋈lineitem + one for the final agg; all
+    # dimension joins must be broadcast (no extra exchanges)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_semi_join_no_row_widening(spark, sf_oracle):
+    df = relational.semi_join_customers_with_orders(spark, sf_oracle)
+    n_cust = load_table(spark, sf_oracle, "customer").count()
+    assert df.count() <= n_cust
+
+
+def test_topk_uses_take_ordered(spark, sf_oracle):
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = relational.top_k_orders(spark, sf_oracle)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple"), (
+        "global top-k should compile to TakeOrderedAndProject, not a full sort"
+    )
+
+
+def test_pre_aggregated_outer_join_single_agg_shuffle(spark, sf_oracle):
+    df = relational.outer_join_order_counts(spark, sf_oracle)
+    # orders aggregate shuffles once; customer joins against the small
+    # aggregate (broadcast under AQE) — bounded exchanges
+    assert shuffle_count(df) <= 3
+
+
+def test_wordcount_is_single_shuffle(spark, tmp_path):
+    from inf2106_map_reduce_spark.mrlite import word_count
+    from inf2106_map_reduce_spark.seed import generate_corpus
+
+    p = tmp_path / "c.txt"
+    generate_corpus(p, 10_000)
+    df = word_count(spark, str(p))
+    assert shuffle_count(df) == 1, "word count must be exactly one shuffle (partial+final hash agg)"

@@ -1,0 +1,97 @@
+"""Streaming batch-parity (SURVEY.md §7.2 M5): the same window
+transforms produce identical results via batch execution and via
+Structured Streaming with Trigger.AvailableNow, plus watermark/late-data
+behavior on a controlled micro-batch sequence."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.streaming import windows as W
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_batch_parity_tumbling(spark, sf_smoke):
+    batch = W.batch_tumbling_hourly(spark, sf_smoke)
+    stream = W.streaming_tumbling_hourly(spark, sf_smoke)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    out = W.sliding_hourly(events)
+    total_windowed = out.agg(F.sum("n")).collect()[0][0]
+    assert total_windowed == 2 * events.count()
+
+
+def test_session_window_merges_by_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),  # same session (gap 10m)
+        (1, "2024-01-01 01:00:00", 1.0),  # new session (gap 50m)
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = {r["user_id"]: (r["n_sessions"], r["max_session_events"]) for r in W.session_windows(df).collect()}
+    assert out == {1: (2, 2), 2: (1, 1)}
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Real late-data semantics: two runs over a growing source dir;
+    run 2 contains an event older than the checkpointed watermark
+    whose window is already finalized -> dropped in append mode."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run_stream():
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(sink))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # run 1: events to 00:59 -> watermark checkpoint 00:49; window
+    # 00:00-00:10 is finalized and emitted
+    write_batch([(1, t(5), 1.0), (1, t(59), 1.0)])
+    run_stream()
+    # run 2: one on-time event (01:09) and one LATE event (00:01 — far
+    # behind the 00:49 watermark, its window already emitted)
+    write_batch([(1, t(1), 99.0), (1, dt.datetime(2024, 1, 1, 1, 9), 1.0)])
+    run_stream()
+    out = {}
+    for r in spark.read.parquet(str(sink)).collect():
+        out[r["ws"].minute] = out.get(r["ws"].minute, 0) + r["n"]
+    # 00:00 window counted only the batch-1 event; the late 00:01 event
+    # was dropped (were it admitted, the window would re-emit with n=2)
+    assert out.get(0) == 1, f"late row was not dropped: {out}"

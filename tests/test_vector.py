@@ -1,0 +1,54 @@
+"""Vector similarity tests: brute-force correctness on a constructed
+corpus + LSH ANN recall against brute force on the real table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import vector
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def test_brute_force_finds_planted_neighbor(spark):
+    # vec 1 is nearly parallel to vec 0; vec 2 orthogonal; vec 3 opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = vector.brute_force_topk(df, query_ids=(0,), k=3).collect()
+    order = [r["vec_id"] for r in out]
+    assert order == [1, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+    assert abs(out[1]["cos_sim"]) < 1e-6
+    assert out[2]["cos_sim"] == -1.0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_oracle):
+    e = load_table(spark, sf_oracle, "embeddings")
+    qids = (0, 1, 2, 3, 4)
+    exact = vector.brute_force_topk(e, query_ids=qids, k=10)
+    approx = vector.lsh_ann_topk(e, query_ids=qids, k=10, n_planes=4, n_tables=8)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # multi-table LSH over near-random synthetic vectors: assert far
+    # above random chance (10/500 = 2%)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_is_deterministic(spark, sf_oracle):
+    e = load_table(spark, sf_oracle, "embeddings")
+    a = vector.lsh_ann_topk(e, k=5).collect()
+    b = vector.lsh_ann_topk(e, k=5).collect()
+    assert a == b
+
+
+def test_cosine_self_similarity_is_one(spark, sf_oracle):
+    e = load_table(spark, sf_oracle, "embeddings").limit(20)
+    sim = e.select(
+        F.round(vector.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(r["c"] == 1.0 for r in sim)
