@@ -206,6 +206,87 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return agg.select(F.col(id_col), sig.alias("simhash32"))
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.3,
+    use_lsh_blocking: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
+    every pair with cosine >= threshold, id_a < id_b.
+
+    Two physical strategies behind one semantic:
+    - exact all-pairs self-join (default): the correctness baseline the
+      oracle checks — quadratic, fine up to ~10^5 vectors;
+    - ``use_lsh_blocking=True``: candidates restricted to pairs sharing
+      a sign-LSH bucket in any of 8 tables (the 100 TB path — cost is
+      Σ bucket², never n²; recall/threshold tradeoff tested in
+      tests/test_vector.py).
+
+    Norms are computed once per row before the join (not per pair), so
+    the pair stage is one zip-fold + divide.
+    """
+    from inf2106_map_reduce_spark.functions import vector
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+        vector.norm(F.col(emb_col)).alias("nrm"),
+    )
+    if use_lsh_blocking:
+        planes = [
+            vector.random_hyperplanes(64, 4, seed=42 + 1000 * t) for t in range(8)
+        ]
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    vector.lsh_bucket(F.col("emb"), planes[t]).alias("bucket"),
+                )
+                for t in range(8)
+            ]
+        )
+        bucketed = base.select("vid", "emb", "nrm", F.explode(tables).alias("tb")).select(
+            "vid", "emb", "nrm", "tb.tbl", "tb.bucket"
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(
+                F.col("a.vid").alias("id_a"),
+                F.col("b.vid").alias("id_b"),
+                F.col("a.emb").alias("emb_a"),
+                F.col("b.emb").alias("emb_b"),
+                F.col("a.nrm").alias("nrm_a"),
+                F.col("b.nrm").alias("nrm_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.vid") < F.col("b.vid")).select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+            F.col("a.nrm").alias("nrm_a"),
+            F.col("b.nrm").alias("nrm_b"),
+        )
+    cos = vector.dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
@@ -234,3 +315,10 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cos >= 0.3 (exact baseline;
+    the LSH-blocked variant is the scale path, tested for recall)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.3)

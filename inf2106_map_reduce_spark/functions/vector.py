@@ -169,6 +169,100 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into ``n_lists``
+    Voronoi cells around seeded random unit centroids; a query scores
+    only vectors in its ``n_probe`` nearest cells.
+
+    Centroids are driver-side seeded constants (like the LSH planes) —
+    deterministic, broadcast as literals. Assignment is one narrow pass
+    (argmax over n_lists dot products, precomputable as a stored
+    column); the search joins queries×probed cells to candidates on
+    ``cell`` — an equi-join, cost |probed cells| not n².
+
+    vs. :func:`lsh_ann_topk`: IVF adapts its candidate count via
+    n_probe (recall knob at query time, no re-index); LSH needs no
+    centroid structure. Both exist because the brief's scale path
+    offers either.
+    """
+    rng = random.Random(seed)
+    dim = 64
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+
+    def cent_dots(emb: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        _dbl(emb),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+
+    # cell = argmax_c <emb, centroid_c>  (ties → lowest index, stable)
+    dots = cent_dots(F.col("embedding"))
+    cell = F.expr(
+        f"array_position(cds, array_max(cds)) - 1"
+    )
+    assigned = embeddings.select(
+        "vec_id", "embedding", dots.alias("cds")
+    ).select("vec_id", "embedding", cell.cast("int").alias("cell"))
+
+    # queries probe their n_probe best cells
+    q = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        cent_dots(F.col("embedding")).alias("qcds"),
+    )
+    ranked_cells = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                lambda i: F.struct(
+                    F.element_at(F.col("qcds"), i + 1).alias("d"), i.alias("i")
+                ),
+            )
+        )
+    )
+    probe = F.transform(F.slice(ranked_cells, 1, n_probe), lambda s: s["i"])
+    q_probed = q.select(
+        "query_id", "q_emb", F.explode(probe).alias("q_cell")
+    ).select("query_id", "q_emb", F.col("q_cell").cast("int").alias("q_cell"))
+
+    candidates = assigned.join(
+        F.broadcast(q_probed),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "q_emb", "vec_id", "embedding")
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def pairwise_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-vector L2 norm + mean component (array agg
     coverage, exact oracle)."""
@@ -191,6 +285,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: LSH-bucketed ANN top-10 (rows-only oracle; the
     recall test against brute force lives in tests/test_vector.py)."""
     return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: IVF-partitioned ANN top-10 (rows-only oracle;
+    recall vs brute force tested in tests/test_vector.py)."""
+    return ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:

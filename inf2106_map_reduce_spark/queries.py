@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from inf2106_map_reduce_spark.functions import dedup, multimodal, text, vector
 from inf2106_map_reduce_spark.operators import asof, relational
+from inf2106_map_reduce_spark.sources import roundtrip
+from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
 
 
@@ -584,6 +586,35 @@ REGISTRY: dict[str, QuerySpec] = {
         "tumbling window agg via Structured Streaming AvailableNow",
         ("events", "streaming"),
     ),
+    "streaming_dedup_keys": QuerySpec(
+        stream_stateful.streaming_dedup_keys,
+        "SELECT DISTINCT user_id, event_type FROM events",
+        "streaming dedup with watermark-bounded state",
+        ("events", "streaming", "dedup"),
+    ),
+    "streaming_user_stats_stateful": QuerySpec(
+        stream_stateful.streaming_user_stats_stateful,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        """,
+        "custom stateful operator via applyInPandasWithState",
+        ("events", "streaming", "custom"),
+    ),
+    # -- source connectors ---------------------------------------------------
+    "source_csv_roundtrip": QuerySpec(
+        roundtrip.source_csv_roundtrip,
+        roundtrip.CSV_ROUNDTRIP_ORACLE,
+        "orders → CSV → explicit-schema read → aggregate (value-exact)",
+        ("source",),
+    ),
+    "source_json_roundtrip": QuerySpec(
+        roundtrip.source_json_roundtrip,
+        roundtrip.JSON_ROUNDTRIP_ORACLE,
+        "events → JSON-lines → explicit-schema read → aggregate",
+        ("source",),
+    ),
     "batch_sliding_windows": QuerySpec(
         stream_windows.batch_sliding,
         """
@@ -744,6 +775,27 @@ REGISTRY: dict[str, QuerySpec] = {
         # recall vs brute force is tested in tests/test_vector.py
         "LSH-bucketed approximate NN top-k",
         ("vector",),
+    ),
+    "ann_ivf": QuerySpec(
+        vector.ann_ivf,
+        None,  # seeded random centroids not SQL-expressible;
+        # recall vs brute force is tested in tests/test_vector.py
+        "IVF (inverted-file) approximate NN top-k",
+        ("vector",),
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup.dedup_embedding_cosine,
+        f"""
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND({_dot_sql('a.embedding', 'b.embedding')}
+                   / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                      * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.3
+        """,
+        "embedding-cosine near-dup pairs (exact baseline, LSH scale path)",
+        ("dedup", "vector"),
     ),
     "label_centroids": QuerySpec(
         vector.label_centroid_similarity,

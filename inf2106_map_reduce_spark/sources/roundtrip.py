@@ -1,0 +1,90 @@
+"""Connector round-trip queries: write a table through a format, read
+it back with an explicit schema, aggregate — value-exact against the
+oracle aggregating the original parquet directly. Proves the CSV/JSON
+connectors preserve types and values (the reference's analogue is the
+token-format read↔write pair, ``TokenRecordReader`` /
+``TokenRecordWriter``, exercised the same way by its committed run
+artifacts).
+
+The intermediate lands under ``/tmp/spark_graft_sources/<sf>/`` —
+side-effectful by design (a connector test has to touch storage), kept
+out of the repo and testdata trees.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.sources import formats
+from inf2106_map_reduce_spark.tables import load_table
+
+_TMP_ROOT = "/tmp/spark_graft_sources"
+
+
+def _stage_dir(sf_dir: str, fmt: str) -> str:
+    return os.path.join(_TMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), fmt)
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV → explicit-schema read → per-status aggregate."""
+    path = _stage_dir(sf_dir, "orders_csv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    formats.write_csv(orders, path)
+    back = formats.read_csv(
+        spark,
+        path,
+        schema=(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date"
+        ),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → explicit-schema read → per-type aggregate."""
+    path = _stage_dir(sf_dir, "events_json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    formats.write_jsonl(ev, path)
+    back = formats.read_jsonl(
+        spark,
+        path,
+        schema="event_id bigint, user_id bigint, event_type string, value double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_date
+FROM orders GROUP BY o_orderstatus
+"""
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""

@@ -84,3 +84,25 @@ def test_minhash_approximates_jaccard(corpus):
     b = sigs.filter(F.col("doc_id") == 205).collect()[0]
     agree = sum(a[f"mh{i}"] == b[f"mh{i}"] for i in range(dedup.N_HASHES))
     assert agree >= 8  # true jaccard ~0.9 -> expect most hashes to agree
+
+
+def test_embedding_cosine_lsh_blocking_is_lossy_subset(spark, sf_oracle):
+    """LSH blocking returns a subset of the exact near-dup pairs with
+    usable recall (the 100 TB path trades recall for sub-quadratic cost)."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(e, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            e, threshold=0.3, use_lsh_blocking=True
+        ).collect()
+    }
+    assert blocked <= exact
+    assert exact, "threshold 0.3 should yield near-dup pairs at sf0.01"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"LSH-blocked near-dup recall {recall:.2f} too low"
