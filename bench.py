@@ -27,9 +27,13 @@ def main() -> None:
     spark = get_spark(app_name="inf2106-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # queries, not first-touch JIT.
+    # Warm the JVM/codegen paths AND the Python UDF workers once so
+    # per-query numbers measure the queries, not first-touch JIT or
+    # Python-worker spin-up (~2 s, would land on one unlucky query).
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    REGISTRY["media_features"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

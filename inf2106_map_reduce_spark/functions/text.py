@@ -93,6 +93,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({"fp_md5": h, "fp_int64": h64})
 
 
+def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, word) TF-IDF over normalized words: raw term count,
+    document frequency, and tf · (ln((N+1)/(df+1)) + 1) (smoothed IDF,
+    sklearn-style).
+
+    Plan: one explode + two grouped aggregations + a broadcast-able
+    word-level join; the corpus size N is an aggregated scalar joined
+    in (no driver action). No ranking/top-k inside — downstream callers
+    pick their own cut, and the unranked table has a deterministic
+    oracle (float ties in tf·idf can rank-swap across engines).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: full per-document text-analysis record."""
     d = load_table(spark, sf_dir, "documents")
@@ -116,3 +148,8 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = lang_scores(d)
     return out.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: full (doc, word) TF-IDF table over documents."""
+    return tfidf(load_table(spark, sf_dir, "documents"))

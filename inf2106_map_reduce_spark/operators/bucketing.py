@@ -1,0 +1,86 @@
+"""Bucketed (pre-shuffled) tables: shuffle-free co-located joins.
+
+The 100 TB lever the small-scale queries can't show: two fact tables
+bucketed by the same key into the same bucket count join WITHOUT any
+Exchange — the shuffle was paid once at write time, not per query. At
+TPC-H shape this is orders ⋈ lineitem on orderkey, the biggest join in
+the schema; on a cluster, every downstream query on that pair saves a
+full repartition of both sides (tests/test_plans.py pins the
+no-Exchange plan).
+
+The reference cannot express this at all — its shuffle is re-executed
+per job by construction (SURVEY.md §2.3 R1-R2: map outputs re-sorted
+and re-merged every run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+N_BUCKETS = 16
+
+
+def _bucketed_name(table: str, sf_dir: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return f"{table}_bkt_{sf_tag}"
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Write ``table`` as a bucketed+sorted catalog table (idempotent);
+    returns the catalog name. Write-once cost, every later join on
+    ``key`` is co-located."""
+    name = _bucketed_name(table, sf_dir)
+    if not spark.catalog.tableExists(name):
+        # the in-memory catalog is per-session but the warehouse dir
+        # persists: clear any orphaned location from a prior session
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        if warehouse:
+            shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, table)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: orders ⋈ lineitem on orderkey via bucketed
+    tables — per-priority revenue. The join itself is Exchange-free
+    (SortMergeJoin over pre-bucketed scans)."""
+    o_name = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey")
+    l_name = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

@@ -338,6 +338,51 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded frames: 3-row moving average, ±1-row min/max, and a
+    30-day RANGE frame sum (range frame keyed on epoch days so the
+    bound is a true value range, not a row count)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "odays", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    total = ["o_orderdate", "o_orderkey"]
+    mov = (
+        Window.partitionBy("o_custkey").orderBy(*total).rowsBetween(-2, 0)
+    )
+    around = Window.partitionBy("o_custkey").orderBy(*total).rowsBetween(-1, 1)
+    rng30 = (
+        Window.partitionBy("o_custkey").orderBy("odays").rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(mov), 4).alias("mov_avg_3"),
+        F.round(F.min("o_totalprice").over(around), 2).alias("min_around"),
+        F.round(F.max("o_totalprice").over(around), 2).alias("max_around"),
+        F.round(F.sum("o_totalprice").over(rng30), 2).alias("sum_30d"),
+    )
+
+
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance,
+    correlation, sample covariance, exact interpolated median, and an
+    exact p90 — the moments/percentile coverage of the function
+    library."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        # +0.0 normalizes IEEE -0.0 after rounding a tiny negative
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops / distinct
 # --------------------------------------------------------------------------

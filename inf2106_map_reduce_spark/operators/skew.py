@@ -1,0 +1,48 @@
+"""Skew-aware joins: key salting for hot keys.
+
+AQE's skew-join splitting (on by default in the session factory)
+handles most skew at runtime; explicit salting remains the tool when
+one side must be pre-replicated — e.g. a hot-key dimension join where
+a single key carries 30% of the fact rows and even a split partition
+hot-spots the build side.
+
+``salted_join``: fact rows get a deterministic salt in [0, n_salts)
+derived from a high-cardinality disambiguator column; the (small) dim
+side is replicated n_salts × and the join runs on (key, salt) —
+spreading each hot key over n_salts reducers. Result is row-identical
+to the unsalted join (tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact⋈dim on key with the fact side salted.
+
+    ``salt_source``: a fact column (ideally unique-ish) hashed to pick
+    the salt — deterministic, so re-runs and retries are stable (never
+    use rand(): breaks task retry idempotence).
+    """
+    src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    salted_fact = fact.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

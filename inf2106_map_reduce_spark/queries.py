@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from inf2106_map_reduce_spark.functions import dedup, multimodal, text, vector
-from inf2106_map_reduce_spark.operators import asof, relational
+from inf2106_map_reduce_spark.operators import asof, bucketing, relational
 from inf2106_map_reduce_spark.sources import roundtrip
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
@@ -330,6 +330,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "self join pairs",
         ("join",),
     ),
+    "bucketed_orders_lineitem_join": QuerySpec(
+        bucketing.bucketed_orders_lineitem_join,
+        bucketing.BUCKETED_JOIN_ORACLE,
+        "shuffle-free co-located join via bucketed tables",
+        ("join", "bucketing"),
+    ),
     "asof_clicks_to_purchase": QuerySpec(
         asof.asof_clicks_to_purchase,
         """
@@ -370,6 +376,44 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "rank/dense_rank/lag/lead/ntile",
         ("window",),
+    ),
+    "window_frames_battery": QuerySpec(
+        relational.window_frames_battery,
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_3,
+               ROUND(MIN(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS min_around,
+               ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS max_around,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+        FROM orders
+        """,
+        "bounded ROWS frames + 30-day RANGE frame",
+        ("window",),
+    ),
+    "agg_stats_battery": QuerySpec(
+        relational.agg_stats_battery,
+        """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+               ROUND(var_samp(l_quantity), 4) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "stddev/variance/corr/covar/exact percentiles",
+        ("agg",),
     ),
     "window_running_revenue": QuerySpec(
         relational.window_running_revenue,
@@ -664,6 +708,24 @@ REGISTRY: dict[str, QuerySpec] = {
         )
         """,
         "per-document text analysis (tokens, quality, lang-ID, fingerprint)",
+        ("text",),
+    ),
+    "tfidf_terms": QuerySpec(
+        text.tfidf_terms,
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf
+               FROM w WHERE word != '' GROUP BY 1, 2),
+        dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, word, tf, df,
+               ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+        """,
+        "per-(doc, word) TF-IDF (smoothed IDF)",
         ("text",),
     ),
     "lang_distribution": QuerySpec(

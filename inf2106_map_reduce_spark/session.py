@@ -43,6 +43,9 @@ _SCALE_DEFAULTS: dict[str, str] = {
     # unless read as raw nanos (we floor-convert to microseconds in
     # tables.load_table — DuckDB's scan truncates identically).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Bucketed-table warehouse (operators.bucketing) — kept out of the
+    # repo tree; on a cluster this is the real catalog/warehouse.
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -76,3 +76,24 @@ def test_wordcount_is_single_shuffle(spark, tmp_path):
     generate_corpus(p, 10_000)
     df = word_count(spark, str(p))
     assert shuffle_count(df) == 1, "word count must be exactly one shuffle (partial+final hash agg)"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_oracle):
+    """The bucketed orders ⋈ lineitem join must not shuffle either side
+    — the whole point of paying the bucketed write once."""
+    from inf2106_map_reduce_spark.operators import bucketing
+
+    df = bucketing.bucketed_orders_lineitem_join(spark, sf_oracle)
+    # the final single-partition agg exchange is fine; the JOIN itself
+    # must read pre-bucketed scans. Inspect the join subtree only.
+    o = spark.table(bucketing.ensure_bucketed(spark, sf_oracle, "orders", "o_orderkey"))
+    li = spark.table(
+        bucketing.ensure_bucketed(spark, sf_oracle, "lineitem", "l_orderkey")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", "l_extendedprice"
+    )
+    from inf2106_map_reduce_spark.plans.inspect import explain_str
+
+    assert shuffle_count(joined) == 0, explain_str(joined, "simple")
+    assert df.count() > 0
