@@ -101,6 +101,56 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(payload: bytes, factor: int = 4) -> bytes:
+    """STUB resize — a real pipeline calls PIL.Image.resize / libvips
+    here. Deterministic byte downsample (every ``factor``-th byte)
+    keeps the plumbing testable without an image library."""
+    return payload[::factor]
+
+
+def sample_frames(
+    media: DataFrame, frame_len: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame sampling for video-like payloads: split the payload into
+    fixed-size frames, keep every ``stride``-th, and emit one row per
+    sampled frame with its fingerprint and a resized-thumbnail
+    fingerprint (1→N mapInPandas — a real ffmpeg keyframe sampler has
+    exactly this Spark-side shape).
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_len - 1) // frame_len
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_len : (i + 1) * frame_len]
+                    thumb = resize_stub(fr)
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            len(fr),
+                            hashlib.md5(fr).hexdigest(),
+                            hashlib.md5(thumb).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_bytes", "frame_md5", "thumb_md5"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, frame_idx int, n_bytes int, "
+            "frame_md5 string, thumb_md5 string"
+        ),
+    )
+
+
 def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: metadata-only scan (no decode — the point of the
     typed-metadata convention): payload byte stats per media type."""
@@ -123,3 +173,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 6).alias("byte_mean"),
         "header_hex",
     )
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: frame sampling + thumbnail fingerprints over the
+    synthetic media payloads (1→N mapInPandas)."""
+    return sample_frames(documents_as_media(spark, sf_dir))

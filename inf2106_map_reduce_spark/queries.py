@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from inf2106_map_reduce_spark.functions import dedup, multimodal, text, vector
+from inf2106_map_reduce_spark.functions import dedup, multimodal, sketches, text, vector
 from inf2106_map_reduce_spark.operators import asof, bucketing, relational
 from inf2106_map_reduce_spark.sources import roundtrip
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
@@ -398,6 +398,13 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "bounded ROWS frames + 30-day RANGE frame",
         ("window",),
+    ),
+    "sketch_orders_per_status": QuerySpec(
+        sketches.sketch_orders_per_status,
+        None,  # sketch outputs can't hash-match an exact oracle;
+        # tolerance vs exact answers tested in tests/test_sketches.py
+        "HLL++ distinct + quantile sketch per order status",
+        ("agg", "sketch"),
     ),
     "agg_stats_battery": QuerySpec(
         relational.agg_stats_battery,
@@ -902,6 +909,28 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM documents
         """,
         "multimodal feature extraction via Arrow mapInPandas (stub decode)",
+        ("multimodal",),
+    ),
+    "media_frame_sample": QuerySpec(
+        multimodal.media_frame_sample,
+        """
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS fi
+          FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                 substr(text, CAST(fi * 64 + 1 AS INT), 64) AS frame
+          FROM idx WHERE fi % 2 = 0
+        )
+        SELECT doc_id, frame_idx, length(frame) AS n_bytes, md5(frame) AS frame_md5,
+               md5(array_to_string(
+                 [frame[j] FOR j IN range(1, length(frame) + 1, 4)], ''
+               )) AS thumb_md5
+        FROM fr
+        """,
+        "frame sampling + resize-stub thumbnails (1→N mapInPandas)",
         ("multimodal",),
     ),
 }

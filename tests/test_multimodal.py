@@ -51,3 +51,23 @@ def test_metadata_scan_does_not_touch_payload(spark, sf_smoke):
     # the metadata-only aggregate must not evaluate the decode UDF path
     assert "mapInPandas" not in explain_str(stats, "simple").lower()
     assert stats.count() == 1
+
+
+def test_resize_stub_downsamples_deterministically():
+    assert multimodal.resize_stub(b"abcdefgh", 4) == b"ae"
+    assert multimodal.resize_stub(b"", 4) == b""
+
+
+def test_sample_frames_one_to_n_and_empty_payload(spark):
+    rows = [
+        (1, "vid", bytearray(b"x" * 130)),  # 3 frames of 64 -> sampled 0, 2
+        (2, "vid", bytearray(b"")),  # zero frames -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media_type string, payload binary")
+    out = multimodal.sample_frames(df, frame_len=64, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert by_doc == {1: [0, 2]}
+    sizes = {r["frame_idx"]: r["n_bytes"] for r in out}
+    assert sizes == {0: 64, 2: 2}  # last frame is the 2-byte remainder

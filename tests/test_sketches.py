@@ -1,0 +1,49 @@
+"""Sketch accuracy: approximate aggregates stay within tolerance of
+the exact answers they replace at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import sketches
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def test_hll_distinct_within_tolerance(spark, sf_oracle):
+    o = load_table(spark, sf_oracle, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["approx_distinct_o_custkey"]
+        for r in sketches.approx_distinct(o, "o_custkey", ["o_orderstatus"]).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        rel_err = abs(approx[k] - n) / n
+        assert rel_err < 0.05, f"{k}: HLL rel err {rel_err:.3f}"
+
+
+def test_quantile_sketch_within_rank_tolerance(spark, sf_oracle):
+    o = load_table(spark, sf_oracle, "orders")
+    exact = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias("q")
+    )
+    approx = sketches.approx_quantiles(o, "o_totalprice", ["o_orderstatus"])
+    ex = {r["o_orderstatus"]: r["q"] for r in exact.collect()}
+    ap = {r["o_orderstatus"]: r["approx_quantiles"] for r in approx.collect()}
+    for k in ex:
+        for e, a in zip(ex[k], ap[k]):
+            assert abs(a - e) / max(abs(e), 1.0) < 0.02, f"{k}: {a} vs {e}"
+
+
+def test_registry_sketch_query_runs(spark, sf_oracle):
+    df = sketches.sketch_orders_per_status(spark, sf_oracle)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"o_orderstatus", "approx_distinct_o_custkey", "approx_quantiles"} <= set(
+        df.columns
+    )
