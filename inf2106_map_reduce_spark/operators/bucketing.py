@@ -41,23 +41,37 @@ def ensure_bucketed(
     returns the catalog name. Write-once cost, every later join on
     ``key`` is co-located."""
     name = _bucketed_name(table, sf_dir)
-    if not spark.catalog.tableExists(name):
-        # the in-memory catalog is per-session but the warehouse dir
-        # persists: clear any orphaned location from a prior session
-        import shutil
+    if spark.catalog.tableExists(name):
+        return name
+    # The in-memory catalog is per-session but the warehouse dir
+    # persists. A completed write from a prior session (marked by
+    # _SUCCESS) is re-registered as an external bucketed table — the
+    # production pattern of catalog bootstrap over existing bucketed
+    # files; an incomplete leftover is cleared and rewritten.
+    import shutil
 
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-        if warehouse.startswith("file:"):
-            warehouse = warehouse[len("file:") :]
-        if warehouse:
-            shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
-        (
-            load_table(spark, sf_dir, table)
-            .write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .saveAsTable(name)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    loc = os.path.join(warehouse, name.lower()) if warehouse else ""
+    if loc and os.path.exists(os.path.join(loc, "_SUCCESS")):
+        schema = spark.read.parquet(loc).schema
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
         )
+        return name
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, table)
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
     return name
 
 

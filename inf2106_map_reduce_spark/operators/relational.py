@@ -369,17 +369,32 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact p90 — the moments/percentile coverage of the function
     library."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        # +0.0 normalizes IEEE -0.0 after rounding a tiny negative
-        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
-            "cov_disc_tax"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            # +0.0 normalizes IEEE -0.0 after rounding a tiny negative
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+                "cov_disc_tax"
+            ),
+            # one sort pass for both percentiles (array form), not two
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "sd_qty",
+            "var_qty",
+            "corr_qty_price",
+            "cov_disc_tax",
+            F.round(F.element_at("_pcts", 1), 4).alias("median_price"),
+            F.round(F.element_at("_pcts", 2), 4).alias("p90_price"),
+            "n",
+        )
     )
 
 
@@ -429,6 +444,47 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     return a.exceptAll(b).distinct()
+
+
+def setop_union_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) + aggregate: nation keys seen across
+    customer and supplier rows, with multiplicity preserved."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def setop_intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): per-duplicate intersection of the
+    two segment key multisets (order-line partkeys ∩ part keys ×
+    multiplicity)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("k")
+    )
+    hi = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08).select(
+        F.col("l_partkey").alias("k")
+    )
+    return li.intersectAll(hi)
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric measures to long (key, metric,
+    value) form — the inverse of the pivot query."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -480,6 +480,41 @@ REGISTRY: dict[str, QuerySpec] = {
         "EXCEPT",
         ("setop",),
     ),
+    "setop_union_all_bag": QuerySpec(
+        relational.setop_union_all_bag,
+        """
+        SELECT nationkey, COUNT(*) AS n_rows FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey FROM supplier
+        ) GROUP BY nationkey
+        """,
+        "UNION ALL bag semantics + multiplicity count",
+        ("setop",),
+    ),
+    "setop_intersect_all_bag": QuerySpec(
+        relational.setop_intersect_all_bag,
+        """
+        SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_discount >= 0.08
+        """,
+        "INTERSECT ALL (per-duplicate bag intersection)",
+        ("setop",),
+    ),
+    "unpivot_part_measures": QuerySpec(
+        relational.unpivot_part_measures,
+        """
+        SELECT p_partkey, metric, value FROM (
+          SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+          FROM part
+          UNION ALL
+          SELECT p_partkey, 'retailprice', ROUND(p_retailprice, 2) FROM part
+        )
+        """,
+        "UNPIVOT / melt to long form",
+        ("setop", "scalar"),
+    ),
     # -- subqueries -----------------------------------------------------------
     "orders_above_customer_avg": QuerySpec(
         relational.orders_above_customer_avg,
