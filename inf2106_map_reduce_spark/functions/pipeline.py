@@ -1,0 +1,136 @@
+"""Training-data pipeline operators over ``documents``: quality
+gating, within-document repetition scoring, deterministic sampling,
+and sequence packing — the corpus-preparation steps between raw text
+and a tokenized training set.
+
+All pure built-in expressions (one narrow pass each except packing's
+single window) — at 100 TB each runs as a full-scan map with no
+driver-side state; sampling and splits are content-hash-deterministic
+so re-runs and retries agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import text as text_fns
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 15,
+    max_stopword_ratio: float = 0.6,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style quality gate: keep documents inside the word-count
+    and ratio envelopes; emits the features alongside the verdict so
+    downstream audits don't recompute them."""
+    feats = text_fns.quality_features(df)
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    return feats.withColumn("keep", keep)
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: fraction of duplicated word
+    3-grams (1 - distinct/total) — high values flag boilerplate/spam.
+    One narrow pass, no shuffle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(0))
+
+    def shingles_of(w: Column) -> Column:
+        mk = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        )
+        return F.when(
+            F.size(w) >= 3,
+            F.transform(F.sequence(F.lit(1), F.size(w) - 2), mk),
+        ).otherwise(F.array().cast("array<string>"))
+
+    all_sh = F.flatten(F.transform(F.array(words), shingles_of))
+    n_distinct = F.size(F.array_distinct(all_sh))
+    rep = F.when(
+        n_sh > 0, F.round(1.0 - n_distinct / n_sh.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_sh.alias("n_3grams"),
+        n_distinct.alias("n_distinct_3grams"),
+        rep.alias("repetition_ratio"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str = "doc_id", percent: int = 10, salt: str = "split:"
+) -> DataFrame:
+    """Content-hash sampling: keep rows whose md5(salt || id) lands in
+    the first ``percent`` of 100 buckets. Unlike ``df.sample`` this is
+    stable across runs, partitionings, and retries — the property a
+    train/eval split must have. Different ``salt`` → independent
+    splits."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    return df.withColumn("_bucket", bucket).filter(F.col("_bucket") < percent).drop(
+        "_bucket"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents ordered by id are
+    assigned to fixed-token-budget bins by cumulative token count —
+    bin = floor((cumsum - n_tokens) / seq_len), i.e. the bin where the
+    document STARTS. Deterministic (total order on id) and expressible
+    as one window cumsum — no per-row Python.
+
+    At 100 TB: a global single window is one range-partitioned sort;
+    for throughput, pack per shard instead (partitionBy(shard) window)
+    — same code with an extra key.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df.select(F.col(id_col), toks.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / seq_len).cast("bigint").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_filter(d)
+    return out.select(
+        "doc_id", "n_words", "stopword_ratio", "punct_ratio", "keep"
+    )
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+def docs_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, percent=10).select("doc_id", "lang")
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

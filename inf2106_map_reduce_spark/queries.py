@@ -21,7 +21,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from inf2106_map_reduce_spark.functions import dedup, multimodal, sketches, text, vector
+from inf2106_map_reduce_spark.functions import (
+    dedup,
+    multimodal,
+    pipeline,
+    sketches,
+    text,
+    vector,
+)
 from inf2106_map_reduce_spark.operators import asof, bucketing, relational
 from inf2106_map_reduce_spark.sources import roundtrip
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
@@ -779,6 +786,73 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "language-ID heuristic vs labels",
         ("text",),
+    ),
+    # -- training-data pipeline ------------------------------------------------
+    "docs_quality_filter": QuerySpec(
+        pipeline.docs_quality_filter,
+        f"""
+        SELECT doc_id, n_words, stopword_ratio, punct_ratio,
+               (n_words >= 15 AND stopword_ratio <= 0.6
+                AND punct_ratio <= 0.2) AS keep
+        FROM (
+          SELECT doc_id, n_words,
+                 ROUND(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stopword_ratio,
+                 ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio
+          FROM (
+            SELECT doc_id,
+                   len({_WORDS}) AS n_words,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                   len(list_filter({_WORDS}, w -> list_contains({_STOPLIST}, lower(w)))) AS n_stop
+            FROM documents
+          )
+        )
+        """,
+        "Gopher-style quality gate (word count + ratio envelopes)",
+        ("text", "pipeline"),
+    ),
+    "docs_repetition": QuerySpec(
+        pipeline.docs_repetition,
+        f"""
+        SELECT doc_id, len(g) AS n_3grams,
+               len(list_distinct(g)) AS n_distinct_3grams,
+               CASE WHEN len(g) > 0
+                    THEN ROUND(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
+                    ELSE 0.0 END AS repetition_ratio
+        FROM (
+          SELECT doc_id,
+                 [array_to_string(words[i:i+2], ' ')
+                  FOR i IN range(1, len(words) - 1)] AS g
+          FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+        )
+        """,
+        "within-doc duplicate-3-gram repetition ratio",
+        ("text", "pipeline",),
+    ),
+    "docs_sample_10pct": QuerySpec(
+        pipeline.docs_sample_10pct,
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < 10
+        """,
+        "deterministic content-hash 10% sample (stable train/eval split)",
+        ("pipeline",),
+    ),
+    "docs_pack_sequences": QuerySpec(
+        pipeline.docs_pack_sequences,
+        f"""
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        FROM (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents)
+        )
+        """,
+        "greedy contiguous sequence packing into 512-token bins",
+        ("pipeline",),
     ),
     # -- dedup -------------------------------------------------------------------
     "dedup_exact": QuerySpec(

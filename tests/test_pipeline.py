@@ -1,0 +1,66 @@
+"""Training-data pipeline behavioral tests: planted-case repetition,
+sampling stability/independence, packing budget invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import pipeline
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def test_repetition_planted_cases(spark):
+    rows = [
+        (1, "a b c d e f g h"),                  # all 3-grams distinct -> 0
+        (2, "x y z x y z x y z x y z"),           # heavy repetition
+        (3, "one two"),                           # too short -> 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pipeline.repetition_scores(df).collect()}
+    assert out[1]["repetition_ratio"] == 0.0
+    assert out[2]["repetition_ratio"] > 0.5
+    assert out[3]["n_3grams"] == 0 and out[3]["repetition_ratio"] == 0.0
+
+
+def test_deterministic_sample_is_stable_and_salt_independent(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    s1 = {r["doc_id"] for r in pipeline.deterministic_sample(d, percent=10).collect()}
+    s2 = {r["doc_id"] for r in pipeline.deterministic_sample(d, percent=10).collect()}
+    assert s1 == s2  # stable across runs
+    n = d.count()
+    assert 0.03 * n < len(s1) < 0.2 * n  # roughly 10%
+    other = {
+        r["doc_id"]
+        for r in pipeline.deterministic_sample(d, percent=10, salt="eval:").collect()
+    }
+    # different salt -> a genuinely different (near-independent) split
+    assert other != s1
+    overlap = len(s1 & other) / max(len(s1), 1)
+    assert overlap < 0.5
+
+
+def test_sample_percent_is_monotone(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    s10 = {r["doc_id"] for r in pipeline.deterministic_sample(d, percent=10).collect()}
+    s50 = {r["doc_id"] for r in pipeline.deterministic_sample(d, percent=50).collect()}
+    assert s10 <= s50  # larger percent strictly widens the same bucket order
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    out = pipeline.pack_sequences(d, seq_len=512).orderBy("doc_id").collect()
+    # bins are nondecreasing in doc order
+    bins = [r["bin_id"] for r in out]
+    assert bins == sorted(bins)
+    # every document starts in the bin where its cumulative prefix ends
+    cum = 0
+    for r in out:
+        assert r["bin_id"] == cum // 512
+        cum += r["n_tokens"]
+
+
+def test_quality_filter_keeps_majority_of_clean_corpus(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    out = pipeline.quality_filter(d)
+    frac = out.filter("keep").count() / out.count()
+    assert frac > 0.5  # synthetic corpus is mostly clean prose
