@@ -720,6 +720,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "sliding window agg (1h / 30m slide)",
         ("events",),
     ),
+    "streaming_sliding_windows": QuerySpec(
+        stream_windows.streaming_sliding,
+        """
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - o.o * INTERVAL '30 minutes' AS window_start,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1)) o(o)
+        GROUP BY 1
+        """,
+        "sliding window agg via Structured Streaming AvailableNow",
+        ("events", "streaming"),
+    ),
     "session_windows_native": QuerySpec(
         stream_windows.batch_session_windows,
         f"""

@@ -15,10 +15,12 @@ from inf2106_map_reduce_spark.mrlite.tokenformat import (  # noqa: F401
 from inf2106_map_reduce_spark.sources.formats import (  # noqa: F401
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_text,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_text,
 )

@@ -50,6 +50,28 @@ def write_parquet(
 
 
 # ---------------------------------------------------------------------------
+# ORC
+# ---------------------------------------------------------------------------
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan (vectorized reader, pushdown — parquet's peer
+    for Hive-ecosystem interchange)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+# ---------------------------------------------------------------------------
 # CSV
 # ---------------------------------------------------------------------------
 

@@ -110,6 +110,13 @@ def batch_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_hourly(load_table(spark, sf_dir, "events"))
 
 
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the SAME sliding-window transform through
+    Structured Streaming (AvailableNow) — one definition, two
+    bindings; oracle shared with the batch form."""
+    return _run_available_now(spark, sf_dir, sliding_hourly)
+
+
 def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: native session_window agg (batch)."""
     return session_windows(load_table(spark, sf_dir, "events"))

@@ -113,3 +113,10 @@ def test_csv_failfast_rejects_corrupt(spark, tmp_path):
         [(r["a"], r["b"]) for r in ok.collect()], key=lambda t: (t[0] is None, t)
     )
     assert vals == [(1, 2), (None, 3)]
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    df = _orders_sample(spark, sf_smoke)
+    p = str(tmp_path / "orc")
+    formats.write_orc(df, p)
+    _assert_same_rows(df, formats.read_orc(spark, p))
