@@ -720,6 +720,23 @@ REGISTRY: dict[str, QuerySpec] = {
         "sliding window agg (1h / 30m slide)",
         ("events",),
     ),
+    "multires_rollup_daily": QuerySpec(
+        stream_windows.batch_multires_rollup,
+        """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 COUNT(*) AS n, SUM(value) AS sv
+          FROM events GROUP BY 1, 2
+        )
+        SELECT date_trunc('day', hour) AS day, event_type,
+               SUM(n) AS n, ROUND(SUM(sv), 2) AS total_value,
+               COUNT(*) AS n_hours,
+               ROUND(ROUND(SUM(sv), 2) / SUM(n), 6) AS avg_value
+        FROM hourly GROUP BY 1, 2
+        """,
+        "hypertable-style daily rollup from hourly partials",
+        ("events", "agg"),
+    ),
     "streaming_sliding_windows": QuerySpec(
         stream_windows.streaming_sliding,
         """

@@ -61,6 +61,38 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the daily aggregate is
+    computed FROM the hourly aggregate (re-aggregation of partials —
+    sum of sums, sum of counts), not from raw events. At 100 TB the
+    hourly table is the materialized continuous aggregate; dailies,
+    weeklies, monthlies all derive from it at 1/24th+ the input size,
+    and the pattern only works for decomposable aggregates — which is
+    why the emitted columns are sums/counts, with averages derived at
+    the end."""
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+            # avg derived from the 2-dec-rounded total: raw sum(sv)
+            # differs across engines/runs in the last ulp (summation
+            # order), which flips round(...,6) on boundary values
+            F.round(F.round(F.sum("sv"), 2) / F.sum("n"), 6).alias("avg_value"),
+        )
+    )
+
+
 def _run_available_now(
     spark: SparkSession, sf_dir: str, transform, with_watermark: bool = True
 ) -> DataFrame:
@@ -120,3 +152,8 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: native session_window agg (batch)."""
     return session_windows(load_table(spark, sf_dir, "events"))
+
+
+def batch_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: daily rollup re-aggregated from hourly partials."""
+    return multires_rollup(load_table(spark, sf_dir, "events"))
