@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted entries get
-    the weaker rows-only check: ann_lsh — seeded random hyperplanes)."""
+    """DuckDB-runnable ANSI SQL oracle per query. Omitted entries get
+    the weaker rows-only check; all three are approximate by
+    construction (ann_lsh / ann_ivf: seeded random projections,
+    recall-tested vs brute force; sketch_orders_per_status: HLL++/
+    quantile sketches, tolerance-tested vs exact)."""
     return _registry.oracle_sql()
