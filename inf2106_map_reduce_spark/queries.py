@@ -58,8 +58,12 @@ sh AS (
 )
 """
 
+_DIGESTS = ", ".join(
+    f"md5('{j}:' || shingle) AS h{j}" for j in range(dedup.N_HASHES // 4)
+)
 _MINS = ", ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(dedup.N_HASHES)
+    f"min(substr(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+    for i in range(dedup.N_HASHES)
 )
 
 _BAND_CASE = "CASE b.band_idx " + " ".join(
@@ -69,7 +73,8 @@ _BAND_CASE = "CASE b.band_idx " + " ".join(
 
 _CANDIDATES_SQL = f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_MINS} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_MINS}
+        FROM (SELECT doc_id, {_DIGESTS} FROM sh) GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band_idx, {_BAND_CASE} AS band_sig
   FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
