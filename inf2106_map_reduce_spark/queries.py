@@ -271,6 +271,90 @@ REGISTRY: dict[str, QuerySpec] = {
         "TPC-H Q5 shape: 6-way join",
         ("join",),
     ),
+    "q6_forecast_revenue": QuerySpec(
+        relational.q6_forecast_revenue,
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+        "TPC-H Q6 shape: pure pushed-down filter + scalar agg",
+        ("agg",),
+    ),
+    "q10_returned_items": QuerySpec(
+        relational.q10_returned_items,
+        """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "TPC-H Q10 shape: returned-item lost revenue, top-20",
+        ("join",),
+    ),
+    "q14_promo_revenue": QuerySpec(
+        relational.q14_promo_revenue,
+        """
+        WITH sums AS (
+          SELECT
+            ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+              AS promo_revenue,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+        )
+        SELECT promo_revenue, total_revenue,
+               ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+        FROM sums
+        """,
+        "TPC-H Q14 shape: promo revenue share (ratio of rounded sums)",
+        ("join",),
+    ),
+    "q18_large_volume_customers": QuerySpec(
+        relational.q18_large_volume_customers,
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM (
+          SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 150
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+        """,
+        "TPC-H Q18 shape: agg-first HAVING then join, top-20",
+        ("join",),
+    ),
+    "q19_discounted_revenue": QuerySpec(
+        relational.q19_discounted_revenue,
+        """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "TPC-H Q19 shape: disjunctive brand/size/quantity bands",
+        ("join",),
+    ),
     "semi_join_customers_with_orders": QuerySpec(
         relational.semi_join_customers_with_orders,
         """
