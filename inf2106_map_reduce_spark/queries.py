@@ -797,6 +797,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "events → JSON-lines → explicit-schema read → aggregate",
         ("source",),
     ),
+    "source_orc_roundtrip": QuerySpec(
+        roundtrip.source_orc_roundtrip,
+        roundtrip.ORC_ROUNDTRIP_ORACLE,
+        "lineitem → ORC → read back → aggregate (columnar peer of parquet)",
+        ("source",),
+    ),
     "batch_sliding_windows": QuerySpec(
         stream_windows.batch_sliding,
         """

@@ -74,6 +74,27 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → per-flag aggregate.
+
+    ORC is self-describing (schema travels with the file) and columnar
+    — the read-back scan prunes to the four aggregated columns and
+    keeps predicate-pushdown parity with parquet at scale.
+    """
+    path = _stage_dir(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    formats.write_orc(li, path)
+    back = formats.read_orc(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 CSV_ROUNDTRIP_ORACLE = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS total_price,
@@ -87,4 +108,12 @@ SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY event_type
+"""
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag
 """
