@@ -335,6 +335,65 @@ def embedding_cosine_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node,
+    component), component = MIN node id in the component. This is the
+    cluster-resolution step of a dedup pipeline: near-dup PAIRS become
+    duplicate GROUPS, from which one canonical doc per group survives.
+
+    Min-label propagation: each iteration joins current labels onto the
+    symmetric edge list, takes the per-node neighbor minimum, and keeps
+    ``min(own, neighbor_min)`` — one shuffle per iteration, converging
+    in O(cluster diameter) rounds (near-dup clusters are shallow; the
+    alternating large-star/small-star algorithm is the O(log²)
+    fallback for adversarial chains). ``localCheckpoint`` truncates
+    lineage each round so iteration *i* doesn't re-plan rounds
+    ``0..i-1``; convergence is detected with a LIMIT 1 existence probe,
+    not a full count.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
@@ -363,6 +422,17 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d)
+
+
+def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    near-dup pair graph (Jaccard ≥ 0.5 on LSH candidates). One row per
+    clustered doc with its component id (= min doc_id in the cluster,
+    the canonical survivor)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"), "component")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1017,6 +1017,39 @@ REGISTRY: dict[str, QuerySpec] = {
         "exact n-gram Jaccard over LSH candidates",
         ("dedup",),
     ),
+    "dedup_clusters": QuerySpec(
+        dedup.dedup_cluster_assignments,
+        _CANDIDATES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+          GROUP BY c.id_a, c.id_b
+        ),
+        jac AS (
+          SELECT c.id_a, c.id_b
+          FROM common c
+          JOIN sizes za ON za.doc_id = c.id_a
+          JOIN sizes zb ON zb.doc_id = c.id_b
+          WHERE c.n_common / (za.sz + zb.sz - c.n_common) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac
+        ),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id
+        )
+        SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+        """,
+        "duplicate clusters: connected components over near-dup pairs",
+        ("dedup",),
+    ),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash_signatures,
         f"""

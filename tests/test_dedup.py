@@ -106,3 +106,30 @@ def test_embedding_cosine_lsh_blocking_is_lossy_subset(spark, sf_oracle):
     assert exact, "threshold 0.3 should yield near-dup pairs at sf0.01"
     recall = len(blocked) / len(exact)
     assert recall >= 0.5, f"LSH-blocked near-dup recall {recall:.2f} too low"
+
+
+def test_connected_components_resolves_clusters(spark):
+    # two chains and a singleton pair: {1,2,3,4}, {10,11}, {20,21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_cluster_assignments_group_planted_dups(corpus):
+    edges = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    cc = dedup.connected_components(edges)
+    comp = {r.node: r.component for r in cc.collect()}
+    for j in range(5):  # exact dup pairs (j, 100+j)
+        assert comp[100 + j] == comp[j] == j
+    for j in range(5, 10):  # near-dup pairs (j, 200+j)
+        assert comp[200 + j] == comp[j] == j
