@@ -15,8 +15,10 @@ to the unsalted join (tests/test_skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
 
 
 def salted_join(
@@ -46,3 +48,19 @@ def salted_join(
         how,
     )
     return out.drop("_salt")
+
+
+def skew_salted_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the salted fact⋈dim join end-to-end — events
+    (hot user keys) salted over 8 reducers per key against the customer
+    dim, aggregated per segment. The oracle is the PLAIN join's SQL:
+    salting must be invisible in the result, which is exactly the
+    property this query gates."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(ev, c, "user_id", "c_custkey", "event_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

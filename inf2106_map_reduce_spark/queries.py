@@ -29,7 +29,7 @@ from inf2106_map_reduce_spark.functions import (
     text,
     vector,
 )
-from inf2106_map_reduce_spark.operators import asof, bucketing, relational
+from inf2106_map_reduce_spark.operators import asof, bucketing, relational, skew
 from inf2106_map_reduce_spark.sources import roundtrip
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
@@ -843,6 +843,29 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "sliding window agg via Structured Streaming AvailableNow",
         ("events", "streaming"),
+    ),
+    "streaming_enriched_segments": QuerySpec(
+        stream_windows.streaming_enriched_segments,
+        """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+        """,
+        "stream-static join: event stream enriched by customer dim",
+        ("events", "streaming", "join"),
+    ),
+    "skew_salted_events_join": QuerySpec(
+        skew.skew_salted_events_join,
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        """,
+        "salted hot-key join — result identical to the plain join",
+        ("events", "join", "skew"),
     ),
     "session_windows_native": QuerySpec(
         stream_windows.batch_session_windows,

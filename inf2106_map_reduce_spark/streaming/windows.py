@@ -149,6 +149,34 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(spark, sf_dir, sliding_hourly)
 
 
+def enriched_segment_stats(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer
+    dimension (broadcast — the static side is built once and reused
+    across micro-batches), aggregated per (segment, event_type)."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: stream-static join — the events STREAM joined to
+    the static customer dim inside the micro-batch plan (no watermark
+    needed: the static side never advances), then a complete-mode agg.
+    Oracle-checked against the plain batch join."""
+    customer = load_table(spark, sf_dir, "customer")
+    return _run_available_now(
+        spark,
+        sf_dir,
+        lambda s: enriched_segment_stats(s, customer),
+        with_watermark=False,
+    )
+
+
 def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: native session_window agg (batch)."""
     return session_windows(load_table(spark, sf_dir, "events"))
