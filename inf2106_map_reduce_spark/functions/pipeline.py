@@ -84,6 +84,31 @@ def deterministic_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, int],
+    strata_col: str = "lang",
+    default_percent: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``'s contract,
+    content-hash stable): each stratum keeps ``fractions[stratum]``
+    percent of its rows, unlisted strata keep ``default_percent``. The
+    language-rebalancing step of a corpus mixture — downsample the
+    dominant language, keep the rest — with the same retry/partition
+    stability as :func:`deterministic_sample`."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    cut = F.lit(default_percent)
+    for stratum, pct in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(cut)
+    return df.filter(bucket < cut)
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 512,
@@ -130,6 +155,24 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return deterministic_sample(d, percent=10).select("doc_id", "lang")
+
+
+STRATA_PERCENTS = {"en": 40, "zh": 80}
+STRATA_DEFAULT = 100
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: downsample English to 40%, Chinese to 80%,
+    keep the rest — then report the resulting mixture per language."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, STRATA_PERCENTS, default_percent=STRATA_DEFAULT
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
 
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -986,6 +986,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "deterministic content-hash 10% sample (stable train/eval split)",
         ("pipeline",),
     ),
+    "docs_stratified_sample": QuerySpec(
+        pipeline.docs_stratified_sample,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100
+              < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 80 ELSE 100 END
+        GROUP BY lang
+        """,
+        "stratified per-language sampling (corpus mixture rebalancing)",
+        ("pipeline",),
+    ),
     "docs_pack_sequences": QuerySpec(
         pipeline.docs_pack_sequences,
         f"""
