@@ -64,3 +64,23 @@ def test_quality_filter_keeps_majority_of_clean_corpus(spark, sf_oracle):
     out = pipeline.quality_filter(d)
     frac = out.filter("keep").count() / out.count()
     assert frac > 0.5  # synthetic corpus is mostly clean prose
+
+
+def test_stratified_sample_rebalances_and_is_partition_invariant(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    fracs = {"en": 40, "zh": 80}
+    kept = pipeline.stratified_sample(d, fracs, default_percent=100)
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.2 * base["en"] < by_lang["en"] < 0.6 * base["en"]
+    for lang in ("es", "de", "fr"):  # default 100%: untouched
+        assert by_lang[lang] == base[lang]
+    # kept set is invariant under repartitioning (retry/shuffle stability)
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in pipeline.stratified_sample(
+            d.repartition(13), fracs, default_percent=100
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
