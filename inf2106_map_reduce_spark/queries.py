@@ -355,6 +355,230 @@ REGISTRY: dict[str, QuerySpec] = {
         "TPC-H Q19 shape: disjunctive brand/size/quantity bands",
         ("join",),
     ),
+    "q2_min_cost_part": QuerySpec(
+        relational.q2_min_cost_part,
+        """
+        SELECT p_type, p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_size < 30
+          AND p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_type = part.p_type AND p2.p_size < 30)
+        ORDER BY p_type, p_partkey LIMIT 100
+        """,
+        "TPC-H Q2 shape: argmin-per-group via correlated min subquery",
+        ("join", "subquery"),
+    ),
+    "q4_priority_waiting_orders": QuerySpec(
+        relational.q4_priority_waiting_orders,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        """,
+        "TPC-H Q4 shape: EXISTS with correlated date comparison",
+        ("join", "subquery"),
+    ),
+    "q7_volume_shipping": QuerySpec(
+        relational.q7_volume_shipping,
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "TPC-H Q7 shape: bilateral nation shipping volume by year",
+        ("join",),
+    ),
+    "q8_market_share": QuerySpec(
+        relational.q8_market_share,
+        """
+        WITH grouped AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END), 2) AS nation_volume,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'AMERICA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY o_year
+        )
+        SELECT o_year, nation_volume, total_volume,
+               ROUND(nation_volume / total_volume, 6) AS mkt_share
+        FROM grouped
+        """,
+        "TPC-H Q8 shape: nation market share (ratio of rounded sums)",
+        ("join",),
+    ),
+    "q9_product_type_profit": QuerySpec(
+        relational.q9_product_type_profit,
+        """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+               SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                               - p_retailprice * l_quantity) * 10000, 0)
+                        AS BIGINT)) / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+        "TPC-H Q9 shape: profit by supplier nation and year",
+        ("join",),
+    ),
+    "q12_late_shipment_priority": QuerySpec(
+        relational.q12_late_shipment_priority,
+        """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus
+        """,
+        "TPC-H Q12 shape: late shipments by priority class",
+        ("join",),
+    ),
+    "q13_customer_order_distribution": QuerySpec(
+        relational.q13_customer_order_distribution,
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        """,
+        "TPC-H Q13 shape: two-level aggregate order-count histogram",
+        ("join", "agg"),
+    ),
+    "q15_top_supplier": QuerySpec(
+        relational.q15_top_supplier,
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "TPC-H Q15 shape: max-revenue supplier via reused aggregate view",
+        ("join", "subquery"),
+    ),
+    "q16_supplier_count_by_part": QuerySpec(
+        relational.q16_supplier_count_by_part,
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 23)
+        GROUP BY p_brand, p_type, p_size
+        """,
+        "TPC-H Q16 shape: distinct supplier count with negated filters",
+        ("join", "agg"),
+    ),
+    "q17_small_quantity_revenue": QuerySpec(
+        relational.q17_small_quantity_revenue,
+        """
+        WITH avgq AS (
+          SELECT l_partkey AS pk, AVG(l_quantity) AS aq
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avgq ON l_partkey = pk
+        WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * aq
+        """,
+        "TPC-H Q17 shape: below-average-quantity revenue (agg + join-back)",
+        ("join", "subquery"),
+    ),
+    "q21_waiting_suppliers": QuerySpec(
+        relational.q21_waiting_suppliers,
+        """
+        WITH joined AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+          FROM joined GROUP BY l_orderkey
+        ),
+        late_items AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM joined WHERE late
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_items
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "TPC-H Q21 shape: sole-late-supplier on multi-supplier orders",
+        ("join", "agg"),
+    ),
+    "q22_idle_customer_balance": QuerySpec(
+        relational.q22_idle_customer_balance,
+        """
+        SELECT n_name, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
+        """,
+        "TPC-H Q22 shape: above-average idle customer balances by nation",
+        ("join", "subquery"),
+    ),
     "semi_join_customers_with_orders": QuerySpec(
         relational.semi_join_customers_with_orders,
         """
