@@ -1174,3 +1174,45 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per-duplicate difference of the two
+    partkey multisets — each occurrence in the right side cancels ONE
+    occurrence on the left (vs EXCEPT's set semantics in
+    :func:`setop_except`)."""
+    hi_qty = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("k")
+    )
+    hi_disc = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08).select(
+        F.col("l_partkey").alias("k")
+    )
+    return hi_qty.exceptAll(hi_disc)
+
+
+def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function battery: parse the event props JSON into a
+    map<string,int> and exercise map_keys / size / element_at /
+    transform_values / map_filter / map_concat — all JVM-side
+    higher-order map functions, no Python UDF.
+
+    Scale: narrow single pass (no shuffle); from_json with an explicit
+    schema avoids any inference scan. The map column stays columnar
+    until the scalar projections extract from it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    tagged = F.map_concat(
+        F.create_map(F.lit("t"), F.length("event_type").cast("int")), m
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(
+            F.transform_values(m, lambda _, v: v * 2), "k"
+        ).alias("k_doubled"),
+        F.size(F.map_filter(m, lambda _, v: v > 50)).alias("n_big"),
+        F.element_at(tagged, "t").alias("type_len"),
+    )

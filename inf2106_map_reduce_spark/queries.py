@@ -822,6 +822,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
     ),
+    "setop_except_all_bag": QuerySpec(
+        relational.setop_except_all_bag,
+        """
+        SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_discount >= 0.08
+        """,
+        "EXCEPT ALL (per-duplicate bag difference)",
+        ("setop",),
+    ),
     "unpivot_part_measures": QuerySpec(
         relational.unpivot_part_measures,
         """
@@ -1101,6 +1111,33 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "native session_window aggregation",
         ("events",),
+    ),
+    "streaming_session_windows": QuerySpec(
+        stream_windows.streaming_session_windows,
+        f"""
+        WITH {_SESSION_CTES_GE}
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        """,
+        "session windows through Structured Streaming (AvailableNow)",
+        ("events", "streaming"),
+    ),
+    "map_ops_events": QuerySpec(
+        relational.map_ops_events,
+        """
+        SELECT event_id,
+               len(json_keys(props::JSON)) AS n_keys,
+               array_to_string(json_keys(props::JSON), ',') AS keys_csv,
+               CAST(props::JSON->>'k' AS INTEGER) AS k_val,
+               2 * CAST(props::JSON->>'k' AS INTEGER) AS k_doubled,
+               CASE WHEN CAST(props::JSON->>'k' AS INTEGER) > 50
+                    THEN 1 ELSE 0 END AS n_big,
+               length(event_type) AS type_len
+        FROM events
+        """,
+        "MapType battery: from_json map, keys/element_at/transform_values/"
+        "map_filter/map_concat",
+        ("scalar", "map"),
     ),
     # -- text analysis ----------------------------------------------------------
     "text_stats": QuerySpec(

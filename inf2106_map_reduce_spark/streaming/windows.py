@@ -185,3 +185,30 @@ def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def batch_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: daily rollup re-aggregated from hourly partials."""
     return multires_rollup(load_table(spark, sf_dir, "events"))
+
+
+def session_windows_raw(events: DataFrame) -> DataFrame:
+    """Per-session rows (ONE stateful aggregation — streaming-legal):
+    session start = min event ts in the gap-merged window."""
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: session windows through Structured Streaming
+    (AvailableNow). Session state is gap-merged per user; the watermark
+    bounds how long an open session can wait for late events before its
+    state is finalized — without it, session state grows unboundedly at
+    scale. Emits per-session rows: a second (per-user) aggregation
+    downstream of a session window is rejected by Spark's streaming
+    correctness check, and at scale belongs in the batch rollup over
+    the emitted sessions anyway. Oracle: gap-merge via lag()+running
+    sum with the same >= comparison as the batch form."""
+    return _run_available_now(spark, sf_dir, session_windows_raw)
