@@ -1216,3 +1216,36 @@ def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_filter(m, lambda _, v: v > 50)).alias("n_big"),
         F.element_at(tagged, "t").alias("type_len"),
     )
+
+
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (cartesian product) of the two smallest
+    dims, with a membership flag computed post-product.
+
+    Scale: only ever do this dim x dim (5 x 25 here); Spark picks
+    BroadcastNestedLoopJoin for the broadcast side. A fact-side
+    cartesian is a plan bug, not a query.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_member"),
+    )
+
+
+def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral battery: posexplode (position + value) of the
+    part-name word array — the UDTF-shaped 1-to-N expansion with
+    ordinality that plain explode loses.
+
+    Scale: narrow per-row expansion, no shuffle; output is
+    |words|x input rows — bounded here (2-word names), and at 100 TB
+    the expansion factor is the thing to budget, not the operator.
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )

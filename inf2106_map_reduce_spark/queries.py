@@ -822,6 +822,25 @@ REGISTRY: dict[str, QuerySpec] = {
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
     ),
+    "cross_join_region_nation": QuerySpec(
+        relational.cross_join_region_nation,
+        """
+        SELECT r_name, n_name, n_regionkey = r_regionkey AS is_member
+        FROM region CROSS JOIN nation
+        """,
+        "explicit CROSS JOIN of broadcast dims",
+        ("join",),
+    ),
+    "lateral_posexplode_words": QuerySpec(
+        relational.lateral_posexplode_words,
+        """
+        SELECT p_partkey, i AS pos, string_split(p_name, ' ')[i + 1] AS word
+        FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+        WHERE i < len(string_split(p_name, ' '))
+        """,
+        "posexplode: lateral expansion with ordinality",
+        ("lateral",),
+    ),
     "setop_except_all_bag": QuerySpec(
         relational.setop_except_all_bag,
         """
