@@ -1056,6 +1056,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "lineitem → ORC → read back → aggregate (columnar peer of parquet)",
         ("source",),
     ),
+    "source_partitioned_roundtrip": QuerySpec(
+        roundtrip.source_partitioned_roundtrip,
+        roundtrip.PARTITIONED_ROUNDTRIP_ORACLE,
+        "hive-partitioned parquet write → partition-pruned read → aggregate",
+        ("source", "pruning"),
+    ),
+    "dpp_partitioned_fact_join": QuerySpec(
+        roundtrip.dpp_partitioned_fact_join,
+        roundtrip.DPP_ORACLE,
+        "dynamic partition pruning: filtered dim prunes the partitioned fact scan",
+        ("source", "pruning", "join"),
+    ),
     "batch_sliding_windows": QuerySpec(
         stream_windows.batch_sliding,
         """

@@ -117,3 +117,70 @@ SELECT l_returnflag, COUNT(*) AS n_items,
        ROUND(SUM(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → hive-partitioned parquet (partitionBy status) → read
+    with a partition-column filter → aggregate.
+
+    Scale: the status filter never touches data — it prunes whole
+    directories at planning time (``PartitionFilters`` in the scan, the
+    plan-shape test pins it). At 100 TB, partitioning the write by the
+    dominant filter column is the single biggest scan saver; the layout
+    also bounds file listing to the matched partitions.
+    """
+    path = _stage_dir(sf_dir, "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the hive-partitioned orders fact
+    joined to a FILTERED dim whose values are only known at runtime —
+    Spark injects the dim's status values as a partition filter into
+    the fact scan (``dynamicpruning`` subquery in the plan), so only
+    the matching partitions are read.
+
+    Scale: this is how a 100 TB date-partitioned fact avoids a full
+    scan when the query filters through a dimension (e.g. "orders in
+    fiscal Q3" where fiscal quarters live in a calendar dim).
+    """
+    path = _stage_dir(sf_dir, "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, status_desc string",
+    ).filter(F.col("status_desc") != "open")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("status_desc")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+PARTITIONED_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+DPP_ORACLE = """
+SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' ELSE 'pending' END
+         AS status_desc,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderstatus IN ('F', 'P')
+GROUP BY 1
+"""

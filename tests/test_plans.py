@@ -97,3 +97,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_oracle):
 
     assert shuffle_count(joined) == 0, explain_str(joined, "simple")
     assert df.count() > 0
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_oracle):
+    """The status filter on the hive-partitioned layout must appear as
+    a PartitionFilters entry (planning-time pruning), not a data
+    filter."""
+    from inf2106_map_reduce_spark.plans import explain_str
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.source_partitioned_roundtrip(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "o_orderstatus" in seg.split("]", 1)[0], seg[:200]
+
+
+def test_dpp_injects_dynamic_partition_filter(spark, sf_oracle):
+    """The dim-filtered join over the partitioned fact must plan a
+    dynamicpruning expression on the fact scan."""
+    from inf2106_map_reduce_spark.plans import explain_str
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.dpp_partitioned_fact_join(spark, sf_oracle)
+    assert "dynamicpruning" in explain_str(df, "formatted").lower()
