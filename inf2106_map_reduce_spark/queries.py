@@ -27,6 +27,7 @@ from inf2106_map_reduce_spark.functions import (
     pipeline,
     sketches,
     text,
+    udafs,
     vector,
 )
 from inf2106_map_reduce_spark.operators import asof, bucketing, relational, skew
@@ -821,6 +822,12 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
+    ),
+    "udaf_weighted_avg": QuerySpec(
+        udafs.udaf_weighted_avg,
+        udafs.UDAF_WEIGHTED_AVG_ORACLE,
+        "grouped-agg Pandas UDAF beside a built-in aggregate",
+        ("udf", "agg"),
     ),
     "cross_join_region_nation": QuerySpec(
         relational.cross_join_region_nation,
