@@ -1249,3 +1249,26 @@ def lateral_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
     )
+
+
+def join_hint_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: force a shuffle sort-merge join
+    (``hint("merge")``) where the optimizer would pick broadcast at
+    this SF.
+
+    Scale: SMJ is the right call when BOTH sides are large (broadcast
+    would OOM the build side) or the output feeds another operation on
+    the same key — the sort is paid once and reused. The hint is the
+    escape hatch when statistics mislead the optimizer; the plan-shape
+    test pins that it actually takes effect.
+    """
+    c = _t(spark, sf_dir, "customer").hint("merge")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -823,6 +823,23 @@ REGISTRY: dict[str, QuerySpec] = {
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
     ),
+    "join_hint_sort_merge": QuerySpec(
+        relational.join_hint_sort_merge,
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+        "forced shuffle sort-merge join via hint (strategy control)",
+        ("join",),
+    ),
+    "layout_range_sorted_scan": QuerySpec(
+        roundtrip.layout_range_sorted_scan,
+        roundtrip.RANGE_SORTED_ORACLE,
+        "range-partitioned sorted write layout → row-group-skipping scan",
+        ("source", "pruning"),
+    ),
     "udaf_weighted_avg": QuerySpec(
         udafs.udaf_weighted_avg,
         udafs.UDAF_WEIGHTED_AVG_ORACLE,

@@ -184,3 +184,44 @@ SELECT CASE o_orderstatus WHEN 'F' THEN 'finished' ELSE 'pending' END
 FROM orders WHERE o_orderstatus IN ('F', 'P')
 GROUP BY 1
 """
+
+
+def layout_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted write layout: lineitem is
+    ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``
+    before writing, then read back with a one-month predicate.
+
+    Scale: the sorted layout clusters each date range into few files
+    AND makes parquet row-group min/max stats selective, so the pushed
+    date filter (plan-pinned) skips whole row groups — the unpartitioned
+    complement to hive partitioning when the filter column is too
+    fine-grained to be a directory key (a 100 TB fact over years of
+    seconds-resolution timestamps).
+    """
+    path = _stage_dir(sf_dir, "lineitem_range_sorted")
+    li = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+RANGE_SORTED_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY l_returnflag
+"""

@@ -121,3 +121,18 @@ def test_dpp_injects_dynamic_partition_filter(spark, sf_oracle):
 
     df = roundtrip.dpp_partitioned_fact_join(spark, sf_oracle)
     assert "dynamicpruning" in explain_str(df, "formatted").lower()
+
+
+def test_merge_hint_forces_sort_merge_join(spark, sf_oracle):
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = relational.join_hint_sort_merge(spark, sf_oracle)
+    assert "SortMergeJoin" in explain_str(df, "simple")
+
+
+def test_range_sorted_scan_pushes_date_filter(spark, sf_oracle):
+    from inf2106_map_reduce_spark.plans import pushed_filters
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.layout_range_sorted_scan(spark, sf_oracle)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
