@@ -823,6 +823,18 @@ REGISTRY: dict[str, QuerySpec] = {
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
     ),
+    "maintenance_compaction": QuerySpec(
+        roundtrip.maintenance_compaction,
+        roundtrip.COMPACTION_ORACLE,
+        "small-file compaction rewrite (64 → 4 files), value-preserving",
+        ("source", "maintenance"),
+    ),
+    "schema_evolution_read": QuerySpec(
+        roundtrip.schema_evolution_read,
+        roundtrip.SCHEMA_EVOLUTION_ORACLE,
+        "mergeSchema read over batches with additive schema change",
+        ("source", "maintenance"),
+    ),
     "join_hint_sort_merge": QuerySpec(
         relational.join_hint_sort_merge,
         """

@@ -225,3 +225,81 @@ WHERE l_shipdate >= TIMESTAMP '1996-06-01'
   AND l_shipdate < TIMESTAMP '1996-07-01'
 GROUP BY l_returnflag
 """
+
+
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented write (64 files) is
+    rewritten to a handful of right-sized files, then read back and
+    aggregated.
+
+    Scale: the small-file problem is the #1 operational failure of
+    long-running ingest at 100 TB — file-count grows with (batches x
+    partitions), and every downstream scan pays listing + open cost per
+    file. Compaction = read + ``repartition(target)`` + rewrite; AQE
+    coalescing prevents re-fragmenting. Target file size 128-1024 MB;
+    here 64 → 4 files (test-pinned).
+    """
+    frag = _stage_dir(sf_dir, "events_fragmented")
+    compact = _stage_dir(sf_dir, "events_compacted")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+            compact
+        )
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+COMPACTION_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet batches with different schemas
+    (batch 2 adds a ``bonus`` column) read as ONE dataset via
+    ``mergeSchema``; the missing column is null-filled for batch-1
+    rows.
+
+    Scale: additive schema evolution is how a year-long ingest keeps
+    old batches readable. mergeSchema's footer-merge cost scales with
+    file count — at 100 TB pin the schema in a catalog/metastore and
+    pass it explicitly; the null-fill read semantics are identical.
+    """
+    path = _stage_dir(sf_dir, "events_evolving")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(os.path.join(path, "batch2", "_SUCCESS")):
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            os.path.join(path, "batch1")
+        )
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "bonus", F.round(F.col("value") * 2, 2)
+        ).write.mode("overwrite").parquet(os.path.join(path, "batch2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch1"), os.path.join(path, "batch2")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("bonus").isNull(), 1).otherwise(0)).alias("n_legacy"),
+        F.round(F.sum(F.coalesce(F.col("bonus"), F.lit(0.0))), 2).alias("total_bonus"),
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_legacy,
+       ROUND(SUM(CASE WHEN event_id % 2 = 1
+                 THEN ROUND(value * 2, 2) ELSE 0.0 END), 2) AS total_bonus
+FROM events GROUP BY event_type
+"""

@@ -120,3 +120,29 @@ def test_orc_roundtrip(spark, sf_smoke, tmp_path):
     p = str(tmp_path / "orc")
     formats.write_orc(df, p)
     _assert_same_rows(df, formats.read_orc(spark, p))
+
+
+def test_compaction_reduces_file_count(spark, sf_oracle):
+    """The compacted layout must actually have few files (the whole
+    point), and exactly preserve values (oracle test covers that)."""
+    import glob
+    import os
+
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    roundtrip.maintenance_compaction(spark, sf_oracle).count()
+    frag = roundtrip._stage_dir(sf_oracle, "events_fragmented")
+    compact = roundtrip._stage_dir(sf_oracle, "events_compacted")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_compact = len(glob.glob(os.path.join(compact, "*.parquet")))
+    assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
+
+
+def test_schema_evolution_nullfills_legacy_batch(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.schema_evolution_read(spark, sf_oracle)
+    agg = df.agg(F.sum("n_legacy").alias("legacy"), F.sum("n_events").alias("n")).collect()[0]
+    assert 0 < agg["legacy"] < agg["n"]
