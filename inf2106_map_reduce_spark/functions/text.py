@@ -153,3 +153,48 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: full (doc, word) TF-IDF table over documents."""
     return tfidf(load_table(spark, sf_dir, "documents"))
+
+
+def bigrams_udtf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with schema declared on the class — the modern form of the
+    reference's Mapper contract (1→N ``OutputCollector.collect``,
+    ``mapreduce/idl/mapReduce.idl:70-73``), invoked via SQL LATERAL.
+
+    Scale: row-at-a-time Python — the slowest UDF tier (each row
+    crosses the JVM↔Python boundary individually). Sanctioned only for
+    logic that genuinely can't vectorize; the equivalent built-in form
+    (transform over a split array) stays JVM-side, which is why only
+    this one registry query uses a UDTF.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            ws = text.split(" ")
+            for i in range(len(ws) - 1):
+                yield i, ws[i] + " " + ws[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("docs_sample")
+    return spark.sql(
+        """
+        SELECT doc_id, b.idx, b.bigram
+        FROM docs_sample, LATERAL bigrams_udtf(text) b
+        """
+    )
+
+
+BIGRAMS_UDTF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 20 = 0
+),
+i AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS idx FROM w)
+SELECT doc_id, CAST(idx AS INT) AS idx,
+       ws[idx + 1] || ' ' || ws[idx + 2] AS bigram
+FROM i
+"""

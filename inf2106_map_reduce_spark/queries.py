@@ -823,6 +823,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "INTERSECT ALL (per-duplicate bag intersection)",
         ("setop",),
     ),
+    "udtf_bigrams": QuerySpec(
+        text.bigrams_udtf_query,
+        text.BIGRAMS_UDTF_ORACLE,
+        "Python UDTF via SQL LATERAL (the reference's 1→N Mapper contract)",
+        ("udf", "lateral"),
+    ),
     "maintenance_compaction": QuerySpec(
         roundtrip.maintenance_compaction,
         roundtrip.COMPACTION_ORACLE,
