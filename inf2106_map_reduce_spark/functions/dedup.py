@@ -440,3 +440,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH-blocked variant is the scale path, tested for recall)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(e, threshold=0.3)
+
+
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: keep only the newest event per
+    (user_id, event_type) — ROW_NUMBER over ts DESC with event_id as a
+    deterministic tiebreaker. The standard "latest version of each
+    record" pass a CDC/snapshot pipeline runs before training-data
+    export (reference analogue: last-writer-wins on the reduce key,
+    `servant/ReduceTaskServant.java:263-301` group scan).
+
+    Scale: one shuffle on the compaction key; the window sort is
+    per-partition with managed spill, and the rn=1 filter collapses
+    each group before anything leaves the stage — output is bounded by
+    key cardinality, not event count.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

@@ -1360,6 +1360,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "exact dedup by content hash",
         ("dedup",),
     ),
+    "dedup_latest_per_key": QuerySpec(
+        dedup.dedup_latest_per_key,
+        """
+        SELECT user_id, event_type, event_id, ts, value
+        FROM (
+          SELECT user_id, event_type, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        "changelog compaction: newest event per (user_id, event_type)",
+        ("dedup",),
+    ),
     "dedup_minhash_candidates": QuerySpec(
         dedup.dedup_minhash_candidates,
         _CANDIDATES_SQL + "SELECT id_a, id_b FROM cand",
