@@ -737,6 +737,40 @@ def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics coverage: COUNT(col) vs COUNT(*), null-safe
+    equality (`<=>` / IS NOT DISTINCT FROM), COALESCE, NULLIF, and
+    DISTINCT-excludes-null — per order status, over a deterministic
+    nullable column (o_orderkey % 7 == 0 → NULL). The reference has no
+    null concept (absent key → literal "none", SURVEY §1.4); this pins
+    the three-valued-logic superset behavior against the oracle.
+
+    Scale: single partial+final hash aggregate on o_orderstatus; money
+    summed exactly as bigint cents (see BASELINE determinism notes).
+    """
+    o = _t(spark, sf_dir, "orders")
+    live = F.col("o_orderkey") % 7 != 0
+    d = o.select(
+        "o_orderstatus",
+        F.when(live, F.col("o_totalprice")).alias("v"),
+        F.when(live, F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "cents"
+        ),
+        "o_orderpriority",
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.count_if(F.col("v").isNull()).alias("n_nulls"),
+        F.count_if(F.col("v").eqNullSafe(F.lit(None))).alias("nullsafe_nulls"),
+        F.countDistinct("v").alias("distinct_v"),
+        (F.sum(F.coalesce("cents", F.lit(0))) / 100.0).alias("sum_v"),
+        F.count_if(F.nullif("o_orderpriority", F.lit("1-URGENT")).isNull()).alias(
+            "urgent_n"
+        ),
+    )
+
+
 def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN buckets + conditional aggregation."""
     c = _t(spark, sf_dir, "customer")

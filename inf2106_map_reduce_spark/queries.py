@@ -986,6 +986,31 @@ REGISTRY: dict[str, QuerySpec] = {
         "math function battery",
         ("scalar",),
     ),
+    "null_semantics_battery": QuerySpec(
+        relational.null_semantics_battery,
+        """
+        WITH d AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS v,
+                 CASE WHEN o_orderkey % 7 <> 0
+                      THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END AS cents,
+                 o_orderpriority
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               COUNT(v) AS n_vals,
+               COUNT(*) FILTER (WHERE v IS NULL) AS n_nulls,
+               COUNT(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL) AS nullsafe_nulls,
+               COUNT(DISTINCT v) AS distinct_v,
+               SUM(COALESCE(cents, 0)) / 100.0 AS sum_v,
+               COUNT(*) FILTER (WHERE NULLIF(o_orderpriority, '1-URGENT') IS NULL)
+                 AS urgent_n
+        FROM d GROUP BY o_orderstatus
+        """,
+        "null semantics: 3VL counts, null-safe eq, coalesce/nullif",
+        ("scalar",),
+    ),
     "case_when_bucketing": QuerySpec(
         relational.case_when_bucketing,
         """
