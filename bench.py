@@ -1,8 +1,13 @@
 """Benchmark harness: times every registry query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+"queries": {headline: sec}, "sf": ..., "n_queries": N}``.
+
+The printed line carries only ~12 headline queries so it survives the
+driver's bounded stdout-tail capture (round 1's 108-entry line got
+truncated → ``"parsed": null``); the full per-query map is written to
+``BENCH_FULL.json`` at the repo root.
 
 Execution is measured with the noop sink (full plan runs, nothing
 collected to the driver) — the honest per-query wall clock.
@@ -45,17 +50,35 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    headline = (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q9_product_type_profit",
+        "q18_large_volume_customers",
+        "bucketed_orders_lineitem_join",
+        "window_top_orders_per_customer",
+        "dedup_minhash_candidates",
+        "dedup_clusters",
+        "ann_lsh",
+        "text_stats",
+        "streaming_tumbling_hourly",
+        "doc_word_count",
     )
+    payload = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
+        json.dump(
+            {**payload, "queries": timings},
+            f,
+            indent=1,
+        )
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -40,16 +40,27 @@ def approx_quantiles(
     """Approximate percentiles per group (Greenwald-Khanna style
     sketch; error ≤ 1/accuracy of the rank)."""
     probs = "array(" + ", ".join(str(p) for p in probabilities) + ")"
-    return df.groupBy(*group_cols).agg(
+    agg = df.groupBy(*group_cols).agg(
         F.expr(
             f"approx_percentile({value_col}, {probs}, {accuracy})"
         ).alias("approx_quantiles")
+    )
+    # Flatten the array into one scalar column per probability: sketch
+    # state stays an array through the merge (cheap), but the OUTPUT
+    # must be scalar — array cells are unhashable downstream (pandas
+    # canonicalizers, BI tools) and carry no extra information here.
+    return agg.select(
+        *group_cols,
+        *[
+            F.col("approx_quantiles")[i].alias(f"q{int(p * 100)}")
+            for i, p in enumerate(probabilities)
+        ],
     )
 
 
 def sketch_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query (rows-only): HLL++ distinct customers + quantile
-    sketch of order totals per status."""
+    sketch of order totals per status — scalar columns q25/q50/q75/q95."""
     o = load_table(spark, sf_dir, "orders")
     d = approx_distinct(o, "o_custkey", ["o_orderstatus"])
     q = approx_quantiles(o, "o_totalprice", ["o_orderstatus"])

@@ -459,10 +459,10 @@ REGISTRY: dict[str, QuerySpec] = {
         relational.q12_late_shipment_priority,
         """
         SELECT l_linestatus,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1156,7 +1156,7 @@ REGISTRY: dict[str, QuerySpec] = {
           FROM events GROUP BY 1, 2
         )
         SELECT date_trunc('day', hour) AS day, event_type,
-               SUM(n) AS n, ROUND(SUM(sv), 2) AS total_value,
+               CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sv), 2) AS total_value,
                COUNT(*) AS n_hours,
                ROUND(ROUND(SUM(sv), 2) / SUM(n), 6) AS avg_value
         FROM hourly GROUP BY 1, 2
@@ -1564,7 +1564,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """
         SELECT 'synthetic/text' AS media_type,
                COUNT(*) AS n_items,
-               SUM(octet_length(encode(text))) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
                MAX(octet_length(encode(text))) AS max_bytes
         FROM documents
@@ -1641,6 +1641,87 @@ REGISTRY["doc_word_count"] = QuerySpec(
     "reference word count over the documents table",
     ("mrlite",),
 )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate checks the FIRST 50
+# entries of ``queries()``; round 1 verified the (old) first 50 — the
+# classic relational block — and left the dedup/ANN/text/streaming/
+# source/multimodal families unchecked. Round 2 front-loads exactly
+# those: the 5 round-1 failures (now fixed) followed by 45 never-
+# checked entries spanning every operator family. Entries already
+# driver-green in round 1 (CORRECTNESS_r01.json) and a handful of
+# locally-proven scalar batteries move to the tail — cumulative driver
+# coverage after round 2: 95/108. Every entry keeps its oracle either
+# way; the local parity suite checks all 108 regardless of order.
+_ROUND2_FIRST: tuple[str, ...] = (
+    # round-1 failures, fixed this round
+    "asof_clicks_to_purchase",
+    "maintenance_compaction",
+    "schema_evolution_read",
+    "q12_late_shipment_priority",
+    "sketch_orders_per_status",
+    # mrlite word count (the reference's own app)
+    "doc_word_count",
+    # dedup family
+    "dedup_exact",
+    "dedup_latest_per_key",
+    "dedup_minhash_candidates",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # vector / ANN family
+    "vector_norms",
+    "ann_brute_force",
+    "ann_lsh",
+    "ann_ivf",
+    "label_centroids",
+    # text / documents pipeline family
+    "text_stats",
+    "tfidf_terms",
+    "lang_distribution",
+    "docs_quality_filter",
+    "docs_repetition",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
+    # streaming / events family
+    "streaming_tumbling_hourly",
+    "streaming_sliding_windows",
+    "streaming_session_windows",
+    "streaming_enriched_segments",
+    "streaming_dedup_keys",
+    "streaming_user_stats_stateful",
+    "multires_rollup_daily",
+    "skew_salted_events_join",
+    # source / sink family
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_roundtrip",
+    "dpp_partitioned_fact_join",
+    "layout_range_sorted_scan",
+    # multimodal family
+    "media_metadata_stats",
+    "media_features",
+    "media_frame_sample",
+    # UDF surface + scalar batteries not yet driver-checked
+    "udaf_weighted_avg",
+    "scalar_subquery_global_avg",
+    "scalar_string_battery",
+    "scalar_date_battery",
+    "null_semantics_battery",
+    "json_extract_events",
+    "array_ops_embeddings",
+    "map_ops_events",
+)
+
+assert set(_ROUND2_FIRST) <= set(REGISTRY), sorted(
+    set(_ROUND2_FIRST) - set(REGISTRY)
+)
+REGISTRY = {name: REGISTRY[name] for name in _ROUND2_FIRST} | {
+    name: spec for name, spec in REGISTRY.items() if name not in set(_ROUND2_FIRST)
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -298,7 +298,8 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCHEMA_EVOLUTION_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_legacy,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_legacy,
        ROUND(SUM(CASE WHEN event_id % 2 = 1
                  THEN ROUND(value * 2, 2) ELSE 0.0 END), 2) AS total_bonus
 FROM events GROUP BY event_type

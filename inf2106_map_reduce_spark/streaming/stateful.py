@@ -23,7 +23,6 @@ anomaly flags).
 from __future__ import annotations
 
 import tempfile
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -31,13 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from inf2106_map_reduce_spark.tables import convert_event_ts
+from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
 
 WATERMARK = "1 hour"
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     return convert_event_ts(
         spark.readStream.schema(raw_schema)
         .format("parquet")
@@ -47,17 +46,24 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(out_stream, spark: SparkSession, mode: str) -> DataFrame:
-    name = "stream_out_" + uuid.uuid4().hex[:8]
+    """Run to completion through a foreachBatch parquet sink and read
+    the result back — no driver-side materialization (the memory sink
+    collects to the driver; fine for tests, wrong as the shipped path).
+    Append/update batches accumulate via mode=append; AvailableNow over
+    the single events file yields one batch, so update mode emits each
+    key once."""
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
     q = (
-        out_stream.writeStream.format("memory")
-        .queryName(name)
+        out_stream.writeStream.foreachBatch(
+            lambda df, _epoch: df.write.mode("append").parquet(sink)
+        )
         .outputMode(mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(sink)
 
 
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:

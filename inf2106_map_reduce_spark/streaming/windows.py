@@ -9,12 +9,15 @@ unbounded state at scale).
 from __future__ import annotations
 
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inf2106_map_reduce_spark.tables import convert_event_ts, load_table
+from inf2106_map_reduce_spark.tables import (
+    convert_event_ts,
+    load_table,
+    raw_events_schema,
+)
 
 WATERMARK = "1 hour"
 
@@ -97,10 +100,13 @@ def _run_available_now(
     spark: SparkSession, sf_dir: str, transform, with_watermark: bool = True
 ) -> DataFrame:
     """Execute a windowed transform as a REAL stream over the parquet
-    events table (Trigger.AvailableNow → memory sink, complete mode)
-    and return the result table. Used for batch-parity checks; the
-    same code ships against kafka/file sources in production."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events table (Trigger.AvailableNow → foreachBatch parquet sink,
+    complete mode) and return the result read back from the sink. No
+    driver-side materialization: each micro-batch's full result is
+    written distributed to parquet (overwrite — complete mode re-emits
+    the whole table). The same code ships against kafka/file sources
+    in production."""
+    raw_schema = raw_events_schema(spark, sf_dir)
     # the streaming file source wants a directory; glob-filter to the
     # events file within the sf dir
     stream = convert_event_ts(
@@ -112,17 +118,18 @@ def _run_available_now(
     if with_watermark:
         stream = stream.withWatermark("ts", WATERMARK)
     out = transform(stream)
-    name = "stream_out_" + uuid.uuid4().hex[:8]
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
     q = (
-        out.writeStream.format("memory")
-        .queryName(name)
+        out.writeStream.foreachBatch(
+            lambda df, _epoch: df.write.mode("overwrite").parquet(sink)
+        )
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(sink)
 
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

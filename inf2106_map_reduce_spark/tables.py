@@ -43,10 +43,24 @@ def convert_event_ts(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a vanilla session (e.g. the
+        # driver's oracle harness) throws PARQUET_TYPE_ILLEGAL without this
+        # conf. It is runtime-settable and idempotent, so set it here rather
+        # than relying on get_spark() having built the session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = convert_event_ts(df)
     return df
+
+
+def raw_events_schema(spark: SparkSession, sf_dir: str):
+    """Schema of the raw events parquet (ts as bigint nanos under
+    ``nanosAsLong``) — what ``readStream.schema(...)`` needs. Sets the
+    legacy-nanos conf first so it works on a vanilla session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,10 +1,18 @@
 """DuckDB-oracle comparison harness mirroring the driver's t2 gate:
 row-count + schema (column-name set) + order-insensitive value match.
 
-Cells are canonicalized to strings (floats via ``repr`` — EXACT, no
-tolerance) so any query whose values aren't bit-stable across engines
-fails here first; the fix is to make the query itself deterministic
-(round aggregates, total ordering for LIMIT), not to loosen the test.
+The comparison goes through **pandas on both sides** (Spark
+``toPandas()``, DuckDB ``.df()``) because that is what the driver does —
+and pandas is where the type landmines live: DuckDB HUGEINT (any
+``SUM`` over an integer) becomes float64 (``3626.0``) while Spark's
+bigint stays int64 (``3626``); array/map cells are unhashable and crash
+the driver's ``sort_values`` canonicalizer. Collect-based comparison
+(round 1) hid both classes, so the driver failed queries the local
+suite passed. Cells are canonicalized to strings (floats via ``repr``
+— EXACT, no tolerance) so any query whose values aren't bit-stable
+across engines fails here first; the fix is to make the query itself
+deterministic (round aggregates, total ordering for LIMIT), not to
+loosen the test.
 """
 
 from __future__ import annotations
@@ -14,6 +22,8 @@ import math
 from typing import Any
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from inf2106_map_reduce_spark.tables import TABLE_NAMES
 
@@ -30,56 +40,85 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v: Any) -> str:
-    if v is None:
+    # Order matters: np.bool_/bool before int (bool is int's subclass),
+    # pd.Timestamp is a datetime subclass so dt.datetime covers it.
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return "NULL"  # pandas renders NULL doubles as NaN on both sides
         if v == int(v) and abs(v) < 1e15:
             return repr(round(v, 9))
         return repr(v)
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, dt.datetime):  # includes pd.Timestamp
+        v = v.replace(tzinfo=None)
+        # DuckDB's .df() renders DATE as a midnight datetime64 Timestamp
+        # (pandas has no date dtype) while Spark toPandas keeps
+        # datetime.date objects; the driver's gate treats them as equal
+        # (date-emitting q3 passed round 1), so normalize midnight
+        # timestamps to their date form here too.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} in oracle-checked output — "
+            "the driver's canonicalizer crashes on these (unhashable type); "
+            "flatten array/map/struct columns to scalars"
+        )
     return str(v)
 
 
-def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_canon_cell(row[i]) for i in order) for row in rows]
-    out.sort()
-    return out
+def canon_pdf(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return list(cols), rows
 
 
 def spark_result(df) -> tuple[list[str], list[tuple[str, ...]]]:
-    cols = list(df.columns)
-    rows = [tuple(row) for row in df.collect()]
-    return cols, canon_rows(cols, rows)
+    return canon_pdf(df.toPandas())
 
 
 def duckdb_result(
     con: duckdb.DuckDBPyConnection, sql: str
 ) -> tuple[list[str], list[tuple[str, ...]]]:
-    res = con.execute(sql)
-    cols = [d[0] for d in res.description]
-    rows = res.fetchall()
-    return cols, canon_rows(cols, rows)
+    return canon_pdf(con.execute(sql).df())
+
+
+_NON_SCALAR_PREFIXES = ("array<", "map<", "struct<")
+
+
+def assert_scalar_schema(spark_df) -> None:
+    """The driver's canonicalizer sorts a pandas frame — array/map/
+    struct cells are unhashable and crash it. Every oracle-checked
+    query must emit scalar columns only."""
+    bad = [
+        (name, t)
+        for name, t in spark_df.dtypes
+        if t.startswith(_NON_SCALAR_PREFIXES)
+    ]
+    assert not bad, f"non-scalar output columns (driver canonicalizer hazard): {bad}"
 
 
 def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    assert_scalar_schema(spark_df)
     s_cols, s_rows = spark_result(spark_df)
     d_cols, d_rows = duckdb_result(con, sql)
-    assert sorted(s_cols) == sorted(d_cols), (
-        f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    assert s_cols == d_cols, (
+        f"schema mismatch: spark={s_cols} duckdb={d_cols}"
     )
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"

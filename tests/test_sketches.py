@@ -34,7 +34,10 @@ def test_quantile_sketch_within_rank_tolerance(spark, sf_oracle):
     )
     approx = sketches.approx_quantiles(o, "o_totalprice", ["o_orderstatus"])
     ex = {r["o_orderstatus"]: r["q"] for r in exact.collect()}
-    ap = {r["o_orderstatus"]: r["approx_quantiles"] for r in approx.collect()}
+    ap = {
+        r["o_orderstatus"]: (r["q25"], r["q50"], r["q75"], r["q95"])
+        for r in approx.collect()
+    }
     for k in ex:
         for e, a in zip(ex[k], ap[k]):
             assert abs(a - e) / max(abs(e), 1.0) < 0.02, f"{k}: {a} vs {e}"
@@ -44,6 +47,12 @@ def test_registry_sketch_query_runs(spark, sf_oracle):
     df = sketches.sketch_orders_per_status(spark, sf_oracle)
     rows = df.collect()
     assert len(rows) > 0
-    assert {"o_orderstatus", "approx_distinct_o_custkey", "approx_quantiles"} <= set(
-        df.columns
-    )
+    # scalar quantile columns — array outputs crash pandas canonicalizers
+    assert {
+        "o_orderstatus",
+        "approx_distinct_o_custkey",
+        "q25",
+        "q50",
+        "q75",
+        "q95",
+    } <= set(df.columns)
