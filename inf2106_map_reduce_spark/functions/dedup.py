@@ -226,7 +226,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.3,
-    use_lsh_blocking: bool = False,
+    use_lsh_blocking: bool = True,
     n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
@@ -234,17 +234,22 @@ def embedding_cosine_pairs(
 
     Two physical strategies behind one semantic:
 
-    - exact block-matmul (default, the oracle-checked baseline): ids
-      hash into ``n_blocks`` blocks; each vector is replicated to the
-      block-pairs it participates in (factor √P communication — the
-      standard distributed all-pairs layout), and each (bi, bj) group
-      scores its pair subset as ONE numpy matmul inside
-      ``applyInPandas``. Exact, no driver collect, and ~100× faster
-      than pair-at-a-time fold expressions (38 s → <1 s on 2 k
-      vectors). Still O(n²) work overall — the honest cost of exactness;
-    - ``use_lsh_blocking=True``: candidates restricted to pairs sharing
-      a sign-LSH bucket in any of 8 tables (the 100 TB path — cost is
-      Σ bucket², never n²; recall tested in tests/test_dedup.py).
+    - DEFAULT ``use_lsh_blocking=True``: candidates restricted to pairs
+      sharing a sign-LSH bucket in any of 8 tables — the 100 TB path:
+      cost is Σ bucket², never n² (recall vs exact tested in
+      tests/test_dedup.py). The buckets are seeded driver-side
+      constants, so the candidate set is deterministic and even
+      SQL-mirrorable (the registry oracle embeds the same hyperplanes
+      as literals);
+    - ``use_lsh_blocking=False``: exact block-matmul, the recall
+      baseline. Ids hash into ``n_blocks`` blocks; each vector is
+      replicated to the block-pairs it participates in (factor √P
+      communication — the standard distributed all-pairs layout), and
+      each (bi, bj) group scores its pair subset as ONE numpy matmul
+      inside ``applyInPandas``. Exact, no driver collect, and ~100×
+      faster than pair-at-a-time fold expressions (38 s → <1 s on 2 k
+      vectors) — but O(n²) work overall, the honest cost of exactness:
+      opt-in for corpora where n² is affordable.
     """
     import numpy as np
     import pandas as pd
@@ -436,10 +441,13 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at cos >= 0.3 (exact baseline;
-    the LSH-blocked variant is the scale path, tested for recall)."""
+    """Embedding-cosine near-dup pairs at cos >= 0.3 via LSH blocking —
+    the sub-quadratic scale path is the registry default; the exact
+    block-matmul baseline backs the recall test in tests/test_dedup.py.
+    The oracle reproduces the same seeded hyperplanes as SQL literals,
+    so this is hash-checked pair-for-pair despite being approximate."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, threshold=0.3)
+    return embedding_cosine_pairs(e, threshold=0.3, use_lsh_blocking=True)
 
 
 def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:

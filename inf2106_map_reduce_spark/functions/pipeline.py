@@ -114,24 +114,56 @@ def pack_sequences(
     seq_len: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_shards: int = 16,
+    global_order: bool = False,
 ) -> DataFrame:
-    """Greedy contiguous sequence packing: documents ordered by id are
-    assigned to fixed-token-budget bins by cumulative token count —
-    bin = floor((cumsum - n_tokens) / seq_len), i.e. the bin where the
-    document STARTS. Deterministic (total order on id) and expressible
-    as one window cumsum — no per-row Python.
+    """Greedy contiguous sequence packing: within a shard, documents
+    ordered by id are assigned to fixed-token-budget bins by cumulative
+    token count — bin = floor((cumsum - n_tokens) / seq_len), i.e. the
+    bin where the document STARTS. Deterministic and expressible as one
+    window cumsum — no per-row Python.
 
-    At 100 TB: a global single window is one range-partitioned sort;
-    for throughput, pack per shard instead (partitionBy(shard) window)
-    — same code with an extra key.
+    The DEFAULT is per-shard packing (content-hash shard →
+    ``Window.partitionBy(shard)``): every shard packs independently and
+    in parallel, so the sort is ``n_shards`` independent partition
+    sorts — the shape that scales to 100 TB (set ``n_shards`` ≈
+    cluster parallelism there). ``global_order=True`` opts into a
+    single corpus-wide order: one range-partitioned global sort whose
+    window cumsum funnels through ONE task — only for corpora small
+    enough to sort on one executor. Bins are identified by
+    (shard_id, bin_id); training shards are consumed independently, so
+    per-shard bin locality is what packing actually needs — nothing
+    downstream wants one global bin numbering.
     """
     toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    out = df.select(F.col(id_col), toks.alias("n_tokens"))
+    if global_order:
+        shard = F.lit(0).cast("bigint")
+    else:
+        shard = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_shards
+        )
+    out = df.select(
+        F.col(id_col), toks.alias("n_tokens"), shard.alias("shard_id")
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = F.sum("n_tokens").over(w)
     return out.select(
         id_col,
         "n_tokens",
+        "shard_id",
         F.floor((cum - F.col("n_tokens")) / seq_len).cast("bigint").alias("bin_id"),
     )
 

@@ -29,17 +29,42 @@ NONE_KEY = "none"
 KV_SCHEMA = "key string, value string"
 
 
-def read_token_file(spark: SparkSession, path: str) -> DataFrame:
+#: The reference reader's fixed word buffer (``TokenRecordReader.java:37``
+#: ``buffWord = new char[1000]``): a longer token is silently emitted as
+#: successive 1000-char chunks, each re-parsed for ``|``
+#: (``TokenRecordReader.java:88-94`` — ``lookup`` returns early when the
+#: buffer fills, without consuming a separator).
+REFERENCE_TOKEN_CAP = 1000
+
+
+def read_token_file(
+    spark: SparkSession, path: str, max_token_chars: int | None = None
+) -> DataFrame:
     """Scan a token file into a ``(key, value)`` DataFrame.
 
     Equivalent of S2 (``TokenRecordReader``): tokenize on whitespace,
     split each token on the first ``|``; un-piped tokens get key
     ``"none"``. Entirely built-in expressions — stays inside
     whole-stage codegen, no Python in the hot path.
+
+    ``max_token_chars`` opts into the reference reader's buffer quirk:
+    tokens longer than the cap are silently split into cap-sized
+    chunks, each independently pipe-parsed (pass
+    :data:`REFERENCE_TOKEN_CAP` for byte-parity with the reference;
+    the default ``None`` keeps tokens whole, which is what every
+    non-parity consumer wants).
     """
     lines = spark.read.text(path)
     tok = F.explode(F.split(F.col("value"), r"\s+")).alias("tok")
     tokens = lines.select(tok).filter(F.col("tok") != "")
+    if max_token_chars is not None:
+        cap = max_token_chars
+        n_chunks = F.ceil(F.length("tok") / cap).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.col("tok").substr(i * cap + 1, F.lit(cap)),
+        )
+        tokens = tokens.select(F.explode(chunks).alias("tok"))
     has_pipe = F.instr("tok", "|") > 0
     key = F.when(has_pipe, F.substring_index("tok", "|", 1)).otherwise(
         F.lit(NONE_KEY)

@@ -105,6 +105,53 @@ def _dot_sql(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
 
 
+def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
+    """Oracle for the LSH-blocked near-dup path: the sign-LSH
+    hyperplanes are seeded driver-side constants
+    (vector.random_hyperplanes), so the SAME planes are embedded here
+    as DuckDB list literals — the bucket assignment, candidate join,
+    and fold-cosine all mirror the Spark plan term for term, making an
+    approximate algorithm exactly hash-checkable. Sign bits compare
+    strictly (> 0) on both engines; a flip would need |dot| within
+    summation-reorder ulps of zero (~1e-13 odds with continuous data).
+    """
+    from inf2106_map_reduce_spark.functions.vector import random_hyperplanes
+
+    per_table = []
+    for t in range(8):
+        planes = random_hyperplanes(64, 4, seed=42 + 1000 * t)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            bits.append(
+                f"(CASE WHEN {_dot_sql('embedding', lit)} > 0"
+                f" THEN {2 ** i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, embedding, {t} AS tbl,"
+            f" ({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    buck = " UNION ALL ".join(per_table)
+    cos = _dot_sql("a.embedding", "b.embedding")
+    na = _dot_sql("a.embedding", "a.embedding")
+    nb = _dot_sql("b.embedding", "b.embedding")
+    return f"""
+    WITH buck AS ({buck}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM buck l JOIN buck r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             ROUND({cos} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+      FROM cand
+      JOIN embeddings a ON id_a = a.vec_id
+      JOIN embeddings b ON id_b = b.vec_id
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
 _STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
 
@@ -1362,16 +1409,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "docs_pack_sequences": QuerySpec(
         pipeline.docs_pack_sequences,
         f"""
-        SELECT doc_id, n_tokens,
+        SELECT doc_id, n_tokens, shard_id,
                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
         FROM (
-          SELECT doc_id, n_tokens,
-                 SUM(n_tokens) OVER (ORDER BY doc_id
+          SELECT doc_id, n_tokens, shard_id,
+                 SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum
-          FROM (SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents)
+          FROM (SELECT doc_id, len({_WORDS}) AS n_tokens,
+                       CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 16 AS shard_id
+                FROM documents)
         )
         """,
-        "greedy contiguous sequence packing into 512-token bins",
+        "greedy per-shard sequence packing into 512-token bins",
         ("pipeline",),
     ),
     # -- dedup -------------------------------------------------------------------
@@ -1530,16 +1580,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup.dedup_embedding_cosine,
-        f"""
-        SELECT * FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ROUND({_dot_sql('a.embedding', 'b.embedding')}
-                   / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-                      * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cos_sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        ) WHERE cos_sim >= 0.3
-        """,
-        "embedding-cosine near-dup pairs (exact baseline, LSH scale path)",
+        _lsh_cosine_oracle(threshold=0.3),
+        "embedding-cosine near-dup pairs (LSH-blocked scale path, "
+        "hyperplane-mirrored oracle)",
         ("dedup", "vector"),
     ),
     "label_centroids": QuerySpec(

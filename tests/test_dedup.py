@@ -94,7 +94,9 @@ def test_embedding_cosine_lsh_blocking_is_lossy_subset(spark, sf_oracle):
     e = load_table(spark, sf_oracle, "embeddings")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in dedup.embedding_cosine_pairs(e, threshold=0.3).collect()
+        for r in dedup.embedding_cosine_pairs(
+            e, threshold=0.3, use_lsh_blocking=False
+        ).collect()
     }
     blocked = {
         (r["id_a"], r["id_b"])

@@ -72,6 +72,35 @@ def test_token_format_round_trip(spark, tmp_path):
     assert sorted((r["key"], r["value"]) for r in back.collect()) == got
 
 
+def test_token_overflow_split_matches_reference_cap(spark, tmp_path):
+    # The reference reader's 1000-char word buffer silently splits
+    # longer tokens into cap-sized chunks, each independently
+    # pipe-parsed (TokenRecordReader.java:37,88-94). Opt-in via
+    # max_token_chars; default keeps tokens whole.
+    from inf2106_map_reduce_spark.mrlite.tokenformat import REFERENCE_TOKEN_CAP
+
+    long_tok = "k|" + "x" * 1500  # 1502 chars -> chunks of 1000 + 502
+    raw = tmp_path / "long.txt"
+    raw.write_text(f"{long_tok} small|1")
+
+    whole = sorted(
+        (r["key"], r["value"])
+        for r in read_token_file(spark, str(raw)).collect()
+    )
+    assert whole == sorted([("k", "x" * 1500), ("small", "1")])
+
+    capped = sorted(
+        (r["key"], r["value"])
+        for r in read_token_file(
+            spark, str(raw), max_token_chars=REFERENCE_TOKEN_CAP
+        ).collect()
+    )
+    # chunk 1 = "k|" + 998 x's (pipe-parsed), chunk 2 = 502 x's (raw)
+    assert capped == sorted(
+        [("k", "x" * 998), ("none", "x" * 502), ("small", "1")]
+    )
+
+
 def test_java_hashcode_parity():
     # Known Java values pin the implementation.
     assert java_string_hashcode("") == 0

@@ -49,14 +49,37 @@ def test_sample_percent_is_monotone(spark, sf_oracle):
 def test_pack_sequences_bins_are_contiguous_and_budgeted(spark, sf_oracle):
     d = load_table(spark, sf_oracle, "documents")
     out = pipeline.pack_sequences(d, seq_len=512).orderBy("doc_id").collect()
-    # bins are nondecreasing in doc order
-    bins = [r["bin_id"] for r in out]
-    assert bins == sorted(bins)
-    # every document starts in the bin where its cumulative prefix ends
-    cum = 0
+    # within each shard: bins nondecreasing in doc order, and every
+    # document starts in the bin where its shard-local prefix ends
+    by_shard: dict[int, int] = {}
+    last_bin: dict[int, int] = {}
     for r in out:
+        cum = by_shard.get(r["shard_id"], 0)
+        assert r["bin_id"] == cum // 512
+        assert r["bin_id"] >= last_bin.get(r["shard_id"], 0)
+        by_shard[r["shard_id"]] = cum + r["n_tokens"]
+        last_bin[r["shard_id"]] = r["bin_id"]
+    assert len(by_shard) > 1  # sharding actually splits the corpus
+
+
+def test_pack_sequences_global_opt_in_matches_single_shard(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    out = pipeline.pack_sequences(d, seq_len=512, global_order=True)
+    rows = out.orderBy("doc_id").collect()
+    assert {r["shard_id"] for r in rows} == {0}
+    cum = 0
+    for r in rows:
         assert r["bin_id"] == cum // 512
         cum += r["n_tokens"]
+
+
+def test_pack_sequences_default_plan_has_no_global_sort(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    plan = pipeline.pack_sequences(d)._jdf.queryExecution().executedPlan().toString()
+    # per-shard packing hash-partitions on shard_id; a global window
+    # would show a single-partition Exchange (SinglePartition)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard_id" in plan
 
 
 def test_quality_filter_keeps_majority_of_clean_corpus(spark, sf_oracle):

@@ -136,3 +136,14 @@ def test_range_sorted_scan_pushes_date_filter(spark, sf_oracle):
 
     df = roundtrip.layout_range_sorted_scan(spark, sf_oracle)
     assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_default_embedding_cosine_is_bucket_join_bounded(spark, sf_oracle):
+    """The registry near-dup default must be the LSH-blocked path: an
+    equi-join on (tbl, bucket), never a cross join / all-pairs plan."""
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    plan = explain_str(dedup.dedup_embedding_cosine(spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
