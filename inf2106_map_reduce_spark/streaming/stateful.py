@@ -55,7 +55,7 @@ def _run_to_table(out_stream, spark: SparkSession, mode: str) -> DataFrame:
     sink = tempfile.mkdtemp(prefix="stream_sink_")
     q = (
         out_stream.writeStream.foreachBatch(
-            lambda df, _epoch: df.write.mode("append").parquet(sink)
+            lambda df, _epoch: df.repartition(1).write.mode("append").parquet(sink)
         )
         .outputMode(mode)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))

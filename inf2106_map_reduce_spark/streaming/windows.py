@@ -120,8 +120,13 @@ def _run_available_now(
     out = transform(stream)
     sink = tempfile.mkdtemp(prefix="stream_sink_")
     q = (
+        # repartition(1): the result is a windowed aggregate (thousands
+        # of rows) — one output file avoids 32 tiny-file task+commit
+        # costs, and unlike coalesce(1) the shuffle boundary keeps the
+        # upstream aggregation parallel. At scale, drop it and let the
+        # sink partition.
         out.writeStream.foreachBatch(
-            lambda df, _epoch: df.write.mode("overwrite").parquet(sink)
+            lambda df, _epoch: df.repartition(1).write.mode("overwrite").parquet(sink)
         )
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
