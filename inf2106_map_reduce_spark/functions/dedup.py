@@ -390,24 +390,26 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the changed flag rides along in the same pass (new label is
+        # strictly smaller iff anything moved) — the convergence probe
+        # then filters the already-checkpointed result instead of
+        # re-joining old vs new labels (one join+shuffle less per round)
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
+            .withColumnRenamed("new_label", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
