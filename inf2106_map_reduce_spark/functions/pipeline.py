@@ -168,6 +168,163 @@ def pack_sequences(
     )
 
 
+def _words(text_col: str = "text", lowered: bool = True) -> Column:
+    base = F.lower(F.trim(F.col(text_col))) if lowered else F.trim(F.col(text_col))
+    return F.filter(F.split(base, r"\s+"), lambda w: w != "")
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 5,
+    benchmark_percent: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with a held-out benchmark set (the C4/GPT-style
+    train-test overlap check a training corpus must run before a model
+    sees it). Returns (doc_id, n_shared_shingles) for contaminated
+    docs only.
+
+    ``benchmark=None`` carves a deterministic content-hash slice of
+    ``df`` itself as the benchmark — self-contained for tests; in
+    production pass the real eval-set DataFrame.
+
+    Scale: shingles are exploded per doc (distinct within doc), the
+    benchmark shingle set is DISTINCT and broadcast (eval suites are
+    tiny next to a training corpus), so the check is one narrow pass +
+    one broadcast hash join — no shuffle of the corpus itself.
+    """
+    words = _words(text_col)
+    shingles = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if benchmark is None:
+        bucket = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bench:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint") % 100
+        tagged = df.select(
+            F.col(id_col), bucket.alias("_b"), F.explode(shingles).alias("shingle")
+        )
+        bench_shingles = tagged.filter(F.col("_b") < benchmark_percent).select(
+            "shingle"
+        )
+        corpus = tagged.filter(F.col("_b") >= benchmark_percent)
+    else:
+        bench_shingles = benchmark.select(F.explode(shingles).alias("shingle"))
+        corpus = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return (
+        corpus.join(F.broadcast(bench_shingles.distinct()), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def incremental_ingest_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    existing_mod: int = 10,
+    existing_lt: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: the batch a pipeline runs on every new
+    crawl — drop incoming docs whose content already exists in the
+    corpus snapshot, and collapse exact dups within the batch itself
+    (min doc_id survives). Returns accepted (doc_id, content_key).
+
+    The "existing snapshot" here is the deterministic id-slice
+    ``doc_id % existing_mod < existing_lt`` so the op is
+    self-contained; production passes the snapshot's key table. Scale:
+    content keys are 128-bit hashes — the within-batch collapse is one
+    hash shuffle, the against-snapshot check a LEFT ANTI join on the
+    key (broadcast when the snapshot key set fits, shuffle otherwise);
+    the full text never crosses the wire.
+    """
+    from inf2106_map_reduce_spark.functions.dedup import _norm_text
+
+    keyed = df.select(
+        F.col(id_col), F.md5(_norm_text(text_col)).alias("content_key")
+    )
+    existing = keyed.filter(
+        F.col(id_col) % existing_mod < existing_lt
+    ).select("content_key")
+    incoming = keyed.filter(F.col(id_col) % existing_mod >= existing_lt)
+    batch_unique = incoming.groupBy("content_key").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return batch_unique.join(existing, "content_key", "left_anti").select(
+        id_col, "content_key"
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` words by term frequency with
+    document frequency — the truncated-vocab construction step of a
+    tokenizer/embedding pipeline. Deterministic total order (count
+    desc, word asc). Scale: explode + one grouped agg (map-side
+    partial), then a k-row TakeOrdered — the corpus never sorts."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("word")
+    )
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(id_col).alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "word", "tf", "df")
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    chunk: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token windows per document (chunk size / stride) —
+    the context-window chunking step before embedding or training on
+    documents longer than the model context. Emits (doc_id, chunk_idx,
+    n_tokens, first_token, last_token) per chunk; the final chunk may
+    be partial. One narrow pass (sequence + slice + posexplode), no
+    shuffle; ``F.get`` instead of ``element_at`` keeps out-of-range
+    lookups NULL under ANSI mode."""
+    words = _words(text_col, lowered=False)
+    n = F.size(words)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.ceil((n - chunk) / stride).cast("int") + 1
+    )
+    rows = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    cw = F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, chunk)
+    return rows.select(
+        id_col,
+        "chunk_idx",
+        F.size(cw).alias("n_tokens"),
+        F.get(cw, 0).alias("first_token"),
+        F.get(cw, F.size(cw) - 1).alias("last_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
@@ -209,3 +366,19 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benchmark_contamination(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_ingest_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_chunks(load_table(spark, sf_dir, "documents"))

@@ -153,6 +153,9 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
 
 
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+_WORDS_LC = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w != '')"
+)
 _STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
 
 
@@ -1423,6 +1426,74 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "greedy per-shard sequence packing into 512-token bins",
         ("pipeline",),
+    ),
+    "docs_contamination": QuerySpec(
+        pipeline.docs_contamination,
+        f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 100 AS b,
+                 unnest(list_distinct(
+                   [array_to_string(words[i:i+4], ' ')
+                    FOR i IN range(1, len(words) - 3)])) AS shingle
+          FROM (SELECT doc_id, {_WORDS_LC} AS words FROM documents)
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE b < 5)
+        SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_shingles
+        FROM sh s JOIN bench USING (shingle)
+        WHERE s.b >= 5
+        GROUP BY s.doc_id
+        """,
+        "benchmark decontamination: 5-gram overlap vs held-out set",
+        ("pipeline", "dedup"),
+    ),
+    "dedup_incremental_ingest": QuerySpec(
+        pipeline.dedup_incremental_ingest,
+        f"""
+        WITH keyed AS (SELECT doc_id, md5({_NORM}) AS content_key FROM documents),
+        ex AS (SELECT content_key FROM keyed WHERE doc_id % 10 < 3)
+        SELECT MIN(doc_id) AS doc_id, content_key
+        FROM keyed
+        WHERE doc_id % 10 >= 3
+          AND content_key NOT IN (SELECT content_key FROM ex)
+        GROUP BY content_key
+        """,
+        "incremental-ingest dedup vs corpus snapshot (anti-join on content key)",
+        ("pipeline", "dedup"),
+    ),
+    "vocab_top50": QuerySpec(
+        pipeline.vocab_top50,
+        f"""
+        SELECT rank, word, tf, df FROM (
+          SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rank
+          FROM (SELECT doc_id, unnest({_WORDS_LC}) AS word FROM documents)
+          GROUP BY word
+        ) WHERE rank <= 50
+        """,
+        "top-50 vocabulary with term and document frequencies",
+        ("pipeline", "text"),
+    ),
+    "docs_token_chunks": QuerySpec(
+        pipeline.docs_token_chunks,
+        f"""
+        WITH c AS (
+          SELECT doc_id, words, len(words) AS n,
+                 CASE WHEN len(words) <= 16 THEN 1
+                      ELSE CAST(ceil((len(words) - 16) / 12.0) AS INT) + 1
+                 END AS n_chunks
+          FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        )
+        SELECT doc_id, CAST(i.r AS INT) AS chunk_idx,
+               len(words[CAST(i.r * 12 + 1 AS INT):CAST(i.r * 12 + 16 AS INT)])
+                 AS n_tokens,
+               words[CAST(i.r * 12 + 1 AS INT)] AS first_token,
+               words[CAST(least(i.r * 12 + 16, n) AS INT)] AS last_token
+        FROM c, LATERAL unnest(range(0, n_chunks)) i(r)
+        """,
+        "overlapping 16-token / stride-12 context chunks per document",
+        ("pipeline", "text"),
     ),
     # -- dedup -------------------------------------------------------------------
     "dedup_exact": QuerySpec(

@@ -107,3 +107,56 @@ def test_stratified_sample_rebalances_and_is_partition_invariant(spark, sf_oracl
         ).select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_contamination_flags_only_corpus_docs(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    out = pipeline.benchmark_contamination(d)
+    flagged = {r["doc_id"] for r in out.collect()}
+    bench = {
+        r["doc_id"]
+        for r in pipeline.deterministic_sample(d, percent=5, salt="bench:").collect()
+    }
+    assert flagged.isdisjoint(bench)  # benchmark docs are never self-flagged
+    for r in out.collect():
+        assert r["n_shared_shingles"] >= 1
+
+
+def test_incremental_ingest_accepts_only_novel_content(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    out = pipeline.incremental_ingest_dedup(d).collect()
+    keys = [r["content_key"] for r in out]
+    assert len(keys) == len(set(keys))  # batch-internal dups collapsed
+    from inf2106_map_reduce_spark.functions.dedup import _norm_text
+    from pyspark.sql import functions as F
+
+    snapshot = {
+        r["k"]
+        for r in d.filter(F.col("doc_id") % 10 < 3)
+        .select(F.md5(_norm_text("text")).alias("k"))
+        .collect()
+    }
+    assert snapshot.isdisjoint(keys)  # nothing already in the corpus re-enters
+
+
+def test_vocab_rank_is_contiguous_and_ordered(spark, sf_oracle):
+    rows = pipeline.vocab_top50(spark, sf_oracle).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(r["df"] <= r["tf"] for r in rows)
+
+
+def test_token_chunks_cover_document_with_stride_overlap(spark, sf_oracle):
+    d = load_table(spark, sf_oracle, "documents")
+    chunks = pipeline.token_chunks(d, chunk=16, stride=12)
+    one = (
+        chunks.filter("doc_id = 7").orderBy("chunk_idx").collect()
+    )
+    words = [w for w in d.filter("doc_id = 7").collect()[0]["text"].split() if w]
+    assert one[0]["first_token"] == words[0]
+    assert one[-1]["last_token"] == words[-1]
+    for r in one:
+        start = r["chunk_idx"] * 12
+        assert r["first_token"] == words[start]
+        assert r["n_tokens"] == min(16, len(words) - start)
