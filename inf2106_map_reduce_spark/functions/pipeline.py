@@ -283,11 +283,14 @@ def vocab_topk(
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct(id_col).alias("df"),
     )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k
+    # + k-row merge); the ranking window then sorts only k rows. A
+    # row_number window over the full vocabulary would funnel millions
+    # of words through one task at scale.
+    top = counts.orderBy(F.desc("tf"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "word", "tf", "df")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "word", "tf", "df"
     )
 
 

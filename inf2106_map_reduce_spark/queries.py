@@ -1723,6 +1723,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "frame sampling + resize-stub thumbnails (1→N mapInPandas)",
         ("multimodal",),
     ),
+    "source_binaryfile_ingest": QuerySpec(
+        roundtrip.source_binaryfile_ingest,
+        roundtrip.BINARYFILE_ORACLE,
+        "opaque-binary file ingest (binaryFile source, content digest)",
+        ("source", "multimodal"),
+    ),
 }
 
 

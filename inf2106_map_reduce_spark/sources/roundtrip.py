@@ -296,6 +296,43 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingest via the built-in ``binaryFile`` source —
+    the first step of a multimodal pipeline: files land as (path,
+    length, content bytes) rows with NO decode, so images/audio/video
+    enter the lake as queryable blobs. Emits per-file name, byte
+    count, and a content digest.
+
+    The digest is ``md5(hex(content))`` only because the DuckDB oracle
+    lacks md5 over BLOB — hex is the shared canonical form both
+    engines agree on; a production pipeline hashes the raw bytes
+    (``F.md5(content)``) and skips the 2× hex blow-up. Scale:
+    binaryFile caps per-file size (whole file = one row) — right for
+    images/clips; multi-GB media gets chunked upstream. The scan is
+    parallel over files; nothing touches the driver.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )
+
+
+# read_blob needs a filesystem path, not a registered view — the gate
+# runs at the fixed driver scale factor (sf0.01), so the path is pinned.
+BINARYFILE_ORACLE = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(hex(content)) AS content_md5
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+"""
+
+
 SCHEMA_EVOLUTION_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
