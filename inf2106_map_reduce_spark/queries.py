@@ -32,6 +32,7 @@ from inf2106_map_reduce_spark.functions import (
 )
 from inf2106_map_reduce_spark.operators import asof, bucketing, relational, skew
 from inf2106_map_reduce_spark.sources import roundtrip
+from inf2106_map_reduce_spark.streaming import joins as stream_joins
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
 
@@ -1728,6 +1729,18 @@ REGISTRY: dict[str, QuerySpec] = {
         roundtrip.BINARYFILE_ORACLE,
         "opaque-binary file ingest (binaryFile source, content digest)",
         ("source", "multimodal"),
+    ),
+    "streaming_click_attribution": QuerySpec(
+        stream_joins.streaming_click_attribution,
+        """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        """,
+        "stream-stream inner join (watermarked 1-hour attribution window)",
+        ("streaming", "join", "events"),
     ),
 }
 

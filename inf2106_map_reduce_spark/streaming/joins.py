@@ -1,0 +1,89 @@
+"""Stream-stream joins over events: watermarked, time-bounded
+attribution (clicks joined to subsequent purchases).
+
+The reference is strictly batch (SURVEY.md §2.5); this completes the
+Structured Streaming join surface alongside the stream-static join in
+:mod:`windows`. Both input streams carry watermarks and the join
+condition bounds event time on both sides — that pair of constraints
+is what lets Spark EVICT join state: a buffered click can be dropped
+once the purchase-side watermark passes click.ts + horizon, and vice
+versa. Without the time bound, stream-stream state grows without limit
+— unusable on an unbounded stream.
+
+Executed via Trigger.AvailableNow over the parquet events table, the
+single batch sees all data, so the emitted matches equal the batch
+join — which is exactly what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
+
+ATTRIBUTION_HORIZON = "1 hour"
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """All (click, purchase) pairs per user where the purchase lands
+    within the attribution horizon AFTER the click. Works on batch or
+    streaming inputs — the streaming binding just adds watermarks."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: stream-stream inner join — the clicks STREAM
+    joined to the purchases STREAM on user within a 1-hour event-time
+    window, both sides watermarked (state eviction on both buffers).
+    Append-mode matches through a foreachBatch parquet sink; oracle is
+    the equivalent batch join."""
+    raw_schema = raw_events_schema(spark, sf_dir)
+
+    def _stream() -> DataFrame:
+        return convert_event_ts(
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        ).withWatermark("ts", ATTRIBUTION_HORIZON)
+
+    clicks = _stream().filter(F.col("event_type") == "click")
+    purchases = _stream().filter(F.col("event_type") == "purchase")
+    out = click_purchase_pairs(clicks, purchases)
+
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _epoch: df.repartition(1).write.mode("append").parquet(sink)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

@@ -95,3 +95,22 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     # 00:00 window counted only the batch-1 event; the late 00:01 event
     # was dropped (were it admitted, the window would re-emit with n=2)
     assert out.get(0) == 1, f"late row was not dropped: {out}"
+
+
+def test_stream_stream_join_matches_batch_join(spark, sf_oracle):
+    """Stream-stream attribution (watermarked both sides) emits exactly
+    the batch join's matches under AvailableNow."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.streaming import joins as stream_joins
+    from inf2106_map_reduce_spark.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    batch = stream_joins.click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    streamed = stream_joins.streaming_click_attribution(spark, sf_oracle)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0
