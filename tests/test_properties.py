@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ARBITRARY inputs, not just the fixtures — the token format round-trip,
+partitioner bounds, deterministic-sampling stability, and the
+token-cap chunking law. Pure-Python properties run at full hypothesis
+volume; Spark-backed ones use a few drawn examples per run (each
+example is a distributed job)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inf2106_map_reduce_spark.mrlite.job import (
+    default_partitioner,
+    java_string_hashcode,
+)
+
+# printable non-whitespace, no '|' (key separator), non-empty
+_token_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="|", exclude_categories=("Z", "C")
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(st.text(max_size=200))
+def test_hashcode_matches_java_reference_formula(s):
+    # closed form: sum(ch * 31^(n-1-i)) wrapped to signed 32-bit
+    n = len(s)
+    expected = sum(ord(ch) * pow(31, n - 1 - i, 2**32) for i, ch in enumerate(s))
+    expected &= 0xFFFFFFFF
+    if expected >= 0x80000000:
+        expected -= 0x100000000
+    assert java_string_hashcode(s) == expected
+
+
+@given(st.text(max_size=100), st.integers(min_value=1, max_value=64))
+def test_partitioner_is_total_and_bounded(key, n):
+    p = default_partitioner(key, n)
+    assert 0 <= p < n
+    assert default_partitioner(key, n) == p  # deterministic
+
+
+@given(st.lists(st.tuples(_token_text, _token_text), min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_token_format_round_trip_arbitrary_records(spark, tmp_path_factory, records):
+    """write → read preserves the multiset of (key, value) records for
+    arbitrary pipe-free tokens."""
+    from inf2106_map_reduce_spark.mrlite.tokenformat import (
+        read_token_file,
+        write_token_file,
+    )
+
+    df = spark.createDataFrame(records, "key string, value string")
+    out = tmp_path_factory.mktemp("tok")
+    write_token_file(df, str(out / "data"))
+    back = read_token_file(spark, str(out / "data") + "/*.txt")
+    assert sorted(map(tuple, back.collect())) == sorted(records)
+
+
+@given(st.integers(min_value=1, max_value=120), st.integers(min_value=1, max_value=50))
+@settings(max_examples=30, deadline=None)
+def test_token_cap_chunking_law(tok_len, cap):
+    """The reference's buffer-split law, checked in pure Python against
+    the Spark expression's spec: chunks tile the token exactly."""
+    token = "x" * tok_len
+    chunks = [token[i : i + cap] for i in range(0, tok_len, cap)]
+    assert "".join(chunks) == token
+    assert all(len(c) == cap for c in chunks[:-1])
+    assert 1 <= len(chunks[-1]) <= cap
