@@ -207,6 +207,8 @@ def benchmark_contamination(
         ),
     ).otherwise(F.array().cast("array<string>"))
     if benchmark is None:
+        # filter BEFORE shingling: each branch only shingles its own
+        # slice (the benchmark branch touches 5% of docs, not 100%)
         bucket = F.conv(
             F.substring(
                 F.md5(F.concat(F.lit("bench:"), F.col(id_col).cast("string"))), 1, 8
@@ -214,16 +216,15 @@ def benchmark_contamination(
             16,
             10,
         ).cast("bigint") % 100
-        tagged = df.select(
-            F.col(id_col), bucket.alias("_b"), F.explode(shingles).alias("shingle")
-        )
-        bench_shingles = tagged.filter(F.col("_b") < benchmark_percent).select(
-            "shingle"
-        )
-        corpus = tagged.filter(F.col("_b") >= benchmark_percent)
+        bench_docs = df.filter(bucket < benchmark_percent)
+        corpus_docs = df.filter(bucket >= benchmark_percent)
     else:
-        bench_shingles = benchmark.select(F.explode(shingles).alias("shingle"))
-        corpus = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        bench_docs = benchmark
+        corpus_docs = df
+    bench_shingles = bench_docs.select(F.explode(shingles).alias("shingle"))
+    corpus = corpus_docs.select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
+    )
     return (
         corpus.join(F.broadcast(bench_shingles.distinct()), "shingle")
         .groupBy(id_col)
