@@ -52,7 +52,9 @@ def approx_quantiles(
     return agg.select(
         *group_cols,
         *[
-            F.col("approx_quantiles")[i].alias(f"q{int(p * 100)}")
+            # round() not int(): float representation makes int(0.35*100)
+            # truncate to 34 — defaults happen to be exact, overrides not.
+            F.col("approx_quantiles")[i].alias(f"q{int(round(p * 100))}")
             for i, p in enumerate(probabilities)
         ],
     )

@@ -110,7 +110,12 @@ def table_buckets_udf(planes_per_table: list[list[list[float]]]):
     @pandas_udf("array<bigint>")
     def buckets(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-        signs = (x @ pmat.T) > 0  # (n, T*k)
+        # Round projections before the sign test: numpy matmul sums
+        # pairwise/SIMD while the DuckDB oracle folds sequentially — a
+        # projection within ulps of zero would flip a bucket bit
+        # between engines. 9 decimals is far above ulp noise and far
+        # below any real projection magnitude.
+        signs = np.round(x @ pmat.T, 9) > 0  # (n, T*k)
         b = signs.reshape(len(x), n_tables, k).astype(np.int64) @ weights  # (n, T)
         return pd.Series(list(b))
 

@@ -16,6 +16,7 @@ Determinism contract (column names AND values hash-match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -112,9 +113,10 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
     (vector.random_hyperplanes), so the SAME planes are embedded here
     as DuckDB list literals — the bucket assignment, candidate join,
     and fold-cosine all mirror the Spark plan term for term, making an
-    approximate algorithm exactly hash-checkable. Sign bits compare
-    strictly (> 0) on both engines; a flip would need |dot| within
-    summation-reorder ulps of zero (~1e-13 odds with continuous data).
+    approximate algorithm exactly hash-checkable. Both engines round
+    the projection to 9 decimals before the strict sign test (> 0), so
+    bucket assignment is summation-order-proof: numpy's pairwise/SIMD
+    sum and DuckDB's sequential fold agree exactly after rounding.
     """
     from inf2106_map_reduce_spark.functions.vector import random_hyperplanes
 
@@ -125,7 +127,7 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
         for i, plane in enumerate(planes):
             lit = "[" + ", ".join(repr(c) for c in plane) + "]"
             bits.append(
-                f"(CASE WHEN {_dot_sql('embedding', lit)} > 0"
+                f"(CASE WHEN ROUND({_dot_sql('embedding', lit)}, 9) > 0"
                 f" THEN {2 ** i} ELSE 0 END)"
             )
         per_table.append(
@@ -1454,11 +1456,12 @@ REGISTRY: dict[str, QuerySpec] = {
         f"""
         WITH keyed AS (SELECT doc_id, md5({_NORM}) AS content_key FROM documents),
         ex AS (SELECT content_key FROM keyed WHERE doc_id % 10 < 3)
-        SELECT MIN(doc_id) AS doc_id, content_key
-        FROM keyed
-        WHERE doc_id % 10 >= 3
-          AND content_key NOT IN (SELECT content_key FROM ex)
-        GROUP BY content_key
+        SELECT MIN(k.doc_id) AS doc_id, k.content_key
+        FROM keyed k
+        WHERE k.doc_id % 10 >= 3
+          AND NOT EXISTS (SELECT 1 FROM ex
+                          WHERE ex.content_key = k.content_key)
+        GROUP BY k.content_key
         """,
         "incremental-ingest dedup vs corpus snapshot (anti-join on content key)",
         ("pipeline", "dedup"),
@@ -1726,7 +1729,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "source_binaryfile_ingest": QuerySpec(
         roundtrip.source_binaryfile_ingest,
-        roundtrip.BINARYFILE_ORACLE,
+        roundtrip.binaryfile_oracle(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        ),
         "opaque-binary file ingest (binaryFile source, content digest)",
         ("source", "multimodal"),
     ),

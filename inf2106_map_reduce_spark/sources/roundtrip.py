@@ -323,14 +323,17 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# read_blob needs a filesystem path, not a registered view — the gate
-# runs at the fixed driver scale factor (sf0.01), so the path is pinned.
-BINARYFILE_ORACLE = """
-SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-       CAST(size AS BIGINT) AS n_bytes,
-       md5(hex(content)) AS content_md5
-FROM read_blob('/root/testdata/sf0.01/*.parquet')
-"""
+def binaryfile_oracle(sf_dir: str) -> str:
+    """read_blob needs a filesystem path, not a registered view — build
+    the oracle from the SAME sf_dir the harness runs the Spark side at,
+    so an SF override (SPARK_GRAFT_ORACLE_SF_DIR) compares like with
+    like instead of failing spuriously against a pinned sf0.01 path."""
+    return f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{sf_dir}/*.parquet')
+    """
 
 
 SCHEMA_EVOLUTION_ORACLE = """
