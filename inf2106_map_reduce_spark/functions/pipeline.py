@@ -196,16 +196,23 @@ def benchmark_contamination(
     tiny next to a training corpus), so the check is one narrow pass +
     one broadcast hash join — no shuffle of the corpus itself.
     """
-    words = _words(text_col)
-    shingles = F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Bind the words array ONCE as a transform lambda variable before
+    # shingling (same trick as dedup.word_shingles): referencing the
+    # split expression inside the per-index lambda re-splits the text
+    # for every shingle position — O(words²) regex work per document.
+    def _shingles_of(w: Column) -> Column:
+        n_sh = F.size(w) - (n - 1)
+        mk = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + k) for k in range(n)]
+        )
+        return F.when(
+            n_sh > 0,
+            F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), mk)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    shingles = F.flatten(
+        F.transform(F.array(_words(text_col)), _shingles_of)
+    )
     if benchmark is None:
         # filter BEFORE shingling: each branch only shingles its own
         # slice (the benchmark branch touches 5% of docs, not 100%)

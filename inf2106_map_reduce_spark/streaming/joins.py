@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
 from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
 
 ATTRIBUTION_HORIZON = "1 hour"
@@ -76,14 +77,21 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = click_purchase_pairs(clicks, purchases)
 
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    q = (
-        out.writeStream.foreachBatch(
-            lambda df, _epoch: df.repartition(1).write.mode("append").parquet(sink)
+    # A stream-stream join keeps FOUR state stores per partition — the
+    # per-partition maintenance cost is the whole game here (7.6 s at
+    # 32 partitions vs 2.4 s at 8 on identical sf0.1 input); see
+    # runtime.scoped_state_partitions for the sizing rule.
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _epoch: df.repartition(1)
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(sink)

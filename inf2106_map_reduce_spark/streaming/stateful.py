@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
 from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
 
 WATERMARK = "1 hour"
@@ -53,16 +54,19 @@ def _run_to_table(out_stream, spark: SparkSession, mode: str) -> DataFrame:
     the single events file yields one batch, so update mode emits each
     key once."""
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    q = (
-        out_stream.writeStream.foreachBatch(
-            lambda df, _epoch: df.repartition(1).write.mode("append").parquet(sink)
+    with scoped_state_partitions(spark):
+        q = (
+            out_stream.writeStream.foreachBatch(
+                lambda df, _epoch: df.repartition(1)
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 

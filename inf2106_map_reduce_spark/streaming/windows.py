@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
 from inf2106_map_reduce_spark.tables import (
     convert_event_ts,
     load_table,
@@ -119,21 +120,24 @@ def _run_available_now(
         stream = stream.withWatermark("ts", WATERMARK)
     out = transform(stream)
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    q = (
-        # repartition(1): the result is a windowed aggregate (thousands
-        # of rows) — one output file avoids 32 tiny-file task+commit
-        # costs, and unlike coalesce(1) the shuffle boundary keeps the
-        # upstream aggregation parallel. At scale, drop it and let the
-        # sink partition.
-        out.writeStream.foreachBatch(
-            lambda df, _epoch: df.repartition(1).write.mode("overwrite").parquet(sink)
+    with scoped_state_partitions(spark):
+        q = (
+            # repartition(1): the result is a windowed aggregate
+            # (thousands of rows) — one output file avoids tiny-file
+            # task+commit costs, and unlike coalesce(1) the shuffle
+            # boundary keeps the upstream aggregation parallel. At
+            # scale, drop it and let the sink partition.
+            out.writeStream.foreachBatch(
+                lambda df, _epoch: df.repartition(1)
+                .write.mode("overwrite")
+                .parquet(sink)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
