@@ -393,3 +393,123 @@ def vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_blocks(
+    df: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate detection: non-overlapping ``n``-word blocks that
+    recur across >= ``min_docs`` distinct documents (headers, footers,
+    license banners, navigation chrome — the C4/RefinedWeb-style
+    template text a corpus strips before training). Emits
+    (block_hash, n_docs, n_occurrences); the strip pass is then an
+    anti-join of each doc's blocks against this dictionary.
+
+    Scale: blocks are non-overlapping (corpus expands ~1x, vs ~n x for
+    shingles), hashed per block, one groupBy — the same single-shuffle
+    profile as exact dedup. The words array is bound once per doc
+    (transform-over-single-element-array trick) to avoid O(words^2)
+    re-splitting.
+    """
+
+    def _blocks_of(w: Column) -> Column:
+        mk = lambda i: F.md5(  # noqa: E731
+            F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
+        )
+        return F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1), F.lit(n)), mk),
+        ).otherwise(F.array().cast("array<string>"))
+
+    blocks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(F.transform(F.array(_words(text_col)), _blocks_of))
+        ).alias("block_hash"),
+    )
+    return (
+        blocks.groupBy("block_hash")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def difficulty_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum binning: exact length-decile assignment per source
+    shard (short→long ordering proxies difficulty for curriculum /
+    sequence-length-bucketed batching), summarized per (shard, bucket).
+
+    Scale: ``ntile`` needs a rank, so the window partitions by the
+    SHARD — parallelism = #shards, no global single-task sort (the
+    pack_sequences lesson). For exact global deciles at 100 TB use
+    ``approx_percentile`` boundaries + range bucketing instead; the
+    per-shard form is also what curriculum samplers actually consume.
+    """
+    n_words = F.size(_words(text_col)).alias("n_words")
+    w = Window.partitionBy(shard_col).orderBy("n_words", id_col)
+    binned = df.select(shard_col, F.col(id_col), n_words).withColumn(
+        "bucket", F.ntile(n_buckets).over(w)
+    )
+    return binned.groupBy(shard_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+    )
+
+
+def masked_pattern_profile(
+    df: DataFrame,
+    col: str = "props",
+    pattern: str = "[0-9]+",
+    replacement: str = "#",
+) -> DataFrame:
+    """PII-style pattern masking profile: redact every match of
+    ``pattern`` (digit runs here — ids, phone-like tokens) and profile
+    the resulting templates. The masking expression is the reusable
+    scrub pass; the profile (template, n_rows, n_masked_runs) is the
+    audit artifact a redaction pipeline ships alongside the cleaned
+    corpus.
+
+    Scale: regexp_replace/extract_all are per-row JVM expressions —
+    narrow pass, then one small groupBy on the (low-cardinality)
+    template. No UDF, no shuffle of raw payloads.
+    """
+    masked = F.regexp_replace(F.col(col), pattern, replacement)
+    n_runs = F.size(F.expr(f"regexp_extract_all({col}, '{pattern}', 0)"))
+    return (
+        df.select(
+            F.col("event_type"),
+            masked.alias("template"),
+            n_runs.alias("n_runs"),
+        )
+        .groupBy("event_type", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_runs").alias("n_masked_runs"),
+        )
+    )
+
+
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_blocks(load_table(spark, sf_dir, "documents"))
+
+
+def docs_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return difficulty_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def events_masked_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return masked_pattern_profile(load_table(spark, sf_dir, "events"))

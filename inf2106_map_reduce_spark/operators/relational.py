@@ -1306,3 +1306,77 @@ def join_hint_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nation names
+    per region, comma-joined in name order.
+
+    Spark has no listagg aggregate; the deterministic composition is
+    ``collect_list`` → ``array_sort`` → ``array_join`` — the explicit
+    sort is what makes the result reproducible (collect_list order is
+    partition-arrival order, never stable).
+
+    Scale: per-group state is the concatenated string — fine for
+    bounded groups (dimension rollups); for unbounded groups cap with
+    ``slice`` after the sort or this becomes a per-key memory hazard.
+    """
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile coverage: interpolated (percentile_cont
+    semantics), discrete (percentile_disc), and median per order
+    priority.
+
+    Scale: exact percentiles materialize each group's values in the
+    aggregation buffer — correct but memory-bound per group. At 100 TB
+    swap to ``approx_percentile`` (Greenwald-Khanna, mergeable
+    constant-size sketch; see functions/sketches.py) — the exact form
+    here doubles as the oracle for the sketch's error bound.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc"),
+        F.expr("median(o_totalprice)").alias("med"),
+    )
+
+
+def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: 50k-wide buckets via
+    exact integer-cents arithmetic (``round(x*100) DIV 5_000_000``) so
+    bucket edges can't drift between engines on float division.
+
+    Scale: a histogram is one map-side-combinable groupBy — the
+    classic single-shuffle profile query; bucket count is fixed, so
+    the reduce side is O(buckets) regardless of input size.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DIV 5000000"
+    ).alias("bucket")
+    return (
+        o.select(bucket, "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Time-series operators over the events table: dense resampling with
+gap filling and changelog → validity-interval (SCD2) reshaping.
+
+The reference has no time dimension at all (its data model is
+``(string, string)`` pairs — SURVEY.md §1.4); these are superset
+capability for the hypertable-style workloads the brief names
+(rollups, resampling, late-data handling). Batch complements to the
+streaming windows in :mod:`inf2106_map_reduce_spark.streaming.windows`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Dense hourly resample per event_type: every (type, hour) cell of
+    the full time range gets a row — zero-filled counts and a
+    forward-filled running value for hours with no events (the "last
+    observation carried forward" contract dashboards and downsampled
+    hypertables expect).
+
+    Scale: the spine is ``sequence(min_hour, max_hour)`` exploded from
+    ONE aggregated row — rows = hours x types, independent of input
+    cardinality — and the dimension cross join is a broadcast. The
+    only corpus-sized work is the first groupBy; the forward-fill
+    window partitions by event_type (bounded parallelism = #types;
+    re-key to (type, day) chunks if the spine itself ever gets huge).
+
+    Value sums use the exact integer-cents trick (sum BIGINT cents,
+    divide once) so the oracle hash-matches regardless of partial-agg
+    merge order.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("ffill_value"),
+        )
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Changelog → slowly-changing-dimension type-2 reshaping: each
+    event row becomes a validity interval ``[valid_from, valid_to)``
+    per key, closed by the next event's timestamp (open/NULL for the
+    current state). The standard point-in-time-join input shape for
+    feature stores and dimension history.
+
+    Scale: one window over (key, ts) — shuffle on the key, sort within
+    partition, no global sort. Ties broken by a unique id so the
+    interval chain is deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return events.select(
+        F.col(key_col),
+        F.col("event_type").alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_hourly(load_table(spark, sf_dir, "events"))
+
+
+def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(load_table(spark, sf_dir, "events"))

@@ -31,7 +31,13 @@ from inf2106_map_reduce_spark.functions import (
     udafs,
     vector,
 )
-from inf2106_map_reduce_spark.operators import asof, bucketing, relational, skew
+from inf2106_map_reduce_spark.operators import (
+    asof,
+    bucketing,
+    relational,
+    skew,
+    timeseries,
+)
 from inf2106_map_reduce_spark.sources import roundtrip
 from inf2106_map_reduce_spark.streaming import joins as stream_joins
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
@@ -1781,84 +1787,225 @@ REGISTRY["doc_word_count"] = QuerySpec(
 )
 
 
+REGISTRY.update(
+    {
+        "ts_gapfill_hourly": QuerySpec(
+            timeseries.ts_gapfill_hourly,
+            """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     COUNT(*) AS n,
+                     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sv
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+            spine AS (
+              SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b
+            ),
+            grid AS (
+              SELECT t.event_type, s.hour
+              FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            )
+            SELECT g.event_type, g.hour,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+                   last_value(h.sv IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.hour
+                     ROWS UNBOUNDED PRECEDING) AS ffill_value
+            FROM grid g
+            LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hour = h.hour
+            """,
+            "dense hourly resample: zero-filled counts, forward-filled values",
+            ("timeseries",),
+        ),
+        "ts_scd2_intervals": QuerySpec(
+            timeseries.ts_scd2_intervals,
+            """
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            """,
+            "changelog -> SCD2 validity intervals per user",
+            ("timeseries",),
+        ),
+        "listagg_nations": QuerySpec(
+            relational.listagg_nations,
+            """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            """,
+            "ordered string aggregation (LISTAGG) of nations per region",
+            ("relational", "agg"),
+        ),
+        "percentile_battery": QuerySpec(
+            relational.percentile_battery,
+            """
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.25) AS p25,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   quantile_disc(o_totalprice, 0.5) AS p50_disc,
+                   median(o_totalprice) AS med
+            FROM orders GROUP BY o_orderpriority
+            """,
+            "exact percentile battery: cont/disc/median per priority",
+            ("relational", "agg"),
+        ),
+        "histogram_orders": QuerySpec(
+            relational.histogram_orders,
+            """
+            SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 5000000
+                     AS bucket,
+                   COUNT(*) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY 1
+            """,
+            "fixed-width value histogram via exact integer-cents buckets",
+            ("relational", "agg"),
+        ),
+        "docs_boilerplate": QuerySpec(
+            pipeline.docs_boilerplate,
+            f"""
+            WITH w AS (SELECT doc_id, {_WORDS_LC} AS words FROM documents),
+            blk AS (
+              SELECT doc_id,
+                     md5(array_to_string(words[i:i+9], ' ')) AS block_hash
+              FROM w, unnest(range(1, len(words) - 8, 10)) t(i)
+              WHERE len(words) >= 10
+            )
+            SELECT block_hash,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM blk GROUP BY block_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            """,
+            "boilerplate dictionary: 10-word blocks recurring across docs",
+            ("pipeline", "dedup"),
+        ),
+        "docs_difficulty_buckets": QuerySpec(
+            pipeline.docs_difficulty_buckets,
+            f"""
+            WITH t AS (
+              SELECT source, doc_id, len({_WORDS_LC}) AS n_words
+              FROM documents
+            ),
+            b AS (
+              SELECT source, n_words,
+                     ntile(10) OVER (PARTITION BY source
+                                     ORDER BY n_words, doc_id) AS bucket
+              FROM t
+            )
+            SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(n_words) AS min_words, MAX(n_words) AS max_words
+            FROM b GROUP BY source, bucket
+            """,
+            "curriculum binning: per-source length deciles (ntile)",
+            ("pipeline",),
+        ),
+        "events_masked_profile": QuerySpec(
+            pipeline.events_masked_profile,
+            """
+            SELECT event_type,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS template,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(len(regexp_extract_all(props, '[0-9]+')))
+                        AS BIGINT) AS n_masked_runs
+            FROM events GROUP BY 1, 2
+            """,
+            "PII-style digit masking with template profile audit",
+            ("pipeline",),
+        ),
+        "layout_zorder_scan": QuerySpec(
+            roundtrip.layout_zorder_scan,
+            roundtrip.ZORDER_ORACLE,
+            "z-order clustered layout: two-dimension pruned scan",
+            ("source", "layout"),
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
-# entries of ``queries()``; round 1 verified the (old) first 50 — the
-# classic relational block — and left the dedup/ANN/text/streaming/
-# source/multimodal families unchecked. Round 2 front-loads exactly
-# those: the 5 round-1 failures (now fixed) followed by 45 never-
-# checked entries spanning every operator family. Entries already
-# driver-green in round 1 (CORRECTNESS_r01.json) and a handful of
-# locally-proven scalar batteries move to the tail — cumulative driver
-# coverage after round 2: 95/108. Every entry keeps its oracle either
-# way; the local parity suite checks all 108 regardless of order.
-_ROUND2_FIRST: tuple[str, ...] = (
-    # round-1 failures, fixed this round
-    "asof_clicks_to_purchase",
-    "maintenance_compaction",
-    "schema_evolution_read",
-    "q12_late_shipment_priority",
-    "sketch_orders_per_status",
-    # mrlite word count (the reference's own app)
-    "doc_word_count",
-    # dedup family
-    "dedup_exact",
-    "dedup_latest_per_key",
+# entries of ``queries()``; rounds 1-2 covered the classic relational
+# block and the dedup/ANN/text/streaming/source/multimodal families
+# (95 cumulative green rows). Round 3 front-loads (a) the 19 entries
+# never driver-checked so far — 13 relational/scalar stragglers plus
+# the 6 late round-2 additions — (b) the 9 new round-3 operators, and
+# (c) every query whose implementation changed this round (LSH
+# rounding, shingle-table checkpointing, streaming state partitions)
+# so the driver re-verifies them. Every entry keeps its oracle either
+# way; the local parity suite checks all entries regardless of order.
+_ROUND3_FIRST: tuple[str, ...] = (
+    # never driver-checked: relational/scalar stragglers
+    "cross_join_region_nation",
+    "lateral_posexplode_words",
+    "setop_except_all_bag",
+    "unpivot_part_measures",
+    "orders_above_customer_avg",
+    "scalar_math_battery",
+    "case_when_bucketing",
+    "explode_doc_words",
+    "batch_tumbling_hourly",
+    "batch_sliding_windows",
+    "session_windows_native",
+    "session_stats",
+    "docs_sample_10pct",
+    # never driver-checked: late round-2 additions
+    "docs_contamination",
+    "dedup_incremental_ingest",
+    "vocab_top50",
+    "docs_token_chunks",
+    "source_binaryfile_ingest",
+    "streaming_click_attribution",
+    # new in round 3
+    "ts_gapfill_hourly",
+    "ts_scd2_intervals",
+    "listagg_nations",
+    "percentile_battery",
+    "histogram_orders",
+    "docs_boilerplate",
+    "docs_difficulty_buckets",
+    "events_masked_profile",
+    "layout_zorder_scan",
+    # implementation changed in round 3 — re-verify under the driver
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "dedup_simhash",
     "dedup_embedding_cosine",
-    # vector / ANN family
-    "vector_norms",
-    "ann_brute_force",
     "ann_lsh",
     "ann_ivf",
-    "label_centroids",
-    # text / documents pipeline family
-    "text_stats",
-    "tfidf_terms",
-    "lang_distribution",
-    "docs_quality_filter",
-    "docs_repetition",
-    "docs_stratified_sample",
-    "docs_pack_sequences",
-    # streaming / events family
+    "sketch_orders_per_status",
     "streaming_tumbling_hourly",
     "streaming_sliding_windows",
     "streaming_session_windows",
     "streaming_enriched_segments",
     "streaming_dedup_keys",
     "streaming_user_stats_stateful",
-    "multires_rollup_daily",
-    "skew_salted_events_join",
-    # source / sink family
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_roundtrip",
-    "dpp_partitioned_fact_join",
-    "layout_range_sorted_scan",
-    # multimodal family
-    "media_metadata_stats",
+    # high-value re-checks to fill the window
+    "doc_word_count",
+    "dedup_exact",
+    "asof_clicks_to_purchase",
+    "q1_pricing_summary",
+    "bucketed_orders_lineitem_join",
+    "text_stats",
+    "tfidf_terms",
     "media_features",
-    "media_frame_sample",
-    # UDF surface + scalar batteries not yet driver-checked
-    "udaf_weighted_avg",
-    "scalar_subquery_global_avg",
-    "scalar_string_battery",
-    "scalar_date_battery",
-    "null_semantics_battery",
-    "json_extract_events",
-    "array_ops_embeddings",
-    "map_ops_events",
 )
 
-assert set(_ROUND2_FIRST) <= set(REGISTRY), sorted(
-    set(_ROUND2_FIRST) - set(REGISTRY)
+assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(
+    set(_ROUND3_FIRST) - set(REGISTRY)
 )
-REGISTRY = {name: REGISTRY[name] for name in _ROUND2_FIRST} | {
-    name: spec for name, spec in REGISTRY.items() if name not in set(_ROUND2_FIRST)
+REGISTRY = {name: REGISTRY[name] for name in _ROUND3_FIRST} | {
+    name: spec for name, spec in REGISTRY.items() if name not in set(_ROUND3_FIRST)
 }
 
 

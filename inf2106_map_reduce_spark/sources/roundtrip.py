@@ -344,3 +344,68 @@ SELECT event_type, COUNT(*) AS n_events,
                  THEN ROUND(value * 2, 2) ELSE 0.0 END), 2) AS total_bonus
 FROM events GROUP BY event_type
 """
+
+
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered write layout: orders are laid out by
+    the bit-interleaving of (o_custkey, month(o_orderdate)) so a scan
+    filtered on EITHER dimension — or both — skips most files/row
+    groups. The multi-dimensional complement to
+    :func:`layout_range_sorted_scan`'s single-key sort: a linear sort
+    clusters one column perfectly and the other not at all; the
+    Z-curve trades a little locality on each for pruning on both.
+
+    The interleave is pure bit arithmetic on 16-bit normalized keys
+    (shiftleft/or over JVM expressions, no UDF); the layout write is
+    ``repartitionByRange(z) + sortWithinPartitions(z)``, after which
+    parquet min/max stats on both source columns become selective.
+    Scale: this is exactly the Delta/Iceberg OPTIMIZE ZORDER pattern —
+    a periodic rewrite whose cost is one range-shuffle of the table.
+    """
+    path = _stage_dir(sf_dir, "orders_zorder")
+    o = load_table(spark, sf_dir, "orders")
+
+    def _spread(col):  # 16-bit value -> even bit positions (32-bit)
+        # classic Morton spreading via magic masks, expression-only
+        # (Column.bitwiseOR, not `|` — PySpark overloads `|` as boolean OR)
+        x = col.cast("bigint")
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    ck = F.pmod(F.col("o_custkey"), F.lit(1 << 16))
+    mo = F.pmod(
+        F.month("o_orderdate") + F.year("o_orderdate") * 12, F.lit(1 << 16)
+    )
+    z = _spread(ck).bitwiseOR(F.shiftleft(_spread(mo), 1)).alias("_z")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.withColumn("_z", z)
+            .repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("o_custkey") <= 200)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ZORDER_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_custkey <= 200
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+"""
