@@ -513,3 +513,42 @@ def docs_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_masked_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked_pattern_profile(load_table(spark, sf_dir, "events"))
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: Column | None = None,
+    scale: int = 40,
+    id_col: str = "doc_id",
+    salt: str = "wsamp:",
+) -> DataFrame:
+    """Weighted (importance) sampling, content-hash deterministic: row
+    keep-probability is ``min(1, weight*scale/10000)`` — the corpus
+    mixture move of over-sampling long/high-quality documents without a
+    second pass. Same retry/partition stability contract as
+    :func:`deterministic_sample`: md5 buckets, not ``rand()``.
+
+    Scale: one narrow filter pass; the weight is any per-row
+    expression, so quality scores or domain weights plug in unchanged.
+    """
+    if weight_col is None:
+        weight_col = F.size(_words("text"))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 10000
+    return df.filter(bucket < F.least(F.lit(10000), weight_col * scale))
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: length-weighted sample, summarized per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = importance_sample(d).select(
+        "lang", "doc_id", F.size(_words("text")).alias("n_words")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.min("doc_id").alias("min_doc"),
+    )

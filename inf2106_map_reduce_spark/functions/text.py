@@ -198,3 +198,26 @@ SELECT doc_id, CAST(idx AS INT) AS idx,
        ws[idx + 1] || ' ' || ws[idx + 2] AS bigram
 FROM i
 """
+
+
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: BPE-ish regex tokenization — letter runs, digit
+    runs, and single non-space symbols as separate tokens (the
+    pre-tokenizer split GPT-style BPE vocabularies assume), vs the
+    whitespace count. Pure ``regexp_extract_all`` JVM expressions; the
+    same RE2-class pattern runs in DuckDB, so counts hash-match.
+
+    Scale: narrow per-row pass, no shuffle; this is the cheap
+    token-budget estimator a corpus pipeline runs before the real
+    (Python) tokenizer touches anything.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(words_col("text")).alias("n_whitespace_tokens"),
+    )

@@ -331,3 +331,34 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
              F.count(F.lit(1)).alias("dim"))
     )
+
+
+def arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: L2 norms via ``mapInArrow`` — the zero-copy
+    Arrow-batch UDF surface (the third of Spark's three batch-Python
+    shapes next to pandas_udf and mapInPandas; completes the SURVEY
+    §2.5 UDF inventory). The batch arrives as a pyarrow RecordBatch;
+    numpy operates on it without a pandas round-trip.
+
+    Numerics are kept oracle-exact on purpose: squares accumulate with
+    ``np.add.accumulate`` (sequential order, identical to the DuckDB
+    ``list_sum`` fold and to :func:`dot`) rather than ``np.sum``'s
+    pairwise reduction — same lesson as the LSH projections.
+    """
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            l2 = np.sqrt(np.add.accumulate(x * x, axis=1)[:, -1])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+                    "l2_norm": pa.array(np.round(l2, 6), type=pa.float64()),
+                }
+            )
+
+    return e.mapInArrow(batches, "vec_id bigint, l2_norm double")

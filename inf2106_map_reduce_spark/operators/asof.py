@@ -137,3 +137,42 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_session_events"),
         F.round(F.avg("span_sec"), 4).alias("avg_span_sec"),
     )
+
+
+def asof_tolerance_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a tolerance bound: each click gets its most
+    recent prior purchase only if it happened within the last 10
+    minutes — the pandas ``merge_asof(tolerance=...)`` contract, and
+    the right default for feature stores (a stale state row is worse
+    than none).
+
+    Built on :func:`asof_join` (single key-shuffle + window) with the
+    tolerance applied as a post-mask, so the scalable plan shape is
+    unchanged. The gap is computed on integer microseconds divided
+    once (``unix_micros``) — bit-identical to the oracle's
+    ``epoch_us`` arithmetic, no float subtraction drift.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["purchase_id", "purchase_ts"]
+    )
+    within = F.col("purchase_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts"))
+    ) / F.lit(1000000.0)
+    return j.select(
+        "user_id",
+        "click_id",
+        "ts",
+        F.when(within, F.col("purchase_id")).alias("purchase_id"),
+        F.when(within, gap).alias("gap_sec"),
+    )

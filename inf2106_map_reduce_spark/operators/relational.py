@@ -1380,3 +1380,25 @@ def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+def grouping_id_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING/GROUPING_ID coverage: a two-dimension cube where each
+    output row carries its grouping level explicitly — the disambiguator
+    BI layers need to tell a rolled-up NULL from a data NULL.
+
+    Scale: cube is one expand + one shuffle (4x row expansion here);
+    the grouping id is computed, not stored — free.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents) / 100.0).alias("sum_qty"),
+        )
+    )

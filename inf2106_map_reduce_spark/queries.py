@@ -1929,6 +1929,89 @@ REGISTRY.update(
             "z-order clustered layout: two-dimension pruned scan",
             ("source", "layout"),
         ),
+        "udf_arrow_norms": QuerySpec(
+            vector.arrow_norms,
+            f"""
+            SELECT vec_id,
+                   ROUND(sqrt({_dot_sql('embedding', 'embedding')}), 6)
+                     AS l2_norm
+            FROM embeddings
+            """,
+            "mapInArrow UDF surface: L2 norms on raw Arrow batches",
+            ("udf", "vector"),
+        ),
+        "docs_weighted_sample": QuerySpec(
+            pipeline.docs_weighted_sample,
+            f"""
+            WITH d AS (
+              SELECT lang, doc_id, len({_WORDS_LC}) AS n_words,
+                     CAST(('0x' || substr(md5('wsamp:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 AS b
+              FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                   MIN(doc_id) AS min_doc
+            FROM d WHERE b < least(10000, n_words * 40)
+            GROUP BY lang
+            """,
+            "length-weighted deterministic sampling (importance mix)",
+            ("pipeline",),
+        ),
+        "docs_regex_tokens": QuerySpec(
+            text.regex_token_stats,
+            r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\s]') AS toks,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w != '') AS ws
+              FROM documents
+            )
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   len(ws) AS n_whitespace_tokens
+            FROM t
+            """,
+            "BPE-ish regex pre-tokenizer counts vs whitespace tokens",
+            ("text", "pipeline"),
+        ),
+        "grouping_id_battery": QuerySpec(
+            relational.grouping_id_battery,
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(2 * GROUPING(l_returnflag)
+                        + GROUPING(l_linestatus) AS BIGINT) AS gid,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                   COUNT(*) AS n_items,
+                   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0
+                     AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            """,
+            "cube with explicit GROUPING/GROUPING_ID level markers",
+            ("relational", "agg"),
+        ),
+        "asof_tolerance_clicks": QuerySpec(
+            asof.asof_tolerance_clicks,
+            """
+            SELECT c.user_id, c.event_id AS click_id, c.ts,
+                   CASE WHEN p.ts >= c.ts - INTERVAL 10 MINUTE
+                        THEN p.event_id END AS purchase_id,
+                   CASE WHEN p.ts >= c.ts - INTERVAL 10 MINUTE
+                        THEN (epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0
+                   END AS gap_sec
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            """,
+            "as-of join with tolerance bound (merge_asof contract)",
+            ("join", "custom", "timeseries"),
+        ),
     }
 )
 
@@ -1976,6 +2059,11 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "docs_difficulty_buckets",
     "events_masked_profile",
     "layout_zorder_scan",
+    "udf_arrow_norms",
+    "docs_weighted_sample",
+    "docs_regex_tokens",
+    "grouping_id_battery",
+    "asof_tolerance_clicks",
     # implementation changed in round 3 — re-verify under the driver
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
@@ -1993,12 +2081,7 @@ _ROUND3_FIRST: tuple[str, ...] = (
     # high-value re-checks to fill the window
     "doc_word_count",
     "dedup_exact",
-    "asof_clicks_to_purchase",
     "q1_pricing_summary",
-    "bucketed_orders_lineitem_join",
-    "text_stats",
-    "tfidf_terms",
-    "media_features",
 )
 
 assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(
