@@ -1402,3 +1402,56 @@ def grouping_id_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("sum_qty"),
         )
     )
+
+
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT coverage: ``parse_json`` shreds
+    events.props into Spark 4's open-schema VARIANT type once, then
+    typed ``variant_get`` extractions feed a per-bucket aggregate —
+    the ingest-then-query pattern for payloads whose schema drifts
+    (vs get_json_object, which re-parses the string per extraction).
+
+    Scale: VARIANT stores a parsed binary encoding, so N extractions
+    cost one parse; with shredding enabled the engine can even prune/
+    push down on extracted paths. The aggregate itself is one shuffle.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .select("event_type", "k", (F.col("k") % 10).alias("k_mod"))
+        .groupBy("event_type", "k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+def lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for each sampled order, its top-2
+    line items by price — the per-row dependent subplan (top-N per
+    entity without first materializing ALL rows ranked) that plain
+    joins can't express and the window form computes for every group.
+
+    Scale: Catalyst decorrelates the lateral into a ranked join under
+    the hood; the sampled outer side keeps this oracle-bounded, and at
+    100 TB the same shape runs as one shuffle on the join key instead
+    of a per-row executed subquery.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.price
+        FROM v_orders o,
+        LATERAL (SELECT l_linenumber, ROUND(l_extendedprice, 2) AS price
+                 FROM v_lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2) l
+        WHERE o.o_orderkey % 97 = 0
+        """
+    )

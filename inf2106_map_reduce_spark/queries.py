@@ -1995,6 +1995,38 @@ REGISTRY.update(
             "cube with explicit GROUPING/GROUPING_ID level markers",
             ("relational", "agg"),
         ),
+        "variant_shred_events": QuerySpec(
+            relational.variant_shred_events,
+            """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+            )
+            SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n,
+                   MIN(k) AS min_k, MAX(k) AS max_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k
+            FROM k GROUP BY event_type, k % 10
+            """,
+            "VARIANT shredding: parse_json once, typed variant_get paths",
+            ("relational", "json"),
+        ),
+        "lateral_topk_per_order": QuerySpec(
+            relational.lateral_topk_per_order,
+            """
+            SELECT o.o_orderkey, l.l_linenumber, l.price
+            FROM orders o,
+            LATERAL (SELECT l_linenumber,
+                            ROUND(l_extendedprice, 2) AS price
+                     FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                     ORDER BY l_extendedprice DESC, l_linenumber
+                     LIMIT 2) l
+            WHERE o.o_orderkey % 97 = 0
+            """,
+            "correlated LATERAL subquery: top-2 line items per order",
+            ("relational", "join"),
+        ),
         "asof_tolerance_clicks": QuerySpec(
             asof.asof_tolerance_clicks,
             """
@@ -2064,6 +2096,8 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "docs_regex_tokens",
     "grouping_id_battery",
     "asof_tolerance_clicks",
+    "variant_shred_events",
+    "lateral_topk_per_order",
     # implementation changed in round 3 — re-verify under the driver
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
@@ -2081,7 +2115,6 @@ _ROUND3_FIRST: tuple[str, ...] = (
     # high-value re-checks to fill the window
     "doc_word_count",
     "dedup_exact",
-    "q1_pricing_summary",
 )
 
 assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(
