@@ -147,3 +147,52 @@ def test_default_embedding_cosine_is_bucket_join_bounded(spark, sf_oracle):
     plan = explain_str(dedup.dedup_embedding_cosine(spark, sf_oracle), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+
+
+def test_zorder_scan_pushes_both_dimensions(spark, sf_oracle):
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.layout_zorder_scan(spark, sf_oracle)
+    filters = " ".join(pushed_filters(df))
+    assert "o_custkey" in filters and "o_orderdate" in filters, (
+        f"z-order scan should push filters on both clustered dims: {filters}"
+    )
+
+
+def test_gapfill_broadcasts_type_dimension(spark, sf_oracle):
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    df = timeseries.ts_gapfill_hourly(spark, sf_oracle)
+    assert has_broadcast_join(df), (
+        "the spine x event_type grid should broadcast the tiny type dim"
+    )
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_contamination(spark, sf_oracle)
+    assert has_broadcast_join(df), (
+        "benchmark shingles must broadcast; a shuffle join of the corpus "
+        "against the eval set inverts the size assumption"
+    )
+
+
+def test_boilerplate_single_shuffle(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_boilerplate(spark, sf_oracle)
+    # explode + hash is narrow; the only wide op is the block groupBy
+    # (partial agg on the map side + final) — AQE may add a coalesce.
+    assert shuffle_count(df) <= 2, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_difficulty_buckets_partition_by_shard(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import pipeline
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = pipeline.docs_difficulty_buckets(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    # the ntile window must be shard-partitioned, never a global
+    # single-partition sort (the pack_sequences lesson)
+    assert "SinglePartition" not in plan, plan
