@@ -1455,3 +1455,40 @@ def lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 97 = 0
         """
     )
+
+
+def recursive_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0 WITH RECURSIVE): a 1995 weekly calendar
+    spine generated by recursion, equi-joined (broadcast — 51 rows) to
+    per-week order aggregates with zero fill. Spark's recursive step
+    requires UNION ALL, so the recursion here is the terminating
+    acyclic kind (series generation, hierarchy expansion); cyclic
+    closure still belongs to the iterative DataFrame loop in
+    functions/dedup.connected_components.
+
+    Scale: recursion depth = 51 driver-side plan steps over one-row
+    frames — negligible; the corpus-sized work is one date_trunc
+    groupBy. The spine-to-agg join is equi on week_start (broadcast),
+    NOT a non-equi interval probe.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE weeks(week_start) AS (
+          SELECT TIMESTAMP '1995-01-02'
+          UNION ALL
+          SELECT week_start + INTERVAL 7 DAY FROM weeks
+          WHERE week_start < TIMESTAMP '1995-12-18'
+        ),
+        by_week AS (
+          SELECT date_trunc('week', o_orderdate) AS week_start,
+                 COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tp
+          FROM v_orders_rec
+          GROUP BY 1
+        )
+        SELECT w.week_start,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_orders,
+               COALESCE(b.tp, 0.0) AS total_price
+        FROM weeks w LEFT JOIN by_week b ON w.week_start = b.week_start
+        """
+    )

@@ -1995,6 +1995,29 @@ REGISTRY.update(
             "cube with explicit GROUPING/GROUPING_ID level markers",
             ("relational", "agg"),
         ),
+        "recursive_weekly_orders": QuerySpec(
+            relational.recursive_weekly_orders,
+            """
+            WITH RECURSIVE weeks(week_start) AS (
+              SELECT TIMESTAMP '1995-01-02'
+              UNION ALL
+              SELECT week_start + INTERVAL 7 DAY FROM weeks
+              WHERE week_start < TIMESTAMP '1995-12-18'
+            ),
+            by_week AS (
+              SELECT date_trunc('week', o_orderdate) AS week_start,
+                     COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tp
+              FROM orders
+              GROUP BY 1
+            )
+            SELECT w.week_start,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_orders,
+                   COALESCE(b.tp, 0.0) AS total_price
+            FROM weeks w LEFT JOIN by_week b ON w.week_start = b.week_start
+            """,
+            "recursive CTE calendar spine with zero-filled weekly rollup",
+            ("relational", "timeseries"),
+        ),
         "variant_shred_events": QuerySpec(
             relational.variant_shred_events,
             """
@@ -2098,6 +2121,7 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "asof_tolerance_clicks",
     "variant_shred_events",
     "lateral_topk_per_order",
+    "recursive_weekly_orders",
     # implementation changed in round 3 — re-verify under the driver
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
@@ -2112,9 +2136,8 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "streaming_enriched_segments",
     "streaming_dedup_keys",
     "streaming_user_stats_stateful",
-    # high-value re-checks to fill the window
+    # high-value re-check to fill the window
     "doc_word_count",
-    "dedup_exact",
 )
 
 assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(
