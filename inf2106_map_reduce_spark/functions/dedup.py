@@ -511,3 +511,69 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Complete the SimHash pipeline: near-dup PAIRS within Hamming
+    distance ``max_hamming`` of each other's 32-bit signature.
+
+    Pigeonhole blocking: split the signature into 4 disjoint 8-bit
+    bands — any pair differing in <= 3 bits must agree EXACTLY on at
+    least one band, so candidates come from 4 equi-joins on (band,
+    value), never an all-pairs scan (same shuffle-bounded shape as the
+    MinHash LSH banding; recall is exact by the pigeonhole argument,
+    not probabilistic). Verification is one ``bit_count(xor)`` per
+    candidate.
+
+    Scale: band values are 8-bit so bucket sizes ~n/256 per band;
+    the verify stage touches candidates only. At a 64-bit signature
+    width, widen to 8x8-bit bands for the same <=7-bit guarantee.
+    """
+    sigs = simhash(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash32"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("simhash32"), F.explode(bands).alias("band")
+    ).select(id_col, "simhash32", "band.band_idx", "band.band_val")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    hamming = F.bit_count(
+        F.col("sa").bitwiseXOR(F.col("sb"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash32").alias("sa"),
+            F.col("b.simhash32").alias("sb"),
+        )
+        .distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: SimHash near-dup pairs at Hamming <= 3."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(d)

@@ -1995,6 +1995,37 @@ REGISTRY.update(
             "cube with explicit GROUPING/GROUPING_ID level markers",
             ("relational", "agg"),
         ),
+        "dedup_simhash_pairs": QuerySpec(
+            dedup.dedup_simhash_pairs,
+            f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh
+              FROM w WHERE word != ''
+            ),
+            bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, {_SIMHASH_SIG} AS s FROM bits),
+            bands AS (
+              SELECT doc_id, s, b.i, (s >> (8 * b.i)) & 255 AS bv
+              FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.s AS sa, b.s AS sb
+              FROM bands a JOIN bands b
+                ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            """,
+            "SimHash near-dup pairs: pigeonhole band join + Hamming verify",
+            ("dedup",),
+        ),
         "recursive_weekly_orders": QuerySpec(
             relational.recursive_weekly_orders,
             """
@@ -2122,6 +2153,7 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "variant_shred_events",
     "lateral_topk_per_order",
     "recursive_weekly_orders",
+    "dedup_simhash_pairs",
     # implementation changed in round 3 — re-verify under the driver
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
@@ -2136,8 +2168,6 @@ _ROUND3_FIRST: tuple[str, ...] = (
     "streaming_enriched_segments",
     "streaming_dedup_keys",
     "streaming_user_stats_stateful",
-    # high-value re-check to fill the window
-    "doc_word_count",
 )
 
 assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(

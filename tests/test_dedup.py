@@ -135,3 +135,36 @@ def test_cluster_assignments_group_planted_dups(corpus):
         assert comp[100 + j] == comp[j] == j
     for j in range(5, 10):  # near-dup pairs (j, 200+j)
         assert comp[200 + j] == comp[j] == j
+
+
+def test_simhash_pairs_match_brute_force_exactly(spark, sf_smoke):
+    """The 4x8-bit pigeonhole blocking is EXACT for Hamming <= 3 (a
+    pair differing in <= 3 bits must agree on >= 1 of 4 disjoint
+    bands) — so the banded join must equal the all-pairs scan."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_candidate_pairs(d).collect()
+    }
+    sigs = dedup.simhash(d)
+    a = sigs.selectExpr("doc_id AS id_a", "simhash32 AS sa")
+    b = sigs.selectExpr("doc_id AS id_b", "simhash32 AS sb")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
