@@ -577,3 +577,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: SimHash near-dup pairs at Hamming <= 3."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(d)
+
+
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: the corpus that SURVIVES the full
+    dedup pipeline (shingle -> MinHash -> LSH bands -> exact Jaccard
+    verify -> connected components -> keep the min-doc_id canonical per
+    cluster). This is the pass a training-data pipeline actually ships
+    — the earlier registry entries expose its stages; this one is the
+    composed product.
+
+    Scale: identical to the stage costs (the pipeline reuses the same
+    bucketed-join shapes); the final keep-filter is a broadcast-able
+    anti join — the losers list is |clustered docs - clusters| rows,
+    tiny relative to the corpus even at 100 TB duplicate rates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("loser_id")
+    )
+    return (
+        d.join(losers, d.doc_id == F.col("loser_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -362,3 +362,124 @@ def arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInArrow(batches, "vec_id bigint, l2_norm double")
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the compression
+    pass a training pipeline applies to embedding stores (FAISS SQ8 /
+    vector-DB style): scale = 127/max|v|, q_i = floor(v_i*scale + 0.5),
+    plus the exact reconstruction error so quality is auditable.
+
+    Determinism contract: quantization is elementwise (no summation
+    order issues); the error sum is a sequential fold like :func:`dot`;
+    ``floor(x + 0.5)`` is used instead of round() because Spark
+    HALF_UP and DuckDB banker's rounding disagree on exact .5 ties.
+
+    Scale: narrow one-pass projection — no shuffle at all; at 100 TB
+    this runs at scan speed and writes 4× smaller vectors.
+    """
+    v = _dbl(F.col(emb_col))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / absmax
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    dq = F.transform(q, lambda x: x.cast("double") / scale)
+    sq_err = F.aggregate(
+        F.zip_with(v, dq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(
+            q, F.lit(0), lambda acc, x: acc + F.when(F.abs(x) == 127, 1).otherwise(0)
+        ).alias("n_saturated"),
+        F.round(F.sqrt(sq_err / F.size(v)), 9).alias("rms_error"),
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: int8 quantization audit of the embeddings table."""
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, ``n_iter`` fixed iterations, centroids seeded
+    from vec_id 0..k-1 — the iterative-ML pattern (MLlib KMeans does
+    exactly this dance: per-round broadcast of k×dim centroids, one
+    grouped aggregate per update).
+
+    The per-round centroid collect is k×dim doubles (4 KB here) — the
+    canonical broadcast-loop, NOT a data collect; corpus-sized work
+    stays distributed (one narrow assignment pass + one partial+final
+    agg per iteration). Centroids are rounded to 9 decimals at each
+    update so the trajectory is bit-reproducible against the unrolled
+    SQL oracle (summation-order-proof, same lesson as the LSH planes).
+
+    Returns one row per cluster: size and integer-exact membership
+    fingerprints (min/max/sum of member ids) — floats never leave the
+    plan, so the oracle hash-matches exactly.
+    """
+    e = embeddings.select("vec_id", F.col(emb_col).alias("emb"))
+    # round the seeds ENGINE-side (F.round = half-away-from-zero, same
+    # as DuckDB ROUND; Python round() is banker's and would diverge)
+    cents = [
+        [float(x) for x in r["c"]]
+        for r in e.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(F.transform(_dbl(F.col("emb")), lambda x: F.round(x, 9)).alias("c"))
+        .collect()
+    ]
+
+    assigned = None
+    for _ in range(n_iter):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        # dist²(v, c) as a sequential fold; argmin with cid tiebreak
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(_dbl(F.col("emb")), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_position(dists, F.array_min(dists)) - 1
+        assigned = e.select(
+            "vec_id", "emb", best.cast("int").alias("cid")
+        )
+        new_cents = (
+            assigned.select("cid", F.posexplode(_dbl(F.col("emb"))).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), 9).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .orderBy("cid")
+            .collect()
+        )
+        cents = [
+            [float(p["c"]) for p in row["pc"]] for row in new_cents
+        ]
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+            F.sum("vec_id").alias("member_id_sum"),
+        )
+    )
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 2 Lloyd iterations, k=8, on embeddings."""
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))

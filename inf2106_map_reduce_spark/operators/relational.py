@@ -1492,3 +1492,148 @@ def recursive_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM weeks w LEFT JOIN by_week b ON w.week_start = b.week_start
         """
     )
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value (from one nation's
+    suppliers) exceeds a fixed fraction of the total supply value
+    (partsupp adapted to the lineitem part-supplier link; value =
+    SUM(l_extendedprice * l_quantity); reference has no partsupp
+    table either — SURVEY.md §2.5 marks Q11/Q20 as the two shapes
+    adapted to the generator's schema).
+
+    Scale: the per-part aggregate runs ONCE (partial+final hash agg on
+    partkey); the global threshold is a one-row broadcast joined with a
+    non-equi predicate — Catalyst never re-evaluates the scalar
+    subquery per group. Supplier/nation dims are broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nation_items = li.join(
+        F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        li.l_suppkey == s.s_suppkey,
+    )
+    per_part = nation_items.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.join(
+            F.broadcast(total), F.col("value") > 0.001 * F.col("total_value")
+        )
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped more than
+    a threshold quantity of 'red %' parts during 1996 (nested
+    IN-subquery chain: part keys -> qualifying supplier keys ->
+    supplier), adapted to the lineitem supply link (no partsupp/
+    availqty in the generator; threshold replaces 0.5*availqty).
+
+    Scale: the nested INs become semi-join pipeline stages — the part
+    filter pushes to the part scan and broadcasts into lineitem; the
+    per-(supp,part) HAVING aggregate reduces lineitem before the final
+    semi join; supplier/nation dims broadcast. No correlated re-scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    qualifying = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: one row per orders column with null count,
+    distinct count, and min/max rendered as strings — the data-quality
+    summary every ingestion pipeline runs before training-data export
+    (Deequ/TFDV-style profiling re-expressed as one declarative pass).
+
+    Scale: a single wide aggregate computes all 6x4 statistics in one
+    scan (no per-column re-scan); the unpivot to rows happens on the
+    one aggregated row. COUNT(DISTINCT) over multiple columns uses
+    Spark's expand strategy — at 100 TB swap approx_count_distinct
+    into the same shape (functions/sketches.py).
+    """
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ]
+    aggs = []
+    for c, _dtype in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC upsert) as a full-outer combine: the
+    'target' is customer balances, the 'source' is a change feed
+    derived from 1997+ orders (per-customer order spend). Matched rows
+    update (balance + spend), unmatched-source rows insert, unmatched-
+    target rows persist — the Delta/Iceberg MERGE expressed as one
+    full outer join + coalesce projection (kernel of
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
+
+    Scale: one shuffle on the merge key each side; at 100 TB the same
+    plan benefits from bucketed/partitioned targets (see
+    operators/bucketing.py) so only changed partitions rewrite.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    merged = c.join(changes, c.c_custkey == changes.custkey, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("<new>")).alias("name"),
+        F.round(
+            F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("spend", F.lit(0.0)),
+            2,
+        ).alias("new_balance"),
+        (F.col("custkey").isNotNull() & F.col("c_custkey").isNotNull()).alias(
+            "was_updated"
+        ),
+        F.col("c_custkey").isNull().alias("was_inserted"),
+    )
