@@ -381,14 +381,20 @@ def connected_components(
     duplicate GROUPS, from which one canonical doc per group survives.
 
     Min-label propagation: each iteration joins current labels onto the
-    symmetric edge list, takes the per-node neighbor minimum, and keeps
-    ``min(own, neighbor_min)`` — one shuffle per iteration, converging
-    in O(cluster diameter) rounds (near-dup clusters are shallow; the
-    alternating large-star/small-star algorithm is the O(log²)
-    fallback for adversarial chains). ``localCheckpoint`` truncates
-    lineage each round so iteration *i* doesn't re-plan rounds
-    ``0..i-1``; convergence is detected with a LIMIT 1 existence probe,
-    not a full count.
+    symmetric edge list and takes ``min(own, neighbor labels)`` in ONE
+    grouped aggregate (the union of neighbor-contributed and own labels
+    feeds a single ``groupBy(node).min``) — one join + one aggregate
+    shuffle per round, converging in O(cluster diameter) rounds
+    (near-dup clusters are shallow; the alternating large-star/
+    small-star algorithm is the O(log²) fallback for adversarial
+    chains). Round 1 is folded into initialization — ``min(self,
+    neighbors)`` needs no label join, just one aggregate over the edge
+    list. Each round runs exactly ONE Spark action: the new labels are
+    lazily ``localCheckpoint``-ed (truncating lineage so round *i*
+    never re-plans rounds ``0..i-1``) and materialized by the
+    convergence count itself. MIN is duplicate-insensitive, so the
+    symmetric edge list is never ``distinct``-ed — duplicates cost join
+    width only, and the dedup callers feed distinct a<b pairs anyway.
     """
     # Checkpoint the incoming edges BEFORE symmetrizing: the union
     # references ``edges`` twice, so an un-materialized edge list (e.g.
@@ -397,39 +403,39 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    sym = (
-        edges.union(edges.select(F.col("v"), F.col("u")))
-        .distinct()
+    sym = edges.union(edges.select(F.col("v"), F.col("u"))).localCheckpoint(
+        eager=True
+    )
+    # init == round 1: label = min(self, direct neighbors), one
+    # aggregate, no join (every node appears as u in the symmetric list)
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
+    for _ in range(max_iter - 1):
+        contrib = sym.join(labels, sym.v == labels.node).select(
+            sym.u.alias("node"), "label", F.lit(False).alias("own")
         )
-        # the changed flag rides along in the same pass (new label is
-        # strictly smaller iff anything moved) — the convergence probe
-        # then filters the already-checkpointed result instead of
-        # re-joining old vs new labels (one join+shuffle less per round)
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("new_label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
+            contrib.union(
+                labels.select("node", "label", F.lit(True).alias("own"))
             )
-            .withColumnRenamed("new_label", "label")
-            .localCheckpoint(eager=True)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                # strictly-smaller neighbor min == this node moved
+                (
+                    F.min(F.when(~F.col("own"), F.col("label")))
+                    < F.min(F.when(F.col("own"), F.col("label")))
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("_changed").limit(1).count()
+        # The count scans every partition -> materializes the lazy
+        # checkpoint in the SAME job (one action per round, vs the
+        # previous eager-checkpoint + probe pair).
+        changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

@@ -237,9 +237,12 @@ def ivf_ann_topk(
     @pandas_udf("array<double>")
     def cent_dots(emb: pd.Series) -> pd.Series:
         # one (n × dim)·(dim × n_lists) matmul per Arrow batch — the
-        # vectorized form of n_lists interpreted fold expressions
+        # vectorized form of n_lists interpreted fold expressions.
+        # Rounded to 9 decimals before the argmax/probe ranking so cell
+        # assignment is summation-order-proof vs the DuckDB oracle's
+        # sequential fold (same lesson as the LSH projections).
         x = np.stack(emb.to_numpy()).astype(np.float64)
-        return pd.Series(list(x @ cmat.T))
+        return pd.Series(list(np.round(x @ cmat.T, 9)))
 
     # cell = argmax_c <emb, centroid_c>  (ties → lowest index, stable)
     dots = cent_dots(F.col("embedding"))
@@ -383,7 +386,9 @@ def quantize_int8(
     """
     v = _dbl(F.col(emb_col))
     absmax = F.array_max(F.transform(v, F.abs))
-    scale = F.lit(127.0) / absmax
+    # Degenerate all-zero vector: 127/0 would be NULL (non-ANSI) or an
+    # error (ANSI). scale=1 quantizes zeros to zeros with zero error.
+    scale = F.when(absmax == 0, F.lit(1.0)).otherwise(F.lit(127.0) / absmax)
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
     dq = F.transform(q, lambda x: x.cast("double") / scale)
     sq_err = F.aggregate(
@@ -463,12 +468,15 @@ def kmeans_lloyd(
             .agg(F.round(F.avg("v"), 9).alias("c"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .orderBy("cid")
             .collect()
         )
-        cents = [
-            [float(p["c"]) for p in row["pc"]] for row in new_cents
-        ]
+        # Rebuild keyed by cid, NOT positionally: if a cluster goes
+        # empty its row is simply absent, and a positional rebuild
+        # would silently shift every later centroid (argmin index =
+        # cid would then be wrong). Empty clusters carry their
+        # previous centroid forward.
+        by_cid = {row["cid"]: [float(p["c"]) for p in row["pc"]] for row in new_cents}
+        cents = [by_cid.get(cid, cents[cid]) for cid in range(len(cents))]
     return (
         assigned.groupBy("cid")
         .agg(
