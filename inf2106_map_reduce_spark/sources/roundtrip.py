@@ -6,9 +6,12 @@ token-format read↔write pair, ``TokenRecordReader`` /
 ``TokenRecordWriter``, exercised the same way by its committed run
 artifacts).
 
-The intermediate lands under ``/tmp/spark_graft_sources/<sf>/`` —
+The intermediate lands under ``WORK_ROOT/sources/<sf>/`` —
 side-effectful by design (a connector test has to touch storage), kept
-out of the repo and testdata trees.
+out of the repo's git tree (gitignored) and the testdata tree. The
+write-once dirs (_SUCCESS-guarded) survive across sessions so bench
+runs after the first pay read cost only; bench.py stages them in its
+warmup phase.
 """
 
 from __future__ import annotations
@@ -18,10 +21,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from inf2106_map_reduce_spark.session import WORK_ROOT
 from inf2106_map_reduce_spark.sources import formats
 from inf2106_map_reduce_spark.tables import load_table
 
-_TMP_ROOT = "/tmp/spark_graft_sources"
+_TMP_ROOT = os.path.join(WORK_ROOT, "sources")
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:

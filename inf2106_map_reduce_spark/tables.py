@@ -29,6 +29,14 @@ TABLE_NAMES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet schemas cached per file path: the testdata files are
+# immutable, so the footer-inference job (one driver-side file listing
+# + footer read per spark.read.parquet) only ever needs to run once per
+# (table, sf). Every registry query re-resolves its inputs through
+# load_table, so at 132 queries x ~2 tables this fixed overhead was a
+# measurable slice of the bench's per-query cost.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as raw
@@ -49,7 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf. It is runtime-settable and idempotent, so set it here rather
         # than relying on get_spark() having built the session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = convert_event_ts(df)
     return df
@@ -60,7 +74,12 @@ def raw_events_schema(spark: SparkSession, sf_dir: str):
     ``nanosAsLong``) — what ``readStream.schema(...)`` needs. Sets the
     legacy-nanos conf first so it works on a vanilla session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
