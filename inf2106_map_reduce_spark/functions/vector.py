@@ -201,6 +201,22 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(
+    n_lists: int = 16, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
+    """Seeded random unit centroids for IVF — driver-side constants
+    shared by :func:`ivf_ann_topk` AND the registry's DuckDB oracle
+    (queries._ann_ivf_oracle embeds the SAME floats as SQL literals, so
+    the approximate index is exactly hash-checkable)."""
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_lists):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
@@ -224,13 +240,7 @@ def ivf_ann_topk(
     centroid structure. Both exist because the brief's scale path
     offers either.
     """
-    rng = random.Random(seed)
-    dim = 64
-    cents = []
-    for _ in range(n_lists):
-        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append([x / n for x in v])
+    cents = ivf_centroids(n_lists=n_lists, dim=64, seed=seed)
 
     cmat = np.array(cents, dtype=np.float64)  # (n_lists, dim)
 
@@ -310,14 +320,16 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: LSH-bucketed ANN top-10 (rows-only oracle; the
-    recall test against brute force lives in tests/test_vector.py)."""
+    """Registry query: LSH-bucketed ANN top-10 (exact hyperplane-
+    mirrored oracle, queries._ann_lsh_oracle; recall vs brute force
+    additionally tested in tests/test_vector.py)."""
     return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: IVF-partitioned ANN top-10 (rows-only oracle;
-    recall vs brute force tested in tests/test_vector.py)."""
+    """Registry query: IVF-partitioned ANN top-10 (exact centroid-
+    mirrored oracle, queries._ann_ivf_oracle; recall vs brute force
+    additionally tested in tests/test_vector.py)."""
     return ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 

@@ -96,6 +96,39 @@ cand AS (
 )
 """
 
+# Shared near-dup connected-components chain (candidates -> exact
+# Jaccard >= 0.5 edges -> recursive min-label reachability); used by
+# dedup_clusters (assignments) and dedup_canonical_corpus (survivors).
+_CC_CTES = (
+    _CANDIDATES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+      WHERE c.n_common / (za.sz + zb.sz - c.n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jac
+      UNION SELECT id_b, id_a FROM jac
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id
+    )
+    """
+)
+
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(32)
@@ -158,6 +191,113 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
       JOIN embeddings a ON id_a = a.vec_id
       JOIN embeddings b ON id_b = b.vec_id
     ) WHERE cos_sim >= {threshold}
+    """
+
+
+def _ann_lsh_oracle(k: int = 10) -> str:
+    """Exact oracle for the sign-LSH ANN path: same seeded hyperplanes
+    as the Spark bucketizer (vector.random_hyperplanes, seed 42+1000t)
+    embedded as SQL literals — identical technique to
+    :func:`_lsh_cosine_oracle`, but per-query top-k instead of a
+    global near-dup threshold. Projections round to 9 decimals before
+    the sign test on both engines, so bucket assignment (and therefore
+    the candidate set, and therefore the exact top-k) is
+    summation-order-proof."""
+    from inf2106_map_reduce_spark.functions.vector import random_hyperplanes
+
+    per_table = []
+    for t in range(8):
+        planes = random_hyperplanes(64, 4, seed=42 + 1000 * t)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            bits.append(
+                f"(CASE WHEN ROUND({_dot_sql('embedding', lit)}, 9) > 0"
+                f" THEN {2 ** i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl,"
+            f" ({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    buck = " UNION ALL ".join(per_table)
+    cos = _dot_sql("a.embedding", "b.embedding")
+    na = _dot_sql("a.embedding", "a.embedding")
+    nb = _dot_sql("b.embedding", "b.embedding")
+    return f"""
+    WITH buck AS ({buck}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM buck q JOIN buck c
+        ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND({cos} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
+    """Exact oracle for the IVF ANN path: the seeded unit centroids
+    (vector.ivf_centroids — the SAME Python floats the Spark index
+    uses) become SQL literals; cell assignment is argmax over the
+    per-centroid dots rounded to 9 decimals (first-lowest-index tie,
+    mirroring Spark's array_position), probe ranking mirrors Spark's
+    reverse(array_sort(struct(d, i))) — d DESC then cell DESC."""
+    from inf2106_map_reduce_spark.functions.vector import ivf_centroids
+
+    cents = ivf_centroids(n_lists=n_lists, dim=64, seed=42)
+    dots = ", ".join(
+        f"ROUND({_dot_sql('embedding', '[' + ', '.join(repr(c) for c in cent) + ']')}, 9)"
+        for cent in cents
+    )
+    cos = _dot_sql("a.embedding", "b.embedding")
+    na = _dot_sql("a.embedding", "a.embedding")
+    nb = _dot_sql("b.embedding", "b.embedding")
+    return f"""
+    WITH e AS (SELECT vec_id, [{dots}] AS cds FROM embeddings),
+    assigned AS (
+      SELECT vec_id, CAST(list_position(cds, list_max(cds)) - 1 AS INT) AS cell
+      FROM e
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, unnest(cds) AS d,
+             CAST(unnest(range({n_lists})) AS INT) AS cell_i
+      FROM e WHERE vec_id IN (0, 1, 2)
+    ),
+    probe AS (
+      SELECT query_id, cell_i AS q_cell
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d DESC, cell_i DESC) AS rc
+            FROM qcells)
+      WHERE rc <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id
+      FROM assigned c JOIN probe p
+        ON c.cell = p.q_cell AND c.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND({cos} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
     """
 
 
@@ -1560,34 +1700,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_clusters": QuerySpec(
         dedup.dedup_cluster_assignments,
-        _CANDIDATES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-        + """,
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        common AS (
-          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.id_a
-          JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
-          GROUP BY c.id_a, c.id_b
-        ),
-        jac AS (
-          SELECT c.id_a, c.id_b
-          FROM common c
-          JOIN sizes za ON za.doc_id = c.id_a
-          JOIN sizes zb ON zb.doc_id = c.id_b
-          WHERE c.n_common / (za.sz + zb.sz - c.n_common) >= 0.5
-        ),
-        edges AS (
-          SELECT id_a AS u, id_b AS v FROM jac
-          UNION SELECT id_b, id_a FROM jac
-        ),
-        reach(id, r) AS (
-          SELECT u, u FROM edges
-          UNION
-          SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id
-        )
-        SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
-        """,
+        _CC_CTES
+        + "SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id",
         "duplicate clusters: connected components over near-dup pairs",
         ("dedup",),
     ),
@@ -1647,16 +1761,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ann_lsh": QuerySpec(
         vector.ann_lsh,
-        None,  # seeded random hyperplanes are not SQL-expressible;
-        # recall vs brute force is tested in tests/test_vector.py
-        "LSH-bucketed approximate NN top-k",
+        _ann_lsh_oracle(),  # seeded hyperplanes embedded as SQL
+        # literals (the _lsh_cosine_oracle technique) — the approximate
+        # index is exactly hash-checkable; recall vs brute force is
+        # additionally tested in tests/test_vector.py
+        "LSH-bucketed approximate NN top-k (hyperplane-mirrored oracle)",
         ("vector",),
     ),
     "ann_ivf": QuerySpec(
         vector.ann_ivf,
-        None,  # seeded random centroids not SQL-expressible;
-        # recall vs brute force is tested in tests/test_vector.py
-        "IVF (inverted-file) approximate NN top-k",
+        _ann_ivf_oracle(),  # seeded centroids embedded as SQL literals
+        "IVF (inverted-file) approximate NN top-k "
+        "(centroid-mirrored oracle)",
         ("vector",),
     ),
     "dedup_embedding_cosine": QuerySpec(
@@ -2102,79 +2218,253 @@ REGISTRY.update(
 )
 
 
-# ---------------------------------------------------------------------------
-# Registry ordering. The driver's correctness gate checks the FIRST 50
-# entries of ``queries()``; rounds 1-2 covered the classic relational
-# block and the dedup/ANN/text/streaming/source/multimodal families
-# (95 cumulative green rows). Round 3 front-loads (a) the 19 entries
-# never driver-checked so far — 13 relational/scalar stragglers plus
-# the 6 late round-2 additions — (b) the 9 new round-3 operators, and
-# (c) every query whose implementation changed this round (LSH
-# rounding, shingle-table checkpointing, streaming state partitions)
-# so the driver re-verifies them. Every entry keeps its oracle either
-# way; the local parity suite checks all entries regardless of order.
-_ROUND3_FIRST: tuple[str, ...] = (
-    # never driver-checked: relational/scalar stragglers
-    "cross_join_region_nation",
-    "lateral_posexplode_words",
-    "setop_except_all_bag",
-    "unpivot_part_measures",
-    "orders_above_customer_avg",
-    "scalar_math_battery",
-    "case_when_bucketing",
-    "explode_doc_words",
-    "batch_tumbling_hourly",
-    "batch_sliding_windows",
-    "session_windows_native",
-    "session_stats",
-    "docs_sample_10pct",
-    # never driver-checked: late round-2 additions
-    "docs_contamination",
-    "dedup_incremental_ingest",
-    "vocab_top50",
-    "docs_token_chunks",
-    "source_binaryfile_ingest",
-    "streaming_click_attribution",
-    # new in round 3
-    "ts_gapfill_hourly",
-    "ts_scd2_intervals",
-    "listagg_nations",
-    "percentile_battery",
-    "histogram_orders",
-    "docs_boilerplate",
-    "docs_difficulty_buckets",
-    "events_masked_profile",
-    "layout_zorder_scan",
-    "udf_arrow_norms",
-    "docs_weighted_sample",
-    "docs_regex_tokens",
-    "grouping_id_battery",
-    "asof_tolerance_clicks",
-    "variant_shred_events",
-    "lateral_topk_per_order",
-    "recursive_weekly_orders",
-    "dedup_simhash_pairs",
-    # implementation changed in round 3 — re-verify under the driver
-    "dedup_minhash_candidates",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "ann_lsh",
-    "ann_ivf",
-    "sketch_orders_per_status",
-    "streaming_tumbling_hourly",
-    "streaming_sliding_windows",
-    "streaming_session_windows",
-    "streaming_enriched_segments",
-    "streaming_dedup_keys",
-    "streaming_user_stats_stateful",
+_PROFILE_COLS: tuple[str, ...] = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
 )
 
-assert set(_ROUND3_FIRST) <= set(REGISTRY), sorted(
-    set(_ROUND3_FIRST) - set(REGISTRY)
+
+def _profile_orders_oracle() -> str:
+    """One wide aggregate + UNION ALL unpivot, mirroring the Spark
+    stack() exactly (same column order, same VARCHAR casts)."""
+    aggs = ", ".join(
+        f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}__nulls, "
+        f"COUNT(DISTINCT {c}) AS {c}__distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS {c}__min, "
+        f"CAST(MAX({c}) AS VARCHAR) AS {c}__max"
+        for c in _PROFILE_COLS
+    )
+    sels = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__nulls AS n_nulls, "
+        f"{c}__distinct AS n_distinct, {c}__min AS min_value, "
+        f"{c}__max AS max_value FROM w"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH w AS (SELECT {aggs} FROM orders) {sels}"
+
+
+REGISTRY.update(
+    {
+        # -- round 4: TPC-H stragglers, CDC/profiling, composed dedup,
+        # -- iterative ML -------------------------------------------------
+        "q11_important_part_values": QuerySpec(
+            relational.q11_important_part_values,
+            """
+            WITH per_part AS (
+              SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey, ROUND(value, 2) AS value
+            FROM per_part
+            WHERE value > 0.001 * (SELECT SUM(value) FROM per_part)
+            """,
+            "TPC-H Q11 shape: group threshold vs global scalar aggregate",
+            ("agg", "join"),
+        ),
+        "q20_excess_shipped_suppliers": QuerySpec(
+            relational.q20_excess_shipped_suppliers,
+            """
+            WITH qualifying AS (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red %'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(l_quantity) > 60
+            )
+            SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+            """,
+            "TPC-H Q20 shape: nested IN-subquery semi-join chain",
+            ("join", "subquery"),
+        ),
+        "profile_orders_columns": QuerySpec(
+            relational.profile_orders_columns,
+            _profile_orders_oracle(),
+            "per-column null/distinct/min/max data-quality profile",
+            ("agg", "pipeline"),
+        ),
+        "merge_upsert_customer_balance": QuerySpec(
+            relational.merge_upsert_customer_balance,
+            """
+            WITH changes AS (
+              SELECT o_custkey AS custkey, SUM(o_totalprice) AS spend
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              GROUP BY o_custkey
+            )
+            SELECT COALESCE(c_custkey, custkey) AS custkey,
+                   COALESCE(c_name, '<new>') AS name,
+                   ROUND(COALESCE(c_acctbal, 0.0)
+                         + COALESCE(spend, 0.0), 2) AS new_balance,
+                   (custkey IS NOT NULL AND c_custkey IS NOT NULL)
+                     AS was_updated,
+                   (c_custkey IS NULL) AS was_inserted
+            FROM customer FULL OUTER JOIN changes ON c_custkey = custkey
+            """,
+            "MERGE INTO (CDC upsert) as full-outer combine",
+            ("join", "pipeline"),
+        ),
+        "dedup_canonical_corpus": QuerySpec(
+            dedup.dedup_canonical_corpus,
+            _CC_CTES
+            + """,
+            comp AS (SELECT id AS doc_id, MIN(r) AS component
+                     FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM comp c
+                              WHERE c.doc_id = d.doc_id
+                                AND c.doc_id != c.component)
+            """,
+            "composed dedup pipeline: corpus surviving near-dup removal",
+            ("dedup", "pipeline"),
+        ),
+        "embedding_quantize": QuerySpec(
+            vector.embedding_quantize,
+            """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, emb,
+                     CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+                          THEN 1.0
+                          ELSE 127.0 / list_max(list_transform(emb, x -> abs(x)))
+                     END AS scale
+              FROM v
+            ),
+            q AS (
+              SELECT vec_id, emb, scale,
+                     list_transform(emb,
+                       x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+              FROM s
+            )
+            SELECT vec_id, ROUND(scale, 6) AS scale,
+                   CAST(list_sum(list_transform(qv,
+                     x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS INT)
+                     AS n_saturated,
+                   ROUND(sqrt(list_sum(list_transform(list_zip(emb, qv),
+                     p -> (p[1] - p[2] / scale) * (p[1] - p[2] / scale)))
+                     / len(emb)), 9) AS rms_error
+            FROM q
+            """,
+            "int8 quantization audit (scale, saturation, reconstruction RMS)",
+            ("vector", "pipeline"),
+        ),
+        "kmeans_clusters": QuerySpec(
+            vector.kmeans_clusters,
+            """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(vec_id AS INT) AS cid,
+                     list_transform(emb, x -> round(x, 9)) AS c
+              FROM e WHERE vec_id < 8
+            ),
+            d1 AS (
+              SELECT e.vec_id, e.emb, c0.cid,
+                     list_sum(list_transform(list_zip(e.emb, c0.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+              FROM e CROSS JOIN c0
+            ),
+            a1 AS (
+              SELECT vec_id, emb, cid
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1
+            ),
+            u1 AS (
+              SELECT cid, i.range AS pos,
+                     round(AVG(emb[CAST(i.range AS INT)]), 9) AS c
+              FROM a1, range(1, 65) i
+              GROUP BY cid, i.range
+            ),
+            c1 AS (
+              SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+              FROM c0 LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS c
+                                 FROM u1 GROUP BY cid) u
+                ON u.cid = c0.cid
+            ),
+            d2 AS (
+              SELECT e.vec_id, c1.cid,
+                     list_sum(list_transform(list_zip(e.emb, c1.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+              FROM e CROSS JOIN c1
+            ),
+            a2 AS (
+              SELECT vec_id, cid
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1
+            )
+            SELECT cid, COUNT(*) AS n_members,
+                   MIN(vec_id) AS min_member, MAX(vec_id) AS max_member,
+                   CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+            FROM a2 GROUP BY cid
+            """,
+            "k-means (2 unrolled Lloyd iterations, k=8) cluster fingerprints",
+            ("vector", "iterative"),
+        ),
+    }
 )
-REGISTRY = {name: REGISTRY[name] for name in _ROUND3_FIRST} | {
-    name: spec for name, spec in REGISTRY.items() if name not in set(_ROUND3_FIRST)
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate checks the FIRST 50
+# entries of ``queries()``; cumulatively r01-r03 hash-verified 129/132
+# entries (the 3 misses were the then-rows-only ann_lsh / ann_ivf /
+# sketch entries). Round 4 front-loads (a) the 7 new registry entries,
+# (b) ann_lsh / ann_ivf whose oracles were upgraded from rows-only to
+# exact seeded-literal SQL, and (c) entries whose implementation or
+# oracle changed this round (connected-components restructure, IVF dot
+# rounding, sketch alias fix, sf-templated binaryfile oracle,
+# NOT-EXISTS ingest oracle). The remainder keeps the original literal
+# order, so the tail of the 50 re-verifies the oldest (round-1) block —
+# a rotating re-check. The local parity suite covers all entries
+# regardless of order.
+_ROUND4_FIRST: tuple[str, ...] = (
+    # new in round 4 — never driver-checked
+    "q11_important_part_values",
+    "q20_excess_shipped_suppliers",
+    "profile_orders_columns",
+    "merge_upsert_customer_balance",
+    "dedup_canonical_corpus",
+    "embedding_quantize",
+    "kmeans_clusters",
+    # oracles upgraded rows-only -> exact this round
+    "ann_lsh",
+    "ann_ivf",
+    # implementation or oracle changed in round 4 — re-verify
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sketch_orders_per_status",
+    "source_binaryfile_ingest",
+    "dedup_incremental_ingest",
+)
+
+assert set(_ROUND4_FIRST) <= set(REGISTRY), sorted(
+    set(_ROUND4_FIRST) - set(REGISTRY)
+)
+REGISTRY = {name: REGISTRY[name] for name in _ROUND4_FIRST} | {
+    name: spec for name, spec in REGISTRY.items() if name not in set(_ROUND4_FIRST)
 }
 
 
