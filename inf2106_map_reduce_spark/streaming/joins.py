@@ -82,6 +82,10 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 partitions vs 2.4 s at 8 on identical sf0.1 input); see
     # runtime.scoped_state_partitions for the sizing rule.
     with scoped_state_partitions(spark):
+        # HARNESS-ONLY: repartition(1) packs the tiny AvailableNow batch
+        # into one file so the gate reads a single-part sink. A
+        # production sink writes unrepartitioned (one file per state
+        # partition) and readers glob the directory.
         q = (
             out.writeStream.foreachBatch(
                 lambda df, _epoch: df.repartition(1)

@@ -39,12 +39,19 @@ _SCHEMA_CACHE: dict[str, object] = {}
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as raw
-    nanos (``nanosAsLong``). Floor-convert to microsecond timestamps —
-    bit-identical to DuckDB's own ns→us scan truncation, so oracle
-    comparisons stay exact."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to a session-zoned TIMESTAMP regardless of
+    the generator's parquet encoding. Two encodings have shipped:
+    TIMESTAMP(NANOS) (read as raw nanos under ``nanosAsLong``;
+    floor-converted to microseconds — bit-identical to DuckDB's ns→us
+    scan truncation) and plain ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ; cast to TIMESTAMP — identity under the UTC session
+    zone, `session.py`). Downstream operators assume LTZ ts (e.g.
+    ``unix_micros`` rejects NTZ input)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -70,9 +77,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def raw_events_schema(spark: SparkSession, sf_dir: str):
-    """Schema of the raw events parquet (ts as bigint nanos under
-    ``nanosAsLong``) — what ``readStream.schema(...)`` needs. Sets the
-    legacy-nanos conf first so it works on a vanilla session."""
+    """Schema of the raw events parquet — what ``readStream.schema(...)``
+    needs. Depending on the generator vintage, ts arrives as bigint
+    nanos (under ``nanosAsLong``) or timestamp_ntz micros; streaming
+    readers pipe through :func:`convert_event_ts` to normalize either.
+    Sets the legacy-nanos conf first so it works on a vanilla session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = _SCHEMA_CACHE.get(path)
