@@ -537,24 +537,43 @@ def simhash_candidate_pairs(
     candidate.
 
     Scale: band values are 8-bit so bucket sizes ~n/256 per band;
-    the verify stage touches candidates only. At a 64-bit signature
-    width, widen to 8x8-bit bands for the same <=7-bit guarantee.
+    the verify stage touches candidates only. For the 64-bit variant
+    (8x8-bit bands, <=7-bit guarantee) see
+    :func:`simhash64_candidate_pairs`.
     """
     sigs = simhash(df, id_col, text_col)
+    return _hamming_banded_pairs(sigs, "simhash32", 4, max_hamming, id_col)
+
+
+def _hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    n_bands: int,
+    max_hamming: int,
+    id_col: str,
+) -> DataFrame:
+    """Pigeonhole band join + Hamming verify over precomputed
+    signatures: explode into ``n_bands`` disjoint 8-bit bands,
+    equi-join on (band, value), verify with one ``bit_count(xor)``.
+    Exact recall for Hamming <= n_bands - 1 (a pair differing in fewer
+    bits than there are bands must agree on one band). Arithmetic
+    shiftright on a negative (sign-bit-set) signature is masked by
+    ``& 255``, so band values are the true unsigned bytes — matching
+    DuckDB's ``(s >> (8*i)) & 255`` in the oracles."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("simhash32"), 8 * b)
+                F.shiftright(F.col(sig_col), 8 * b)
                 .bitwiseAND(F.lit(255))
                 .alias("band_val"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     exploded = sigs.select(
-        F.col(id_col), F.col("simhash32"), F.explode(bands).alias("band")
-    ).select(id_col, "simhash32", "band.band_idx", "band.band_val")
+        F.col(id_col), F.col(sig_col), F.explode(bands).alias("band")
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
     a = exploded.alias("a")
     b = exploded.alias("b")
     hamming = F.bit_count(
@@ -570,8 +589,8 @@ def simhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash32").alias("sa"),
-            F.col("b.simhash32").alias("sb"),
+            F.col(f"a.{sig_col}").alias("sa"),
+            F.col(f"b.{sig_col}").alias("sb"),
         )
         .distinct()
         .select("id_a", "id_b", hamming.alias("hamming"))
@@ -579,10 +598,82 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash — the corpus-scale precision variant of
+    :func:`simhash`. At 32 bits, random-doc collisions within Hamming 3
+    become common past ~10M docs; 64 bits pushes that out past any
+    realistic corpus.
+
+    Word hash is the first 16 hex chars of md5 taken as two 32-bit
+    halves (hi/lo) so every intermediate fits a signed bigint in both
+    Spark and DuckDB; bit 63 of the signature is the bigint sign bit
+    (added as -2^63 — exact two's-complement, no overflow in either
+    engine). Same plan shape as the 32-bit version: one explode + one
+    grouped aggregation, no UDF.
+    """
+    words = F.explode(
+        F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
+    ).alias("word")
+    md5 = F.md5(F.col("word"))
+    wh_hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    wh_lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+    exploded = df.select(F.col(id_col), words).select(
+        id_col, wh_hi.alias("hi"), wh_lo.alias("lo")
+    )
+    def _src(j: int):
+        return (
+            F.shiftright(F.col("lo"), j)
+            if j < 32
+            else F.shiftright(F.col("hi"), j - 32)
+        )
+    bit_sums = [
+        F.sum(
+            F.when(_src(j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(
+            F.col(f"b{j}") > 0,
+            F.lit(2**j if j < 63 else -(2**63)).cast("bigint"),
+        ).otherwise(F.lit(0)),
+        range(64),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash64"))
+
+
+def simhash64_candidate_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 8 disjoint 8-bit bands give exact
+    recall up to Hamming 7 (pigeonhole) — run at the same default
+    ``max_hamming=3`` as the 32-bit entry so precision improves while
+    the contract stays comparable. Band buckets are ~n/256 per band as
+    before; candidate volume drops vs 32-bit because random 8-bit band
+    collisions now require agreement on genuinely more entropy."""
+    sigs = simhash64(df, id_col, text_col)
+    return _hamming_banded_pairs(sigs, "simhash64", 8, max_hamming, id_col)
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: SimHash near-dup pairs at Hamming <= 3."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(d)
+
+
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 64-bit SimHash near-dup pairs at Hamming <= 3
+    (8x8-bit pigeonhole bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64_candidate_pairs(d)
 
 
 def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

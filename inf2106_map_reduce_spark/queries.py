@@ -137,6 +137,20 @@ _SIMHASH_SIG = " + ".join(
     f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32)
 )
 
+# 64-bit variant: word hash split into two signed-bigint-safe 32-bit
+# halves; bit 63 enters the signature as the exact two's-complement
+# -2^63 (DuckDB overflows on 1::BIGINT << 63, a literal does not).
+_SIMHASH64_BITS = ", ".join(
+    f"SUM(CASE WHEN ({'wh_lo' if j < 32 else 'wh_hi'} >> {j % 32}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(64)
+)
+_SIMHASH64_SIG = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({2**j if j < 63 else -(2**63)} AS BIGINT)"
+    " ELSE 0 END"
+    for j in range(64)
+)
+
 _DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
 )
@@ -2142,6 +2156,39 @@ REGISTRY.update(
             "SimHash near-dup pairs: pigeonhole band join + Hamming verify",
             ("dedup",),
         ),
+        "dedup_simhash64_pairs": QuerySpec(
+            dedup.dedup_simhash64_pairs,
+            f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh_hi,
+                     CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS wh_lo
+              FROM w WHERE word != ''
+            ),
+            bits AS (SELECT doc_id, {_SIMHASH64_BITS} FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, {_SIMHASH64_SIG} AS s FROM bits),
+            bands AS (
+              SELECT doc_id, s, b.i, (s >> (8 * b.i)) & 255 AS bv
+              FROM sig CROSS JOIN (VALUES (0), (1), (2), (3),
+                                          (4), (5), (6), (7)) b(i)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.s AS sa, b.s AS sb
+              FROM bands a JOIN bands b
+                ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            """,
+            "64-bit SimHash near-dup pairs: 8x8-bit pigeonhole bands",
+            ("dedup",),
+        ),
         "recursive_weekly_orders": QuerySpec(
             relational.recursive_weekly_orders,
             """
@@ -2448,6 +2495,7 @@ _ROUND4_FIRST: tuple[str, ...] = (
     "dedup_canonical_corpus",
     "embedding_quantize",
     "kmeans_clusters",
+    "dedup_simhash64_pairs",
     # oracles upgraded rows-only -> exact this round
     "ann_lsh",
     "ann_ivf",
@@ -2458,6 +2506,10 @@ _ROUND4_FIRST: tuple[str, ...] = (
     "sketch_orders_per_status",
     "source_binaryfile_ingest",
     "dedup_incremental_ingest",
+    # events.ts parquet encoding changed (nanos -> micros NTZ); these
+    # two consume ts via unix_micros and exercised the normalization fix
+    "asof_tolerance_clicks",
+    "session_stats",
 )
 
 assert set(_ROUND4_FIRST) <= set(REGISTRY), sorted(

@@ -168,3 +168,37 @@ def test_simhash_pairs_match_brute_force_exactly(spark, sf_smoke):
         .collect()
     }
     assert banded == brute
+
+
+def test_simhash64_pairs_match_brute_force_exactly(spark, sf_smoke):
+    """The 8x8-bit pigeonhole blocking over the 64-bit signature is
+    EXACT up to Hamming 7, so at the default threshold 3 the banded
+    join must equal the all-pairs scan — including signatures with the
+    sign bit set (bit 63 enters as -2^63)."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash64_candidate_pairs(d).collect()
+    }
+    sigs = dedup.simhash64(d)
+    a = sigs.selectExpr("doc_id AS id_a", "simhash64 AS sa")
+    b = sigs.selectExpr("doc_id AS id_b", "simhash64 AS sb")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
