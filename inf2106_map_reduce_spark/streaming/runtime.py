@@ -6,7 +6,10 @@ and every state partition carries fixed per-micro-batch maintenance
 cost (delta files, snapshot compaction, provider instances; a
 stream-stream join keeps four stores per partition). That cost tracks
 the partition COUNT, not the data: measured here, the click-attribution
-join runs 7.6 s at 32 partitions vs 2.4 s at 8 on the same sf0.1 input.
+join runs 7.6 s at 32 partitions vs 2.4 s at 8 vs ~1.9 s at 4 on the
+same sf0.1 input (and every stateful query in the registry improves
+8 -> 4: user-stats 3.1 -> 1.5 s, session windows 1.8 -> 1.3 s — the
+~10k keys in flight at this SF don't amortize 8 partitions' upkeep).
 
 So unlike batch shuffles (where AQE coalesces small partitions for
 free), streaming state partitioning must be sized to the expected
@@ -23,7 +26,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 @contextmanager

@@ -160,3 +160,50 @@ def test_token_chunks_cover_document_with_stride_overlap(spark, sf_oracle):
         start = r["chunk_idx"] * 12
         assert r["first_token"] == words[start]
         assert r["n_tokens"] == min(16, len(words) - start)
+
+
+def test_incremental_ingest_null_text_matches_oracle(spark, sf_oracle, tmp_path):
+    """NULL-text injection (VERDICT r03 hazard #2): a NULL text yields a
+    NULL content_key; Spark's LEFT ANTI join KEEPS null-key rows while a
+    ``NOT IN (subquery)`` oracle would return zero rows the moment the
+    snapshot slice contains one NULL. The oracle uses NOT EXISTS, which
+    matches anti-join semantics — this pins Spark == oracle on dirty
+    data, null-key rows included."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import assert_matches_oracle, duckdb_connection
+
+    from inf2106_map_reduce_spark.queries import REGISTRY
+    from inf2106_map_reduce_spark.tables import TABLE_NAMES
+
+    # Dirty sf dir: every table symlinked except documents, which gets
+    # NULL text in BOTH the snapshot slice (doc_id%10<3) and the batch.
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for name in TABLE_NAMES:
+        if name != "documents":
+            (dirty / f"{name}.parquet").symlink_to(
+                f"{sf_oracle}/{name}.parquet"
+            )
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    dirtied = d.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(1, 2, 13, 17), F.lit(None)).otherwise(
+            F.col("text")
+        ),
+    )
+    # single flat file (not a Spark part-dir) so DuckDB's read_parquet
+    # sees the same path shape as the real testdata
+    dirtied.toPandas().to_parquet(str(dirty / "documents.parquet"), index=False)
+
+    spec = REGISTRY["dedup_incremental_ingest"]
+    out = spec.fn(spark, str(dirty))
+    # null content_key survives the anti join (doc 13/17 collapse to 13)
+    nulls = out.filter(F.col("content_key").isNull()).collect()
+    assert [r["doc_id"] for r in nulls] == [13]
+    con = duckdb_connection(str(dirty))
+    try:
+        assert_matches_oracle(out, con, spec.oracle)
+    finally:
+        con.close()
