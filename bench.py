@@ -43,6 +43,11 @@ def main() -> None:
     _WARMUP = (
         "q1_pricing_summary",
         "media_features",
+        # one cheap streaming query warms the Structured Streaming
+        # machinery (state-store providers, checkpoint writers) the same
+        # way q1 warms batch codegen — first-touch otherwise lands ~2 s
+        # on whichever streaming_* entry sorts first
+        "streaming_tumbling_hourly",
         "bucketed_orders_lineitem_join",
         "dpp_partitioned_fact_join",
         "source_partitioned_roundtrip",

@@ -196,3 +196,28 @@ def test_difficulty_buckets_partition_by_shard(spark, sf_oracle):
     # the ntile window must be shard-partitioned, never a global
     # single-partition sort (the pack_sequences lesson)
     assert "SinglePartition" not in plan, plan
+
+
+def test_simhash64_pairs_is_band_equi_join(spark, sf_oracle):
+    """The 64-bit SimHash pair stage must stay a pigeonhole band
+    equi-join (same contract as the 32-bit and cosine paths): no
+    all-pairs plan at any width."""
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    plan = explain_str(dedup.dedup_simhash64_pairs(spark, sf_oracle), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_shuffle_free_narrow_pass(spark, sf_oracle):
+    """int8 quantization is a scan-speed projection: zero shuffles, and
+    the parquet scan reads only the two columns the audit needs."""
+    from inf2106_map_reduce_spark.functions import vector
+
+    df = vector.embedding_quantize(spark, sf_oracle)
+    assert shuffle_count(df) == 0
+    cols = scan_columns(df)
+    assert cols, "no parquet scans found"
+    read = set().union(*cols)
+    assert read <= {"vec_id", "embedding"}, read
