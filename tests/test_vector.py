@@ -72,3 +72,41 @@ def test_cosine_self_similarity_is_one(spark, sf_oracle):
         F.round(vector.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
     ).collect()
     assert all(r["c"] == 1.0 for r in sim)
+
+
+def test_kmeans_empty_cluster_carries_centroid_forward(spark):
+    """Duplicate seed embeddings make cluster 2's centroid identical to
+    cluster 1's, so the argmin tiebreak (first match) empties cluster 2
+    in iteration 1; iteration 2 can only re-populate it if the rebuild
+    keyed the collected rows by cid and carried the empty cluster's
+    centroid forward. The old positional rebuild shrank the centroid
+    list and dropped cid 2 entirely."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [5.0, 5.0]),
+        (2, [5.0, 5.0]),  # exact dup of the cid-1 seed
+        (3, [5.1, 5.0]),
+        (4, [0.1, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["cid"]: (r["n_members"], r["min_member"], r["max_member"], r["member_id_sum"])
+        for r in vector.kmeans_lloyd(e, k=3, n_iter=2).collect()
+    }
+    # iter1: c2 empty (ties go to c1); update moves c1 to ~[5.033, 5],
+    # c2 stays [5, 5]; iter2: the two [5,5] points defect to c2.
+    assert out == {0: (2, 0, 4, 4), 1: (1, 3, 3, 3), 2: (2, 1, 2, 3)}
+
+
+def test_quantize_zero_vector_is_defined(spark):
+    """An all-zero embedding must quantize to zeros with zero error and
+    scale 1 (the 127/absmax division guard), not a NULL row."""
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in vector.quantize_int8(e).collect()}
+    assert out[0]["scale"] == 1.0
+    assert out[0]["n_saturated"] == 0
+    assert out[0]["rms_error"] == 0.0
+    assert out[1]["scale"] == 63.5  # 127 / 2
+    assert out[1]["n_saturated"] == 1  # the -2 component hits -127
+    assert out[1]["rms_error"] is not None
