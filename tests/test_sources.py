@@ -146,3 +146,29 @@ def test_schema_evolution_nullfills_legacy_batch(spark, sf_oracle):
     df = roundtrip.schema_evolution_read(spark, sf_oracle)
     agg = df.agg(F.sum("n_legacy").alias("legacy"), F.sum("n_events").alias("n")).collect()[0]
     assert 0 < agg["legacy"] < agg["n"]
+
+
+def test_convert_event_ts_normalizes_both_encodings(spark):
+    """The testdata generator has shipped events.ts as bigint nanos AND
+    as timestamp[us] (read as TIMESTAMP_NTZ); both must normalize to a
+    session-zoned TIMESTAMP with identical microsecond values —
+    downstream unix_micros consumers reject NTZ."""
+    from inf2106_map_reduce_spark.tables import convert_event_ts
+
+    nanos = spark.createDataFrame(
+        [(1, 1700000000123456789)], "event_id bigint, ts bigint"
+    )
+    ntz = spark.sql(
+        "SELECT 1 AS event_id, TIMESTAMP_NTZ '2023-11-14 22:13:20.123456' AS ts"
+    )
+    a = convert_event_ts(nanos)
+    b = convert_event_ts(ntz)
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as F
+
+    ua = a.select(F.unix_micros("ts").alias("u")).collect()[0]["u"]
+    ub = b.select(F.unix_micros("ts").alias("u")).collect()[0]["u"]
+    # 1700000000123456789 ns floor-converts to ...123456 us == the NTZ
+    # literal under the UTC session zone
+    assert ua == ub == 1700000000123456
