@@ -29,9 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. Omitted entries get
-    the weaker rows-only check; all three are approximate by
-    construction (ann_lsh / ann_ivf: seeded random projections,
-    recall-tested vs brute force; sketch_orders_per_status: HLL++/
-    quantile sketches, tolerance-tested vs exact)."""
+    """DuckDB-runnable ANSI SQL oracle per query. The single omitted
+    entry (sketch_orders_per_status) gets the weaker rows-only check —
+    HLL++/quantile sketch internals legitimately differ from DuckDB's
+    (tolerance-tested vs exact locally). ann_lsh / ann_ivf carry EXACT
+    oracles since round 4: their seeded hyperplanes/centroids are
+    embedded as SQL literals."""
     return _registry.oracle_sql()
