@@ -552,3 +552,36 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("sum_words"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+def source_cap(
+    df: DataFrame,
+    n_per_source: int = 5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture capping: keep at most ``n_per_source`` documents per
+    source, preferring longer documents (n_chars DESC, id ASC tiebreak)
+    — the data-mixing move that stops one crawl domain from dominating
+    a training corpus.
+
+    Scale: rank-filter compiles to Spark's map-side WindowGroupLimit
+    (same plan property pinned for latest-per-key compaction): each
+    task forwards at most ``n_per_source`` rows per source to the
+    shuffle, so the exchange carries O(sources x cap) rows no matter
+    how skewed the per-source document counts are — exactly the skew
+    this operator exists to bound.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("n_chars").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_source)
+        .select(source_col, id_col, "n_chars", F.col("rn").alias("rank_in_source"))
+    )
+
+
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: cap every source at its 5 longest documents."""
+    return source_cap(load_table(spark, sf_dir, "documents"))

@@ -2089,6 +2089,20 @@ REGISTRY.update(
             "length-weighted deterministic sampling (importance mix)",
             ("pipeline",),
         ),
+        "docs_source_cap": QuerySpec(
+            pipeline.docs_source_cap,
+            """
+            SELECT source, doc_id, n_chars, rank_in_source FROM (
+              SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC)
+                       AS rank_in_source
+              FROM documents
+            ) WHERE rank_in_source <= 5
+            """,
+            "mixture capping: 5 longest docs per source (WindowGroupLimit)",
+            ("pipeline",),
+        ),
         "docs_regex_tokens": QuerySpec(
             text.regex_token_stats,
             r"""
@@ -2496,6 +2510,7 @@ _ROUND4_FIRST: tuple[str, ...] = (
     "embedding_quantize",
     "kmeans_clusters",
     "dedup_simhash64_pairs",
+    "docs_source_cap",
     # oracles upgraded rows-only -> exact this round
     "ann_lsh",
     "ann_ivf",

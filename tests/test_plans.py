@@ -221,3 +221,14 @@ def test_quantize_is_shuffle_free_narrow_pass(spark, sf_oracle):
     assert cols, "no parquet scans found"
     read = set().union(*cols)
     assert read <= {"vec_id", "embedding"}, read
+
+
+def test_source_cap_uses_window_group_limit(spark, sf_oracle):
+    """Mixture capping must push the per-source limit map-side
+    (WindowGroupLimit): at most cap rows per source reach the window
+    shuffle, bounding skewed sources by construction."""
+    from inf2106_map_reduce_spark.functions import pipeline
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = pipeline.docs_source_cap(spark, sf_oracle)
+    assert "WindowGroupLimit" in explain_str(df, "simple")
