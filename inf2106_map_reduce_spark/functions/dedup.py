@@ -559,7 +559,12 @@ def _hamming_banded_pairs(
     bits than there are bands must agree on one band). Arithmetic
     shiftright on a negative (sign-bit-set) signature is masked by
     ``& 255``, so band values are the true unsigned bytes — matching
-    DuckDB's ``(s >> (8*i)) & 255`` in the oracles."""
+    DuckDB's ``(s >> (8*i)) & 255`` in the oracles.
+
+    No checkpoint needed despite the self-join referencing the
+    signature aggregation twice: Spark reuses the aggregation's
+    exchange across both branches (ReusedExchange — verified; an
+    explicit localCheckpoint measured no faster)."""
     bands = F.array(
         *[
             F.struct(
