@@ -60,10 +60,86 @@ def approx_quantiles(
     )
 
 
+#: Rank-error envelope for the quantile audit. approx_percentile at
+#: accuracy=10000 guarantees rank error <= 1e-4 of N; auditing at 1e-2
+#: is a 100x safety margin, so the booleans are deterministically TRUE
+#: for any input the sketch contract covers — which is what lets an
+#: exact SQL oracle (TRUE literals) hash-match a sketch query.
+QUANTILE_RANK_DELTA = 0.01
+#: Relative-error envelope for the HLL++ audit: rsd=0.02 means sigma =
+#: 2% of the true cardinality; 10% is a 5-sigma envelope.
+DISTINCT_REL_BOUND = 0.10
+
+_QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
 def sketch_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): HLL++ distinct customers + quantile
-    sketch of order totals per status — scalar columns q25/q50/q75/q95."""
-    o = load_table(spark, sf_dir, "orders")
-    d = approx_distinct(o, "o_custkey", ["o_orderstatus"])
-    q = approx_quantiles(o, "o_totalprice", ["o_orderstatus"])
-    return d.join(q, "o_orderstatus")
+    """Registry query (hash-checkable): per ``o_orderstatus``, exact
+    COUNT(*) and COUNT(DISTINCT o_custkey) plus in-plan audit booleans
+    that certify the HLL++ distinct estimate and each approx_percentile
+    value sit inside their declared error envelopes.
+
+    Sketch VALUES can't hash-match an exact oracle by construction, so
+    the output carries exact keys/counts and *verdicts about* the
+    sketches instead: ``distinct_within_bound`` compares the HLL++
+    estimate to the exact cardinality (5-sigma envelope), and each
+    ``qNN_within_bound`` rank-checks the sketch's returned value
+    against the raw data — cnt(x <= v) must reach rank (p - delta)*N
+    and cnt(x < v) must not pass (p + delta)*N, delta = 100x the
+    sketch's guarantee. The DuckDB oracle computes the same exact
+    values and TRUE literals, so rows+schema+hash all match while the
+    sketches still actually run (and fail the query if they ever break
+    their contract). Tolerance tests on the raw estimates stay in
+    tests/test_sketches.py.
+
+    Scale: two passes over orders — the estimate pass (one grouped agg)
+    and the audit pass (broadcast 3-row sketch values back onto the
+    scan, one grouped agg with conditional sums). At 100 TB the audit
+    pass is the price of certification; drop it and the sketch pass
+    alone remains the production path (:func:`approx_distinct` /
+    :func:`approx_quantiles`).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", "o_totalprice"
+    )
+    probs_sql = "array(" + ", ".join(str(p) for p in _QUANTILE_PROBS) + ")"
+    aq = o.groupBy("o_orderstatus").agg(
+        F.expr(f"approx_percentile(o_totalprice, {probs_sql}, 10000)").alias("_aq")
+    )
+    audited = (
+        o.join(F.broadcast(aq), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_distinct_cust"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_ad"),
+            *[
+                F.sum((F.col("o_totalprice") <= F.col("_aq")[i]).cast("long")).alias(
+                    f"_le{i}"
+                )
+                for i in range(len(_QUANTILE_PROBS))
+            ],
+            *[
+                F.sum((F.col("o_totalprice") < F.col("_aq")[i]).cast("long")).alias(
+                    f"_lt{i}"
+                )
+                for i in range(len(_QUANTILE_PROBS))
+            ],
+        )
+    )
+    return audited.select(
+        "o_orderstatus",
+        "n_orders",
+        "n_distinct_cust",
+        (
+            F.abs(F.col("_ad") - F.col("n_distinct_cust"))
+            <= F.lit(DISTINCT_REL_BOUND) * F.col("n_distinct_cust")
+        ).alias("distinct_within_bound"),
+        *[
+            (
+                (F.col(f"_le{i}") >= (F.lit(p - QUANTILE_RANK_DELTA)) * F.col("n_orders"))
+                & (F.col(f"_lt{i}") <= (F.lit(p + QUANTILE_RANK_DELTA)) * F.col("n_orders"))
+            ).alias(f"q{int(round(p * 100))}_within_bound")
+            for i, p in enumerate(_QUANTILE_PROBS)
+        ],
+    )

@@ -935,9 +935,26 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sketch_orders_per_status": QuerySpec(
         sketches.sketch_orders_per_status,
-        None,  # sketch outputs can't hash-match an exact oracle;
-        # tolerance vs exact answers tested in tests/test_sketches.py
-        "HLL++ distinct + quantile sketch per order status",
+        # Sketch VALUES can't hash-match an exact oracle, but verdicts
+        # about them can: the Spark side emits exact keys/counts plus
+        # in-plan booleans certifying each sketch sits inside its
+        # declared error envelope (100x/5-sigma margins -> the
+        # booleans are deterministically TRUE whenever the sketches
+        # honor their contract, and the query goes red if they don't).
+        # The oracle computes the same exact values and TRUE literals.
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+               TRUE AS distinct_within_bound,
+               TRUE AS q25_within_bound,
+               TRUE AS q50_within_bound,
+               TRUE AS q75_within_bound,
+               TRUE AS q95_within_bound
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "HLL++ distinct + quantile sketches per order status, "
+        "audited in-plan against exact envelopes",
         ("agg", "sketch"),
     ),
     "agg_stats_battery": QuerySpec(

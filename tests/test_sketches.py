@@ -43,16 +43,32 @@ def test_quantile_sketch_within_rank_tolerance(spark, sf_oracle):
             assert abs(a - e) / max(abs(e), 1.0) < 0.02, f"{k}: {a} vs {e}"
 
 
-def test_registry_sketch_query_runs(spark, sf_oracle):
+def test_registry_sketch_query_audits_green(spark, sf_oracle):
     df = sketches.sketch_orders_per_status(spark, sf_oracle)
     rows = df.collect()
     assert len(rows) > 0
-    # scalar quantile columns — array outputs crash pandas canonicalizers
     assert {
         "o_orderstatus",
-        "approx_distinct_o_custkey",
-        "q25",
-        "q50",
-        "q75",
-        "q95",
-    } <= set(df.columns)
+        "n_orders",
+        "n_distinct_cust",
+        "distinct_within_bound",
+        "q25_within_bound",
+        "q50_within_bound",
+        "q75_within_bound",
+        "q95_within_bound",
+    } == set(df.columns)
+    # the envelopes are 100x/5-sigma — every audit must pass
+    for r in rows:
+        assert r["distinct_within_bound"] is True, r
+        for p in (25, 50, 75, 95):
+            assert r[f"q{p}_within_bound"] is True, r
+    # exact counts cross-check
+    o = load_table(spark, sf_oracle, "orders")
+    exact = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for r in rows:
+        assert (r["n_orders"], r["n_distinct_cust"]) == exact[r["o_orderstatus"]]
