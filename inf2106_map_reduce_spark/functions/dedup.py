@@ -369,33 +369,136 @@ def embedding_cosine_pairs(
     )
 
 
+def _star_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC '14 — public algorithm): round count grows with log of the
+    component size, INDEPENDENT of diameter, vs the min-label loop's
+    O(diameter). Per-round cost is higher (two grouped mins + two
+    joins vs one join + one agg), so this is the fallback for
+    adversarial long-chain graphs, not the default.
+
+    - large-star: every node attaches its strictly-LARGER neighbors to
+      the min of its closed neighborhood — long chains fold toward
+      minima from every node at once;
+    - small-star: on the (larger -> smaller)-oriented result, every
+      node attaches its smaller neighbors (and itself) to their min —
+      flattening partial stars.
+
+    Both preserve connectivity; the fixed point is a star per
+    component centered at the component's min node id. Convergence is
+    detected by an (edge-count, sum-of-xxhash64) fingerprint of the
+    canonicalized edge set — one tiny aggregate action per round, and
+    each round's edge set is ``localCheckpoint``-ed so lineage never
+    re-plans prior rounds.
+    """
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every original endpoint, for the final label join (component
+    # roots have no outgoing star edge)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m = min(closed
+        # neighborhood); emit (v, m) for neighbors v > u, plus (u, m)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+            .union(mins.select(F.col("u").alias("a"), m.alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on the (larger -> smaller)-oriented edges: for
+        # each u over its smaller neighbors N(u), m = min(N(u)) (< u
+        # by orientation); emit (v, m) for v in N(u) plus (u, m)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
+    diameter_budget: int = 8,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node,
     component), component = MIN node id in the component. This is the
     cluster-resolution step of a dedup pipeline: near-dup PAIRS become
     duplicate GROUPS, from which one canonical doc per group survives.
 
-    Min-label propagation: each iteration joins current labels onto the
-    symmetric edge list and takes ``min(own, neighbor labels)`` in ONE
-    grouped aggregate (the union of neighbor-contributed and own labels
-    feeds a single ``groupBy(node).min``) — one join + one aggregate
-    shuffle per round, converging in O(cluster diameter) rounds
-    (near-dup clusters are shallow; the alternating large-star/
-    small-star algorithm is the O(log²) fallback for adversarial
-    chains). Round 1 is folded into initialization — ``min(self,
-    neighbors)`` needs no label join, just one aggregate over the edge
-    list. Each round runs exactly ONE Spark action: the new labels are
-    lazily ``localCheckpoint``-ed (truncating lineage so round *i*
-    never re-plans rounds ``0..i-1``) and materialized by the
-    convergence count itself. MIN is duplicate-insensitive, so the
-    symmetric edge list is never ``distinct``-ed — duplicates cost join
-    width only, and the dedup callers feed distinct a<b pairs anyway.
+    Three strategies behind one semantic (``algorithm=``):
+
+    - ``"minlabel"`` (default): each iteration joins current labels
+      onto the symmetric edge list and takes ``min(own, neighbor
+      labels)`` in ONE grouped aggregate (the union of
+      neighbor-contributed and own labels feeds a single
+      ``groupBy(node).min``) — one join + one aggregate shuffle per
+      round, converging in O(cluster diameter) rounds. Near-dup
+      clusters are shallow, so this is the cheapest default. Round 1
+      is folded into initialization — ``min(self, neighbors)`` needs
+      no label join, just one aggregate over the edge list. Each round
+      runs exactly ONE Spark action: the new labels are lazily
+      ``localCheckpoint``-ed (truncating lineage so round *i* never
+      re-plans rounds ``0..i-1``) and materialized by the convergence
+      count itself. MIN is duplicate-insensitive, so the symmetric
+      edge list is never ``distinct``-ed — duplicates cost join width
+      only, and the dedup callers feed distinct a<b pairs anyway.
+    - ``"star"``: alternating large-star/small-star
+      (:func:`_star_components`) — diameter-independent round count
+      for adversarial chain graphs, higher per-round cost.
+    - ``"auto"``: run min-label for ``diameter_budget`` rounds; if not
+      converged, contract the graph by the partial labels (every
+      budget-ball collapses to one node) and finish the contracted —
+      and therefore much smaller — graph with the star algorithm,
+      mapping components back through the partial labels. Normal
+      shallow graphs never leave the min-label fast path.
     """
+    if algorithm not in ("minlabel", "star", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return _star_components(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+            max_iter=max_iter,
+        )
     # Checkpoint the incoming edges BEFORE symmetrizing: the union
     # references ``edges`` twice, so an un-materialized edge list (e.g.
     # the whole LSH+Jaccard pipeline) would be recomputed once per
@@ -413,7 +516,9 @@ def connected_components(
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter - 1):
+    n_rounds = (max_iter if algorithm == "minlabel" else diameter_budget) - 1
+    converged = False
+    for _ in range(n_rounds):
         contrib = sym.join(labels, sym.v == labels.node).select(
             sym.u.alias("node"), "label", F.lit(False).alias("own")
         )
@@ -438,7 +543,33 @@ def connected_components(
         changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if algorithm == "auto" and not converged:
+        # Diameter budget exhausted: contract by the partial labels
+        # (each label = min of a radius-`budget` ball, so the
+        # contracted graph has one node per ball and only inter-ball
+        # edges survive) and let the star algorithm finish
+        # diameter-independently. Components map back through the
+        # partial labels; the contracted min IS the global min since
+        # labels are node ids.
+        lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+        contracted = (
+            sym.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+        )
+        star = _star_components(contracted, max_iter=max_iter).select(
+            F.col("node").alias("label"), F.col("component").alias("root")
+        )
+        return (
+            labels.join(star, "label", "left")
+            .select(
+                "node", F.coalesce("root", F.col("label")).alias("component")
+            )
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -127,6 +127,71 @@ def test_connected_components_resolves_clusters(spark):
     }
 
 
+def test_star_components_match_minlabel_on_mixed_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22), (4, 2)],
+        "id_a bigint, id_b bigint",
+    )
+    want = {
+        (r.node, r.component)
+        for r in dedup.connected_components(edges, algorithm="minlabel").collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(edges, algorithm="star").collect()
+    }
+    assert got == want
+
+
+def test_long_path_graph_converges_fast(spark):
+    # Adversarial 1000-node path 0-1-2-...-999: min-label needs ~999
+    # rounds (one hop per round); the star fallback folds it in a
+    # logarithmic number of rounds. `auto` must produce the right
+    # answer after switching at the diameter budget.
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    ).coalesce(4)
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(
+            edges, algorithm="auto", diameter_budget=4
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_star_components_pure_path(spark):
+    n = 257
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    ).coalesce(4)
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(edges, algorithm="star").collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_auto_stays_on_minlabel_for_shallow_graphs(spark):
+    # shallow graph converges inside the budget -> identical output to
+    # the default path (the registry query's normal case)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    want = {
+        (r.node, r.component)
+        for r in dedup.connected_components(edges).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(
+            edges, algorithm="auto", diameter_budget=8
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cluster_assignments_group_planted_dups(corpus):
     edges = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
     cc = dedup.connected_components(edges)
