@@ -243,6 +243,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.3,
     use_lsh_blocking: bool = True,
     n_blocks: int = 8,
+    bucket_row_budget: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     every pair with cosine >= threshold, id_a < id_b.
@@ -282,26 +283,54 @@ def embedding_cosine_pairs(
         # once per table (Σ bucket sizes = 8n rows ≈ 4 MB at sf0.1) —
         # materializing candidate PAIRS first was measured 100× heavier
         # (Σ bucket² ≈ 1M pairs × two 64-float embeddings ≈ 0.5 GB of
-        # shuffle/Arrow traffic; 7 s -> ~1 s with this shape). At scale
-        # a pathologically hot bucket caps out executor memory — split
-        # such buckets into sub-blocks (same √P trick as the exact
-        # path) before scoring; bucket sizes shrink as n/2^n_planes, so
-        # that's the skew guard, not the common case.
-        def _score_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) < 2:
+        # shuffle/Arrow traffic; 7 s -> ~1 s with this shape).
+        #
+        # HOT-BUCKET GUARD: at scale a pathological bucket (boilerplate
+        # corpus, adversarial skew) would materialize one giant group
+        # and an O(bucket²) sim matrix on a single executor. Buckets
+        # over ``bucket_row_budget`` rows are therefore split into
+        # ceil(bn/budget) hash sub-blocks BEFORE grouping — each row
+        # replicates to its sub-block-pair groups (the same √P layout
+        # as the exact path below), so no group ever exceeds ~2×budget
+        # rows and the matmul stays bounded. The sizing pass is one
+        # count agg on the same (tbl, bucket) key; normal buckets
+        # (n/2^n_planes rows) take nsub=1 and score exactly as before.
+        def _score_subblock(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+            sbi, sbj = key[2], key[3]
+            if sbi == sbj:
+                if len(pdf) < 2:
+                    return empty
+                x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+                x /= np.linalg.norm(x, axis=1, keepdims=True)
+                sim = np.round(x @ x.T, 6)
+                ii, jj = np.where(np.triu(sim >= threshold, k=1))
+                v = pdf["vid"].to_numpy()
+                u, w = v[ii], v[jj]
                 return pd.DataFrame(
                     {
-                        "id_a": pd.Series([], dtype="int64"),
-                        "id_b": pd.Series([], dtype="int64"),
-                        "cos_sim": pd.Series([], dtype="float64"),
+                        "id_a": np.minimum(u, w),
+                        "id_b": np.maximum(u, w),
+                        "cos_sim": sim[ii, jj],
                     }
                 )
-            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
-            sim = np.round(x @ x.T, 6)
-            ii, jj = np.where(np.triu(sim >= threshold, k=1))
-            v = pdf["vid"].to_numpy()
-            u, w = v[ii], v[jj]
+            a_rows = pdf[pdf["sb"] == sbi]
+            b_rows = pdf[pdf["sb"] == sbj]
+            if a_rows.empty or b_rows.empty:
+                return empty
+            xa = np.stack(a_rows["emb"].to_numpy()).astype(np.float64)
+            xb = np.stack(b_rows["emb"].to_numpy()).astype(np.float64)
+            xa /= np.linalg.norm(xa, axis=1, keepdims=True)
+            xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+            sim = np.round(xa @ xb.T, 6)
+            ii, jj = np.where(sim >= threshold)
+            u, w = a_rows["vid"].to_numpy()[ii], b_rows["vid"].to_numpy()[jj]
             return pd.DataFrame(
                 {
                     "id_a": np.minimum(u, w),
@@ -311,11 +340,38 @@ def embedding_cosine_pairs(
             )
 
         bucketed = vector.bucketize(base, emb_col="emb")
-        pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
-            _score_bucket, "id_a bigint, id_b bigint, cos_sim double"
+        sizes = bucketed.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        nsub = F.least(
+            F.ceil(F.col("_bn") / F.lit(bucket_row_budget)), F.lit(64)
+        ).cast("int")
+        sb = F.pmod(F.xxhash64("vid"), nsub).cast("int")
+        sub_pairs = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), nsub - 1),
+                lambda q: F.struct(
+                    F.least(F.col("sb"), q).alias("sbi"),
+                    F.greatest(F.col("sb"), q).alias("sbj"),
+                ),
+            )
+        )
+        replicated = (
+            bucketed.join(sizes, ["tbl", "bucket"])
+            .withColumn("sb", sb)
+            .select(
+                "tbl", "bucket", "vid", "emb", "sb",
+                F.explode(sub_pairs).alias("bp"),
+            )
+            .select("tbl", "bucket", "vid", "emb", "sb", "bp.sbi", "bp.sbj")
+        )
+        pairs = replicated.groupBy("tbl", "bucket", "sbi", "sbj").applyInPandas(
+            _score_subblock, "id_a bigint, id_b bigint, cos_sim double"
         )
         # a pair collides in several tables with the identical rounded
-        # score — distinct on the key pair alone
+        # score — distinct on the key pair alone (within one bucket a
+        # pair lands in exactly one sub-block-pair group, so the split
+        # itself never duplicates)
         return pairs.dropDuplicates(["id_a", "id_b"])
 
     # exact path: block-pair replication + per-group matmul

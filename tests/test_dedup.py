@@ -110,6 +110,40 @@ def test_embedding_cosine_lsh_blocking_is_lossy_subset(spark, sf_oracle):
     assert recall >= 0.5, f"LSH-blocked near-dup recall {recall:.2f} too low"
 
 
+def test_hot_bucket_guard_splits_degenerate_corpus(spark):
+    # All-identical embeddings collapse into ONE bucket per LSH table —
+    # the adversarial case the sub-block guard exists for. With a tiny
+    # row budget the bucket splits into many sub-block groups, and the
+    # result must still be the complete all-pairs set (cos=1.0), each
+    # pair exactly once.
+    n = 60
+    rows = [(i, [1.0] * 16 + [0.0] * 48) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = dedup.embedding_cosine_pairs(
+        e, threshold=0.9, use_lsh_blocking=True, bucket_row_budget=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert len(got) == len(pairs) == n * (n - 1) // 2
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in got)
+
+
+def test_hot_bucket_guard_is_a_noop_for_normal_buckets(spark, sf_oracle):
+    from inf2106_map_reduce_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    default = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_cosine_pairs(e, threshold=0.3).collect()
+    }
+    forced_split = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_cosine_pairs(
+            e, threshold=0.3, bucket_row_budget=16
+        ).collect()
+    }
+    assert default == forced_split
+
+
 def test_connected_components_resolves_clusters(spark):
     # two chains and a singleton pair: {1,2,3,4}, {10,11}, {20,21,22}
     edges = spark.createDataFrame(
