@@ -402,34 +402,59 @@ def quantize_int8(
     the identical IEEE-754 double op the oracle's list fold performs
     (``np.add.accumulate`` IS the sequential left fold), and the final
     ROUNDs stay in Spark built-ins, so oracle hashes are unchanged.
+
+    NULL / zero-length / ragged inputs are tolerated: such rows emit
+    NULL stats (what the pre-vectorized Column-expression form
+    degraded to), and per-row dimensionality is computed per length
+    group rather than assumed batch-uniform.
     """
     import pyarrow as pa
 
     def batches(it):
         for batch in it:
             pdf = batch.to_pandas()
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            x = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            absmax = np.abs(x).max(axis=1)
-            # Degenerate all-zero vector: 127/0 would be NULL
-            # (non-ANSI) or an error (ANSI). scale=1 quantizes zeros
-            # to zeros with zero error.
-            safe = np.where(absmax == 0.0, 1.0, absmax)
-            scale = np.where(absmax == 0.0, 1.0, 127.0 / safe)
-            q = np.floor(x * scale[:, None] + 0.5)
-            n_sat = (np.abs(q) == 127.0).sum(axis=1).astype(np.int32)
-            d2 = (x - q / scale[:, None]) ** 2
-            sq_err = np.add.accumulate(d2, axis=1)[:, -1]
+            # NULL / empty / ragged guard: np.stack requires non-null
+            # uniform-length rows, so rows are processed per length
+            # group (one group — one stack — in the common fixed-dim
+            # case). NULL and zero-length vectors emit NULL stats
+            # rows, matching what the pre-vectorized Column-expression
+            # form degraded to.
+            embs = pdf[emb_col].to_numpy()
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in embs), dtype=np.int64, count=n
+            )
+            valid = lens > 0
+            scale_out = np.full(n, np.nan)
+            n_sat_out = np.zeros(n, dtype=np.int32)
+            sq_err_out = np.full(n, np.nan)
+            n_dim_out = np.maximum(lens, 0).astype(np.int32)
+            for dim in np.unique(lens[valid]):
+                idx = np.nonzero(lens == dim)[0]
+                x = np.stack(embs[idx]).astype(np.float64)
+                absmax = np.abs(x).max(axis=1)
+                # Degenerate all-zero vector: 127/0 would be NULL
+                # (non-ANSI) or an error (ANSI). scale=1 quantizes
+                # zeros to zeros with zero error.
+                safe = np.where(absmax == 0.0, 1.0, absmax)
+                scale = np.where(absmax == 0.0, 1.0, 127.0 / safe)
+                q = np.floor(x * scale[:, None] + 0.5)
+                n_sat_out[idx] = (np.abs(q) == 127.0).sum(axis=1)
+                d2 = (x - q / scale[:, None]) ** 2
+                sq_err_out[idx] = np.add.accumulate(d2, axis=1)[:, -1]
+                scale_out[idx] = scale
+            mask = ~valid  # numpy bool mask: True = null
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
-                    "scale_raw": pa.array(scale, type=pa.float64()),
-                    "n_saturated": pa.array(n_sat, type=pa.int32()),
-                    "sq_err": pa.array(sq_err, type=pa.float64()),
-                    "n_dim": pa.array(
-                        np.full(len(pdf), x.shape[1], dtype=np.int32)
+                    "scale_raw": pa.array(scale_out, type=pa.float64(), mask=mask),
+                    "n_saturated": pa.array(
+                        n_sat_out, type=pa.int32(), mask=mask
                     ),
+                    "sq_err": pa.array(sq_err_out, type=pa.float64(), mask=mask),
+                    "n_dim": pa.array(n_dim_out, type=pa.int32(), mask=mask),
                 }
             )
 

@@ -26,6 +26,11 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
+#: Default 4 is sized to the BENCH scale factor (sf0.1, ~10k keys in
+#: flight) — NOT a universal constant. Deployments must set
+#: ``SPARK_GRAFT_STATE_PARTITIONS`` to match expected keys-in-flight
+#: (rule of thumb: keys / ~100k per partition, erring high — the value
+#: is frozen into each checkpoint at first start).
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 

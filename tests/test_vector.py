@@ -110,3 +110,26 @@ def test_quantize_zero_vector_is_defined(spark):
     assert out[1]["scale"] == 63.5  # 127 / 2
     assert out[1]["n_saturated"] == 1  # the -2 component hits -127
     assert out[1]["rms_error"] is not None
+
+
+def test_quantize_null_empty_and_ragged_vectors(spark):
+    """NULL and zero-length embeddings emit NULL stats rows (the
+    pre-vectorized behavior) instead of crashing the Arrow worker;
+    mixed dimensionalities are handled per length group."""
+    rows = [
+        (0, None),
+        (1, []),
+        (2, [1.0, -2.0, 0.5]),
+        (3, [4.0, 0.0]),  # different dim than row 2 — ragged batch
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in vector.quantize_int8(e).collect()}
+    assert len(out) == 4
+    for bad in (0, 1):
+        assert out[bad]["scale"] is None
+        assert out[bad]["n_saturated"] is None
+        assert out[bad]["rms_error"] is None
+    assert out[2]["scale"] == 63.5
+    assert out[2]["n_saturated"] == 1
+    assert out[3]["scale"] == 31.75  # 127 / 4, dim-2 group
+    assert out[3]["n_saturated"] == 1
