@@ -509,8 +509,27 @@ def kmeans_lloyd(
         .collect()
     ]
 
+    assigned, _, _, _ = _lloyd_iterate(e, cents, n_rounds=n_iter)
+    return _cluster_fingerprints(assigned)
+
+
+def _lloyd_iterate(
+    e: DataFrame,
+    cents: list[list[float]],
+    n_rounds: int,
+    tol: float | None = None,
+) -> tuple[DataFrame, list[list[float]], int, float | None]:
+    """Shared Lloyd round loop: assignment pass + centroid update per
+    round, centroids broadcast as literals (k×dim doubles). With
+    ``tol`` set, stops early once the max centroid L2 shift drops
+    below it. Returns (last assignment DF, centroids, rounds run,
+    last shift)."""
+    import math
+
     assigned = None
-    for _ in range(n_iter):
+    rounds = 0
+    last_shift = None
+    for _ in range(n_rounds):
         cent_lit = F.array(
             *[F.array(*[F.lit(x) for x in c]) for c in cents]
         )
@@ -541,16 +560,62 @@ def kmeans_lloyd(
         # cid would then be wrong). Empty clusters carry their
         # previous centroid forward.
         by_cid = {row["cid"]: [float(p["c"]) for p in row["pc"]] for row in new_cents}
-        cents = [by_cid.get(cid, cents[cid]) for cid in range(len(cents))]
-    return (
-        assigned.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("vec_id").alias("min_member"),
-            F.max("vec_id").alias("max_member"),
-            F.sum("vec_id").alias("member_id_sum"),
-        )
+        updated = [by_cid.get(cid, cents[cid]) for cid in range(len(cents))]
+        rounds += 1
+        if tol is not None:
+            last_shift = max(
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(old, new)))
+                for old, new in zip(cents, updated)
+            )
+            cents = updated
+            if last_shift < tol:
+                break
+        else:
+            cents = updated
+    return assigned, cents, rounds, last_shift
+
+
+def _cluster_fingerprints(assigned: DataFrame) -> DataFrame:
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+        F.sum("vec_id").alias("member_id_sum"),
     )
+
+
+def kmeans_lloyd_converged(
+    embeddings: DataFrame,
+    k: int = 8,
+    tol: float = 1e-4,
+    max_iter: int = 20,
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """Convergence-driven Lloyd k-means: iterate until the max
+    centroid L2 shift per round drops below ``tol`` (or ``max_iter``
+    caps a non-converging run). Returns (cluster-fingerprint
+    DataFrame, info) with ``info = {"rounds": int, "shift": float}``.
+
+    This is the production variant of :func:`kmeans_lloyd` (whose
+    fixed 2-iteration unroll exists so the registry entry stays
+    oracle-pinnable): same per-round cost — one distributed assignment
+    pass + one grouped centroid update + a k×dim (~4 KB) driver
+    broadcast — so the TOTAL cost is rounds × that, data never
+    collected. Centroid rounding (9 decimals) keeps each trajectory
+    step summation-order-proof, so convergence is deterministic too.
+    """
+    e = embeddings.select("vec_id", F.col(emb_col).alias("emb"))
+    cents = [
+        [float(x) for x in r["c"]]
+        for r in e.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(F.transform(_dbl(F.col("emb")), lambda x: F.round(x, 9)).alias("c"))
+        .collect()
+    ]
+    assigned, _, rounds, shift = _lloyd_iterate(
+        e, cents, n_rounds=max_iter, tol=tol
+    )
+    return _cluster_fingerprints(assigned), {"rounds": rounds, "shift": shift}
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

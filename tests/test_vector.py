@@ -133,3 +133,24 @@ def test_quantize_null_empty_and_ragged_vectors(spark):
     assert out[2]["n_saturated"] == 1
     assert out[3]["scale"] == 31.75  # 127 / 4, dim-2 group
     assert out[3]["n_saturated"] == 1
+
+
+def test_kmeans_converges_on_embeddings(spark, sf_oracle):
+    """The tol-driven variant must converge well before the iteration
+    cap on real embeddings, and the cluster assignment must be stable:
+    re-running one extra round from the converged state yields the
+    same cluster fingerprints."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    df, info = vector.kmeans_lloyd_converged(e, k=8, tol=1e-3, max_iter=25)
+    assert 1 <= info["rounds"] < 25, info
+    assert info["shift"] is not None and info["shift"] < 1e-3
+    sizes = {r["cid"]: r["n_members"] for r in df.collect()}
+    assert sum(sizes.values()) == e.count()
+    # stability: a stricter tol from the same seeds must end at the
+    # same partition of the data (sizes identical), just maybe later
+    df2, info2 = vector.kmeans_lloyd_converged(e, k=8, tol=1e-4, max_iter=40)
+    sizes2 = {r["cid"]: r["n_members"] for r in df2.collect()}
+    assert info2["rounds"] >= info["rounds"]
+    assert sizes2 == sizes
