@@ -43,11 +43,19 @@ def main() -> None:
     _WARMUP = (
         "q1_pricing_summary",
         "media_features",
-        # one cheap streaming query warms the Structured Streaming
-        # machinery (state-store providers, checkpoint writers) the same
-        # way q1 warms batch codegen — first-touch otherwise lands ~2 s
-        # on whichever streaming_* entry sorts first
+        # every streaming query warms ITS OWN plan: unlike batch (where
+        # q1's codegen warm-up covers most of the family), each
+        # Structured Streaming query pays ~0.6-1.5 s of per-plan
+        # first-touch (stateful-operator codegen, state-store provider
+        # wiring, sink setup) that a different streaming plan does not
+        # amortize — measured cold 9.9 s vs warm 7.1 s family total
+        "streaming_click_attribution",
+        "streaming_dedup_keys",
+        "streaming_enriched_segments",
+        "streaming_session_windows",
+        "streaming_sliding_windows",
         "streaming_tumbling_hourly",
+        "streaming_user_stats_stateful",
         "bucketed_orders_lineitem_join",
         "dpp_partitioned_fact_join",
         "source_partitioned_roundtrip",
@@ -69,6 +77,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # includes the known most-expensive entries (dedup_canonical_corpus,
+    # dedup_simhash64_pairs, streaming_click_attribution) so the
+    # driver-visible line tracks the true tail, not just the classics
     headline = (
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -78,9 +89,12 @@ def main() -> None:
         "window_top_orders_per_customer",
         "dedup_minhash_candidates",
         "dedup_clusters",
+        "dedup_canonical_corpus",
+        "dedup_simhash64_pairs",
         "ann_lsh",
         "text_stats",
         "streaming_tumbling_hourly",
+        "streaming_click_attribution",
         "doc_word_count",
     )
     payload = {

@@ -34,15 +34,34 @@ from pyspark.sql import SparkSession
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
+#: AvailableNow queries drain one data batch and stop; the trailing
+#: NO-DATA micro-batch Spark schedules to advance the watermark exists
+#: to EVICT state — state a terminating query discards anyway. Every
+#: query in this package emits its results in the data batch itself
+#: (complete-mode window aggs re-emit everything; the inner
+#: stream-stream join, dropDuplicatesWithinWatermark and
+#: NoTimeout/update applyInPandasWithState all emit on arrival), so
+#: the extra batch is a pure fixed cost here (~0.1-0.5 s/query
+#: measured). CONTINUOUS deployments must leave it on — watermark
+#: advancement during idle periods is what bounds their state — hence
+#: the env override rather than a hard-off.
+NO_DATA_BATCHES = os.environ.get("SPARK_GRAFT_NO_DATA_BATCHES", "false")
+
+
 @contextmanager
 def scoped_state_partitions(spark: SparkSession, n: int | None = None):
-    """Temporarily set ``spark.sql.shuffle.partitions`` while a
-    streaming query is started and drained (AvailableNow), restoring
-    the batch default afterwards. Safe because each harness run uses a
-    fresh checkpoint; the conf is only read at query start."""
+    """Temporarily set the streaming-run confs (state partition count,
+    no-data micro-batch policy) while a streaming query is started and
+    drained (AvailableNow), restoring the batch defaults afterwards.
+    Safe because each harness run uses a fresh checkpoint; the confs
+    are read at query start."""
+    _NO_DATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nd = spark.conf.get(_NO_DATA_KEY)
     spark.conf.set("spark.sql.shuffle.partitions", str(n or STATE_PARTITIONS))
+    spark.conf.set(_NO_DATA_KEY, NO_DATA_BATCHES)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(_NO_DATA_KEY, old_nd)
