@@ -670,6 +670,19 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def dedup_cluster_assignments_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster semantics as
+    :func:`dedup_cluster_assignments`, resolved by the large-star/
+    small-star algorithm instead of min-label propagation. Registered
+    separately so the DIAMETER-INDEPENDENT fallback path is
+    driver-verified against the identical oracle — the component
+    labels are algorithm-invariant (min doc_id per cluster)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(edges, algorithm="star")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at cos >= 0.3 via LSH blocking —
     the sub-quadratic scale path is the registry default; the exact

@@ -1736,6 +1736,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "duplicate clusters: connected components over near-dup pairs",
         ("dedup",),
     ),
+    "dedup_clusters_star": QuerySpec(
+        dedup.dedup_cluster_assignments_star,
+        # identical oracle to dedup_clusters: component labels are
+        # algorithm-invariant, which is exactly what this entry proves
+        # for the large-star/small-star fallback at driver level
+        _CC_CTES
+        + "SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id",
+        "duplicate clusters via the large-star/small-star CC fallback",
+        ("dedup",),
+    ),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash_signatures,
         f"""
@@ -2533,6 +2543,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "sketch_orders_per_status",
     # round 5: hot-bucket sub-block guard inside the LSH scorer
     "dedup_embedding_cosine",
+    # round 5 new: star-CC fallback under the dedup_clusters oracle
+    "dedup_clusters_star",
 )
 
 
