@@ -301,3 +301,33 @@ def test_simhash64_pairs_match_brute_force_exactly(spark, sf_smoke):
         .collect()
     }
     assert banded == brute
+
+
+def test_cc_strategies_agree_on_random_graph(spark):
+    # seeded pseudo-random graph (mixed chains, forks, isolates-via-
+    # self-pairing absent): all three strategies must produce the
+    # identical (node, component) labeling
+    import random
+
+    rng = random.Random(20260813)
+    n = 300
+    edges_py = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(220)
+    ]
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    edges = spark.createDataFrame(
+        edges_py, "id_a bigint, id_b bigint"
+    ).coalesce(4)
+    results = []
+    for kw in (
+        {"algorithm": "minlabel"},
+        {"algorithm": "star"},
+        {"algorithm": "auto", "diameter_budget": 3},
+    ):
+        results.append(
+            {
+                (r.node, r.component)
+                for r in dedup.connected_components(edges, **kw).collect()
+            }
+        )
+    assert results[0] == results[1] == results[2]
