@@ -554,6 +554,72 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    chunk: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document duplicate-passage removal (the C4/RefinedWeb-
+    style cleaning step that strips repeated lines/passages INSIDE a
+    document, complementing the cross-document dedup family): split
+    each doc into consecutive ``chunk``-word windows, drop repeated
+    windows keeping the FIRST occurrence, and emit per-doc audit
+    columns plus an md5 fingerprint of the cleaned text (identical hex
+    in DuckDB, so the whole pass is hash-checkable).
+
+    Scale: explode is chunk-granular (n_words/chunk rows per doc, ~5×
+    lighter than word-granular), the first-occurrence window
+    partitions by (doc, chunk_text) — co-partitioned with the
+    following per-doc aggregate's first shuffle key component, and
+    both shuffles carry only (id, pos, chunk-hash-sized text). No
+    driver state, no skew beyond document length itself.
+    """
+    words = _words(text_col, lowered=False)
+    n_chunks = F.ceil(F.size(words) / chunk).cast("int")
+    rows = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos", "_i"),
+    )
+    chunk_text = F.array_join(
+        F.slice(F.col("_w"), F.col("pos") * chunk + 1, chunk), " "
+    )
+    ranked = rows.select(
+        id_col, "pos", chunk_text.alias("chunk_text")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col, "chunk_text").orderBy("pos")
+        ),
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dupes_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("pos", "chunk_text")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+
+
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 5-word-window intra-document dedup over
+    documents with cleaned-text fingerprints."""
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def source_cap(
     df: DataFrame,
     n_per_source: int = 5,

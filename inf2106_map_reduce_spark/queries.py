@@ -1676,6 +1676,39 @@ REGISTRY: dict[str, QuerySpec] = {
         "overlapping 16-token / stride-12 context chunks per document",
         ("pipeline", "text"),
     ),
+    "docs_chunk_dedup": QuerySpec(
+        pipeline.docs_chunk_dedup,
+        f"""
+        WITH c AS (
+          SELECT doc_id, words,
+                 CAST(ceil(len(words) / 5.0) AS INT) AS n_chunks
+          FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        ),
+        e AS (
+          SELECT doc_id, CAST(i.r AS INT) AS pos,
+                 array_to_string(
+                   words[CAST(i.r * 5 + 1 AS INT):CAST(i.r * 5 + 5 AS INT)],
+                   ' ') AS chunk_text
+          FROM c, LATERAL unnest(range(0, n_chunks)) i(r)
+        ),
+        k AS (
+          SELECT doc_id, pos, chunk_text,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_text
+                                    ORDER BY pos) AS rn
+          FROM e
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dupes_removed,
+               md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                              ' ' ORDER BY pos)) AS clean_fp
+        FROM k GROUP BY doc_id
+        """,
+        "within-document duplicate 5-word-window removal "
+        "with cleaned-text fingerprints",
+        ("pipeline", "dedup"),
+    ),
     # -- dedup -------------------------------------------------------------------
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
@@ -2545,6 +2578,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     # round 5 new: star-CC fallback under the dedup_clusters oracle
     "dedup_clusters_star",
+    # round 5 new: intra-document duplicate-passage removal
+    "docs_chunk_dedup",
 )
 
 

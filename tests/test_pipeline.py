@@ -207,3 +207,26 @@ def test_incremental_ingest_null_text_matches_oracle(spark, sf_oracle, tmp_path)
         assert_matches_oracle(out, con, spec.oracle)
     finally:
         con.close()
+
+
+def test_chunk_dedup_removes_planted_repetition(spark):
+    """A doc with a repeated 5-word passage loses the repeat; a doc
+    with all-unique windows is untouched (fingerprint = original)."""
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rep = "one two three four five one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, clean), (2, rep)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in pipeline.chunk_dedup(df).collect()}
+    assert out[1]["n_chunks"] == 2
+    assert out[1]["n_dupes_removed"] == 0
+    # doc 2: chunks = [one..five, one..five, "six seven"] -> middle dropped
+    assert out[2]["n_chunks"] == 3
+    assert out[2]["n_dupes_removed"] == 1
+    import hashlib
+
+    assert (
+        out[2]["clean_fp"]
+        == hashlib.md5(b"one two three four five six seven").hexdigest()
+    )
+    assert out[1]["clean_fp"] == hashlib.md5(clean.encode()).hexdigest()
