@@ -232,3 +232,27 @@ def test_source_cap_uses_window_group_limit(spark, sf_oracle):
 
     df = pipeline.docs_source_cap(spark, sf_oracle)
     assert "WindowGroupLimit" in explain_str(df, "simple")
+
+
+def test_sketch_audit_broadcasts_estimates(spark, sf_oracle):
+    """The 3-row approx-percentile estimates must come back to the
+    orders scan as a broadcast, never a shuffle join; the whole audited
+    plan is 4 bounded shuffles (estimate agg, rank-audit agg, the
+    two-level distinct's two) regardless of input size."""
+    from inf2106_map_reduce_spark.functions.sketches import (
+        sketch_orders_per_status,
+    )
+
+    df = sketch_orders_per_status(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 4
+
+
+def test_chunk_dedup_is_two_shuffles(spark, sf_oracle):
+    """Intra-doc passage dedup: one shuffle for the first-occurrence
+    window, one for the per-doc re-aggregation — chunk-granular rows
+    only, never word-granular."""
+    from inf2106_map_reduce_spark.functions.pipeline import docs_chunk_dedup
+
+    df = docs_chunk_dedup(spark, sf_oracle)
+    assert shuffle_count(df) == 2
