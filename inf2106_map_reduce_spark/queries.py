@@ -2580,6 +2580,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_star",
     # round 5 new: intra-document duplicate-passage removal
     "docs_chunk_dedup",
+    # round 5: execution path moved onto the shared stage cache
+    "dedup_ngram_jaccard",
 )
 
 
