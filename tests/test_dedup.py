@@ -331,3 +331,26 @@ def test_cc_strategies_agree_on_random_graph(spark):
             }
         )
     assert results[0] == results[1] == results[2]
+
+
+def test_registry_stage_cache_matches_direct_pipeline(spark, sf_oracle):
+    """The session-scoped stage cache must be a pure memoization: the
+    registry query and a direct uncached pipeline run produce the
+    identical edge set."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    cached = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_oracle).collect()
+    }
+    direct = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_oracle, "documents"), threshold=0.5
+        ).collect()
+    }
+    assert cached == direct
+    # second call returns the memoized frame (same object), not a rebuild
+    assert dedup.dedup_ngram_jaccard(spark, sf_oracle) is dedup.dedup_ngram_jaccard(
+        spark, sf_oracle
+    )
