@@ -29,10 +29,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. The single omitted
-    entry (sketch_orders_per_status) gets the weaker rows-only check —
-    HLL++/quantile sketch internals legitimately differ from DuckDB's
-    (tolerance-tested vs exact locally). ann_lsh / ann_ivf carry EXACT
-    oracles since round 4: their seeded hyperplanes/centroids are
-    embedded as SQL literals."""
+    """DuckDB-runnable ANSI SQL oracle per query — since round 5 EVERY
+    registry entry has an exact oracle (no rows-only rows remain):
+    ann_lsh / ann_ivf embed their seeded hyperplanes/centroids as SQL
+    literals (round 4), and sketch_orders_per_status emits exact
+    keys/counts plus in-plan error-envelope verdicts about its HLL++/
+    quantile estimates, which an exact oracle can hash-match (round 5;
+    raw-estimate tolerances stay in tests/test_sketches.py)."""
     return _registry.oracle_sql()
