@@ -464,8 +464,12 @@ def _star_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
+        # decimal(38,0) sum: a long sum of xxhash64 values overflows
+        # int64 after a handful of rows, which ANSI mode (the default
+        # in vanilla Spark 4 sessions) raises on instead of wrapping
         row = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
