@@ -577,10 +577,20 @@ def chunk_dedup(
     """
     words = _words(text_col, lowered=False)
     n_chunks = F.ceil(F.size(words) / chunk).cast("int")
-    rows = df.select(
-        F.col(id_col),
-        words.alias("_w"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos", "_i"),
+    rows = (
+        df.select(F.col(id_col), words.alias("_w"), n_chunks.alias("_nc"))
+        # empty/whitespace-only docs have 0 chunks and must vanish from
+        # the output (as in the oracle's range(0, 0)); without the
+        # filter, sequence(0, -1) auto-DESCENDS to [0, -1] and emits
+        # two phantom empty chunks per empty doc
+        .filter(F.col("_nc") > 0)
+        .select(
+            id_col,
+            "_w",
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+                "pos", "_i"
+            ),
+        )
     )
     chunk_text = F.array_join(
         F.slice(F.col("_w"), F.col("pos") * chunk + 1, chunk), " "

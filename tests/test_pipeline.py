@@ -230,3 +230,16 @@ def test_chunk_dedup_removes_planted_repetition(spark):
         == hashlib.md5(b"one two three four five six seven").hexdigest()
     )
     assert out[1]["clean_fp"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_chunk_dedup_drops_empty_docs(spark):
+    """Empty and whitespace-only documents have zero chunks and must be
+    absent from the output (Spark's sequence(0,-1) would otherwise
+    auto-descend and emit phantom chunks)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pipeline.chunk_dedup(df).collect()}
+    assert set(out) == {3}
+    assert out[3]["n_chunks"] == 1
