@@ -554,6 +554,108 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram model — the CCNet/Gopher-style "perplexity filter"
+    signal: documents full of rare tokens (noise, boilerplate codes,
+    wrong-language text) score low; fluent in-distribution text scores
+    high. Downstream: threshold or bucket on ``avg_logprob`` exactly
+    like the quality gate.
+
+    Plan: one explode + per-(doc,word) and per-word aggregates + a
+    word-level join + one per-doc aggregate. The corpus total is an
+    aggregated scalar cross-joined in (no driver action). At 100 TB the
+    word-count table is Zipf-bounded (vocabulary, not corpus, sized)
+    and the join is broadcast-able for real vocabularies.
+
+    Determinism: each term ``tf·ln(c/N)`` is rounded to 9 decimals
+    BEFORE the per-doc sum, and the sum is a word-sorted sequential
+    fold — the same summation-order-proofing as the dot-product
+    oracles, so the result hash-matches DuckDB exactly.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_total = w.agg(F.count(F.lit(1)).alias("nt"))
+    terms = (
+        tf.join(cnt, "word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("c") / F.col("nt")), 9
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("word", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            )
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: corpus-model unigram log-prob score per doc."""
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def source_mixture_weights(
+    df: DataFrame, alpha: float = 0.3, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-based mixture weights per source: ``w_s ∝ n_s^α``
+    (α < 1 up-weights small sources) — the multinomial sampling scheme
+    multilingual/multi-source training runs use to set how often each
+    source is drawn. Emits per source: doc count, char volume, and the
+    normalized mixture weight.
+
+    Plan: one grouped aggregate over the corpus, then a |sources|-row
+    epilogue (rounded ``pow`` per source, normalizer as a
+    source-sorted sequential fold, broadcast back) — corpus cost is
+    the single agg regardless of scale.
+    """
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    nums = per.select(
+        "*",
+        F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 9).alias(
+            "_w_raw"
+        ),
+    )
+    z = nums.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(source_col, "_w_raw"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_w_raw"],
+        ).alias("_z")
+    )
+    return nums.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        "n_chars",
+        F.round(F.col("_w_raw") / F.col("_z"), 6).alias("mix_weight"),
+    )
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: α=0.3 mixture weights over document sources."""
+    return source_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 def chunk_dedup(
     df: DataFrame,
     chunk: int = 5,

@@ -1676,6 +1676,50 @@ REGISTRY: dict[str, QuerySpec] = {
         "overlapping 16-token / stride-12 context chunks per document",
         ("pipeline", "text"),
     ),
+    "docs_unigram_logprob": QuerySpec(
+        pipeline.docs_unigram_logprob,
+        # terms rounded to 9 BEFORE the word-sorted sequential fold —
+        # the dot-product summation-order-proofing applied to ln terms
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT * FROM w WHERE word != ''),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+        c AS (SELECT word, COUNT(*) AS c FROM w2 GROUP BY 1),
+        n AS (SELECT COUNT(*) AS nt FROM w2),
+        t AS (
+          SELECT doc_id, word, tf, ROUND(tf * ln(c / nt), 9) AS term
+          FROM tf JOIN c USING (word) CROSS JOIN n
+        )
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(list_sum(list(term ORDER BY word)) / SUM(tf), 6)
+                 AS avg_logprob
+        FROM t GROUP BY doc_id
+        """,
+        "per-doc average unigram log-prob under the corpus model "
+        "(perplexity-filter signal)",
+        ("pipeline", "text"),
+    ),
+    "docs_mixture_weights": QuerySpec(
+        pipeline.docs_mixture_weights,
+        """
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          FROM documents GROUP BY 1
+        ),
+        nums AS (SELECT *, ROUND(POW(n_docs, 0.3), 9) AS w_raw FROM per),
+        z AS (SELECT list_sum(list(w_raw ORDER BY source)) AS z FROM nums)
+        SELECT source, n_docs, n_chars,
+               ROUND(w_raw / z, 6) AS mix_weight
+        FROM nums CROSS JOIN z
+        """,
+        "temperature (alpha=0.3) multinomial mixture weights per source",
+        ("pipeline",),
+    ),
     "docs_chunk_dedup": QuerySpec(
         pipeline.docs_chunk_dedup,
         f"""
@@ -2567,7 +2611,7 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 45
+ROTATION_STRIDE = 44
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2580,8 +2624,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_star",
     # round 5 new: intra-document duplicate-passage removal
     "docs_chunk_dedup",
-    # round 5: execution path moved onto the shared stage cache
-    "dedup_ngram_jaccard",
+    # round 5 new: perplexity-filter signal + source mixture weights
+    "docs_unigram_logprob",
+    "docs_mixture_weights",
+    # (dedup_ngram_jaccard moved onto the shared stage cache this
+    # round but its output is pinned identical by
+    # test_registry_stage_cache_matches_direct_pipeline — rotation
+    # re-verifies it without a priority slot)
 )
 
 

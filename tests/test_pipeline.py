@@ -243,3 +243,32 @@ def test_chunk_dedup_drops_empty_docs(spark):
     out = {r["doc_id"]: r for r in pipeline.chunk_dedup(df).collect()}
     assert set(out) == {3}
     assert out[3]["n_chunks"] == 1
+
+
+def test_unigram_logprob_ranks_fluent_above_rare(spark):
+    """A doc made of corpus-common words must outscore a doc of
+    hapaxes under the corpus's own unigram model."""
+    common = "the cat sat on the mat " * 10
+    rare = "zyx qwv jkp bnm vcx lkj"
+    filler = [(i, common) for i in range(3, 9)]
+    df = spark.createDataFrame(
+        [(1, common.strip()), (2, rare)] + filler,
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in pipeline.unigram_logprob(df).collect()}
+    assert out[1] > out[2]
+
+
+def test_mixture_weights_boost_small_sources(spark):
+    """alpha<1 gives a small source MORE than its proportional share
+    and a large source less; weights sum to 1."""
+    rows = [(i, "t", "en", "big", 1) for i in range(90)] + [
+        (100 + i, "t", "en", "small", 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {r["source"]: r for r in pipeline.source_mixture_weights(df).collect()}
+    assert abs(out["big"]["mix_weight"] + out["small"]["mix_weight"] - 1.0) < 1e-6
+    assert out["small"]["mix_weight"] > 0.10  # proportional share would be 0.10
+    assert out["big"]["mix_weight"] < 0.90
