@@ -656,6 +656,38 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+def key_coverage(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Referential-integrity audit between two keyed tables: one row
+    of (matched, left-only, right-only) counts — the first check a
+    multi-artifact corpus needs (every document should have its
+    embedding row and vice versa; silent drift here poisons every
+    downstream join). One shuffle (the full-outer key join, keys only
+    — payloads never move) + a scalar aggregate."""
+    lk = left.select(F.col(left_key).alias("_lk"))
+    rk = right.select(F.col(right_key).alias("_rk"))
+    j = lk.join(rk, lk["_lk"] == rk["_rk"], "full_outer")
+    return j.agg(
+        F.sum(
+            (F.col("_lk").isNotNull() & F.col("_rk").isNotNull()).cast("long")
+        ).alias("n_matched"),
+        F.sum(F.col("_rk").isNull().cast("long")).alias("n_left_only"),
+        F.sum(F.col("_lk").isNull().cast("long")).alias("n_right_only"),
+    )
+
+
+def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: documents ↔ embeddings key-coverage audit
+    (doc_id vs vec_id)."""
+    return key_coverage(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        "doc_id",
+        "vec_id",
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     chunk: int = 5,

@@ -1720,6 +1720,22 @@ REGISTRY: dict[str, QuerySpec] = {
         "temperature (alpha=0.3) multinomial mixture weights per source",
         ("pipeline",),
     ),
+    "docs_embedding_coverage": QuerySpec(
+        pipeline.docs_embedding_coverage,
+        """
+        SELECT CAST(SUM(CASE WHEN d.doc_id IS NOT NULL
+                              AND e.vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN e.vec_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+        FROM documents d FULL OUTER JOIN embeddings e
+          ON d.doc_id = e.vec_id
+        """,
+        "documents-embeddings referential-integrity coverage audit",
+        ("pipeline", "join"),
+    ),
     "docs_chunk_dedup": QuerySpec(
         pipeline.docs_chunk_dedup,
         f"""
@@ -2611,7 +2627,7 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 44
+ROTATION_STRIDE = 43
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2627,6 +2643,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # round 5 new: perplexity-filter signal + source mixture weights
     "docs_unigram_logprob",
     "docs_mixture_weights",
+    # round 5 new: documents-embeddings integrity audit
+    "docs_embedding_coverage",
     # (dedup_ngram_jaccard moved onto the shared stage cache this
     # round but its output is pinned identical by
     # test_registry_stage_cache_matches_direct_pipeline — rotation
