@@ -272,3 +272,10 @@ def test_mixture_weights_boost_small_sources(spark):
     assert abs(out["big"]["mix_weight"] + out["small"]["mix_weight"] - 1.0) < 1e-6
     assert out["small"]["mix_weight"] > 0.10  # proportional share would be 0.10
     assert out["big"]["mix_weight"] < 0.90
+
+
+def test_key_coverage_counts_planted_drift(spark):
+    left = spark.createDataFrame([(i,) for i in range(10)], "k bigint")
+    right = spark.createDataFrame([(i,) for i in range(5, 13)], "v bigint")
+    row = pipeline.key_coverage(left, right, "k", "v").collect()[0]
+    assert (row["n_matched"], row["n_left_only"], row["n_right_only"]) == (5, 5, 3)
