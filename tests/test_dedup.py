@@ -354,3 +354,41 @@ def test_registry_stage_cache_matches_direct_pipeline(spark, sf_oracle):
     assert dedup.dedup_ngram_jaccard(spark, sf_oracle) is dedup.dedup_ngram_jaccard(
         spark, sf_oracle
     )
+
+
+def test_stage_cache_isolated_per_sf_dir(spark):
+    """The session-scoped stage cache must key on sf_dir — results for
+    one scale factor must never leak into another."""
+    small = dedup.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    big = dedup.dedup_ngram_jaccard(spark, "/root/testdata/sf0.01")
+    assert small is not big
+    from inf2106_map_reduce_spark.tables import load_table
+
+    for sf, df in (("/root/testdata/sf0.001", small), ("/root/testdata/sf0.01", big)):
+        direct = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                load_table(spark, sf, "documents"), threshold=0.5
+            ).collect()
+        }
+        assert {(r["id_a"], r["id_b"]) for r in df.collect()} == direct
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        dedup.connected_components(edges, algorithm="bogus")
+
+
+def test_star_components_partial_cap_still_labels_every_node(spark):
+    """With max_iter=1 the star loop may stop before the fixed point;
+    every node must still receive SOME label (graceful degradation,
+    no crash, no dropped nodes)."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    ).coalesce(2)
+    out = dedup.connected_components(edges, algorithm="star", max_iter=1).collect()
+    assert {r.node for r in out} == set(range(n))
