@@ -279,3 +279,36 @@ def test_key_coverage_counts_planted_drift(spark):
     right = spark.createDataFrame([(i,) for i in range(5, 13)], "v bigint")
     row = pipeline.key_coverage(left, right, "k", "v").collect()[0]
     assert (row["n_matched"], row["n_left_only"], row["n_right_only"]) == (5, 5, 3)
+
+
+def test_chunk_dedup_matches_python_reference_on_random_corpus(spark):
+    """Spark output must equal an independent Python reference
+    implementation over a seeded random corpus (50 docs, repeated
+    chunks planted by a small vocabulary)."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(99)
+    vocab = ["a", "b", "c", "d"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        for i in range(50)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in pipeline.chunk_dedup(df).collect()}
+    for i, text in docs.items():
+        words = text.split()
+        chunks = [
+            " ".join(words[p * 5 : p * 5 + 5])
+            for p in range(math.ceil(len(words) / 5))
+        ]
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        r = got[i]
+        assert r["n_chunks"] == len(chunks)
+        assert r["n_dupes_removed"] == len(chunks) - len(kept)
+        assert r["clean_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
