@@ -104,3 +104,56 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ts_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: per step, how many users completed the
+    step sequence IN ORDER (each step strictly after their completion
+    time of the previous one, using first-completion times — the
+    standard product-analytics funnel semantic, not mere per-type
+    presence).
+
+    Plan: one (filter -> per-user MIN-agg -> co-partitioned join)
+    chain per step. Every aggregate and join keys on ``user_col``, so
+    the whole chain rides a single hash partitioning — at 100 TB the
+    events scan dominates and per-step state is one row per surviving
+    user. Counts are emitted as a 3-row lazy union of scalar
+    aggregates — no driver actions inside the operator.
+    """
+    reached = None
+    summaries = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("ets")
+        )
+        if reached is None:
+            reached = ev.groupBy("u").agg(F.min("ets").alias("t"))
+        else:
+            reached = (
+                ev.join(reached, "u")
+                .filter(F.col("ets") > F.col("t"))
+                .groupBy("u")
+                .agg(F.min("ets").alias("t"))
+            )
+        summaries.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: view -> click -> purchase ordered funnel."""
+    return event_funnel(load_table(spark, sf_dir, "events"))

@@ -1720,6 +1720,31 @@ REGISTRY: dict[str, QuerySpec] = {
         "temperature (alpha=0.3) multinomial mixture weights per source",
         ("pipeline",),
     ),
+    "events_funnel": QuerySpec(
+        timeseries.events_funnel,
+        """
+        WITH s0 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s1 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s0 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+        )
+        SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+               (SELECT COUNT(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+        """,
+        "ordered view->click->purchase funnel on first-completion times",
+        ("timeseries", "agg"),
+    ),
     "docs_embedding_coverage": QuerySpec(
         pipeline.docs_embedding_coverage,
         """
@@ -2627,7 +2652,7 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 43
+ROTATION_STRIDE = 42
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2645,6 +2670,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_mixture_weights",
     # round 5 new: documents-embeddings integrity audit
     "docs_embedding_coverage",
+    # round 5 new: ordered event funnel
+    "events_funnel",
     # (dedup_ngram_jaccard moved onto the shared stage cache this
     # round but its output is pinned identical by
     # test_registry_stage_cache_matches_direct_pipeline — rotation

@@ -66,3 +66,24 @@ def test_scd2_intervals_chain_per_key(spark, sf_oracle):
         assert broken == 0
     finally:
         out.unpersist()
+
+
+def test_event_funnel_requires_order(spark):
+    """User 1 completes view->click->purchase in order; user 2 has all
+    three types but the purchase precedes the click (counts only to
+    step 2); user 3 only views."""
+    from datetime import datetime
+
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        (2, ts(1), "view"), (2, ts(4), "click"), (2, ts(2), "purchase"),
+        (3, ts(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = {r["step"]: r["n_users"] for r in timeseries.event_funnel(df).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
