@@ -1,0 +1,124 @@
+"""Properties-file job front-end: run an mrlite :class:`Job` from the
+reference's ``mapred.*`` config format.
+
+The reference has no query language — a "query" is a Java properties
+file naming the UDF servant classes, read in
+``MasterServant.getProperties`` (``schedule/MasterServant.java:116-215``).
+This module reproduces that interface for the Spark engine so a
+reference user's job configs carry over: UDFs register under their
+servant names, and :func:`run_config` wires up the same properties with
+the same defaults —
+
+- ``mapred.Input.name``          input token file (required)
+- ``mapred.Mapper.servant-name`` mapper UDF name (required)
+- ``mapred.Reducer.servant-name`` reducer UDF name
+- ``mapred.Partitioner.servant-name`` partitioner UDF name (optional;
+  default = Java ``String.hashCode`` parity, as the reference's
+  ``PartitionerServant.java:20-23``)
+- ``mapred.Reducers.number``     default ``"0"`` = map-only
+  (``MasterServant.java:184``)
+- ``mapred.Combine.flag``        default ``"false"``; when true,
+  ``mapred.Combiner.servant-name`` defaults to the REDUCER name
+  (``MasterServant.java:198-201``)
+- ``mapred.Output.name``         output token dir (engine addition —
+  the reference derives output names from the input; pass explicitly
+  here or consume the returned DataFrame)
+
+Cluster/CORBA plumbing properties (``corbaloc-host``, ``exec-nodes``,
+container names, buffer sizes, reporter settings) have no Spark
+analogue — Spark owns placement and buffering — and are accepted but
+ignored, so unmodified reference configs parse cleanly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inf2106_map_reduce_spark.mrlite.job import Job
+
+#: servant-name -> Python UDF, the analogue of the reference's CORBA
+#: naming-service lookup of Mapper/Reducer/Combiner/Partitioner servants
+UDF_REGISTRY: dict[str, Callable] = {}
+
+
+def register_udf(name: str):
+    """Register a mapper/reducer/combiner/partitioner under a servant
+    name so ``mapred.*.servant-name`` properties can resolve it."""
+
+    def deco(fn: Callable) -> Callable:
+        UDF_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def parse_properties(path: str) -> dict[str, str]:
+    """Minimal Java ``.properties`` reader: ``k=v`` / ``k: v`` lines,
+    ``#``/``!`` comments, surrounding whitespace stripped — the subset
+    the reference's configs use (``java.util.Properties`` via
+    ``MapReduceApp.java:92-97``)."""
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line[0] in "#!":
+                continue
+            for sep in ("=", ":"):
+                if sep in line:
+                    k, _, v = line.partition(sep)
+                    props[k.strip()] = v.strip()
+                    break
+    return props
+
+
+def job_from_properties(props: dict[str, str]) -> tuple[Job, str, str | None]:
+    """Build the :class:`Job` plus (input_path, output_path) from
+    parsed ``mapred.*`` properties, with the reference's defaults."""
+    input_path = props["mapred.Input.name"]
+    mapper = UDF_REGISTRY[props["mapred.Mapper.servant-name"]]
+    num_reducers = int(props.get("mapred.Reducers.number", "0"))
+    reducer = None
+    if num_reducers > 0:
+        reducer = UDF_REGISTRY[props["mapred.Reducer.servant-name"]]
+    combiner = None
+    if props.get("mapred.Combine.flag", "false").lower() == "true":
+        combiner_name = props.get(
+            "mapred.Combiner.servant-name",
+            props.get("mapred.Reducer.servant-name", ""),
+        )
+        combiner = UDF_REGISTRY[combiner_name]
+    partitioner = None
+    if "mapred.Partitioner.servant-name" in props:
+        partitioner = UDF_REGISTRY[props["mapred.Partitioner.servant-name"]]
+    job = Job(
+        mapper=mapper,
+        reducer=reducer,
+        combiner=combiner,
+        partitioner=partitioner,
+        num_reducers=num_reducers,
+    )
+    return job, input_path, props.get("mapred.Output.name")
+
+
+def run_config(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a ``mapred.*`` properties file and run the job it names;
+    returns the result DataFrame (and writes token output when
+    ``mapred.Output.name`` is set)."""
+    job, input_path, output_path = job_from_properties(parse_properties(path))
+    return job.run(spark, input_path, output_path)
+
+
+# The reference's one shipped application, registered under its servant
+# names (`user/WordMapperServant.java`, `user/WordReducerServant.java`)
+# so its configs resolve out of the box.
+@register_udf("WordMapper")
+def word_mapper(key: str, value: str):
+    del key  # raw tokens arrive keyed "none"
+    return [(value, "1")]
+
+
+@register_udf("WordReducer")
+def word_reducer(key: str, values: list[str]):
+    return [(key, str(sum(int(v) for v in values)))]
