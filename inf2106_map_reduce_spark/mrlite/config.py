@@ -23,6 +23,13 @@ the same defaults —
 - ``mapred.Output.name``         output token dir (engine addition —
   the reference derives output names from the input; pass explicitly
   here or consume the returned DataFrame)
+- ``mapred.Join.flag`` / ``mapred.Join.file-name`` — declared by the
+  reference but NEVER implemented (``MasterServant.java:210-212``
+  reads the flag; no code consumes it). This engine defines and
+  implements the obvious semantic: when the flag is true, the job
+  result is inner-joined on ``key`` against the named token file and
+  the joined value is appended pipe-separated (``value|joined``) —
+  the natural composition in the ``k|v`` record model.
 
 Cluster/CORBA plumbing properties (``corbaloc-host``, ``exec-nodes``,
 container names, buffer sizes, reporter settings) have no Spark
@@ -106,8 +113,26 @@ def run_config(spark: SparkSession, path: str) -> DataFrame:
     """Parse a ``mapred.*`` properties file and run the job it names;
     returns the result DataFrame (and writes token output when
     ``mapred.Output.name`` is set)."""
-    job, input_path, output_path = job_from_properties(parse_properties(path))
-    return job.run(spark, input_path, output_path)
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.mrlite.tokenformat import (
+        read_token_file,
+        write_token_file,
+    )
+
+    props = parse_properties(path)
+    job, input_path, output_path = job_from_properties(props)
+    result = job.run(spark, input_path)
+    if props.get("mapred.Join.flag", "false").lower() == "true":
+        side = read_token_file(spark, props["mapred.Join.file-name"]).select(
+            F.col("key"), F.col("value").alias("_jv")
+        )
+        result = result.join(side, "key").select(
+            "key", F.concat_ws("|", "value", "_jv").alias("value")
+        )
+    if output_path is not None:
+        write_token_file(result, output_path)
+    return result
 
 
 # The reference's one shipped application, registered under its servant

@@ -89,3 +89,26 @@ def test_cli_list_runs_without_spark():
     )
     assert out.returncode == 0, out.stderr
     assert "sketch_orders_per_status" in out.stdout
+
+
+def test_join_flag_joins_side_file_on_key(spark, tmp_path):
+    """mapred.Join.flag: the reference declared it and never implemented
+    it; the engine's defined semantic is an inner key join appending the
+    side value pipe-separated."""
+    data = _write(tmp_path, "in.txt", "b a b")
+    side = _write(tmp_path, "side.txt", "a|alpha b|beta z|zeta")
+    cfg = _write(
+        tmp_path,
+        "job.properties",
+        f"""
+        mapred.Input.name = {data}
+        mapred.Mapper.servant-name = WordMapper
+        mapred.Reducer.servant-name = WordReducer
+        mapred.Reducers.number = 1
+        mapred.Join.flag = true
+        mapred.Join.file-name = {side}
+        """,
+    )
+    df = mrconfig.run_config(spark, cfg)
+    got = {(r["key"], r["value"]) for r in df.collect()}
+    assert got == {("a", "1|alpha"), ("b", "2|beta")}
