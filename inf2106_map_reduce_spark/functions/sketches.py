@@ -60,6 +60,54 @@ def approx_quantiles(
     )
 
 
+def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (hash-checkable): MERGEABLE sketch rollup — the
+    hypertable pattern that makes distinct-counting tractable at
+    100 TB. Fine-grain HLL sketches (distinct customers per
+    (status, order month), DataSketches ``hll_sketch_agg`` binary
+    columns) are built once, then UNIONED to the coarser status grain
+    (``hll_union_agg``) — re-aggregation touches only sketch bytes,
+    never the raw data. In production the monthly sketches are stored
+    (one binary column in the rollup table); every coarser rollup
+    (quarter/year/all-time, any status combination) derives by union
+    without rescanning orders.
+
+    Output hash-matches an exact oracle the same way
+    :func:`sketch_orders_per_status` does: exact keys and counts plus
+    in-plan booleans certifying the merged estimate against a 5-sigma
+    envelope of the exact distinct (DataSketches HLL at default
+    lgConfigK=12 has rsd ~1.6%; the envelope uses 10%).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
+    )
+    monthly = o.groupBy("o_orderstatus", "mon").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    merged = monthly.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.sum("n_orders").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    exact = (
+        o.groupBy("o_orderstatus", "o_custkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_distinct_cust"))
+    )
+    return merged.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_orders",
+        "n_months",
+        "n_distinct_cust",
+        (
+            F.abs(F.col("_est") - F.col("n_distinct_cust"))
+            <= F.lit(DISTINCT_REL_BOUND) * F.col("n_distinct_cust")
+        ).alias("merged_within_bound"),
+    )
+
+
 #: Rank-error envelope for the quantile audit. approx_percentile at
 #: accuracy=10000 guarantees rank error <= 1e-4 of N; auditing at 1e-2
 #: is a 100x safety margin, so the booleans are deterministically TRUE

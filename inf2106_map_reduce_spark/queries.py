@@ -957,6 +957,24 @@ REGISTRY: dict[str, QuerySpec] = {
         "audited in-plan against exact envelopes",
         ("agg", "sketch"),
     ),
+    "sketch_rollup_orders": QuerySpec(
+        sketches.sketch_rollup_orders,
+        # exact keys/counts + TRUE envelope verdict, as with
+        # sketch_orders_per_status: the engine builds monthly HLL
+        # sketch columns and UNIONS them to status grain; the oracle
+        # computes the exact values the merged estimate must envelope
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+               COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+               TRUE AS merged_within_bound
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "mergeable HLL sketch rollup: monthly sketches unioned to "
+        "status grain, envelope-audited",
+        ("agg", "sketch"),
+    ),
     "agg_stats_battery": QuerySpec(
         relational.agg_stats_battery,
         """
@@ -2652,7 +2670,7 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 42
+ROTATION_STRIDE = 41
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2672,6 +2690,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_embedding_coverage",
     # round 5 new: ordered event funnel
     "events_funnel",
+    # round 5 new: mergeable HLL sketch rollup
+    "sketch_rollup_orders",
     # (dedup_ngram_jaccard moved onto the shared stage cache this
     # round but its output is pinned identical by
     # test_registry_stage_cache_matches_direct_pipeline — rotation

@@ -72,3 +72,25 @@ def test_registry_sketch_query_audits_green(spark, sf_oracle):
     }
     for r in rows:
         assert (r["n_orders"], r["n_distinct_cust"]) == exact[r["o_orderstatus"]]
+
+
+def test_sketch_rollup_merge_equals_direct_sketch(spark, sf_oracle):
+    """Unioning per-month sketches must estimate the same cardinality
+    class as sketching the whole group directly (mergeability — the
+    property that makes stored sketch columns composable), and the
+    envelope verdicts must be green."""
+    from pyspark.sql import functions as F
+
+    rows = sketches.sketch_rollup_orders(spark, sf_oracle).collect()
+    assert rows and all(r["merged_within_bound"] is True for r in rows)
+    o = load_table(spark, sf_oracle, "orders")
+    direct = {
+        r["o_orderstatus"]: r["est"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"))
+        .collect()
+    }
+    for r in rows:
+        # merged estimate within 10% of the direct single-pass estimate
+        d = direct[r["o_orderstatus"]]
+        assert abs(d - r["n_distinct_cust"]) <= 0.1 * r["n_distinct_cust"]
