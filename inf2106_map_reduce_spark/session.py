@@ -87,4 +87,11 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The reference's token k|v format is part of the engine's surface;
+    # register it so `spark.read.format("tokenkv")` works out of the
+    # box on every engine session (idempotent, ~free).
+    from inf2106_map_reduce_spark.sources.token_datasource import register
+
+    register(spark)
+    return spark
