@@ -689,6 +689,20 @@ def _registry_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _registry_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label connected components over the shared edge stage —
+    consumed by both the cluster-assignment query and the composed
+    canonical-corpus pass."""
+    return _doc_stage(
+        spark,
+        sf_dir,
+        "components_minlabel",
+        lambda: connected_components(
+            _registry_edges(spark, sf_dir).select("id_a", "id_b")
+        ),
+    )
+
+
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs on documents."""
     return _registry_candidates(spark, sf_dir)
@@ -710,8 +724,7 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (Jaccard ≥ 0.5 on LSH candidates). One row per
     clustered doc with its component id (= min doc_id in the cluster,
     the canonical survivor)."""
-    edges = _registry_edges(spark, sf_dir).select("id_a", "id_b")
-    cc = connected_components(edges)
+    cc = _registry_components(spark, sf_dir)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -939,8 +952,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relative to the corpus even at 100 TB duplicate rates.
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = _registry_edges(spark, sf_dir).select("id_a", "id_b")
-    cc = connected_components(edges)
+    cc = _registry_components(spark, sf_dir)
     losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("loser_id")
     )

@@ -80,25 +80,41 @@ def parse_properties(path: str) -> dict[str, str]:
     return props
 
 
+def _required(props: dict[str, str], key: str) -> str:
+    if key not in props:
+        raise KeyError(f"job config is missing required property {key!r}")
+    return props[key]
+
+
+def _udf(name: str) -> Callable:
+    if name not in UDF_REGISTRY:
+        raise KeyError(
+            f"no UDF registered under servant name {name!r}; register it "
+            f"with @register_udf({name!r}) (known: {sorted(UDF_REGISTRY)})"
+        )
+    return UDF_REGISTRY[name]
+
+
 def job_from_properties(props: dict[str, str]) -> tuple[Job, str, str | None]:
     """Build the :class:`Job` plus (input_path, output_path) from
     parsed ``mapred.*`` properties, with the reference's defaults."""
-    input_path = props["mapred.Input.name"]
-    mapper = UDF_REGISTRY[props["mapred.Mapper.servant-name"]]
+    input_path = _required(props, "mapred.Input.name")
+    mapper = _udf(_required(props, "mapred.Mapper.servant-name"))
     num_reducers = int(props.get("mapred.Reducers.number", "0"))
     reducer = None
     if num_reducers > 0:
-        reducer = UDF_REGISTRY[props["mapred.Reducer.servant-name"]]
+        reducer = _udf(_required(props, "mapred.Reducer.servant-name"))
     combiner = None
     if props.get("mapred.Combine.flag", "false").lower() == "true":
-        combiner_name = props.get(
-            "mapred.Combiner.servant-name",
-            props.get("mapred.Reducer.servant-name", ""),
+        combiner = _udf(
+            props.get(
+                "mapred.Combiner.servant-name",
+                _required(props, "mapred.Reducer.servant-name"),
+            )
         )
-        combiner = UDF_REGISTRY[combiner_name]
     partitioner = None
     if "mapred.Partitioner.servant-name" in props:
-        partitioner = UDF_REGISTRY[props["mapred.Partitioner.servant-name"]]
+        partitioner = _udf(props["mapred.Partitioner.servant-name"])
     job = Job(
         mapper=mapper,
         reducer=reducer,

@@ -112,3 +112,14 @@ def test_join_flag_joins_side_file_on_key(spark, tmp_path):
     df = mrconfig.run_config(spark, cfg)
     got = {(r["key"], r["value"]) for r in df.collect()}
     assert got == {("a", "1|alpha"), ("b", "2|beta")}
+
+
+def test_missing_property_and_unknown_udf_messages(tmp_path):
+    import pytest
+
+    with pytest.raises(KeyError, match="mapred.Input.name"):
+        mrconfig.job_from_properties({"mapred.Mapper.servant-name": "WordMapper"})
+    with pytest.raises(KeyError, match="no UDF registered"):
+        mrconfig.job_from_properties(
+            {"mapred.Input.name": "x", "mapred.Mapper.servant-name": "Nope"}
+        )
