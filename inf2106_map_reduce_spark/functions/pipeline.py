@@ -656,6 +656,38 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic 3-way corpus split: every doc labeled
+    train/val/test by a content-hash bucket — the split every training
+    pipeline needs, with the same determinism contract as the samplers
+    (content-keyed md5, never ``rand()``: retries, re-runs, and
+    incremental additions keep every existing doc in its split; no
+    val/test leakage when the corpus is re-processed).
+
+    Scale: pure narrow expression pass, no shuffle.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    split = (
+        F.when(bucket < F.lit(100 - val_pct - test_pct), F.lit("train"))
+        .when(bucket < F.lit(100 - test_pct), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
+def docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 80/10/10 deterministic split of documents."""
+    return train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
 def key_coverage(
     left: DataFrame, right: DataFrame, left_key: str, right_key: str
 ) -> DataFrame:

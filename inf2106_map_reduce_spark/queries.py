@@ -1763,6 +1763,21 @@ REGISTRY: dict[str, QuerySpec] = {
         "ordered view->click->purchase funnel on first-completion times",
         ("timeseries", "agg"),
     ),
+    "docs_split": QuerySpec(
+        pipeline.docs_split,
+        """
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100
+                       AS b
+              FROM documents)
+        """,
+        "deterministic content-hash 80/10/10 train/val/test split",
+        ("pipeline",),
+    ),
     "docs_embedding_coverage": QuerySpec(
         pipeline.docs_embedding_coverage,
         """
@@ -2670,7 +2685,7 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 41
+ROTATION_STRIDE = 40
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2692,6 +2707,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_funnel",
     # round 5 new: mergeable HLL sketch rollup
     "sketch_rollup_orders",
+    # round 5 new: deterministic train/val/test split
+    "docs_split",
     # (dedup_ngram_jaccard moved onto the shared stage cache this
     # round but its output is pinned identical by
     # test_registry_stage_cache_matches_direct_pipeline — rotation

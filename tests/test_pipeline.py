@@ -312,3 +312,19 @@ def test_chunk_dedup_matches_python_reference_on_random_corpus(spark):
         assert r["n_chunks"] == len(chunks)
         assert r["n_dupes_removed"] == len(chunks) - len(kept)
         assert r["clean_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+def test_split_is_deterministic_partition_of_corpus(spark, sf_oracle):
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    a = {(r["doc_id"], r["split"]) for r in pipeline.train_val_test_split(d).collect()}
+    b = {(r["doc_id"], r["split"]) for r in pipeline.train_val_test_split(d).collect()}
+    assert a == b and len(a) == d.count()
+    shares = {}
+    for _, s in a:
+        shares[s] = shares.get(s, 0) + 1
+    n = sum(shares.values())
+    assert 0.7 < shares["train"] / n < 0.9
+    assert 0.04 < shares["val"] / n < 0.17
+    assert 0.04 < shares["test"] / n < 0.17
