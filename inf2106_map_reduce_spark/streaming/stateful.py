@@ -1,6 +1,14 @@
 """Stateful streaming operators over events: watermarked streaming
 dedup and a custom per-key stateful aggregator (applyInPandasWithState).
 
+``applyInPandasWithState`` is deliberately the custom-state surface
+here rather than Spark 4's newer ``transformWithStateInPandas``: the
+latter's driver-side runner needs the ``google.protobuf`` package,
+which this execution environment lacks (verified: the streaming
+Python runner crashes on import). The semantics covered are the same
+(per-key state, batch-iterated Arrow input, update-mode emission);
+swapping APIs when protobuf is available is a mechanical change.
+
 The reference is strictly batch (SURVEY.md §2.5); these are the
 superset streaming surface. Both run as REAL streams
 (``readStream`` → Trigger.AvailableNow → memory sink) so the registry
