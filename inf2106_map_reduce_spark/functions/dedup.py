@@ -874,6 +874,14 @@ def simhash64(
     (added as -2^63 — exact two's-complement, no overflow in either
     engine). Same plan shape as the 32-bit version: one explode + one
     grouped aggregation, no UDF.
+
+    Two rewrites were measured and REJECTED at sf0.1 (r05): packing
+    the 64 bit-sums into 32 two-lane bigints (no gain — cost is the
+    per-word explode+md5, not aggregation buffers) and pre-aggregating
+    (doc, word) counts before hashing (1.6 -> 1.8 s — the extra
+    shuffle outweighs the md5 dedup even at this corpus's ~12x word
+    duplication). The current single explode + single agg is the
+    measured optimum of the three shapes.
     """
     words = F.explode(
         F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
