@@ -328,3 +328,23 @@ def test_split_is_deterministic_partition_of_corpus(spark, sf_oracle):
     assert 0.7 < shares["train"] / n < 0.9
     assert 0.04 < shares["val"] / n < 0.17
     assert 0.04 < shares["test"] / n < 0.17
+
+
+def test_mixture_weights_single_source_is_unity(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "en", "only", 5), (2, "t", "en", "only", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = pipeline.source_mixture_weights(df).collect()
+    assert len(rows) == 1 and rows[0]["mix_weight"] == 1.0
+    assert rows[0]["n_chars"] == 12
+
+
+def test_unigram_logprob_skips_wordless_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "   "), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pipeline.unigram_logprob(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_tokens"] == 3
