@@ -506,7 +506,16 @@ def _star_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         if fp == prev:
             break
         prev = fp
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # Grouped min, not a bare projection: at the star fixed point every
+    # node carries exactly one edge (to its component root), but if
+    # ``max_iter`` exhausts first the residual edge set can still hold
+    # several edges per node — a projection would then emit duplicate /
+    # conflicting (node, component) rows that fan out downstream joins.
+    # min(v) keeps the output one-row-per-node (and still exact at the
+    # fixed point, where the min IS the only edge).
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )

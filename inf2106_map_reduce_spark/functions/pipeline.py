@@ -695,10 +695,14 @@ def key_coverage(
     of (matched, left-only, right-only) counts — the first check a
     multi-artifact corpus needs (every document should have its
     embedding row and vice versa; silent drift here poisons every
-    downstream join). One shuffle (the full-outer key join, keys only
-    — payloads never move) + a scalar aggregate."""
-    lk = left.select(F.col(left_key).alias("_lk"))
-    rk = right.select(F.col(right_key).alias("_rk"))
+    downstream join). Key projections are DISTINCT-ed before the join
+    so the counts stay key-level even when a side holds duplicate keys
+    (a full-outer join over raw rows would otherwise fan out m×n per
+    duplicated key and the 'coverage' numbers would stop being key
+    counts). Two pre-aggregates + the full-outer key join (keys only —
+    payloads never move) + a scalar aggregate."""
+    lk = left.select(F.col(left_key).alias("_lk")).distinct()
+    rk = right.select(F.col(right_key).alias("_rk")).distinct()
     j = lk.join(rk, lk["_lk"] == rk["_rk"], "full_outer")
     return j.agg(
         F.sum(

@@ -31,6 +31,14 @@ the same defaults —
   the joined value is appended pipe-separated (``value|joined``) —
   the natural composition in the ``k|v`` record model.
 
+  Deliberate default divergence: the reference defaults the flag to
+  ``"true"`` (``MasterServant.java`` ``getProperty("mapred.Join.flag",
+  "true")``) — harmless there because nothing consumes it. This engine
+  ACTUALLY joins, so defaulting true would make every flag-less config
+  fail on the missing ``mapred.Join.file-name``; the default here is
+  ``"false"`` (join is opt-in). Configs that set the flag without
+  naming the join file get an explicit missing-property error.
+
 Cluster/CORBA plumbing properties (``corbaloc-host``, ``exec-nodes``,
 container names, buffer sizes, reporter settings) have no Spark
 analogue — Spark owns placement and buffering — and are accepted but
@@ -72,11 +80,13 @@ def parse_properties(path: str) -> dict[str, str]:
             line = raw.strip()
             if not line or line[0] in "#!":
                 continue
-            for sep in ("=", ":"):
-                if sep in line:
-                    k, _, v = line.partition(sep)
-                    props[k.strip()] = v.strip()
-                    break
+            # java.util.Properties splits at the FIRST separator in the
+            # line, whichever of '='/':' that is — 'key: a=b' must parse
+            # as key/'a=b', not 'key: a'/'b'.
+            cuts = [i for i in (line.find("="), line.find(":")) if i >= 0]
+            if cuts:
+                cut = min(cuts)
+                props[line[:cut].strip()] = line[cut + 1 :].strip()
     return props
 
 
@@ -140,6 +150,11 @@ def run_config(spark: SparkSession, path: str) -> DataFrame:
     job, input_path, output_path = job_from_properties(props)
     result = job.run(spark, input_path)
     if props.get("mapred.Join.flag", "false").lower() == "true":
+        if "mapred.Join.file-name" not in props:
+            raise KeyError(
+                "mapred.Join.flag=true requires mapred.Join.file-name "
+                "(the token file to join the job result against)"
+            )
         side = read_token_file(spark, props["mapred.Join.file-name"]).select(
             F.col("key"), F.col("value").alias("_jv")
         )

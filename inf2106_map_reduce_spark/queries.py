@@ -1788,10 +1788,12 @@ REGISTRY: dict[str, QuerySpec] = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
                CAST(SUM(CASE WHEN d.doc_id IS NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
-        FROM documents d FULL OUTER JOIN embeddings e
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        FULL OUTER JOIN (SELECT DISTINCT vec_id FROM embeddings) e
           ON d.doc_id = e.vec_id
         """,
-        "documents-embeddings referential-integrity coverage audit",
+        "documents-embeddings referential-integrity coverage audit "
+        "(key-level: both key projections distinct-ed)",
         ("pipeline", "join"),
     ),
     "docs_chunk_dedup": QuerySpec(

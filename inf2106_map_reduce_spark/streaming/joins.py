@@ -81,7 +81,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition maintenance cost is the whole game here (7.6 s at
     # 32 partitions vs 2.4 s at 8 on identical sf0.1 input); see
     # runtime.scoped_state_partitions for the sizing rule.
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, out=out, output_mode="append"):
         # HARNESS-ONLY: repartition(1) packs the tiny AvailableNow batch
         # into one file so the gate reads a single-part sink. A
         # production sink writes unrepartitioned (one file per state

@@ -45,21 +45,56 @@ STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 #: measured). CONTINUOUS deployments must leave it on — watermark
 #: advancement during idle periods is what bounds their state — hence
 #: the env override rather than a hard-off.
+#:
+#: The one shape for which skipping the no-data batch LOSES results —
+#: an append-mode WATERMARKED AGGREGATION, whose final windows emit
+#: only when the watermark passes them, i.e. in the trailing batch —
+#: is guarded STRUCTURALLY, not by this comment staying true:
+#: :func:`needs_no_data_batch` inspects the analyzed streaming plan at
+#: drain time and forces the batch back ON for that shape
+#: (tests/test_streaming.py drains exactly such a query to prove it).
 NO_DATA_BATCHES = os.environ.get("SPARK_GRAFT_NO_DATA_BATCHES", "false")
 
 
+def needs_no_data_batch(out, output_mode: str) -> bool:
+    """True when skipping the trailing no-data micro-batch would DROP
+    output: an append-mode watermarked aggregation (incl. streaming
+    dedup's Aggregate-free cousin is fine — Deduplicate emits on
+    arrival; only watermark-gated *Aggregate* output waits for the
+    watermark to pass). Inspected from the ANALYZED streaming plan so
+    the policy tracks the query shape, not a comment."""
+    if output_mode != "append" or out is None:
+        return False
+    plan = out._jdf.queryExecution().analyzed().toString()
+    return "EventTimeWatermark" in plan and "Aggregate" in plan
+
+
 @contextmanager
-def scoped_state_partitions(spark: SparkSession, n: int | None = None):
+def scoped_state_partitions(
+    spark: SparkSession,
+    n: int | None = None,
+    out=None,
+    output_mode: str | None = None,
+):
     """Temporarily set the streaming-run confs (state partition count,
     no-data micro-batch policy) while a streaming query is started and
     drained (AvailableNow), restoring the batch defaults afterwards.
     Safe because each harness run uses a fresh checkpoint; the confs
-    are read at query start."""
+    are read at query start.
+
+    Pass the streaming DataFrame (``out``) and its ``output_mode`` so
+    the no-data-batch policy can be derived from the plan: append-mode
+    watermarked aggregations get the trailing batch forced ON (their
+    final windows emit only when the watermark advances past them);
+    every other shape follows :data:`NO_DATA_BATCHES`. The guard only
+    ever forces the batch ON — the env override can enable it
+    globally, never disable it for a shape that needs it."""
     _NO_DATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     old_nd = spark.conf.get(_NO_DATA_KEY)
+    nd = "true" if needs_no_data_batch(out, output_mode) else NO_DATA_BATCHES
     spark.conf.set("spark.sql.shuffle.partitions", str(n or STATE_PARTITIONS))
-    spark.conf.set(_NO_DATA_KEY, NO_DATA_BATCHES)
+    spark.conf.set(_NO_DATA_KEY, nd)
     try:
         yield
     finally:

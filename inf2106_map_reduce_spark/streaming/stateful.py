@@ -62,7 +62,7 @@ def _run_to_table(out_stream, spark: SparkSession, mode: str) -> DataFrame:
     the single events file yields one batch, so update mode emits each
     key once."""
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, out=out_stream, output_mode=mode):
         q = (
             out_stream.writeStream.foreachBatch(
                 lambda df, _epoch: df.repartition(1)

@@ -120,7 +120,7 @@ def _run_available_now(
         stream = stream.withWatermark("ts", WATERMARK)
     out = transform(stream)
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, out=out, output_mode="complete"):
         q = (
             # repartition(1): the result is a windowed aggregate
             # (thousands of rows) — one output file avoids tiny-file

@@ -392,3 +392,8 @@ def test_star_components_partial_cap_still_labels_every_node(spark):
     ).coalesce(2)
     out = dedup.connected_components(edges, algorithm="star", max_iter=1).collect()
     assert {r.node for r in out} == set(range(n))
+    # ... and exactly ONE label per node: the residual (non-fixed-point)
+    # edge set holds several edges for some nodes, which the label step
+    # must collapse with a grouped min — a bare projection would emit
+    # duplicate conflicting rows here and fan out downstream joins.
+    assert len(out) == n

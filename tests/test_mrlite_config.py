@@ -5,6 +5,8 @@ reducer servant)."""
 
 from __future__ import annotations
 
+import pytest
+
 from inf2106_map_reduce_spark.mrlite import config as mrconfig
 from inf2106_map_reduce_spark.mrlite.tokenformat import read_token_file
 
@@ -57,6 +59,36 @@ def test_properties_parser_handles_comments_and_colons(tmp_path):
         "# comment\n! also comment\na.b = 1\nc.d: two\n\n e = 3 \n",
     )
     assert mrconfig.parse_properties(p) == {"a.b": "1", "c.d": "two", "e": "3"}
+
+
+def test_properties_parser_splits_at_first_separator(tmp_path):
+    """java.util.Properties splits at the FIRST of '='/':' — a value
+    may contain the other separator verbatim."""
+    p = _write(
+        tmp_path,
+        "sep.properties",
+        "key: a=b\nother=c:d\npath = /x:/y\n",
+    )
+    assert mrconfig.parse_properties(p) == {
+        "key": "a=b",
+        "other": "c:d",
+        "path": "/x:/y",
+    }
+
+
+def test_join_flag_without_file_name_raises_clear_error(spark, tmp_path):
+    data = _write(tmp_path, "in.txt", "ab cd ab")
+    cfg = _write(
+        tmp_path,
+        "job.properties",
+        f"mapred.Input.name={data}\n"
+        "mapred.Mapper.servant-name=WordMapper\n"
+        "mapred.Reducer.servant-name=WordReducer\n"
+        "mapred.Reducers.number=2\n"
+        "mapred.Join.flag=true\n",
+    )
+    with pytest.raises(KeyError, match="mapred.Join.file-name"):
+        mrconfig.run_config(spark, cfg)
 
 
 def test_custom_udf_registration(spark, tmp_path):

@@ -281,6 +281,22 @@ def test_key_coverage_counts_planted_drift(spark):
     assert (row["n_matched"], row["n_left_only"], row["n_right_only"]) == (5, 5, 3)
 
 
+def test_key_coverage_is_key_level_under_duplicate_keys(spark):
+    """Duplicate keys on either side must NOT inflate the counts
+    multiplicatively (the raw full-outer join would emit m*n rows per
+    duplicated key): the audit is documented as key-level referential
+    integrity, so each distinct key counts once."""
+    left = spark.createDataFrame(
+        [(0,), (0,), (0,), (1,), (2,)], "k bigint"  # key 0 tripled
+    )
+    right = spark.createDataFrame(
+        [(0,), (0,), (2,), (3,)], "v bigint"  # key 0 doubled
+    )
+    row = pipeline.key_coverage(left, right, "k", "v").collect()[0]
+    # distinct keys: left {0,1,2}, right {0,2,3} -> matched {0,2}
+    assert (row["n_matched"], row["n_left_only"], row["n_right_only"]) == (2, 1, 1)
+
+
 def test_chunk_dedup_matches_python_reference_on_random_corpus(spark):
     """Spark output must equal an independent Python reference
     implementation over a seeded random corpus (50 docs, repeated

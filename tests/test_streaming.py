@@ -114,3 +114,58 @@ def test_stream_stream_join_matches_batch_join(spark, sf_oracle):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_append_watermarked_agg_gets_no_data_batch(spark, sf_oracle):
+    """Structural guard for the NO_DATA_BATCHES default: an APPEND-mode
+    WATERMARKED AGGREGATION only emits a window once the watermark
+    passes it — under an AvailableNow drain that happens in the
+    trailing no-data micro-batch, which the harness default skips.
+    needs_no_data_batch must detect the shape from the analyzed plan
+    and force the batch back on; without it this query would return
+    zero finalized windows and silently lose results."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.streaming.runtime import (
+        needs_no_data_batch,
+        scoped_state_partitions,
+    )
+    from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
+
+    raw_schema = raw_events_schema(spark, sf_oracle)
+    stream = convert_event_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_oracle)
+    ).withWatermark("ts", "1 hour")
+    out = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # plan-shape detection: append-mode watermarked agg -> True; the
+    # registry's shapes (complete agg, append join/dedup, update
+    # stateful) -> False
+    assert needs_no_data_batch(out, "append") is True
+    assert needs_no_data_batch(out, "complete") is False
+    assert needs_no_data_batch(None, "append") is False
+
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
+    with scoped_state_partitions(spark, out=out, output_mode="append"):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _epoch: df.repartition(1)
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.read.parquet(sink).count()
+    # every window strictly below max(ts) - 1h is finalized; the events
+    # table spans days, so many windows must appear
+    assert emitted > 0, "append-mode watermarked agg lost its final windows"
