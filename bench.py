@@ -60,7 +60,7 @@ WARMUP = (
     "schema_evolution_read",
 )
 
-# includes the known most-expensive entries (dedup_canonical_corpus,
+# includes the known most-expensive entries (dedup_stage_build,
 # dedup_simhash64_pairs, streaming_click_attribution) so the
 # driver-visible line tracks the true tail, not just the classics
 HEADLINE = (
@@ -70,6 +70,7 @@ HEADLINE = (
     "q18_large_volume_customers",
     "bucketed_orders_lineitem_join",
     "window_top_orders_per_customer",
+    "dedup_stage_build",
     "dedup_minhash_candidates",
     "dedup_clusters",
     "dedup_canonical_corpus",
@@ -80,6 +81,15 @@ HEADLINE = (
     "streaming_click_attribution",
     "doc_word_count",
 )
+
+# Timed stages that are NOT registry queries: the shared dedup
+# candidate-graph build (shingle->MinHash->LSH->Jaccard->components)
+# is computed ONCE per session and consumed by five registry entries —
+# timing it as its own line keeps those five lines honest (each then
+# measures only its own derivation; without this the whole build cost
+# landed on whichever consumer ran first and the rest read as
+# near-zero cache hits).
+PSEUDO_STAGES = ("dedup_stage_build",)
 
 
 def main() -> None:
@@ -95,6 +105,16 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    # shared dedup stage build gets its own honest line; every dedup
+    # consumer below then times post-cache (its own derivation only)
+    from inf2106_map_reduce_spark.functions.dedup import (
+        build_registry_stage_cache,
+    )
+
+    t0 = time.perf_counter()
+    build_registry_stage_cache(spark, sf_dir)
+    timings["dedup_stage_build"] = round(time.perf_counter() - t0, 3)
+
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
@@ -109,7 +129,9 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: timings[k] for k in headline if k in timings},
         "sf": sf,
-        "n_queries": len(timings),
+        # registry queries only — the pseudo stage line is included in
+        # the total (and the full map) but is not a query
+        "n_queries": len(timings) - len(PSEUDO_STAGES),
     }
     with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
         json.dump(

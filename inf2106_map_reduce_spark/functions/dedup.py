@@ -679,6 +679,23 @@ def _doc_stage(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame
     return df
 
 
+def build_registry_stage_cache(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Force-build the session's shared candidate-graph stages
+    (shingle→MinHash→LSH candidates → Jaccard edges → min-label
+    components) and return each stage's row count. Exists so the BENCH
+    can charge the one-time build to its own named line
+    (``dedup_stage_build``) instead of whichever dedup consumer runs
+    first — per-query numbers then measure each query's own
+    derivation, honestly attributable at a glance. Stages are eagerly
+    checkpointed on first build, so the counts here are near-free
+    scans of materialized partitions."""
+    return {
+        "lsh_candidates": _registry_candidates(spark, sf_dir).count(),
+        "jaccard_edges": _registry_edges(spark, sf_dir).count(),
+        "components_minlabel": _registry_components(spark, sf_dir).count(),
+    }
+
+
 def _registry_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return _doc_stage(

@@ -208,7 +208,11 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
     """
 
 
-def _ann_lsh_oracle(k: int = 10) -> str:
+def _ann_lsh_oracle(
+    k: int = 10,
+    n_tables: int | None = None,
+    qids: tuple[int, ...] = (0, 1, 2),
+) -> str:
     """Exact oracle for the sign-LSH ANN path: same seeded hyperplanes
     as the Spark bucketizer (vector.random_hyperplanes, seed 42+1000t)
     embedded as SQL literals — identical technique to
@@ -217,10 +221,13 @@ def _ann_lsh_oracle(k: int = 10) -> str:
     the sign test on both engines, so bucket assignment (and therefore
     the candidate set, and therefore the exact top-k) is
     summation-order-proof."""
-    from inf2106_map_reduce_spark.functions.vector import random_hyperplanes
+    from inf2106_map_reduce_spark.functions.vector import (
+        ANN_LSH_TABLES,
+        random_hyperplanes,
+    )
 
     per_table = []
-    for t in range(8):
+    for t in range(n_tables if n_tables is not None else ANN_LSH_TABLES):
         planes = random_hyperplanes(64, 4, seed=42 + 1000 * t)
         bits = []
         for i, plane in enumerate(planes):
@@ -243,7 +250,7 @@ def _ann_lsh_oracle(k: int = 10) -> str:
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
       FROM buck q JOIN buck c
         ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
-      WHERE q.vec_id IN (0, 1, 2)
+      WHERE q.vec_id IN {qids!r}
     ),
     scored AS (
       SELECT cand.query_id, cand.vec_id,
@@ -260,15 +267,25 @@ def _ann_lsh_oracle(k: int = 10) -> str:
     """
 
 
-def _ann_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
+def _ann_ivf_oracle(
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int | None = None,
+    qids: tuple[int, ...] = (0, 1, 2),
+) -> str:
     """Exact oracle for the IVF ANN path: the seeded unit centroids
     (vector.ivf_centroids — the SAME Python floats the Spark index
     uses) become SQL literals; cell assignment is argmax over the
     per-centroid dots rounded to 9 decimals (first-lowest-index tie,
     mirroring Spark's array_position), probe ranking mirrors Spark's
     reverse(array_sort(struct(d, i))) — d DESC then cell DESC."""
-    from inf2106_map_reduce_spark.functions.vector import ivf_centroids
+    from inf2106_map_reduce_spark.functions.vector import (
+        ANN_IVF_PROBE,
+        ivf_centroids,
+    )
 
+    if n_probe is None:
+        n_probe = ANN_IVF_PROBE
     cents = ivf_centroids(n_lists=n_lists, dim=64, seed=42)
     dots = ", ".join(
         f"ROUND({_dot_sql('embedding', '[' + ', '.join(repr(c) for c in cent) + ']')}, 9)"
@@ -286,7 +303,7 @@ def _ann_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
     qcells AS (
       SELECT vec_id AS query_id, unnest(cds) AS d,
              CAST(unnest(range({n_lists})) AS INT) AS cell_i
-      FROM e WHERE vec_id IN (0, 1, 2)
+      FROM e WHERE vec_id IN {qids!r}
     ),
     probe AS (
       SELECT query_id, cell_i AS q_cell
@@ -313,6 +330,133 @@ def _ann_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
           FROM scored)
     WHERE rank <= {k}
     """
+
+
+def _ann_brute_oracle(k: int = 10, qids: tuple[int, ...] = (0, 1, 2)) -> str:
+    """Exact cosine top-k oracle (the recall baseline)."""
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id IN {qids!r}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_dot_sql('q.q_emb', 'e.embedding')}
+               / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                  * sqrt({_dot_sql('e.embedding', 'e.embedding')})), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """Exact oracle for the ANN recall audit: all three index
+    constructions (brute-force baseline, sign-LSH, IVF) mirrored in
+    SQL over the audit's 5-query sample, intersected to per-method hit
+    counts. The recall VALUES are exact (everything deterministic);
+    ``recall_ok`` is the pinned TRUE literal — the envelope pattern —
+    so if index tuning regresses below vector.ANN_RECALL_BAR the
+    engine's computed FALSE hash-mismatches instead of both engines
+    agreeing on a bad number."""
+    from inf2106_map_reduce_spark.functions.vector import ANN_RECALL_QUERY_IDS
+
+    qids = tuple(ANN_RECALL_QUERY_IDS)
+    exact = _ann_brute_oracle(k=10, qids=qids)
+    lsh = _ann_lsh_oracle(k=10, qids=qids)
+    ivf = _ann_ivf_oracle(k=10, qids=qids)
+    return f"""
+    WITH exact_tk AS MATERIALIZED (
+      SELECT query_id, vec_id FROM ({exact}) x
+    ),
+    lsh_tk AS MATERIALIZED (SELECT query_id, vec_id FROM ({lsh}) x),
+    ivf_tk AS MATERIALIZED (SELECT query_id, vec_id FROM ({ivf}) x),
+    m AS (
+      SELECT 'ivf' AS method,
+             (SELECT COUNT(*) FROM ivf_tk a JOIN exact_tk e
+               ON a.query_id = e.query_id AND a.vec_id = e.vec_id) AS n_hits,
+             (SELECT COUNT(*) FROM exact_tk) AS n_exact
+      UNION ALL
+      SELECT 'lsh' AS method,
+             (SELECT COUNT(*) FROM lsh_tk a JOIN exact_tk e
+               ON a.query_id = e.query_id AND a.vec_id = e.vec_id) AS n_hits,
+             (SELECT COUNT(*) FROM exact_tk) AS n_exact
+    )
+    SELECT method, n_hits, n_exact,
+           ROUND(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
+           TRUE AS recall_ok
+    FROM m
+    """
+
+
+def _kmeans_oracle(n_rounds: int, k: int = 8, extra_cols: str = "") -> str:
+    """Unrolled Lloyd k-means oracle: exactly ``n_rounds`` rounds of
+    (distance -> argmin assign -> centroid update), seeds = vec_id
+    0..k-1, centroids rounded to 9 decimals at every update — term for
+    term the trajectory vector.kmeans_lloyd/_lloyd_iterate walks, so an
+    ITERATIVE algorithm is exactly hash-checkable. ``n_rounds=2`` is
+    the fixed-iteration registry entry; the convergence-driven entry
+    unrolls the measured trajectory length
+    (vector.KMEANS_CONVERGED_ROUNDS_SF001) and pins the round count
+    itself via ``extra_cols`` (see the kmeans_converged QuerySpec)."""
+    # Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and round i's centroids reference round i-1's several
+    # times — un-materialized, the 19-round unroll expands the plan
+    # EXPONENTIALLY (observed: one fd per inlined parquet scan blowing
+    # the open-file limit, then ~10 min of planning/execution at 8 GB
+    # RSS). Materialization makes it what it is semantically: a linear
+    # chain of 19 tiny tables.
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS INT) AS cid,
+                 list_transform(emb, x -> round(x, 9)) AS c
+          FROM e WHERE vec_id < {k}
+        )"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT e.vec_id, e.emb, c{i - 1}.cid,
+                 list_sum(list_transform(list_zip(e.emb, c{i - 1}.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+          FROM e CROSS JOIN c{i - 1}
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, emb, cid
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY d ASC, cid ASC) AS rn FROM d{i})
+          WHERE rn = 1
+        )""")
+        if i < n_rounds:
+            parts.append(f""",
+        u{i} AS MATERIALIZED (
+          SELECT cid, i.range AS pos,
+                 round(AVG(emb[CAST(i.range AS INT)]), 9) AS c
+          FROM a{i}, range(1, 65) i
+          GROUP BY cid, i.range
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT c{i - 1}.cid, COALESCE(u.c, c{i - 1}.c) AS c
+          FROM c{i - 1} LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS c
+                                   FROM u{i} GROUP BY cid) u
+            ON u.cid = c{i - 1}.cid
+        )""")
+    parts.append(f"""
+        SELECT cid, COUNT(*) AS n_members,
+               MIN(vec_id) AS min_member, MAX(vec_id) AS max_member,
+               CAST(SUM(vec_id) AS BIGINT) AS member_id_sum{extra_cols}
+        FROM a{n_rounds} GROUP BY cid
+        """)
+    return "".join(parts)
 
 
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
@@ -1933,23 +2077,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ann_brute_force": QuerySpec(
         vector.ann_brute_force,
-        f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
-        scored AS (
-          SELECT q.query_id, e.vec_id,
-                 ROUND({_dot_sql('q.q_emb', 'e.embedding')}
-                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
-                      * sqrt({_dot_sql('e.embedding', 'e.embedding')})), 6) AS cos_sim
-          FROM embeddings e CROSS JOIN q
-          WHERE e.vec_id != q.query_id
-        )
-        SELECT query_id, vec_id, cos_sim, rank
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY cos_sim DESC, vec_id) AS rank
-              FROM scored)
-        WHERE rank <= 10
-        """,
+        _ann_brute_oracle(),
         "brute-force cosine top-k",
         ("vector",),
     ),
@@ -1958,16 +2086,26 @@ REGISTRY: dict[str, QuerySpec] = {
         _ann_lsh_oracle(),  # seeded hyperplanes embedded as SQL
         # literals (the _lsh_cosine_oracle technique) — the approximate
         # index is exactly hash-checkable; recall vs brute force is
-        # additionally tested in tests/test_vector.py
+        # additionally tested in tests/test_vector.py. Table count
+        # follows vector.ANN_LSH_TABLES (16, tuned for recall>=0.8).
         "LSH-bucketed approximate NN top-k (hyperplane-mirrored oracle)",
         ("vector",),
     ),
     "ann_ivf": QuerySpec(
         vector.ann_ivf,
-        _ann_ivf_oracle(),  # seeded centroids embedded as SQL literals
+        _ann_ivf_oracle(),  # seeded centroids embedded as SQL literals;
+        # probe count follows vector.ANN_IVF_PROBE (10, tuned for
+        # recall>=0.8)
         "IVF (inverted-file) approximate NN top-k "
         "(centroid-mirrored oracle)",
         ("vector",),
+    ),
+    "ann_recall_audit": QuerySpec(
+        vector.ann_recall_audit,
+        _ann_recall_oracle(),
+        "measured recall@10 of LSH and IVF vs exact top-k over a "
+        "5-query sample, with a pinned recall_ok>=0.8 verdict",
+        ("vector", "audit"),
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup.dedup_embedding_cosine,
@@ -2608,59 +2746,29 @@ REGISTRY.update(
         ),
         "kmeans_clusters": QuerySpec(
             vector.kmeans_clusters,
-            """
-            WITH e AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-              FROM embeddings
-            ),
-            c0 AS (
-              SELECT CAST(vec_id AS INT) AS cid,
-                     list_transform(emb, x -> round(x, 9)) AS c
-              FROM e WHERE vec_id < 8
-            ),
-            d1 AS (
-              SELECT e.vec_id, e.emb, c0.cid,
-                     list_sum(list_transform(list_zip(e.emb, c0.c),
-                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-              FROM e CROSS JOIN c0
-            ),
-            a1 AS (
-              SELECT vec_id, emb, cid
-              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY d ASC, cid ASC) AS rn FROM d1)
-              WHERE rn = 1
-            ),
-            u1 AS (
-              SELECT cid, i.range AS pos,
-                     round(AVG(emb[CAST(i.range AS INT)]), 9) AS c
-              FROM a1, range(1, 65) i
-              GROUP BY cid, i.range
-            ),
-            c1 AS (
-              SELECT c0.cid, COALESCE(u.c, c0.c) AS c
-              FROM c0 LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS c
-                                 FROM u1 GROUP BY cid) u
-                ON u.cid = c0.cid
-            ),
-            d2 AS (
-              SELECT e.vec_id, c1.cid,
-                     list_sum(list_transform(list_zip(e.emb, c1.c),
-                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-              FROM e CROSS JOIN c1
-            ),
-            a2 AS (
-              SELECT vec_id, cid
-              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY d ASC, cid ASC) AS rn FROM d2)
-              WHERE rn = 1
-            )
-            SELECT cid, COUNT(*) AS n_members,
-                   MIN(vec_id) AS min_member, MAX(vec_id) AS max_member,
-                   CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
-            FROM a2 GROUP BY cid
-            """,
+            _kmeans_oracle(2),
             "k-means (2 unrolled Lloyd iterations, k=8) cluster fingerprints",
+            ("vector", "iterative"),
+        ),
+        "kmeans_converged": QuerySpec(
+            vector.kmeans_converged,
+            # The production (convergence-driven) k-means: the oracle
+            # unrolls the FULL measured trajectory (19 rounds to reach
+            # tol=1e-4 on the sf0.01 embeddings — the trajectory is
+            # deterministic, so the length is a constant of the data)
+            # and pins the round count + convergence verdict as output
+            # columns. If the engine's tol loop ever stops at a
+            # different round, or stops converging, rounds/converged
+            # (and almost surely the fingerprints) hash-mismatch.
+            _kmeans_oracle(
+                vector.KMEANS_CONVERGED_ROUNDS_SF001,
+                extra_cols=(
+                    f", CAST({vector.KMEANS_CONVERGED_ROUNDS_SF001} AS INT)"
+                    " AS rounds, TRUE AS converged"
+                ),
+            ),
+            "convergence-driven k-means (tol=1e-4): fingerprints + "
+            "hash-checked round count and convergence verdict",
             ("vector", "iterative"),
         ),
     }
@@ -2692,29 +2800,19 @@ ROTATION_STRIDE = 40
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 5: sketch entry gained an exact-envelope oracle
-    "sketch_orders_per_status",
-    # round 5: hot-bucket sub-block guard inside the LSH scorer
-    "dedup_embedding_cosine",
-    # round 5 new: star-CC fallback under the dedup_clusters oracle
-    "dedup_clusters_star",
-    # round 5 new: intra-document duplicate-passage removal
-    "docs_chunk_dedup",
-    # round 5 new: perplexity-filter signal + source mixture weights
-    "docs_unigram_logprob",
-    "docs_mixture_weights",
-    # round 5 new: documents-embeddings integrity audit
+    # round 6 new: convergence-driven k-means (19-round unrolled oracle
+    # + pinned round count)
+    "kmeans_converged",
+    # round 6 new: LSH/IVF recall audit vs brute force (pinned >=0.8)
+    "ann_recall_audit",
+    # round 6: recall retuning changed both index parameter sets
+    # (ANN_LSH_TABLES 8->16, ANN_IVF_PROBE 4->10)
+    "ann_lsh",
+    "ann_ivf",
+    # round 6: fixed-iter oracle refactored onto the shared generator
+    "kmeans_clusters",
+    # round 6: key-level (distinct) coverage semantics
     "docs_embedding_coverage",
-    # round 5 new: ordered event funnel
-    "events_funnel",
-    # round 5 new: mergeable HLL sketch rollup
-    "sketch_rollup_orders",
-    # round 5 new: deterministic train/val/test split
-    "docs_split",
-    # (dedup_ngram_jaccard moved onto the shared stage cache this
-    # round but its output is pinned identical by
-    # test_registry_stage_cache_matches_direct_pipeline — rotation
-    # re-verifies it without a priority slot)
 )
 
 

@@ -22,8 +22,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
-from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
+from inf2106_map_reduce_spark.streaming.runtime import (
+    scoped_state_partitions,
+    state_partitions_for,
+)
+from inf2106_map_reduce_spark.tables import (
+    convert_event_ts,
+    load_table,
+    raw_events_schema,
+)
 
 ATTRIBUTION_HORIZON = "1 hour"
 
@@ -81,7 +88,16 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition maintenance cost is the whole game here (7.6 s at
     # 32 partitions vs 2.4 s at 8 on identical sf0.1 input); see
     # runtime.scoped_state_partitions for the sizing rule.
-    with scoped_state_partitions(spark, out=out, output_mode="append"):
+    with scoped_state_partitions(
+        spark,
+        # state = both join buffers keyed by user_id → user cardinality
+        # (from the batch view) sizes the partitions
+        n=state_partitions_for(
+            load_table(spark, sf_dir, "events").select("user_id")
+        ),
+        out=out,
+        output_mode="append",
+    ):
         # HARNESS-ONLY: repartition(1) packs the tiny AvailableNow batch
         # into one file so the gate reads a single-part sink. A
         # production sink writes unrepartitioned (one file per state

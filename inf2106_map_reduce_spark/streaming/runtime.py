@@ -21,17 +21,58 @@ new checkpoint, so err high for long-lived production streams).
 
 from __future__ import annotations
 
+import math
 import os
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-#: Default 4 is sized to the BENCH scale factor (sf0.1, ~10k keys in
-#: flight) — NOT a universal constant. Deployments must set
-#: ``SPARK_GRAFT_STATE_PARTITIONS`` to match expected keys-in-flight
-#: (rule of thumb: keys / ~100k per partition, erring high — the value
-#: is frozen into each checkpoint at first start).
+#: Fallback when no key sample is supplied (and the env override for
+#: deployments that know their cardinality): 4 is sized to the BENCH
+#: scale factor (sf0.1, ~10k keys in flight) — NOT a universal
+#: constant. Preferred path: :func:`state_partitions_for` derives the
+#: count from the DATA (approx-distinct of the state keys on a batch
+#: view of the source), so sizing tracks the corpus instead of a
+#: hand-pinned number.
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
+
+#: Sizing rule: ~100k keys in flight per state partition (each
+#: partition carries fixed per-micro-batch maintenance cost — delta
+#: files, snapshot compaction, provider instances — so the count must
+#: track STATE size, not batch CPUs; see module docstring
+#: measurements). Floor 4 keeps small/local corpora at the measured
+#: local sweet spot; cap 1024 bounds runaway estimates (a deployment
+#: expecting >100M keys in flight sets the env override and errs
+#: high — the value freezes into the checkpoint at first start).
+STATE_KEYS_PER_PARTITION = 100_000
+STATE_PARTITIONS_FLOOR = 4
+STATE_PARTITIONS_CAP = 1024
+
+
+def state_partitions_for(source_keys: DataFrame | None) -> int:
+    """Derive the state partition count from the data: one
+    ``approx_count_distinct`` over a BATCH view of the state key
+    columns (a cheap column-pruned scan, run once before the stream
+    starts), then ``clamp(ceil(keys / 100k), 4, 1024)``.
+
+    ``SPARK_GRAFT_STATE_PARTITIONS`` still wins when set (a deployment
+    that knows its steady-state cardinality errs high explicitly);
+    passing ``None`` falls back to the same default."""
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    if source_keys is None:
+        return STATE_PARTITIONS
+    n_keys = source_keys.agg(
+        F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in source_keys.columns])
+        ).alias("k")
+    ).collect()[0]["k"]
+    return max(
+        STATE_PARTITIONS_FLOOR,
+        min(STATE_PARTITIONS_CAP, math.ceil(n_keys / STATE_KEYS_PER_PARTITION)),
+    )
 
 
 #: AvailableNow queries drain one data batch and stop; the trailing

@@ -38,8 +38,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
-from inf2106_map_reduce_spark.tables import convert_event_ts, raw_events_schema
+from inf2106_map_reduce_spark.streaming.runtime import (
+    scoped_state_partitions,
+    state_partitions_for,
+)
+from inf2106_map_reduce_spark.tables import (
+    convert_event_ts,
+    load_table,
+    raw_events_schema,
+)
 
 WATERMARK = "1 hour"
 
@@ -54,15 +61,24 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(out_stream, spark: SparkSession, mode: str) -> DataFrame:
+def _run_to_table(
+    out_stream, spark: SparkSession, mode: str, state_keys=None
+) -> DataFrame:
     """Run to completion through a foreachBatch parquet sink and read
     the result back — no driver-side materialization (the memory sink
     collects to the driver; fine for tests, wrong as the shipped path).
     Append/update batches accumulate via mode=append; AvailableNow over
     the single events file yields one batch, so update mode emits each
-    key once."""
+    key once. ``state_keys`` (a batch projection of the state key
+    columns) sizes the state partition count from the data
+    (runtime.state_partitions_for)."""
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    with scoped_state_partitions(spark, out=out_stream, output_mode=mode):
+    with scoped_state_partitions(
+        spark,
+        n=state_partitions_for(state_keys),
+        out=out_stream,
+        output_mode=mode,
+    ):
         q = (
             out_stream.writeStream.foreachBatch(
                 lambda df, _epoch: df.repartition(1)
@@ -84,7 +100,12 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
     deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return _run_to_table(
-        deduped.select("user_id", "event_type"), spark, mode="append"
+        deduped.select("user_id", "event_type"),
+        spark,
+        mode="append",
+        state_keys=load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type"
+        ),
     )
 
 
@@ -119,4 +140,9 @@ def streaming_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_table(out, spark, mode="update")
+    return _run_to_table(
+        out,
+        spark,
+        mode="update",
+        state_keys=load_table(spark, sf_dir, "events").select("user_id"),
+    )

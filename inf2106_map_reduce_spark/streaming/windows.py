@@ -13,7 +13,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inf2106_map_reduce_spark.streaming.runtime import scoped_state_partitions
+from inf2106_map_reduce_spark.streaming.runtime import (
+    scoped_state_partitions,
+    state_partitions_for,
+)
 from inf2106_map_reduce_spark.tables import (
     convert_event_ts,
     load_table,
@@ -98,7 +101,11 @@ def multires_rollup(events: DataFrame) -> DataFrame:
 
 
 def _run_available_now(
-    spark: SparkSession, sf_dir: str, transform, with_watermark: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    with_watermark: bool = True,
+    state_keys=None,
 ) -> DataFrame:
     """Execute a windowed transform as a REAL stream over the parquet
     events table (Trigger.AvailableNow → foreachBatch parquet sink,
@@ -120,7 +127,12 @@ def _run_available_now(
         stream = stream.withWatermark("ts", WATERMARK)
     out = transform(stream)
     sink = tempfile.mkdtemp(prefix="stream_sink_")
-    with scoped_state_partitions(spark, out=out, output_mode="complete"):
+    with scoped_state_partitions(
+        spark,
+        n=state_partitions_for(state_keys),
+        out=out,
+        output_mode="complete",
+    ):
         q = (
             # repartition(1): the result is a windowed aggregate
             # (thousands of rows) — one output file avoids tiny-file
@@ -144,8 +156,16 @@ def _run_available_now(
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: tumbling-window agg executed through Structured
     Streaming (AvailableNow) — oracle-checked against the same SQL the
-    batch form uses."""
-    return _run_available_now(spark, sf_dir, tumbling_hourly)
+    batch form uses. State keys in flight = (hour bucket, event_type);
+    the batch proxy of exactly that sizes the state partitions."""
+    return _run_available_now(
+        spark,
+        sf_dir,
+        tumbling_hourly,
+        state_keys=load_table(spark, sf_dir, "events").select(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ),
+    )
 
 
 def batch_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,8 +181,17 @@ def batch_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: the SAME sliding-window transform through
     Structured Streaming (AvailableNow) — one definition, two
-    bindings; oracle shared with the batch form."""
-    return _run_available_now(spark, sf_dir, sliding_hourly)
+    bindings; oracle shared with the batch form. Hour buckets ×
+    event_type approximate the ~2× sliding-window key count — well
+    inside one sizing step of the 100k-keys-per-partition rule."""
+    return _run_available_now(
+        spark,
+        sf_dir,
+        sliding_hourly,
+        state_keys=load_table(spark, sf_dir, "events").select(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ),
+    )
 
 
 def enriched_segment_stats(events: DataFrame, customer: DataFrame) -> DataFrame:
@@ -190,6 +219,9 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda s: enriched_segment_stats(s, customer),
         with_watermark=False,
+        # state keys = (segment, event_type): a handful — the floor
+        # partition count applies
+        state_keys=load_table(spark, sf_dir, "events").select("event_type"),
     )
 
 
@@ -226,5 +258,12 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of a session window is rejected by Spark's streaming
     correctness check, and at scale belongs in the batch rollup over
     the emitted sessions anyway. Oracle: gap-merge via lag()+running
-    sum with the same >= comparison as the batch form."""
-    return _run_available_now(spark, sf_dir, session_windows_raw)
+    sum with the same >= comparison as the batch form. Open-session
+    state is one merged window per active user → user_id cardinality
+    sizes the partitions."""
+    return _run_available_now(
+        spark,
+        sf_dir,
+        session_windows_raw,
+        state_keys=load_table(spark, sf_dir, "events").select("user_id"),
+    )

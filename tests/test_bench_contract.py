@@ -15,8 +15,24 @@ def test_warmup_names_exist():
 
 
 def test_headline_names_exist():
-    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    known = set(REGISTRY) | set(bench.PSEUDO_STAGES)
+    missing = [n for n in bench.HEADLINE if n not in known]
     assert not missing, missing
+
+
+def test_stage_build_is_timed_and_consumers_exist():
+    # the pseudo-line only makes sense while the five stage-cache
+    # consumers are registry entries; if they're renamed, re-audit the
+    # attribution story
+    assert "dedup_stage_build" in bench.HEADLINE
+    for consumer in (
+        "dedup_minhash_candidates",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "dedup_canonical_corpus",
+    ):
+        assert consumer in REGISTRY, consumer
 
 
 def test_all_streaming_queries_are_warmed():

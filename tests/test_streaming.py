@@ -169,3 +169,25 @@ def test_append_watermarked_agg_gets_no_data_batch(spark, sf_oracle):
     # every window strictly below max(ts) - 1h is finalized; the events
     # table spans days, so many windows must appear
     assert emitted > 0, "append-mode watermarked agg lost its final windows"
+
+
+def test_state_partitions_derived_from_key_cardinality(spark, monkeypatch):
+    """Sizing must come from the DATA: a small key sample lands on the
+    floor, a large one scales by the keys-per-partition rule, and the
+    env override beats both."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.streaming import runtime
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    small = spark.range(50).select(F.col("id").alias("k"))
+    assert runtime.state_partitions_for(small) == runtime.STATE_PARTITIONS_FLOOR
+    # 450k distinct keys / 100k per partition -> ceil = 5 (approx
+    # distinct has ~2% error; anywhere in ceil's 5-bucket is fine, so
+    # assert the bucket, not the exact estimate)
+    big = spark.range(450_000).select(F.col("id").alias("k"))
+    n = runtime.state_partitions_for(big)
+    assert n == 5, n
+    assert runtime.state_partitions_for(None) == runtime.STATE_PARTITIONS
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "7")
+    assert runtime.state_partitions_for(big) == 7

@@ -30,26 +30,26 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_oracle):
     e = load_table(spark, sf_oracle, "embeddings")
     qids = (0, 1, 2, 3, 4)
     exact = vector.brute_force_topk(e, query_ids=qids, k=10)
-    approx = vector.lsh_ann_topk(e, query_ids=qids, k=10, n_planes=4, n_tables=8)
+    # tuned defaults (vector.ANN_LSH_TABLES) must clear the shippable
+    # bar; the registry's ann_recall_audit hash-checks the same number
+    approx = vector.lsh_ann_topk(e, query_ids=qids, k=10)
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # multi-table LSH over near-random synthetic vectors: assert far
-    # above random chance (10/500 = 2%)
-    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+    assert recall >= vector.ANN_RECALL_BAR, f"LSH recall {recall:.2f} too low"
 
 
 def test_ivf_ann_recall_vs_brute_force(spark, sf_oracle):
     e = load_table(spark, sf_oracle, "embeddings")
     qids = (0, 1, 2, 3, 4)
     exact = vector.brute_force_topk(e, query_ids=qids, k=10)
-    approx = vector.ivf_ann_topk(e, query_ids=qids, k=10, n_lists=16, n_probe=4)
+    # tuned defaults (vector.ANN_IVF_PROBE) must clear the shippable
+    # bar; the registry's ann_recall_audit hash-checks the same number
+    approx = vector.ivf_ann_topk(e, query_ids=qids, k=10)
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 4/16 probed cells over near-random vectors: well above the 25%
-    # a random cell assignment would give on directional neighbors
-    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+    assert recall >= vector.ANN_RECALL_BAR, f"IVF recall {recall:.2f} too low"
 
 
 def test_ivf_is_deterministic(spark, sf_oracle):
