@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payload columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked stub (`decode_image_stub`) with a deterministic fake
-feature extractor; everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested. Swapping the stub
-for PIL/torchvision/ffmpeg is a one-function change.
+Decoding is IMPORT-GUARDED, not hard-stubbed: `decode_image` uses
+pillow (`PIL.Image`) when installed — real width/height/format
+metadata, looked up per executor worker — and falls back to the
+deterministic stub (`decode_image_stub`) otherwise. The decode fields
+are nullable on both branches so schemas and oracles are
+backend-independent; this test container has no image libraries, so
+tests exercise the real branch with an injected fake backend and the
+stub branch end-to-end through Spark.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch
@@ -30,7 +33,12 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
-    "byte_mean double, header_hex string"
+    "byte_mean double, header_hex string, "
+    # nullable decode fields: populated only when an image backend
+    # (pillow) is installed AND the payload decodes; the registry
+    # query projects the always-present byte-level columns, so its
+    # oracle is backend-independent
+    "width int, height int, img_format string"
 )
 
 
@@ -53,6 +61,55 @@ def decode_image_stub(payload: bytes) -> dict:
         "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
         "header_hex": payload[:8].hex(),
     }
+
+
+def image_backend():
+    """The OPTIONAL image decode backend: ``PIL.Image`` when pillow is
+    installed, else None. Looked up at call time (inside the executor
+    worker for the Spark path), so installing pillow on the cluster
+    flips every worker to real decoding with zero code change."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, backend=None) -> dict:
+    """Decode one payload: byte-level stats always (the stub contract,
+    unchanged), plus REAL image metadata — ``width``/``height``/
+    ``img_format`` — when an image backend is available AND the payload
+    is an actual decodable image. The decode fields are NULLABLE on
+    both branches, so schema, oracle, and downstream plumbing are
+    identical with or without pillow; only the values appear.
+
+    Non-UTF-8 payloads with NO backend still raise NotImplementedError
+    (the deliberate stub surface — silent nulls would hide that the
+    deployment forgot its decode dependency)."""
+    if backend is None:
+        backend = image_backend()
+    width = height = img_format = None
+    if backend is not None:
+        import io
+
+        try:
+            with backend.open(io.BytesIO(payload)) as img:
+                width, height = int(img.width), int(img.height)
+                img_format = img.format
+        except Exception:
+            # backend present but payload isn't an image it can read —
+            # fall through to byte-level features with NULL decode
+            # fields (matches the stub branch's shape)
+            pass
+        base = {
+            "n_bytes": len(payload),
+            "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
+            "header_hex": payload[:8].hex(),
+        }
+    else:
+        base = decode_image_stub(payload)
+    return {**base, "width": width, "height": height, "img_format": img_format}
 
 
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,21 +138,40 @@ def extract_features(media: DataFrame) -> DataFrame:
     real decode pipeline)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = image_backend()  # one lookup per worker batch stream
         for pdf in it:
             feats = []
             for doc_id, mtype, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 try:
-                    f = decode_image_stub(bytes(payload))
+                    f = decode_image(bytes(payload), backend=backend)
                 except NotImplementedError:
                     continue
                 feats.append(
-                    (doc_id, mtype, f["n_bytes"], f["byte_mean"], f["header_hex"])
+                    (
+                        doc_id,
+                        mtype,
+                        f["n_bytes"],
+                        f["byte_mean"],
+                        f["header_hex"],
+                        f["width"],
+                        f["height"],
+                        f["img_format"],
+                    )
                 )
             yield pd.DataFrame(
                 feats,
-                columns=["doc_id", "media_type", "n_bytes", "byte_mean", "header_hex"],
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "byte_mean",
+                    "header_hex",
+                    "width",
+                    "height",
+                    "img_format",
+                ],
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

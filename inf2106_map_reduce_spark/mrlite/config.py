@@ -105,6 +105,33 @@ def _udf(name: str) -> Callable:
     return UDF_REGISTRY[name]
 
 
+def cluster_hints(props: dict[str, str]) -> dict[str, int]:
+    """Map the reference's cluster-sizing properties to
+    ``get_spark(profile="cluster")`` hints:
+
+    - ``mapred.Workers.exec-nodes`` — ``;``-separated host list the
+      reference instantiates one worker per node on
+      (``MasterServant.java:172-181``) → ``executors``;
+    - ``mapred.Mappers.number`` — defaults to the node count in the
+      reference (``MasterServant.java:183-184``) → ``n_mappers``
+      (informational; Spark derives map-task counts from splits).
+
+    Usage: ``get_spark(profile="cluster",
+    executors=cluster_hints(props)["executors"])`` — the properties
+    file that sized the reference cluster sizes the Spark session's
+    shuffle/speculation profile the same way."""
+    nodes = [
+        n
+        for n in props.get("mapred.Workers.exec-nodes", "").split(";")
+        if n.strip()
+    ]
+    executors = max(1, len(nodes))
+    return {
+        "executors": executors,
+        "n_mappers": int(props.get("mapred.Mappers.number", str(executors))),
+    }
+
+
 def job_from_properties(props: dict[str, str]) -> tuple[Job, str, str | None]:
     """Build the :class:`Job` plus (input_path, output_path) from
     parsed ``mapred.*`` properties, with the reference's defaults."""

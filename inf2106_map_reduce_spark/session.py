@@ -67,22 +67,60 @@ _SCALE_DEFAULTS: dict[str, str] = {
 }
 
 
+def cluster_conf(
+    executors: int = 1000, cores_per_executor: int = 8
+) -> dict[str, str]:
+    """The documented cluster overrides (SCALING.md table) as an
+    executable conf dict — what ``get_spark(profile="cluster")``
+    applies on top of the shared defaults:
+
+    - ``shuffle.partitions`` ≈ 2.5× total cores (AQE coalesces down,
+      so err high; 1000 executors × 8 cores → 20k);
+    - ``maxPartitionBytes`` 256 MB so wide-fact parquet scan tasks stay
+      ~O(100 MB compressed) and decompress within executor memory;
+    - speculation ON — the managed equivalent of the reference's
+      1.2×/2× straggler kill-and-reschedule
+      (``MasterServant.java:499-595``).
+
+    The executor/core counts come from the caller (spark-submit /
+    k8s operator sizing, or the config front-end's
+    ``mapred.Workers.exec-nodes`` hint via
+    mrlite.config.cluster_hints)."""
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(int(total_cores * 2.5)),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.speculation": "true",
+    }
+
+
 def get_spark(
     app_name: str = "inf2106-map-reduce-spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "local",
+    executors: int = 1000,
+    cores_per_executor: int = 8,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     for the test harness; pass an explicit master / rely on spark-submit
     on a cluster.
+
+    ``profile="cluster"`` applies :func:`cluster_conf` (the SCALING.md
+    formulas) on top of the shared defaults — the "same config block
+    we'd ship" claim, executable. ``extra_conf`` still wins last.
     """
+    if profile not in ("local", "cluster"):
+        raise ValueError(f"unknown profile {profile!r}")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_SCALE_DEFAULTS)
+    if profile == "cluster":
+        conf.update(cluster_conf(executors, cores_per_executor))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

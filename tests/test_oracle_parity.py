@@ -28,6 +28,31 @@ def test_query_matches_oracle(spark, sf_oracle, con, name):
     assert_matches_oracle(df, con, spec.oracle)
 
 
+@pytest.fixture(scope="module")
+def ansi_spark(spark):
+    """The engine session with ANSI mode ON — the driver runs a vanilla
+    SparkSession where ANSI is the Spark 4 default, while session.py
+    pins it off; ANSI-only bugs (e.g. a sum-of-xxhash64 long overflow
+    that wraps silently when off but raises when on) otherwise surface
+    only in the hand-run driver-sim. ``ansi.enabled`` is a runtime
+    conf, so flipping it on the shared session is exact."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+@pytest.mark.ansi
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle_ansi(ansi_spark, sf_oracle, con, name):
+    """The full parity suite, ANSI-on (`pytest -m ansi`) — excluded
+    from the default run (pytest.ini addopts) because it doubles the
+    suite; part of the pre-driver round ritual."""
+    spec = REGISTRY[name]
+    df = spec.fn(ansi_spark, sf_oracle)
+    assert_matches_oracle(df, con, spec.oracle)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_oracle, name):
     df = REGISTRY[name].fn(spark, sf_oracle)

@@ -85,11 +85,43 @@ def main() -> None:
             F.count(F.lit(1))
         )
 
+    # --- dedup family: the LSH candidate-graph build and a CC solve ---
+    from inf2106_map_reduce_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    d1 = load_table(spark, sf, "documents").select("doc_id", "text")
+    dk = replicate(d1, k, ["doc_id"]).localCheckpoint(eager=True)
+    d1 = d1.localCheckpoint(eager=True)
+
+    def cand_build(d):
+        return lsh_candidate_pairs(d)
+
+    def planted_edges(scale: int) -> DataFrame:
+        # 20k-per-copy edge list of 5-node chains: many shallow
+        # components, the near-dup cluster shape; ids offset per copy
+        base = (
+            spark.range(20_000)
+            .filter(F.col("id") % 5 != 4)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        return replicate(base, scale, ["id_a", "id_b"]).localCheckpoint(
+            eager=True
+        )
+
+    e1, ek = planted_edges(1), planted_edges(k)
+
+    def cc(edges):
+        return connected_components(edges)
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
         ("window top-k/group", lambda s: window_top(o1) if s == 1 else window_top(ok)),
         ("hash-key dedup agg", lambda s: exact_dedup(o1) if s == 1 else exact_dedup(ok)),
+        ("LSH candidate build", lambda s: cand_build(d1) if s == 1 else cand_build(dk)),
+        ("CC min-label solve", lambda s: cc(e1) if s == 1 else cc(ek)),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
     for name, mk in shapes:
@@ -100,6 +132,56 @@ def main() -> None:
             f"  {name}: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
             f"(ideal <= {k}x; sublinear = fixed cost amortized)"
         )
+
+    # --- stateful streaming drain (dropDuplicatesWithinWatermark) ----
+    # state keys scale with the replication offsets, so the drain at kx
+    # carries kx state; partitions are data-derived per run
+    import tempfile
+
+    from inf2106_map_reduce_spark.streaming.runtime import (
+        scoped_state_partitions,
+        state_partitions_for,
+    )
+
+    ev1 = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    evk = replicate(ev1, k, ["user_id"])
+    srcs = {}
+    for tag, df in (("1x", ev1), (f"{k}x", evk)):
+        path = tempfile.mkdtemp(prefix=f"probe_events_{tag}_")
+        df.write.mode("overwrite").parquet(path)
+        srcs[tag] = path
+
+    def stream_drain(path: str) -> float:
+        batch = spark.read.parquet(path)
+        n_parts = state_partitions_for(batch.select("user_id", "event_type"))
+        stream = (
+            spark.readStream.schema(batch.schema).parquet(path)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        )
+        t0 = time.perf_counter()
+        with scoped_state_partitions(spark, n=n_parts, out=stream, output_mode="append"):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, _e: df.write.format("noop").mode("overwrite").save()
+                )
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="probe_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return time.perf_counter() - t0
+
+    stream_drain(srcs["1x"])  # warm the streaming plan
+    t1 = min(stream_drain(srcs["1x"]) for _ in range(2))
+    tk = min(stream_drain(srcs[f"{k}x"]) for _ in range(2))
+    print(
+        f"  streaming dedup drain: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
+        f"(ideal <= {k}x; state partitions data-derived per run)"
+    )
     spark.stop()
 
 
