@@ -14,6 +14,9 @@ the correctness weight.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -106,6 +109,124 @@ def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(DISTINCT_REL_BOUND) * F.col("n_distinct_cust")
         ).alias("merged_within_bound"),
     )
+
+
+#: Misra-Gries summary capacity: every item with true frequency
+#: > n/(MG_CAPACITY+1) is GUARANTEED to survive the sketch, and every
+#: estimate sits in [true - n/(MG_CAPACITY+1), true] — both theorems
+#: hold for the MERGED summary too (per-partition errors sum to at
+#: most n/(m+1) across disjoint partitions), which is what makes the
+#: audit booleans below deterministically TRUE regardless of how Spark
+#: partitions the tokens.
+MG_CAPACITY = 100
+
+
+def misra_gries_partition_summaries(
+    items: DataFrame, item_col: str = "item", m: int = MG_CAPACITY
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (≤ ``m`` counters
+    each): the bounded-memory heavy-hitters sketch (Misra & Gries 1982;
+    the `frequent items` summary in DataSketches). Streams each
+    partition once through a dict of at most ``m`` counters — the
+    decrement-all step amortizes to O(1) per item — so executor memory
+    is O(m) no matter how many distinct items the partition holds;
+    that bound, not speed, is why a 100 TB vocabulary scan uses this
+    instead of an exact groupBy (whose shuffle carries every distinct
+    item). I/O is Arrow-batched (``mapInPandas``); the per-item dict
+    update IS the sketch contract, not an accidental Python loop.
+
+    Output (item, est) rows per partition; merge by summing ``est``
+    per item (:func:`heavy_hitters_audit`) — estimates stay
+    lower-bounds with total error ≤ n/(m+1)."""
+
+    def mg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for w in pdf[item_col]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < m:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    return items.select(F.col(item_col).alias(item_col)).mapInPandas(
+        mg, schema="item string, est long"
+    )
+
+
+def heavy_hitters_audit(
+    items: DataFrame,
+    item_col: str = "item",
+    m: int = MG_CAPACITY,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hash-checkable heavy-hitters query: exact top-``top_k`` items
+    (deterministic: count DESC, item ASC) plus in-plan booleans
+    auditing the merged Misra-Gries sketch against its two theorems —
+    the same envelope pattern as the HLL/quantile audits, applied to a
+    sketch whose raw candidate set is PARTITIONING-DEPENDENT (which
+    low-count stragglers survive depends on item order, so the sketch
+    itself can never hash-match; the theorems hold for any order, so
+    verdicts about it can):
+
+    - ``in_sketch_ok``: TRUE unless the item's exact count clears the
+      guarantee threshold n/(m+1) AND the sketch missed it;
+    - ``est_within_bound``: TRUE unless the sketch holds the item with
+      an estimate outside [exact - n/(m+1), exact].
+
+    Scale: sketch pass is one narrow O(m)-memory scan + a tiny merge
+    (≤ m rows per partition); the exact pass exists to AUDIT it and is
+    what the sketch replaces at 100 TB.
+    """
+    src = items.select(F.col(item_col).alias("item"))
+    merged = (
+        misra_gries_partition_summaries(src, "item", m=m)
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    exact = src.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    total = src.agg(F.count(F.lit(1)).alias("_total"))
+    top = (
+        exact.orderBy(F.desc("n"), F.asc("item"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))  # single-row scalar pairing
+        .join(merged, "item", "left")
+    )
+    thresh = F.col("_total") / F.lit(m + 1)
+    return top.select(
+        F.col("item").alias("word"),
+        "n",
+        (
+            (F.col("n") <= thresh) | F.col("est").isNotNull()
+        ).alias("in_sketch_ok"),
+        (
+            F.col("est").isNull()
+            | (
+                (F.col("est") <= F.col("n"))
+                & (F.col("est") >= F.col("n") - thresh)
+            )
+        ).alias("est_within_bound"),
+    )
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: top-20 document words, exact counts +
+    Misra-Gries sketch audit verdicts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", r"\s+")).alias("item")
+    ).filter(F.col("item") != "")
+    return heavy_hitters_audit(words, "item")
 
 
 #: Rank-error envelope for the quantile audit. approx_percentile at

@@ -1119,6 +1119,30 @@ REGISTRY: dict[str, QuerySpec] = {
         "status grain, envelope-audited",
         ("agg", "sketch"),
     ),
+    "sketch_heavy_hitters": QuerySpec(
+        sketches.sketch_heavy_hitters,
+        # exact top-20 words + TRUE audit verdicts: the Misra-Gries
+        # candidate SET is partitioning-dependent (never hashable),
+        # but its two theorems (guaranteed containment above n/(m+1),
+        # estimate within [exact - n/(m+1), exact]) hold for ANY
+        # partitioning — so the engine emits verdicts and the oracle
+        # pins them TRUE (the sketch_orders_per_status pattern)
+        """
+        SELECT word, n, TRUE AS in_sketch_ok, TRUE AS est_within_bound
+        FROM (
+          SELECT word, COUNT(*) AS n
+          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+                FROM documents)
+          WHERE word != ''
+          GROUP BY word
+          ORDER BY n DESC, word ASC
+          LIMIT 20
+        )
+        """,
+        "top-20 document words with Misra-Gries heavy-hitter sketch "
+        "audit (containment + estimate-error envelopes)",
+        ("agg", "sketch", "text"),
+    ),
     "agg_stats_battery": QuerySpec(
         relational.agg_stats_battery,
         """
@@ -2813,6 +2837,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "kmeans_clusters",
     # round 6: key-level (distinct) coverage semantics
     "docs_embedding_coverage",
+    # round 6 new: Misra-Gries heavy hitters with envelope audit
+    "sketch_heavy_hitters",
 )
 
 

@@ -94,3 +94,51 @@ def test_sketch_rollup_merge_equals_direct_sketch(spark, sf_oracle):
         # merged estimate within 10% of the direct single-pass estimate
         d = direct[r["o_orderstatus"]]
         assert abs(d - r["n_distinct_cust"]) <= 0.1 * r["n_distinct_cust"]
+
+
+def test_misra_gries_guarantees_on_planted_skew(spark):
+    """Planted distribution: one item at 40%, one at 20%, noise spread
+    over many distinct singletons. With m=10 the threshold is n/11, so
+    both heavy items are guaranteed candidates with estimates inside
+    the error envelope — across different partitionings."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.functions import sketches
+
+    rows = (["hot"] * 400 + ["warm"] * 200 + [f"x{i}" for i in range(400)])
+    df = spark.createDataFrame([(w,) for w in rows], "item string")
+    for n_parts in (1, 3, 16):
+        out = {
+            r["word"]: r
+            for r in sketches.heavy_hitters_audit(
+                df.repartition(n_parts), "item", m=10, top_k=5
+            ).collect()
+        }
+        assert out["hot"]["n"] == 400 and out["warm"]["n"] == 200
+        for r in out.values():
+            assert r["in_sketch_ok"] is True, r
+            assert r["est_within_bound"] is True, r
+
+
+def test_misra_gries_summary_is_bounded_and_lower_bound(spark):
+    """Each partition summary holds at most m counters, and merged
+    estimates never exceed exact counts."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.functions import sketches
+
+    rows = [(f"w{i % 37}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    summaries = sketches.misra_gries_partition_summaries(df, "item", m=8)
+    per_part = summaries.groupBy(F.spark_partition_id().alias("p")).count()
+    assert all(r["count"] <= 8 for r in per_part.collect())
+    merged = {
+        r["item"]: r["est"]
+        for r in summaries.groupBy("item").agg(F.sum("est").alias("est")).collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for item, est in merged.items():
+        assert est <= exact[item], (item, est, exact[item])
