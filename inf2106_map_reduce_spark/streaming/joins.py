@@ -93,7 +93,10 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state = both join buffers keyed by user_id → user cardinality
         # (from the batch view) sizes the partitions
         n=state_partitions_for(
-            load_table(spark, sf_dir, "events").select("user_id")
+            load_table(spark, sf_dir, "events").select("user_id"),
+            cache_key=(
+                spark.sparkContext.applicationId, sf_dir, "events", "user_id"
+            ),
         ),
         out=out,
         output_mode="append",

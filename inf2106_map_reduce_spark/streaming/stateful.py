@@ -62,7 +62,11 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(
-    out_stream, spark: SparkSession, mode: str, state_keys=None
+    out_stream,
+    spark: SparkSession,
+    mode: str,
+    state_keys=None,
+    state_key_id: tuple | None = None,
 ) -> DataFrame:
     """Run to completion through a foreachBatch parquet sink and read
     the result back — no driver-side materialization (the memory sink
@@ -73,9 +77,14 @@ def _run_to_table(
     columns) sizes the state partition count from the data
     (runtime.state_partitions_for)."""
     sink = tempfile.mkdtemp(prefix="stream_sink_")
+    cache_key = (
+        (spark.sparkContext.applicationId,) + state_key_id
+        if state_key_id
+        else None
+    )
     with scoped_state_partitions(
         spark,
-        n=state_partitions_for(state_keys),
+        n=state_partitions_for(state_keys, cache_key=cache_key),
         out=out_stream,
         output_mode=mode,
     ):
@@ -106,6 +115,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_keys=load_table(spark, sf_dir, "events").select(
             "user_id", "event_type"
         ),
+        state_key_id=(sf_dir, "events", "user_id", "event_type"),
     )
 
 
@@ -145,4 +155,5 @@ def streaming_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         mode="update",
         state_keys=load_table(spark, sf_dir, "events").select("user_id"),
+        state_key_id=(sf_dir, "events", "user_id"),
     )

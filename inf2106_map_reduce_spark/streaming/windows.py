@@ -106,6 +106,7 @@ def _run_available_now(
     transform,
     with_watermark: bool = True,
     state_keys=None,
+    state_key_id: tuple | None = None,
 ) -> DataFrame:
     """Execute a windowed transform as a REAL stream over the parquet
     events table (Trigger.AvailableNow → foreachBatch parquet sink,
@@ -127,9 +128,14 @@ def _run_available_now(
         stream = stream.withWatermark("ts", WATERMARK)
     out = transform(stream)
     sink = tempfile.mkdtemp(prefix="stream_sink_")
+    cache_key = (
+        (spark.sparkContext.applicationId,) + state_key_id
+        if state_key_id
+        else None
+    )
     with scoped_state_partitions(
         spark,
-        n=state_partitions_for(state_keys),
+        n=state_partitions_for(state_keys, cache_key=cache_key),
         out=out,
         output_mode="complete",
     ):
@@ -165,6 +171,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_keys=load_table(spark, sf_dir, "events").select(
             F.date_trunc("hour", "ts").alias("h"), "event_type"
         ),
+        state_key_id=(sf_dir, "events", "hour", "event_type"),
     )
 
 
@@ -191,6 +198,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_keys=load_table(spark, sf_dir, "events").select(
             F.date_trunc("hour", "ts").alias("h"), "event_type"
         ),
+        state_key_id=(sf_dir, "events", "hour", "event_type"),
     )
 
 
@@ -222,6 +230,7 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state keys = (segment, event_type): a handful — the floor
         # partition count applies
         state_keys=load_table(spark, sf_dir, "events").select("event_type"),
+        state_key_id=(sf_dir, "events", "event_type"),
     )
 
 
@@ -266,4 +275,5 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         session_windows_raw,
         state_keys=load_table(spark, sf_dir, "events").select("user_id"),
+        state_key_id=(sf_dir, "events", "user_id"),
     )
