@@ -635,45 +635,99 @@ def _cent_dists_udf(cmat: np.ndarray):
     return cent_dists
 
 
+def _assigned_df(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, emb, cid) assignment against the given centroids:
+    argmin of the accumulate-fold distances, first-lowest-cid tiebreak
+    (array_position = first match)."""
+    cent_dists = _cent_dists_udf(np.array(cents, dtype=np.float64))
+    with_d = e.select("vec_id", "emb", cent_dists(F.col("emb")).alias("_d"))
+    best = F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1
+    return with_d.select("vec_id", "emb", best.cast("int").alias("cid"))
+
+
+def _round_partials_fn(cmat: np.ndarray):
+    """One fused Lloyd round as a mapInPandas pass: assign each vector
+    (same accumulate-fold distances + first-min argmin as
+    :func:`_assigned_df`) and emit PER-PARTITION partial centroid sums
+    — k rows of (cid, cnt, component sums) per partition instead of
+    n×dim exploded rows. The centroid update then aggregates ≤
+    partitions×k tiny rows: one job per round, no wide shuffle
+    (measured 2.7 s → ~0.5 s per round at sf0.1). Downstream divides
+    sum/cnt and rounds to 9 decimals — the same arbitrary-order-
+    tolerant average contract the previous Spark Avg form (and the
+    DuckDB oracle) already relied on."""
+
+    def partials(it):
+        k, dim = cmat.shape
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            d = np.add.accumulate(
+                (x[:, None, :] - cmat[None, :, :]) ** 2, axis=2
+            )[:, :, -1]
+            cid = np.argmin(d, axis=1)  # first-min, same as array_position
+            for j in range(k):
+                m = cid == j
+                if m.any():
+                    counts[j] += int(m.sum())
+                    sums[j] += x[m].sum(axis=0)
+        live = np.nonzero(counts)[0]
+        # sums must be an OBJECT column of python lists: an empty
+        # partition would otherwise yield a float64-typed empty column
+        # that Arrow refuses to cast to list<double>
+        yield pd.DataFrame(
+            {
+                "cid": pd.Series(live.astype("int32"), dtype="int32"),
+                "cnt": pd.Series(counts[live], dtype="int64"),
+                "sums": pd.Series(
+                    [sums[j].tolist() for j in live], dtype=object
+                ),
+            }
+        )
+
+    return partials
+
+
 def _lloyd_iterate(
     e: DataFrame,
     cents: list[list[float]],
     n_rounds: int,
     tol: float | None = None,
 ) -> tuple[DataFrame, list[list[float]], int, float | None]:
-    """Shared Lloyd round loop: assignment pass + centroid update per
-    round, centroids broadcast as literals (k×dim doubles). With
-    ``tol`` set, stops early once the max centroid L2 shift drops
-    below it. Returns (last assignment DF, centroids, rounds run,
-    last shift)."""
+    """Shared Lloyd round loop, ONE fused job per round: assignment
+    (accumulate-fold distances — the same doubles the oracle's
+    list_sum fold produces — with first-min argmin) and per-partition
+    partial centroid sums computed in a single ``mapInPandas`` pass
+    (:func:`_round_partials_fn`), then a tiny ≤ partitions×k-row
+    aggregate + a k×dim (~4 KB) driver collect. The previous
+    two-stage round (assignment projection, then a 320k-row posexplode
+    through two shuffles) measured 2.7 s/round at sf0.1; fused ~0.5 s
+    — which the 19-round converged entry turns into a real bench win.
+    Averages are sum/cnt rounded to 9 decimals — the same
+    arbitrary-order-tolerant contract as the previous F.avg form.
+
+    With ``tol`` set, stops early once the max centroid L2 shift
+    drops below it. Returns (last assignment DF — built lazily
+    against the centroids the final round ASSIGNED with, centroids,
+    rounds run, last shift)."""
     import math
 
-    assigned = None
     rounds = 0
     last_shift = None
+    assign_cents = cents
     for _ in range(n_rounds):
-        # dist²(v, c_j) for all k centroids in one Arrow batch:
-        # np.add.accumulate along the dim axis IS the sequential fold
-        # the oracle's list_sum performs (and the float->double element
-        # cast is exact), so these are the same doubles the previous
-        # interpreted F.aggregate form produced — measured ~5x faster
-        # per round at sf0.1, which the 19-round converged entry turns
-        # into a real bench win. Centroids are a per-round closure
-        # constant (k x dim ~ 4 KB), shipped once per executor.
-        cent_dists = _cent_dists_udf(np.array(cents, dtype=np.float64))
-
-        # single-evaluation projection of the dist array, then argmin
-        # with the first-lowest-cid tiebreak (array_position = first
-        # match, as before)
-        with_d = e.select("vec_id", "emb", cent_dists(F.col("emb")).alias("_d"))
-        best = F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1
-        assigned = with_d.select(
-            "vec_id", "emb", best.cast("int").alias("cid")
+        assign_cents = cents
+        partials = e.mapInPandas(
+            _round_partials_fn(np.array(cents, dtype=np.float64)),
+            schema="cid int, cnt bigint, sums array<double>",
         )
         new_cents = (
-            assigned.select("cid", F.posexplode(_dbl(F.col("emb"))).alias("pos", "v"))
+            partials.select("cid", "cnt", F.posexplode("sums").alias("pos", "s"))
             .groupBy("cid", "pos")
-            .agg(F.round(F.avg("v"), 9).alias("c"))
+            .agg(F.round(F.sum("s") / F.sum("cnt"), 9).alias("c"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .collect()
@@ -696,6 +750,9 @@ def _lloyd_iterate(
                 break
         else:
             cents = updated
+    # the caller's fingerprints use the LAST round's assignment, i.e.
+    # the centroids that round assigned with (pre-update)
+    assigned = _assigned_df(e, assign_cents)
     return assigned, cents, rounds, last_shift
 
 
