@@ -776,6 +776,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(e, threshold=0.3, use_lsh_blocking=True)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space
+    with k-means, then compare vectors ONLY within their cluster and
+    mark every vector that has a higher-priority (lower vec_id)
+    in-cluster neighbor above the cosine threshold as a duplicate of
+    its lowest such neighbor. One row per vector: (vec_id, cid,
+    dup_of, kept).
+
+    vs :func:`embedding_cosine_pairs`: same "near-duplicate by
+    embedding cosine" goal, different blocking — k-means cells instead
+    of LSH buckets (SemDeDup's defining trick: semantically close
+    points share a centroid, so candidate pairs are cluster-local).
+
+    Scale: the k-means pass is the fused-round Lloyd loop
+    (vector._lloyd_iterate — one job per round, k×dim driver
+    broadcast); the pair stage is an equi-join on cid, cost
+    Σ|cluster|² — at corpus scale k grows with n to bound cluster
+    sizes (SemDeDup uses ~100k clusters for web corpora), keeping the
+    stage subquadratic. Scoring is the vectorized order-preserving
+    cosine (one Arrow matmul per batch), so the whole operator is
+    hash-checkable against an oracle that unrolls the same trajectory.
+    """
+    from inf2106_map_reduce_spark.functions import vector
+
+    e = embeddings.select("vec_id", F.col("embedding").alias("emb"))
+    cents = [
+        [float(x) for x in r["c"]]
+        for r in e.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(
+            F.transform(
+                F.transform(F.col("emb"), lambda x: x.cast("double")),
+                lambda x: F.round(x, 9),
+            ).alias("c")
+        )
+        .collect()
+    ]
+    assigned, _, _, _ = vector._lloyd_iterate(e, cents, n_rounds=n_iter)
+    a = assigned.localCheckpoint(eager=True)  # referenced three times
+    nb = a.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("cid").alias("nb_cid"),
+        F.col("emb").alias("nb_emb"),
+    )
+    dup_of = (
+        a.join(
+            nb,
+            (F.col("cid") == F.col("nb_cid")) & (F.col("nb_id") < F.col("vec_id")),
+        )
+        .filter(
+            F.round(vector.cosine_batch(F.col("emb"), F.col("nb_emb")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy("vec_id")
+        .agg(F.min("nb_id").alias("dup_of"))
+    )
+    return (
+        a.join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: SemDeDup over the embeddings table (k=8, 2
+    Lloyd rounds, cosine >= 0.3 within cluster)."""
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
 def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog compaction: keep only the newest event per
     (user_id, event_type) — ROW_NUMBER over ts DESC with event_id as a

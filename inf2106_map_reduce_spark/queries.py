@@ -392,7 +392,12 @@ def _ann_recall_oracle() -> str:
     """
 
 
-def _kmeans_oracle(n_rounds: int, k: int = 8, extra_cols: str = "") -> str:
+def _kmeans_oracle(
+    n_rounds: int,
+    k: int = 8,
+    extra_cols: str = "",
+    custom_final: str | None = None,
+) -> str:
     """Unrolled Lloyd k-means oracle: exactly ``n_rounds`` rounds of
     (distance -> argmin assign -> centroid update), seeds = vec_id
     0..k-1, centroids rounded to 9 decimals at every update — term for
@@ -450,7 +455,13 @@ def _kmeans_oracle(n_rounds: int, k: int = 8, extra_cols: str = "") -> str:
                                    FROM u{i} GROUP BY cid) u
             ON u.cid = c{i - 1}.cid
         )""")
-    parts.append(f"""
+    if custom_final is not None:
+        # caller-provided final query over the assignment CTE chain
+        # (a{n_rounds} holds vec_id, emb, cid) — used by the
+        # semantic-dedup oracle to reuse the exact trajectory
+        parts.append("\n" + custom_final.replace("{A}", f"a{n_rounds}"))
+    else:
+        parts.append(f"""
         SELECT cid, COUNT(*) AS n_members,
                MIN(vec_id) AS min_member, MAX(vec_id) AS max_member,
                CAST(SUM(vec_id) AS BIGINT) AS member_id_sum{extra_cols}
@@ -2138,6 +2149,35 @@ REGISTRY: dict[str, QuerySpec] = {
         "hyperplane-mirrored oracle)",
         ("dedup", "vector"),
     ),
+    "dedup_semantic": QuerySpec(
+        dedup.dedup_semantic,
+        # SemDeDup: the oracle reuses the EXACT 2-round k-means
+        # trajectory CTEs ({A} = final assignment with vec_id, emb,
+        # cid), then mirrors the cluster-local pair scoring and
+        # lowest-neighbor survivor rule term for term
+        _kmeans_oracle(
+            2,
+            custom_final=f""",
+        pairs AS (
+          SELECT x.vec_id, y.vec_id AS nb_id,
+                 ROUND({_dot_sql('x.emb', 'y.emb')}
+                   / (sqrt({_dot_sql('x.emb', 'x.emb')})
+                      * sqrt({_dot_sql('y.emb', 'y.emb')})), 6) AS cs
+          FROM {{A}} x JOIN {{A}} y
+            ON x.cid = y.cid AND y.vec_id < x.vec_id
+        ),
+        dup AS (
+          SELECT vec_id, MIN(nb_id) AS dup_of
+          FROM pairs WHERE cs >= 0.3 GROUP BY vec_id
+        )
+        SELECT a.vec_id, a.cid, d.dup_of, d.dup_of IS NULL AS kept
+        FROM {{A}} a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        """,
+        ),
+        "SemDeDup semantic dedup: k-means-blocked in-cluster cosine "
+        "dedup with lowest-id survivor per duplicate",
+        ("dedup", "vector", "iterative"),
+    ),
     "label_centroids": QuerySpec(
         vector.label_centroid_similarity,
         """
@@ -2839,6 +2879,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_embedding_coverage",
     # round 6 new: Misra-Gries heavy hitters with envelope audit
     "sketch_heavy_hitters",
+    # round 6 new: SemDeDup cluster-blocked semantic dedup
+    "dedup_semantic",
 )
 
 

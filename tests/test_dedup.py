@@ -397,3 +397,29 @@ def test_star_components_partial_cap_still_labels_every_node(spark):
     # must collapse with a grouped min — a bare projection would emit
     # duplicate conflicting rows here and fan out downstream joins.
     assert len(out) == n
+
+
+def test_semantic_dedup_flags_planted_in_cluster_duplicates(spark):
+    """SemDeDup semantics: near-identical vectors land in the same
+    k-means cell and are marked duplicates of their lowest-id
+    in-cluster neighbor above the threshold; distinct vectors are
+    kept."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [-1.0, -1.0]),
+        (3, [0.999, 0.01]),   # dup of 0
+        (4, [0.01, 0.999]),   # dup of 1
+        (5, [0.998, 0.02]),   # dup of 0 (0 < 3, lowest neighbor wins)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["dup_of"], r["kept"])
+        for r in dedup.semantic_dedup(e, k=3, n_iter=2, threshold=0.95).collect()
+    }
+    assert out[0] == (None, True)
+    assert out[1] == (None, True)
+    assert out[2] == (None, True)
+    assert out[3] == (0, False)
+    assert out[4] == (1, False)
+    assert out[5] == (0, False)
