@@ -26,6 +26,7 @@ from inf2106_map_reduce_spark.functions import (
     dedup,
     multimodal,
     pipeline,
+    retrieval,
     sketches,
     text,
     udafs,
@@ -158,6 +159,48 @@ _DOT = (
 
 def _dot_sql(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
+
+
+# BM25 chain shared by docs_bm25_topk / docs_hybrid_rrf: term for term
+# the retrieval module's plan (Lucene idf, k1/b saturation, per-term
+# rounding to 9 before a word-sorted fold, final round to 6, top-k by
+# the (bm25 DESC, doc_id) total order).
+_BM25_TERMS_IN = "('" + "', '".join(retrieval.DEFAULT_QUERY_TERMS) + "')"
+_BM25_K1 = retrieval.BM25_K1
+_BM25_B = retrieval.BM25_B
+_BM25_CTES = f"""
+w2 AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+        FROM documents)
+  WHERE word != ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2
+       WHERE word IN {_BM25_TERMS_IN} GROUP BY 1, 2),
+dfs AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+bm_t AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(ln((g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dl / g.avgdl)),
+               9) AS term
+  FROM tf JOIN dfs USING (word) JOIN dl USING (doc_id) CROSS JOIN g
+),
+bm_s AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched,
+         ROUND(list_sum(list(term ORDER BY word)), 6) AS bm25
+  FROM bm_t GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id, n_terms_matched, bm25, bm_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS bm_rank
+        FROM bm_s)
+  WHERE bm_rank <= {retrieval.HYBRID_TOPK}
+)"""
 
 
 def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
@@ -2008,6 +2051,77 @@ REGISTRY: dict[str, QuerySpec] = {
         "with cleaned-text fingerprints",
         ("pipeline", "dedup"),
     ),
+    # -- retrieval ---------------------------------------------------------------
+    "docs_bm25_topk": QuerySpec(
+        retrieval.docs_bm25_topk,
+        f"""
+        WITH {_BM25_CTES}
+        SELECT doc_id, n_terms_matched, bm25, bm_rank FROM bm
+        """,
+        "BM25 top-50 lexical retrieval for the fixed 3-term audit query "
+        "(Lucene idf, k1=1.2 b=0.75)",
+        ("retrieval", "text"),
+    ),
+    "docs_hybrid_rrf": QuerySpec(
+        retrieval.docs_hybrid_rrf,
+        f"""
+        WITH {_BM25_CTES},
+        q AS (SELECT embedding AS q_emb FROM embeddings
+              WHERE vec_id = {retrieval.HYBRID_QUERY_VEC_ID}),
+        scored AS (
+          SELECT e.vec_id,
+                 ROUND({_dot_sql('q.q_emb', 'e.embedding')}
+                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                      * sqrt({_dot_sql('e.embedding', 'e.embedding')})),
+                   6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id != {retrieval.HYBRID_QUERY_VEC_ID}
+        ),
+        dense AS (
+          SELECT vec_id AS doc_id, cos_sim, cos_rank
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                            AS cos_rank
+                FROM scored)
+          WHERE cos_rank <= {retrieval.HYBRID_TOPK}
+        )
+        SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+               bm.bm_rank, dense.cos_rank,
+               ROUND(COALESCE(ROUND(CAST(1 AS DOUBLE)
+                                    / ({retrieval.RRF_K} + bm.bm_rank), 9), 0)
+                     + COALESCE(ROUND(CAST(1 AS DOUBLE)
+                                      / ({retrieval.RRF_K} + dense.cos_rank),
+                                      9), 0),
+                     9) AS rrf_score
+        FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
+        """,
+        "reciprocal-rank-fusion hybrid retrieval: BM25 top-50 fused "
+        "with exact-cosine top-50 (query vector = stored vec 0)",
+        ("retrieval", "text", "vector"),
+    ),
+    "docs_pii_scrub": QuerySpec(
+        pipeline.docs_pii_scrub,
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{pipeline.PII_EMAIL}'))
+                 AS n_email,
+               len(regexp_extract_all(text, '{pipeline.PII_IPV4}'))
+                 AS n_ip,
+               len(regexp_extract_all(text,
+                     '\\b(?:{"|".join(pipeline.PII_DENYLIST)})\\b'))
+                 AS n_denied,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{pipeline.PII_EMAIL}',
+                                      '<EMAIL>', 'g'),
+                       '{pipeline.PII_IPV4}', '<IP>', 'g'),
+                     '\\b(?:{"|".join(pipeline.PII_DENYLIST)})\\b',
+                     '<TERM>', 'g')) AS clean_md5
+        FROM documents
+        """,
+        "PII/denylist scrub audit: e-mail + IPv4 + term redaction "
+        "counts and scrubbed-text fingerprint",
+        ("pipeline", "text"),
+    ),
     # -- dedup -------------------------------------------------------------------
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
@@ -2859,7 +2973,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-ROTATION_STRIDE = 40
+# 39 (not 40) leaves an 11-slot priority block while keeping the
+# window's rotation segment >= the stride — consecutive rounds' cycle
+# segments still overlap, so full coverage within ceil(n/39) rounds.
+ROTATION_STRIDE = 39
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -2881,6 +2998,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "sketch_heavy_hitters",
     # round 6 new: SemDeDup cluster-blocked semantic dedup
     "dedup_semantic",
+    # round 6 new: retrieval family (BM25, hybrid RRF) + PII scrub
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "docs_pii_scrub",
 )
 
 
