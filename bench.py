@@ -76,6 +76,7 @@ HEADLINE = (
     "dedup_canonical_corpus",
     "dedup_simhash64_pairs",
     "ann_lsh",
+    "docs_hybrid_rrf",
     "text_stats",
     "streaming_tumbling_hourly",
     "streaming_click_attribution",
