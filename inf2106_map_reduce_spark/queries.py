@@ -2123,6 +2123,57 @@ REGISTRY: dict[str, QuerySpec] = {
         ("pipeline", "text"),
     ),
     # -- dedup -------------------------------------------------------------------
+    "dedup_substring_spans": QuerySpec(
+        dedup.dedup_substring_spans,
+        # duplicate-span report: any 10-word window occurring >= 2
+        # times (across or within docs) marks its start positions;
+        # consecutive marked positions merge gaps-and-islands style
+        # into maximal repeated spans
+        f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS words
+                   FROM documents),
+        w AS (
+          SELECT doc_id, CAST(i.r AS INT) AS pos,
+                 md5(array_to_string(
+                   words[CAST(i.r + 1 AS INT):CAST(i.r + {dedup.SPAN_WINDOW}
+                                                   AS INT)],
+                   ' ')) AS wh
+          FROM d, LATERAL unnest(
+            range(0, GREATEST(len(words) - {dedup.SPAN_WINDOW - 1}, 0))) i(r)
+        ),
+        dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+        m AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM m
+        ),
+        sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS nw
+               FROM isl GROUP BY doc_id, grp),
+        rep AS (
+          SELECT doc_id, COUNT(*) AS n_spans,
+                 CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+                 MAX(e - s + {dedup.SPAN_WINDOW}) AS max_span_len,
+                 CAST(SUM(e - s + {dedup.SPAN_WINDOW}) AS BIGINT)
+                   AS n_dup_words
+          FROM sp GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id)
+        SELECT dd.doc_id,
+               COALESCE(t.n_windows, 0) AS n_windows,
+               COALESCE(r.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(r.n_spans, 0) AS n_spans,
+               COALESCE(r.max_span_len, 0) AS max_span_len,
+               COALESCE(r.n_dup_words, 0) AS n_dup_words
+        FROM documents dd
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN rep r USING (doc_id)
+        """,
+        "exact-substring duplicate-span report (10-word windows, "
+        "suffix-array-style repeated spans, per-doc dup word mass)",
+        ("dedup", "text"),
+    ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
         f"""
@@ -2973,10 +3024,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 39 (not 40) leaves an 11-slot priority block while keeping the
+# 38 (not 40) leaves a 12-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/39) rounds.
-ROTATION_STRIDE = 39
+# segments still overlap, so full coverage within ceil(n/38) rounds.
+ROTATION_STRIDE = 38
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3002,6 +3053,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_bm25_topk",
     "docs_hybrid_rrf",
     "docs_pii_scrub",
+    # round 6 new: exact-substring duplicate-span dedup
+    "dedup_substring_spans",
 )
 
 

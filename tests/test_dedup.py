@@ -423,3 +423,38 @@ def test_semantic_dedup_flags_planted_in_cluster_duplicates(spark):
     assert out[3] == (0, False)
     assert out[4] == (1, False)
     assert out[5] == (0, False)
+
+
+def test_duplicate_span_report_planted_spans(spark):
+    common = " ".join(f"c{i}" for i in range(12))      # 12 shared words
+    rep = " ".join(f"x{i}" for i in range(10))         # intra-doc repeat
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 " + common),                 # 15 words, tail shared
+            (1, common + " b1 b2"),                    # 14 words, head shared
+            (2, rep + " q " + rep),                    # 21 words, R..q..R
+            (3, "too short here"),                     # < window: all zeros
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_report(docs, window=10).collect()
+    }
+    assert rows[0].asDict() == {
+        "doc_id": 0, "n_windows": 6, "n_dup_windows": 3,
+        "n_spans": 1, "max_span_len": 12, "n_dup_words": 12,
+    }
+    assert rows[1].asDict() == {
+        "doc_id": 1, "n_windows": 5, "n_dup_windows": 3,
+        "n_spans": 1, "max_span_len": 12, "n_dup_words": 12,
+    }
+    # the repeated 10-gram appears twice WITHIN doc 2 -> two disjoint spans
+    assert rows[2].asDict() == {
+        "doc_id": 2, "n_windows": 12, "n_dup_windows": 2,
+        "n_spans": 2, "max_span_len": 10, "n_dup_words": 20,
+    }
+    assert rows[3].asDict() == {
+        "doc_id": 3, "n_windows": 0, "n_dup_windows": 0,
+        "n_spans": 0, "max_span_len": 0, "n_dup_words": 0,
+    }
