@@ -458,3 +458,64 @@ def test_duplicate_span_report_planted_spans(spark):
         "doc_id": 3, "n_windows": 0, "n_dup_windows": 0,
         "n_spans": 0, "max_span_len": 0, "n_dup_words": 0,
     }
+
+
+def test_duplicate_span_report_matches_python_reference_on_random_corpus(spark):
+    # random corpus with planted shared phrases and intra-doc repeats;
+    # naive Python reference recomputes the full report
+    rng = random.Random(1106)
+    vocab = [f"w{i}" for i in range(50)]
+    phrases = [
+        [rng.choice(vocab) for _ in range(rng.randint(12, 25))] for _ in range(4)
+    ]
+    texts: dict[int, list[str]] = {}
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 60))]
+        if rng.random() < 0.5:  # splice a shared phrase somewhere
+            ph = rng.choice(phrases)
+            at = rng.randint(0, len(words))
+            words = words[:at] + ph + words[at:]
+        if rng.random() < 0.2:  # intra-doc repeat of a chunk
+            s = rng.randint(0, max(len(words) - 12, 0))
+            words = words + words[s : s + 12]
+        texts[i] = words
+
+    W = 10
+    from collections import Counter
+
+    counts = Counter()
+    for ws in texts.values():
+        for s in range(max(len(ws) - W + 1, 0)):
+            counts[tuple(ws[s : s + W])] += 1
+
+    def ref_report(ws: list[str]) -> dict:
+        n_win = max(len(ws) - W + 1, 0)
+        marked = [
+            s for s in range(n_win) if counts[tuple(ws[s : s + W])] >= 2
+        ]
+        spans = []
+        for s in marked:
+            if spans and s == spans[-1][1] + 1:
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        return {
+            "n_windows": n_win,
+            "n_dup_windows": len(marked),
+            "n_spans": len(spans),
+            "max_span_len": max((e - s + W for s, e in spans), default=0),
+            "n_dup_words": sum(e - s + W for s, e in spans),
+        }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicate_span_report(df, window=W).collect()
+    }
+    assert len(got) == len(texts)
+    for i, ws in texts.items():
+        want = {"doc_id": i, **ref_report(ws)}
+        assert got[i] == want, (i, got[i], want)

@@ -141,3 +141,49 @@ def test_pii_patterns_agree_with_python_re_on_crafted_text():
     # non-word char): both engines see 2 ip-shaped hits here
     assert len(re.findall(pipeline.PII_IPV4, text)) == 3
     assert re.findall(r"\b(?:customer|spark)\b", text) == ["spark", "customer"]
+
+
+def test_bm25_matches_python_reference_on_random_corpus(spark):
+    import random as _random
+
+    rng = _random.Random(2106)
+    vocab = [f"t{i}" for i in range(20)]
+    texts = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        for i in range(25)
+    }
+    terms = ("t0", "t3", "t7")
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    dls = {i: len(ws) for i, ws in texts.items()}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {
+        t: sum(1 for ws in texts.values() if t in ws) for t in terms
+    }
+
+    def ref(i):
+        ws = texts[i]
+        total, matched = 0.0, 0
+        for t in sorted(terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+            total += round(
+                idf * tf * (k1 + 1)
+                / (tf + k1 * (1 - b + b * dls[i] / avgdl)),
+                9,
+            )
+        return matched, total
+
+    df = _docs(spark, [(i, " ".join(ws)) for i, ws in texts.items()])
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+        for r in retrieval.bm25_scores(df, terms).collect()
+    }
+    expect = {i: ref(i) for i in texts if ref(i)[0] > 0}
+    assert set(got) == set(expect)
+    for i, (m, s) in expect.items():
+        assert got[i][0] == m
+        assert got[i][1] == pytest.approx(s, abs=1e-6)

@@ -115,6 +115,15 @@ def main() -> None:
     def cc(edges):
         return connected_components(edges)
 
+    from inf2106_map_reduce_spark.functions.dedup import duplicate_span_report
+    from inf2106_map_reduce_spark.functions.retrieval import bm25_topk
+
+    def spans(d):
+        return duplicate_span_report(d)
+
+    def bm25(d):
+        return bm25_topk(d)
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
@@ -122,6 +131,8 @@ def main() -> None:
         ("hash-key dedup agg", lambda s: exact_dedup(o1) if s == 1 else exact_dedup(ok)),
         ("LSH candidate build", lambda s: cand_build(d1) if s == 1 else cand_build(dk)),
         ("CC min-label solve", lambda s: cc(e1) if s == 1 else cc(ek)),
+        ("substring-span report", lambda s: spans(d1) if s == 1 else spans(dk)),
+        ("BM25 score+topk", lambda s: bm25(d1) if s == 1 else bm25(dk)),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
     for name, mk in shapes:
