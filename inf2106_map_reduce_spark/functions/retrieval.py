@@ -24,7 +24,9 @@ tie-breaks, and final scores round to 6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.functions import vector as vector_fns
@@ -40,15 +42,6 @@ HYBRID_TOPK = 50
 HYBRID_QUERY_VEC_ID = 0
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One (id, word) row per token, the shared normalization used by
-    every text operator (lower/trim/whitespace-split, empties out)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(
-        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
-
-
 def bm25_scores(
     df: DataFrame,
     query_terms: tuple[str, ...] = DEFAULT_QUERY_TERMS,
@@ -61,51 +54,72 @@ def bm25_scores(
 
     Uses the Lucene/ATIRE idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``
     (always positive) with the standard saturation/length terms. N and
-    avgdl are defined over documents with >= 1 token (the ``dl`` table)
-    so both engines agree on the denominator population.
+    avgdl are defined over documents with >= 1 token so both engines
+    agree on the denominator population.
 
-    Plan: one tokenize pass feeds (a) per-doc lengths and (b) the
-    term-filtered tf table; df-per-term and the (N, avgdl) scalar are
-    tiny aggregates broadcast into the scoring select; the only
-    corpus-sized shuffle is the per-doc length aggregate.
+    Plan: because the term set is a plan-time literal, the corpus is
+    never exploded or shuffled — dl and per-term tf are narrow array
+    expressions on one scan; (N, avgdl) and per-term df are scalar
+    aggregates broadcast back into a second narrow scoring pass. Zero
+    corpus-keyed shuffles (vs the tokenize->groupBy formulation, which
+    re-exploded the corpus twice and shuffled it three times — at
+    100 TB the scan IS the cost, so the narrow form wins outright).
+
+    Determinism: per-term contributions round to 9 decimals and sum in
+    sorted-term order as a static left fold; unmatched terms
+    contribute an exact +0.0, which is an IEEE identity, so the result
+    hash-matches the oracle's fold over matched terms only.
     """
-    w = _tokens(df, id_col, text_col)
-    dl = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    terms = sorted(query_terms)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda w: w != "")
+
+    def _eq(term: str):
+        # NB: a single-arg lambda — a 2-arg one would be called with
+        # (element, index) by the higher-order-function binder
+        return lambda w: w == term
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    tf = (
-        w.filter(F.col("word").isin(*query_terms))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    pop = base.filter(F.col("dl") > 0)
+    stats = pop.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    dfs = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    matched = pop.filter(
+        reduce(lambda a, c: a | c, [F.col(f"_tf{i}") > 0 for i in range(len(terms))])
     )
-    denom = F.col("tf") + k1 * (
-        1 - b + b * F.col("dl") / F.col("avgdl")
+
+    def term_contrib(i: int) -> Column:
+        tf = F.col(f"_tf{i}")
+        dfc = F.col(f"_df{i}")
+        idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1)
+        denom = tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        return F.when(
+            tf > 0, F.round(idf * tf * (k1 + 1) / denom, 9)
+        ).otherwise(F.lit(0.0))
+
+    score = reduce(
+        lambda a, c: a + c, [term_contrib(i) for i in range(len(terms))]
     )
-    terms = (
-        tf.join(F.broadcast(dfs), "word")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col,
-            "word",
-            F.round(idf * F.col("tf") * (k1 + 1) / denom, 9).alias("term"),
-        )
+    n_matched = reduce(
+        lambda a, c: a + c,
+        [(F.col(f"_tf{i}") > 0).cast("long") for i in range(len(terms))],
     )
-    return terms.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_terms_matched"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("word", "term"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["term"],
-            ),
-            6,
-        ).alias("bm25"),
+    return matched.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        n_matched.alias("n_terms_matched"),
+        F.round(score, 6).alias("bm25"),
     )
 
 
