@@ -145,6 +145,7 @@ def hybrid_rrf(
     query_vec_id: int = HYBRID_QUERY_VEC_ID,
     k: int = HYBRID_TOPK,
     rrf_k: int = RRF_K,
+    dense_topk=None,
 ) -> DataFrame:
     """Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 lexical
     top-k with the exact-cosine dense top-k (query = the stored vector
@@ -157,10 +158,12 @@ def hybrid_rrf(
     single scan) — swap in the LSH/IVF top-k for corpus-scale query
     loads; fusion is rank-only so the substitution is plan-local.
     """
+    if dense_topk is None:
+        dense_topk = vector_fns.brute_force_topk
     bm = bm25_topk(docs, query_terms, k=k).select(
         F.col("doc_id"), F.col("bm25"), F.col("bm_rank")
     )
-    dense = vector_fns.brute_force_topk(
+    dense = dense_topk(
         embeddings, query_ids=(query_vec_id,), k=k
     ).select(
         F.col("vec_id").alias("doc_id"),
@@ -194,4 +197,15 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def docs_hybrid_rrf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the scale-path hybrid — same RRF fusion with the
+    sign-LSH ANN index as the dense side (the plan-local substitution
+    the fusion contract promises: rank lists in, ranks out)."""
+    return hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        dense_topk=vector_fns.lsh_ann_topk,
     )

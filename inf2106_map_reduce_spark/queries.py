@@ -203,6 +203,26 @@ bm AS (
 )"""
 
 
+def _hybrid_rrf_oracle(dense_cte: str) -> str:
+    """RRF fusion epilogue shared by the exact-cosine and LSH-dense
+    hybrid entries: full-outer join the BM25 top-k with the given dense
+    rank list, score = sum of 1/(60+rank) over the lists a doc is on
+    (each reciprocal rounded to 9, missing list contributes exact 0)."""
+    return f"""
+    WITH {_BM25_CTES},
+    dense AS ({dense_cte})
+    SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+           bm.bm_rank, dense.cos_rank,
+           ROUND(COALESCE(ROUND(CAST(1 AS DOUBLE)
+                                / ({retrieval.RRF_K} + bm.bm_rank), 9), 0)
+                 + COALESCE(ROUND(CAST(1 AS DOUBLE)
+                                  / ({retrieval.RRF_K} + dense.cos_rank),
+                                  9), 0),
+                 9) AS rrf_score
+    FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
+    """
+
+
 def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
     """Oracle for the LSH-blocked near-dup path: the sign-LSH
     hyperplanes are seeded driver-side constants
@@ -293,7 +313,7 @@ def _ann_lsh_oracle(
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
       FROM buck q JOIN buck c
         ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.vec_id
-      WHERE q.vec_id IN {qids!r}
+      WHERE q.vec_id IN ({', '.join(map(str, qids))})
     ),
     scored AS (
       SELECT cand.query_id, cand.vec_id,
@@ -346,7 +366,7 @@ def _ann_ivf_oracle(
     qcells AS (
       SELECT vec_id AS query_id, unnest(cds) AS d,
              CAST(unnest(range({n_lists})) AS INT) AS cell_i
-      FROM e WHERE vec_id IN {qids!r}
+      FROM e WHERE vec_id IN ({', '.join(map(str, qids))})
     ),
     probe AS (
       SELECT query_id, cell_i AS q_cell
@@ -379,7 +399,7 @@ def _ann_brute_oracle(k: int = 10, qids: tuple[int, ...] = (0, 1, 2)) -> str:
     """Exact cosine top-k oracle (the recall baseline)."""
     return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id IN {qids!r}),
+               FROM embeddings WHERE vec_id IN ({', '.join(map(str, qids))})),
     scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND({_dot_sql('q.q_emb', 'e.embedding')}
@@ -2064,38 +2084,40 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "docs_hybrid_rrf": QuerySpec(
         retrieval.docs_hybrid_rrf,
-        f"""
-        WITH {_BM25_CTES},
-        q AS (SELECT embedding AS q_emb FROM embeddings
-              WHERE vec_id = {retrieval.HYBRID_QUERY_VEC_ID}),
-        scored AS (
-          SELECT e.vec_id,
-                 ROUND({_dot_sql('q.q_emb', 'e.embedding')}
-                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
-                      * sqrt({_dot_sql('e.embedding', 'e.embedding')})),
-                   6) AS cos_sim
-          FROM embeddings e CROSS JOIN q
-          WHERE e.vec_id != {retrieval.HYBRID_QUERY_VEC_ID}
-        ),
-        dense AS (
+        _hybrid_rrf_oracle(f"""
+          WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                     WHERE vec_id = {retrieval.HYBRID_QUERY_VEC_ID}),
+          scored AS (
+            SELECT e.vec_id,
+                   ROUND({_dot_sql('q.q_emb', 'e.embedding')}
+                     / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                        * sqrt({_dot_sql('e.embedding', 'e.embedding')})),
+                     6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != {retrieval.HYBRID_QUERY_VEC_ID}
+          )
           SELECT vec_id AS doc_id, cos_sim, cos_rank
           FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
                             AS cos_rank
                 FROM scored)
           WHERE cos_rank <= {retrieval.HYBRID_TOPK}
-        )
-        SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
-               bm.bm_rank, dense.cos_rank,
-               ROUND(COALESCE(ROUND(CAST(1 AS DOUBLE)
-                                    / ({retrieval.RRF_K} + bm.bm_rank), 9), 0)
-                     + COALESCE(ROUND(CAST(1 AS DOUBLE)
-                                      / ({retrieval.RRF_K} + dense.cos_rank),
-                                      9), 0),
-                     9) AS rrf_score
-        FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
-        """,
+        """),
         "reciprocal-rank-fusion hybrid retrieval: BM25 top-50 fused "
         "with exact-cosine top-50 (query vector = stored vec 0)",
+        ("retrieval", "text", "vector"),
+    ),
+    "docs_hybrid_rrf_lsh": QuerySpec(
+        retrieval.docs_hybrid_rrf_lsh,
+        # same fusion, dense side = the sign-LSH ANN index (the
+        # documented plan-local scale-path substitution); the LSH
+        # top-k oracle mirrors the seeded hyperplanes exactly
+        _hybrid_rrf_oracle(f"""
+          SELECT vec_id AS doc_id, cos_sim, rank AS cos_rank
+          FROM ({_ann_lsh_oracle(k=retrieval.HYBRID_TOPK,
+                                 qids=(retrieval.HYBRID_QUERY_VEC_ID,))}) x
+        """),
+        "hybrid RRF with the sign-LSH ANN index as the dense side "
+        "(scale-path variant of docs_hybrid_rrf)",
         ("retrieval", "text", "vector"),
     ),
     "docs_pii_scrub": QuerySpec(
@@ -3024,10 +3046,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 38 (not 40) leaves a 12-slot priority block while keeping the
+# 37 (not 40) leaves a 13-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/38) rounds.
-ROTATION_STRIDE = 38
+# segments still overlap, so full coverage within ceil(n/37) rounds.
+ROTATION_STRIDE = 37
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3055,6 +3077,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_pii_scrub",
     # round 6 new: exact-substring duplicate-span dedup
     "dedup_substring_spans",
+    # round 6 new: LSH-dense hybrid retrieval variant
+    "docs_hybrid_rrf_lsh",
 )
 
 

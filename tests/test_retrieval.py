@@ -187,3 +187,20 @@ def test_bm25_matches_python_reference_on_random_corpus(spark):
     for i, (m, s) in expect.items():
         assert got[i][0] == m
         assert got[i][1] == pytest.approx(s, abs=1e-6)
+
+
+def test_hybrid_rrf_lsh_is_plan_local_substitution(spark, sf_oracle):
+    # same fusion contract as the exact variant: k BM25 rows, <= k
+    # dense rows, identical score algebra over whatever ranks exist
+    out = retrieval.docs_hybrid_rrf_lsh(spark, sf_oracle).collect()
+    k, rk = retrieval.HYBRID_TOPK, retrieval.RRF_K
+    assert len([r for r in out if r["bm_rank"] is not None]) == k
+    n_dense = len([r for r in out if r["cos_rank"] is not None])
+    assert 0 < n_dense <= k
+    for r in out:
+        want = sum(
+            round(1.0 / (rk + r[c]), 9)
+            for c in ("bm_rank", "cos_rank")
+            if r[c] is not None
+        )
+        assert r["rrf_score"] == round(want, 9)
