@@ -70,6 +70,8 @@ def bm25_scores(
     contribute an exact +0.0, which is an IEEE identity, so the result
     hash-matches the oracle's fold over matched terms only.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be a non-empty term tuple")
     terms = sorted(query_terms)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = F.filter(F.split(norm, " "), lambda w: w != "")

@@ -256,3 +256,41 @@ def test_chunk_dedup_is_two_shuffles(spark, sf_oracle):
 
     df = docs_chunk_dedup(spark, sf_oracle)
     assert shuffle_count(df) == 2
+
+
+def test_bm25_plan_is_narrow(spark, sf_oracle):
+    # the term set is a plan-time literal: no explode of the corpus, no
+    # corpus-keyed shuffle — only the 1-row stats exchange + top-k
+    from inf2106_map_reduce_spark.functions import retrieval
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = retrieval.docs_bm25_topk(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "Generate" not in plan, "corpus exploded — narrow form regressed"
+    assert shuffle_count(df) <= 2, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_hybrid_rrf_broadcasts_and_bounds_shuffles(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import retrieval
+
+    df = retrieval.docs_hybrid_rrf(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 5, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_substring_span_window_is_per_doc(spark, sf_oracle):
+    # the islands merge must partition by doc — a SinglePartition
+    # window over the marked table would serialize the corpus
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = dedup.dedup_substring_spans(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan, "global window in span merge"
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_pii_scrub(spark, sf_oracle)
+    assert shuffle_count(df) == 0, f"scrub should be a pure scan: {shuffle_count(df)}"

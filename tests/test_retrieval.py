@@ -204,3 +204,8 @@ def test_hybrid_rrf_lsh_is_plan_local_substitution(spark, sf_oracle):
             if r[c] is not None
         )
         assert r["rrf_score"] == round(want, 9)
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.bm25_scores(_docs(spark, [(0, "a")]), ())
