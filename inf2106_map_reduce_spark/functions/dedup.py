@@ -1171,3 +1171,79 @@ def duplicate_span_report(
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: 10-word duplicate-span report over documents."""
     return duplicate_span_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup similarity graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ROUNDS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    rounds: int = PAGERANK_ROUNDS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Fixed-round PageRank over an undirected edge list (id_a, id_b)
+    — document-importance scoring on the near-dup similarity graph, the
+    data-curation signal that ranks canonical/"central" documents above
+    satellites inside a duplicate neighborhood. Restricted to the
+    graph's non-isolated nodes (symmetric edges mean every node has
+    in-edges, so no dangling-mass redistribution is needed).
+
+    Each round is one shuffle: contributions r/deg flow over the edge
+    list, group per target, and fold in source-sorted order with
+    per-term rounding to 9 — the k-means determinism recipe applied to
+    a graph iteration, so the whole trajectory is exactly
+    SQL-mirrorable (queries.py unrolls the same rounds as CTEs).
+
+    Scale: cost per round = one edge-table shuffle (E rows); rounds are
+    a fixed constant (importance scores converge fast on shallow dup
+    graphs). Degrees and N are computed once; N broadcasts as a scalar.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("u").alias("id"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    base = F.lit(1 - damping) / F.col("n")
+    for _ in range(rounds):
+        contribs = (
+            sym.join(ranks, ranks.id == sym.u)
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("id"),
+                F.col("u"),
+                F.round(F.col("r") / F.col("deg"), 9).alias("c"),
+            )
+        )
+        folded = contribs.groupBy("id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("u", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("s")
+        )
+        ranks = folded.crossJoin(F.broadcast(n)).select(
+            "id", F.round(base + damping * F.col("s"), 9).alias("r")
+        )
+    return (
+        ranks.join(deg, ranks.id == deg.u)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.round(F.col("r"), 6).alias("pagerank"),
+        )
+    )
+
+
+def docs_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 3-round PageRank over the shared near-dup
+    Jaccard>=0.5 edge stage (the sixth consumer of the session's
+    candidate-graph cache)."""
+    return pagerank(_registry_edges(spark, sf_dir).select("id_a", "id_b"))

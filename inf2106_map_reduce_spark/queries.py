@@ -97,12 +97,10 @@ cand AS (
 )
 """
 
-# Shared near-dup connected-components chain (candidates -> exact
-# Jaccard >= 0.5 edges -> recursive min-label reachability); used by
-# dedup_clusters (assignments) and dedup_canonical_corpus (survivors).
-_CC_CTES = (
-    _CANDIDATES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """,
+# Shared near-dup edge chain (candidates -> exact Jaccard >= 0.5
+# edges, symmetric) — consumed by the CC queries (with a recursive
+# reach appended) and by the PageRank query (with unrolled rounds).
+_EDGES_BODY = """,
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
@@ -121,7 +119,15 @@ _CC_CTES = (
     edges AS (
       SELECT id_a AS u, id_b AS v FROM jac
       UNION SELECT id_b, id_a FROM jac
-    ),
+    )
+    """
+
+# Min-label reachability on top (used by dedup_clusters and
+# dedup_canonical_corpus).
+_CC_CTES = (
+    _CANDIDATES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _EDGES_BODY
+    + """,
     reach(id, r) AS (
       SELECT u, u FROM edges
       UNION
@@ -129,6 +135,47 @@ _CC_CTES = (
     )
     """
 )
+
+
+def _pagerank_ctes() -> str:
+    """Unrolled fixed-round PageRank over the near-dup edge set —
+    mirrors functions.dedup.pagerank term for term: per-contribution
+    rounding to 9, source-sorted sequential fold, (1-d)/N teleport with
+    every constant forced to DOUBLE so DuckDB never drops into DECIMAL
+    arithmetic."""
+    from inf2106_map_reduce_spark.functions.dedup import (
+        PAGERANK_DAMPING,
+        PAGERANK_ROUNDS,
+    )
+
+    d = PAGERANK_DAMPING
+    parts = [
+        _CANDIDATES_SQL + _EDGES_BODY,
+        """,
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT u AS id, CAST(1 AS DOUBLE) / nn.n AS r
+           FROM deg CROSS JOIN nn)""",
+    ]
+    for i in range(1, PAGERANK_ROUNDS + 1):
+        parts.append(f""",
+    r{i} AS (
+      SELECT e.v AS id,
+             ROUND((1 - CAST({d} AS DOUBLE)) / ANY_VALUE(nn.n)
+                   + CAST({d} AS DOUBLE)
+                     * list_sum(list(ROUND(r.r / dg.deg, 9) ORDER BY e.u)),
+                   9) AS r
+      FROM edges e
+      JOIN r{i - 1} r ON r.id = e.u
+      JOIN deg dg ON dg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    )""")
+    parts.append(f"""
+    SELECT r.id AS doc_id, dg.deg AS degree, ROUND(r.r, 6) AS pagerank
+    FROM r{PAGERANK_ROUNDS} r JOIN deg dg ON dg.u = r.id
+    """)
+    return "".join(parts)
 
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -2196,6 +2243,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "suffix-array-style repeated spans, per-doc dup word mass)",
         ("dedup", "text"),
     ),
+    "docs_pagerank_neardup": QuerySpec(
+        dedup.docs_pagerank_neardup,
+        _pagerank_ctes(),
+        "3-round PageRank document-importance over the near-dup "
+        "Jaccard>=0.5 similarity graph (non-isolated nodes)",
+        ("dedup", "graph", "iterative"),
+    ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
         f"""
@@ -3046,10 +3100,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 37 (not 40) leaves a 13-slot priority block while keeping the
+# 36 (not 40) leaves a 14-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/37) rounds.
-ROTATION_STRIDE = 37
+# segments still overlap, so full coverage within ceil(n/36) rounds.
+ROTATION_STRIDE = 36
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3079,6 +3133,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     # round 6 new: LSH-dense hybrid retrieval variant
     "docs_hybrid_rrf_lsh",
+    # round 6 new: PageRank over the near-dup graph
+    "docs_pagerank_neardup",
 )
 
 

@@ -519,3 +519,41 @@ def test_duplicate_span_report_matches_python_reference_on_random_corpus(spark):
     for i, ws in texts.items():
         want = {"doc_id": i, **ref_report(ws)}
         assert got[i] == want, (i, got[i], want)
+
+
+def test_pagerank_matches_python_reference_on_planted_graph(spark):
+    # star (0-1,0-2,0-3) + disjoint edge (4-5): center outranks leaves,
+    # and the python reference reproduces the exact rounded trajectory
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["degree"], r["pagerank"])
+        for r in dedup.pagerank(edges).collect()
+    }
+
+    sym = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    sym = sym + [(b, a) for a, b in sym]
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for u, _v in sym:
+        deg[u] += 1
+    n = len(deg)
+    d = dedup.PAGERANK_DAMPING
+    r = {u: 1.0 / n for u in deg}
+    for _ in range(dedup.PAGERANK_ROUNDS):
+        nxt = {}
+        for v in deg:
+            contribs = sorted(
+                (u, round(r[u] / deg[u], 9)) for u, vv in sym if vv == v
+            )
+            s = 0.0
+            for _u, c in contribs:
+                s += c
+            nxt[v] = round((1 - d) / n + d * s, 9)
+        r = nxt
+    want = {u: (deg[u], round(r[u], 6)) for u in deg}
+    assert got == want
+    assert got[0][1] > got[1][1]  # hub above satellite
+    assert got[1] == got[2] == got[3]
