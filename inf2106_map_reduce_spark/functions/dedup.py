@@ -1099,6 +1099,12 @@ def duplicate_span_report(
     count, longest span, and duplicated word mass — the
     remove-or-keep signal for substring-level cleanup.
 
+    Span semantics: two duplicated windows belong to the same span
+    when their COVERAGE is contiguous — start gap <= window (overlap
+    or adjacency) — so ``n_dup_words`` is the true union word mass
+    (never exceeds the document length) and ``n_spans`` counts maximal
+    contiguous duplicated regions.
+
     Plan: one tokenize pass builds all sliding windows JVM-side
     (transform over a sequence + slice — no Python), one shuffle
     groups window hashes to find repeats (map-side partial agg
@@ -1112,8 +1118,7 @@ def duplicate_span_report(
     hash); the repeat table is Zipf-small and the join keys are
     hashes, so AQE's skew split handles pathological boilerplate.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    words = F.split(norm, " ")
+    words = F.split(_norm_text(text_col), " ")
     wins_arr = F.when(
         F.size(words) >= window,
         F.transform(
@@ -1126,18 +1131,24 @@ def duplicate_span_report(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
-    w = df.select(id_col, F.explode(wins_arr).alias("w")).select(
-        id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    # the windows table feeds three plan subtrees (repeat aggregate,
+    # mark join, totals): checkpoint once instead of re-tokenizing the
+    # corpus three times — the same multi-consumer shape (and fix) as
+    # ngram_jaccard_pairs' shingle table
+    w = (
+        df.select(id_col, F.explode(wins_arr).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+        .localCheckpoint(eager=True)
     )
     dup = w.groupBy("wh").agg(F.count(F.lit(1)).alias("n_occ")).filter(
         F.col("n_occ") >= 2
     )
     marked = w.join(dup.select("wh"), "wh")
-    grp = F.col("pos") - F.row_number().over(
-        Window.partitionBy(id_col).orderBy("pos")
-    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    lagged = marked.withColumn("_prev", F.lag("pos").over(w_doc))
+    brk = F.when(F.col("pos") - F.col("_prev") > window, 1).otherwise(0)
     spans = (
-        marked.withColumn("grp", grp)
+        lagged.withColumn("grp", F.sum(brk).over(w_doc))
         .groupBy(id_col, "grp")
         .agg(
             F.min("pos").alias("s"),
@@ -1203,9 +1214,21 @@ def pagerank(
     a fixed constant (importance scores converge fast on shallow dup
     graphs). Degrees and N are computed once; N broadcasts as a scalar.
     """
-    sym = edges.select(
+    # canonicalize: one row per unordered pair regardless of input
+    # orientation/duplication — a pre-symmetrized or duplicated edge
+    # list would otherwise double every degree and contribution,
+    # silently breaking the SQL-mirrored trajectory
+    pairs = (
+        edges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(

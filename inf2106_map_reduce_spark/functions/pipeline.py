@@ -841,6 +841,17 @@ PII_IPV4 = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
 PII_DENYLIST: tuple[str, ...] = ("customer", "spark")
 
 
+def denylist_regex(denylist: tuple[str, ...] = PII_DENYLIST) -> str:
+    """``\\b``-anchored alternation of escaped LITERAL terms. Terms are
+    ``re.escape``-d so metacharacters can't change the pattern's
+    meaning (or diverge between Java regex and RE2 — backslash-escaped
+    punctuation is valid in both); the oracle interpolates this same
+    string, so both engines always read the identical pattern."""
+    import re
+
+    return r"\b(?:" + "|".join(re.escape(t) for t in denylist) + r")\b"
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -861,7 +872,7 @@ def pii_scrub(
     are structurally zero there) but the patterns still execute; the
     denylist term redaction exercises the rewrite path with real hits.
     """
-    deny_re = r"\b(?:" + "|".join(denylist) + r")\b"
+    deny_re = denylist_regex(denylist)
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),

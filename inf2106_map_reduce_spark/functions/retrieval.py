@@ -6,11 +6,12 @@ model; see mapreduce/src/MapServant.java for the reference tokenizer
 contract this module's normalization mirrors).
 
 Scale stance (100 TB):
-- Tokenization + tf are one explode/agg pass; the query-term filter is
-  applied BEFORE the (doc, term) aggregate so the shuffled tf table is
-  |matching docs| x |query terms|, not corpus-sized.
-- Corpus statistics (N, avgdl, per-term df) are scalar / |terms|-row
-  aggregates broadcast back — no driver-side state.
+- The query's term set is a plan-time literal, so BM25 never explodes
+  or shuffles the corpus: doc length and per-term tf are narrow array
+  expressions on one scan, and a second narrow pass scores the
+  matching docs.
+- Corpus statistics (N, avgdl, per-term df) collapse into ONE scalar
+  aggregate broadcast back — no driver-side state.
 - Top-k uses orderBy().limit(k) (Spark plans TakeOrderedAndProject:
   per-partition heaps + a k-row driver merge), never a global window;
   the row_number that materializes ranks runs on the k-row result

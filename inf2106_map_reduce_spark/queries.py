@@ -2176,14 +2176,13 @@ REGISTRY: dict[str, QuerySpec] = {
                len(regexp_extract_all(text, '{pipeline.PII_IPV4}'))
                  AS n_ip,
                len(regexp_extract_all(text,
-                     '\\b(?:{"|".join(pipeline.PII_DENYLIST)})\\b'))
-                 AS n_denied,
+                     '{pipeline.denylist_regex()}')) AS n_denied,
                md5(regexp_replace(
                      regexp_replace(
                        regexp_replace(text, '{pipeline.PII_EMAIL}',
                                       '<EMAIL>', 'g'),
                        '{pipeline.PII_IPV4}', '<IP>', 'g'),
-                     '\\b(?:{"|".join(pipeline.PII_DENYLIST)})\\b',
+                     '{pipeline.denylist_regex()}',
                      '<TERM>', 'g')) AS clean_md5
         FROM documents
         """,
@@ -2196,8 +2195,9 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup.dedup_substring_spans,
         # duplicate-span report: any 10-word window occurring >= 2
         # times (across or within docs) marks its start positions;
-        # consecutive marked positions merge gaps-and-islands style
-        # into maximal repeated spans
+        # marked positions whose coverage is contiguous (start gap
+        # <= window) merge gaps-and-islands style into maximal spans,
+        # so dup word mass is a true union (never > doc length)
         f"""
         WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS words
                    FROM documents),
@@ -2212,11 +2212,17 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
         dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
         m AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+        lagged AS (
+          SELECT doc_id, pos,
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM m
+        ),
         isl AS (
           SELECT doc_id, pos,
-                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS grp
-          FROM m
+                 SUM(CASE WHEN pos - prev > {dedup.SPAN_WINDOW}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM lagged
         ),
         sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS nw
                FROM isl GROUP BY doc_id, grp),

@@ -428,12 +428,18 @@ def test_semantic_dedup_flags_planted_in_cluster_duplicates(spark):
 def test_duplicate_span_report_planted_spans(spark):
     common = " ".join(f"c{i}" for i in range(12))      # 12 shared words
     rep = " ".join(f"x{i}" for i in range(10))         # intra-doc repeat
+    c10 = " ".join(f"c{i}" for i in range(10))         # c0..c9
     docs = spark.createDataFrame(
         [
             (0, "a1 a2 a3 " + common),                 # 15 words, tail shared
             (1, common + " b1 b2"),                    # 14 words, head shared
             (2, rep + " q " + rep),                    # 21 words, R..q..R
             (3, "too short here"),                     # < window: all zeros
+            # doc 4: marked starts {0, 2} with start 1 unmarked but
+            # OVERLAPPING coverage -> one span of union length 12,
+            # never 2x10 (the overcount the union semantics prevent)
+            (4, "p q " + c10 + " r"),
+            (5, "p q " + " ".join(f"c{i}" for i in range(8))),  # dup of 4@0
         ],
         "doc_id long, text string",
     )
@@ -457,6 +463,16 @@ def test_duplicate_span_report_planted_spans(spark):
     assert rows[3].asDict() == {
         "doc_id": 3, "n_windows": 0, "n_dup_windows": 0,
         "n_spans": 0, "max_span_len": 0, "n_dup_words": 0,
+    }
+    # overlapping-but-nonconsecutive marked starts {0, 2}: ONE span of
+    # union length 12 (13-word doc) — not 2 spans x 10 words
+    assert rows[4].asDict() == {
+        "doc_id": 4, "n_windows": 4, "n_dup_windows": 2,
+        "n_spans": 1, "max_span_len": 12, "n_dup_words": 12,
+    }
+    assert rows[5].asDict() == {
+        "doc_id": 5, "n_windows": 1, "n_dup_windows": 1,
+        "n_spans": 1, "max_span_len": 10, "n_dup_words": 10,
     }
 
 
@@ -495,7 +511,9 @@ def test_duplicate_span_report_matches_python_reference_on_random_corpus(spark):
         ]
         spans = []
         for s in marked:
-            if spans and s == spans[-1][1] + 1:
+            # union semantics: merge while coverage stays contiguous
+            # (start gap <= W covers overlap and adjacency)
+            if spans and s - spans[-1][1] <= W:
                 spans[-1][1] = s
             else:
                 spans.append([s, s])
