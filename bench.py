@@ -85,8 +85,8 @@ HEADLINE = (
 
 # Timed stages that are NOT registry queries: the shared dedup
 # candidate-graph build (shingle->MinHash->LSH->Jaccard->components)
-# is computed ONCE per session and consumed by five registry entries —
-# timing it as its own line keeps those five lines honest (each then
+# is computed ONCE per session and consumed by six registry entries —
+# timing it as its own line keeps those six lines honest (each then
 # measures only its own derivation; without this the whole build cost
 # landed on whichever consumer ran first and the rest read as
 # near-zero cache hits).
@@ -104,6 +104,28 @@ def main() -> None:
         REGISTRY[wname].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # Host-weather calibration: a fixed, code-independent CPU task
+    # (range-sum, no I/O, no Python) timed in the same session. Its
+    # wall clock moves ONLY with the host (steal, stalls, thermal),
+    # never with this repo's code — divide cross-round query times by
+    # the calibration ratio before reading them as regressions
+    # (BASELINE.md r06: identical code measured 74.5 s vs 139–348 s
+    # across weather windows).
+    def _calibrate() -> float:
+        # median of 5 (not min): intermittent stall windows are part of
+        # the weather being measured — min would report only the
+        # healthiest instant
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(id * 3 % 7) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[2], 3)
+
+    calibration = _calibrate()
 
     timings: dict[str, float] = {}
     # shared dedup stage build gets its own honest line; every dedup
@@ -133,6 +155,9 @@ def main() -> None:
         # registry queries only — the pseudo stage line is included in
         # the total (and the full map) but is not a query
         "n_queries": len(timings) - len(PSEUDO_STAGES),
+        # fixed reference task (see _calibrate): host-weather gauge,
+        # independent of this repo's code
+        "calibration_sec": calibration,
     }
     with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
         json.dump(

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -134,6 +135,76 @@ class TokenKVReader(DataSourceReader):
         return (NONE_KEY, tok)
 
 
+class TokenKVStreamReader(SimpleDataSourceStreamReader):
+    """Streaming binding of the token reader: tails one growing token
+    file (``spark.readStream.format("tokenkv").option("path", f)``).
+
+    Offset = committed byte position. Each micro-batch consumes bytes
+    ``[pos, boundary)`` where ``boundary`` is one past the LAST
+    whitespace byte currently in the file — a trailing partial token
+    stays unconsumed until more bytes (ending in whitespace or a later
+    token) arrive. This is the S1 token-ownership rule applied to a
+    stream's moving end: no token is ever emitted split or twice, and
+    ``readBetweenOffsets`` replays any committed range byte-exactly
+    for recovery.
+
+    The reference's pipeline is strictly batch (SURVEY §2.5); this
+    binding makes its wire format consumable by Structured Streaming
+    without conversion. Local filesystem only — like the batch reader,
+    the path must be visible to the driver (SimpleStream reads are
+    driver-side by design for low-volume sources)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tokenkv requires a path")
+        if os.path.isdir(self.path):
+            raise ValueError("tokenkv streaming tails a single file")
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _size(self) -> int:
+        try:
+            return os.path.getsize(self.path)
+        except OSError:
+            return 0
+
+    def _boundary(self, pos: int, size: int) -> int:
+        """One past the last whitespace byte in [pos, size); pos if
+        the window holds no whitespace (nothing safe to consume)."""
+        with open(self.path, "rb") as fh:
+            fh.seek(pos)
+            data = fh.read(size - pos)
+        for i in range(len(data) - 1, -1, -1):
+            if data[i : i + 1] in _WS:
+                return pos + i + 1
+        return pos
+
+    def _tokens(self, start: int, end: int) -> list[tuple[str, str]]:
+        # materialized (not a generator): Spark's prefetch cache
+        # copy.copy()s the returned iterator for replay, which a
+        # generator cannot survive; simple-reader batches are
+        # driver-side and low-volume by design
+        if end <= start:
+            return []
+        with open(self.path, "rb") as fh:
+            fh.seek(start)
+            data = fh.read(end - start)
+        return [TokenKVReader._parse(bytearray(t)) for t in data.split()]
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        size = self._size()
+        end = self._boundary(pos, size) if size > pos else pos
+        if end <= pos:
+            return iter([]), start
+        return iter(self._tokens(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._tokens(int(start["pos"]), int(end["pos"])))
+
+
 class _Commit(WriterCommitMessage):
     pass
 
@@ -173,6 +244,9 @@ class TokenKVDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> TokenKVWriter:
         return TokenKVWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> TokenKVStreamReader:
+        return TokenKVStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -21,7 +21,7 @@ def test_headline_names_exist():
 
 
 def test_stage_build_is_timed_and_consumers_exist():
-    # the pseudo-line only makes sense while the five stage-cache
+    # the pseudo-line only makes sense while the six stage-cache
     # consumers are registry entries; if they're renamed, re-audit the
     # attribution story
     assert "dedup_stage_build" in bench.HEADLINE
@@ -31,6 +31,7 @@ def test_stage_build_is_timed_and_consumers_exist():
         "dedup_clusters",
         "dedup_clusters_star",
         "dedup_canonical_corpus",
+        "docs_pagerank_neardup",
     ):
         assert consumer in REGISTRY, consumer
 

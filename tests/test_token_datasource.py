@@ -92,3 +92,31 @@ def test_split_size_sweep_invariance(tokenkv, tmp_path):
             for r in _read(tokenkv, str(p), split_size=size).collect()
         )
         assert got == expected, f"split_size={size}"
+
+
+def test_tokenkv_streaming_tails_appends_and_holds_partial_tokens(spark, tmp_path):
+    # batch 1: "a|1 b|2 partial" — the trailing partial token has no
+    # whitespace after it, so it must be HELD BACK, not emitted split
+    f = tmp_path / "growing.txt"
+    f.write_bytes(b"a|1 b|2 partial")
+    rows: list[tuple] = []
+    q = (
+        spark.readStream.format("tokenkv")
+        .option("path", str(f))
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _e: rows.extend(tuple(r) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert rows == [("a", "1"), ("b", "2")]
+        # batch 2: the append completes 'partial' and adds c|3
+        with open(f, "ab") as fh:
+            fh.write(b" c|3 ")
+        q.processAllAvailable()
+        assert rows == [("a", "1"), ("b", "2"), ("none", "partial"), ("c", "3")]
+    finally:
+        q.stop()
