@@ -7,7 +7,7 @@ zero Python per row. Each has an exact DuckDB oracle (registry).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.tables import load_table
@@ -221,3 +221,54 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.size(words_col("text")).alias("n_whitespace_tokens"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE-training merge step (Sennrich et al. ACL'16): count
+    adjacent character-pair frequencies across the corpus, weighted by
+    word frequency — the argmax pair is the merge a BPE tokenizer
+    would learn next. Emits the top-k pairs with their corpus counts
+    and the deterministic merge rank.
+
+    Plan: one tokenize+groupBy builds the word-frequency table
+    (vocabulary-sized, Zipf-bounded — the scan cost, everything after
+    is vocab-scale); pairs explode from each DISTINCT word (len-1
+    pairs per word, char ops JVM-side), weighted by its count, one
+    vocab-scale aggregation, then a k-bounded TakeOrdered + rank. At
+    100 TB the word table is the only corpus-wide shuffle — identical
+    shape to vocabulary building.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(F.explode(F.split(norm, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("word").substr(i, F.lit(1)),
+                    F.col("word").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("merge_rank", F.row_number().over(rank_w)).select(
+        "merge_rank", "pair", "n"
+    )
+
+
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: top-20 BPE merge candidates over documents."""
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"))

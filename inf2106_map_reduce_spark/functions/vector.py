@@ -820,7 +820,22 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: hash goes red rather than silently drifting.
 KMEANS_CONVERGED_TOL = 1e-4
 KMEANS_CONVERGED_MAX_ITER = 25
-KMEANS_CONVERGED_ROUNDS_SF001 = 19
+
+#: Measured trajectory length PER DATASET (the deterministic
+#: trajectory's round count is a constant of the data, not of the
+#: code): the driver's static ``oracle_sql()`` contract uses the gate
+#: SF (sf0.01); local harnesses verifying at another SF render the
+#: matching unroll via :func:`queries.oracle_for`. An SF missing here
+#: fails loud (KeyError) rather than hash-failing mysteriously.
+KMEANS_CONVERGED_ROUNDS: dict[str, int] = {"sf0.001": 13, "sf0.01": 19}
+KMEANS_GATE_SF = "sf0.01"
+
+
+def converged_rounds_for(sf_dir: str) -> int:
+    """Round count of the converged trajectory for a testdata dir."""
+    import os
+
+    return KMEANS_CONVERGED_ROUNDS[os.path.basename(os.path.normpath(sf_dir))]
 
 
 def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:

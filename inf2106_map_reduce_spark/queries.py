@@ -515,8 +515,8 @@ def _kmeans_oracle(
     ITERATIVE algorithm is exactly hash-checkable. ``n_rounds=2`` is
     the fixed-iteration registry entry; the convergence-driven entry
     unrolls the measured trajectory length
-    (vector.KMEANS_CONVERGED_ROUNDS_SF001) and pins the round count
-    itself via ``extra_cols`` (see the kmeans_converged QuerySpec)."""
+    (vector.KMEANS_CONVERGED_ROUNDS, per dataset) and pins the round
+    count itself via ``extra_cols`` (see _kmeans_converged_oracle)."""
     # Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     # reference, and round i's centroids reference round i-1's several
     # times — un-materialized, the 19-round unroll expands the plan
@@ -585,6 +585,18 @@ _WORDS_LC = (
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w != '')"
 )
 _STOPLIST = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+def _kmeans_converged_oracle(n_rounds: int) -> str:
+    """Oracle for the convergence-driven k-means: the trajectory
+    unrolled for exactly ``n_rounds`` with the round count and
+    convergence verdict pinned as output columns."""
+    return _kmeans_oracle(
+        n_rounds,
+        extra_cols=(
+            f", CAST({n_rounds} AS INT) AS rounds, TRUE AS converged"
+        ),
+    )
 
 
 def _marker_list(lang: str) -> str:
@@ -1963,6 +1975,37 @@ REGISTRY: dict[str, QuerySpec] = {
         "top-50 vocabulary with term and document frequencies",
         ("pipeline", "text"),
     ),
+    "vocab_bpe_pairs": QuerySpec(
+        text.vocab_bpe_pairs,
+        # first BPE merge step: adjacent char-pair counts weighted by
+        # word frequency, over DISTINCT words (vocab-scale, not corpus)
+        f"""
+        WITH w2 AS (
+          SELECT word
+          FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents)
+          WHERE word != ''
+        ),
+        vocab AS (SELECT word, COUNT(*) AS wc FROM w2 GROUP BY 1),
+        pairs AS (
+          SELECT wc,
+                 substr(word, CAST(i.r AS INT), 1) || ' '
+                   || substr(word, CAST(i.r + 1 AS INT), 1) AS pair
+          FROM vocab, LATERAL unnest(range(1, len(word))) i(r)
+          WHERE len(word) >= 2
+        ),
+        counts AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+                   FROM pairs GROUP BY 1)
+        SELECT merge_rank, pair, n FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC)
+                      AS merge_rank
+          FROM counts
+        ) WHERE merge_rank <= 20
+        """,
+        "top-20 BPE merge candidates: corpus-weighted adjacent "
+        "character-pair counts (tokenizer-training step one)",
+        ("pipeline", "text"),
+    ),
     "docs_token_chunks": QuerySpec(
         pipeline.docs_token_chunks,
         f"""
@@ -3071,12 +3114,8 @@ REGISTRY.update(
             # columns. If the engine's tol loop ever stops at a
             # different round, or stops converging, rounds/converged
             # (and almost surely the fingerprints) hash-mismatch.
-            _kmeans_oracle(
-                vector.KMEANS_CONVERGED_ROUNDS_SF001,
-                extra_cols=(
-                    f", CAST({vector.KMEANS_CONVERGED_ROUNDS_SF001} AS INT)"
-                    " AS rounds, TRUE AS converged"
-                ),
+            _kmeans_converged_oracle(
+                vector.KMEANS_CONVERGED_ROUNDS[vector.KMEANS_GATE_SF]
             ),
             "convergence-driven k-means (tol=1e-4): fingerprints + "
             "hash-checked round count and convergence verdict",
@@ -3106,10 +3145,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 36 (not 40) leaves a 14-slot priority block while keeping the
+# 35 (not 40) leaves a 15-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/36) rounds.
-ROTATION_STRIDE = 36
+# segments still overlap, so full coverage within ceil(n/35) rounds.
+ROTATION_STRIDE = 35
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3141,6 +3180,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_hybrid_rrf_lsh",
     # round 6 new: PageRank over the near-dup graph
     "docs_pagerank_neardup",
+    # round 6 new: BPE merge-candidate counting
+    "vocab_bpe_pairs",
 )
 
 
@@ -3196,3 +3237,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
+
+
+def oracle_for(name: str, sf_dir: str) -> str | None:
+    """SF-aware oracle lookup for LOCAL harnesses (the driver's static
+    ``oracle_sql()`` contract stays pinned to the gate SF, sf0.01).
+
+    Identical to ``REGISTRY[name].oracle`` except for entries whose
+    oracle embeds a constant OF THE DATASET: ``kmeans_converged``
+    unrolls the measured trajectory length, which differs per SF
+    (sf0.001 converges in 13 rounds, sf0.01 in 19) — verifying at a
+    non-gate SF must render the matching unroll or the comparison
+    tests the wrong trajectory. Unknown SFs raise KeyError (fail loud;
+    measure the trajectory once and add it to
+    vector.KMEANS_CONVERGED_ROUNDS)."""
+    if name == "kmeans_converged":
+        return _kmeans_converged_oracle(vector.converged_rounds_for(sf_dir))
+    return REGISTRY[name].oracle

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from inf2106_map_reduce_spark.queries import REGISTRY
+from inf2106_map_reduce_spark.queries import REGISTRY, oracle_for
 
 from tests.oracle_utils import assert_matches_oracle, duckdb_connection
 
@@ -25,7 +25,7 @@ def con(sf_oracle):
 def test_query_matches_oracle(spark, sf_oracle, con, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_oracle)
-    assert_matches_oracle(df, con, spec.oracle)
+    assert_matches_oracle(df, con, oracle_for(name, sf_oracle))
 
 
 @pytest.fixture(scope="module")
@@ -50,7 +50,7 @@ def test_query_matches_oracle_ansi(ansi_spark, sf_oracle, con, name):
     suite; part of the pre-driver round ritual."""
     spec = REGISTRY[name]
     df = spec.fn(ansi_spark, sf_oracle)
-    assert_matches_oracle(df, con, spec.oracle)
+    assert_matches_oracle(df, con, oracle_for(name, sf_oracle))
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

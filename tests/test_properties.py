@@ -70,3 +70,26 @@ def test_token_cap_chunking_law(tok_len, cap):
     assert "".join(chunks) == token
     assert all(len(c) == cap for c in chunks[:-1])
     assert 1 <= len(chunks[-1]) <= cap
+
+
+def test_bpe_pairs_match_python_reference(spark):
+    # tiny corpus, hand-checkable: 'aa ab aa b' — pairs weighted by
+    # word frequency, 1-char words contribute nothing
+    from collections import Counter
+
+    from inf2106_map_reduce_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa b"), (1, "ab  ba")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["pair"], r["n"])
+        for r in text_fns.bpe_pair_counts(docs).collect()
+    ]
+    wc = Counter("aa ab aa b ab ba".split())
+    pc: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[f"{w[i]} {w[i+1]}"] += c
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [(i + 1, p, n) for i, (p, n) in enumerate(want)]

@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from inf2106_map_reduce_spark.queries import REGISTRY  # noqa: E402
+from inf2106_map_reduce_spark.queries import REGISTRY, oracle_for  # noqa: E402
 from tests.oracle_utils import (  # noqa: E402
     duckdb_connection,
     duckdb_result,
@@ -66,7 +66,7 @@ def main() -> int:
             if spec.oracle is None:
                 print(f"ok      {name} [{tag}] rows-only ({len(s_rows)} rows)")
                 continue
-            d_cols, d_rows = duckdb_result(con, spec.oracle)
+            d_cols, d_rows = duckdb_result(con, oracle_for(name, args.sf))
             if s_cols != d_cols:
                 n_fail += 1
                 print(f"FAIL    {name} [{tag}] schema {s_cols} != {d_cols}")
