@@ -70,3 +70,19 @@ def test_registry_order_matches_schedule_via_env():
     )
     assert out.returncode == 0, out.stderr
     assert int(out.stdout.strip()) == len(q.REGISTRY)
+
+
+def test_oracle_for_renders_sf_matched_kmeans_unroll():
+    # trajectory length is a constant of the DATASET: the local-harness
+    # oracle must unroll 13 rounds at sf0.001 vs 19 at sf0.01, and the
+    # static driver contract must equal the gate-SF rendering
+    o001 = q.oracle_for("kmeans_converged", "/root/testdata/sf0.001")
+    o01 = q.oracle_for("kmeans_converged", "/root/testdata/sf0.01")
+    assert "AS rounds" in o001 and "AS rounds" in o01
+    assert o001 != o01
+    assert "13" in o001 and "19" in o01
+    assert q.REGISTRY["kmeans_converged"].oracle == o01
+    # every other entry passes through unchanged
+    assert q.oracle_for("q1_pricing_summary", "/root/testdata/sf0.001") == (
+        q.REGISTRY["q1_pricing_summary"].oracle
+    )
