@@ -1270,3 +1270,96 @@ def docs_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard>=0.5 edge stage (the sixth consumer of the session's
     candidate-graph cache)."""
     return pagerank(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected edge list ``(id_a, id_b)`` — the duplicate-neighborhood
+    density audit. On the near-dup similarity graph a high clustering
+    coefficient marks tight cliques (template families, mirrored
+    sites) where keeping one canonical doc is safe, while low
+    clustering flags chain-like neighborhoods where transitive
+    "duplicates" may not actually resemble each other — exactly the
+    cases where min-label components over-merge.
+
+    Scale: edges are oriented toward the higher ``(degree, id)`` rank
+    before the wedge self-join, so each node's join fan-out is its
+    OUT-degree — bounded by O(sqrt(E)) on any graph (the standard
+    arboricity/degeneracy argument behind distributed triangle
+    enumeration). Without orientation a hub of degree d contributes
+    d^2 wedges; with it, a hub receives most edges inbound and its
+    wedge count collapses. Three shuffles total: degree agg, wedge
+    self-join, closing-edge join — never an all-pairs pass.
+
+    Determinism: pure integer counts plus one final rounded division;
+    orientation affects the join order, never the result.
+    """
+    pairs = (
+        edges.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # rank = (deg, id): a total order putting hubs last, so orienting
+    # every edge toward the higher rank bounds out-degrees
+    rank = deg.select(
+        F.col("u").alias("n"),
+        F.struct(F.col("deg"), F.col("u").alias("id")).alias("k"),
+    )
+    withk = (
+        pairs.join(rank.withColumnRenamed("n", "a").withColumnRenamed("k", "ka"), "a")
+        .join(rank.withColumnRenamed("n", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    flip = F.col("ka") > F.col("kb")
+    oriented = withk.select(
+        F.when(flip, F.col("b")).otherwise(F.col("a")).alias("src"),
+        F.when(flip, F.col("a")).otherwise(F.col("b")).alias("dst"),
+        F.when(flip, F.col("ka")).otherwise(F.col("kb")).alias("dst_k"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # each triangle {x,y,z} (rank x < y < z) appears exactly once: the
+    # apex x holds both out-edges, and the wedge closes iff y->z exists
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_k") < F.col("o2.dst_k")),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("y"),
+        F.col("o2.dst").alias("z"),
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])
+    per_node = (
+        tris.select(F.col("x").alias("n"))
+        .union(tris.select(F.col("y")))
+        .union(tris.select(F.col("z")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    return deg.join(per_node, deg.u == per_node.n, "left").select(
+        F.col("u").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        t.alias("triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0) * t / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: triangle counts + clustering coefficient over
+    the shared near-dup Jaccard>=0.5 edge stage (seventh consumer of
+    the session's candidate-graph cache)."""
+    return triangle_counts(_registry_edges(spark, sf_dir).select("id_a", "id_b"))

@@ -177,6 +177,38 @@ def _pagerank_ctes() -> str:
     """)
     return "".join(parts)
 
+
+# Triangle counting over the same edge set — mirrors
+# functions.dedup.triangle_counts: each triangle (a < b < c on
+# canonical jac pairs) found once via a triple join, attributed to all
+# three nodes, clustering = 2T / (deg * (deg - 1)).
+_TRIANGLES_SQL = (
+    _CANDIDATES_SQL
+    + _EDGES_BODY
+    + """,
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    tri AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM jac p1
+      JOIN jac p2 ON p2.id_a = p1.id_b
+      JOIN jac p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    ),
+    pernode AS (
+      SELECT n, COUNT(*) AS t FROM (
+        SELECT a AS n FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY n
+    )
+    SELECT d.u AS doc_id, d.deg AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.deg >= 2
+                 THEN 2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN pernode t ON t.n = d.u
+    """
+)
+
 _SIMHASH_BITS = ", ".join(
     f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(32)
@@ -2299,6 +2331,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "Jaccard>=0.5 similarity graph (non-isolated nodes)",
         ("dedup", "graph", "iterative"),
     ),
+    "docs_neardup_triangles": QuerySpec(
+        dedup.docs_neardup_triangles,
+        _TRIANGLES_SQL,
+        "per-doc triangle count + local clustering coefficient over "
+        "the near-dup similarity graph (degree-oriented enumeration)",
+        ("dedup", "graph"),
+    ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
         f"""
@@ -3145,10 +3184,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 35 (not 40) leaves a 15-slot priority block while keeping the
+# 30 (not 40) leaves a 20-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/35) rounds.
-ROTATION_STRIDE = 35
+# segments still overlap, so full coverage within ceil(n/30) rounds.
+ROTATION_STRIDE = 30
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3182,6 +3221,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_pagerank_neardup",
     # round 6 new: BPE merge-candidate counting
     "vocab_bpe_pairs",
+    # round 6 new: triangle counting on the near-dup graph
+    "docs_neardup_triangles",
 )
 
 

@@ -575,3 +575,57 @@ def test_pagerank_matches_python_reference_on_planted_graph(spark):
     assert got == want
     assert got[0][1] > got[1][1]  # hub above satellite
     assert got[1] == got[2] == got[3]
+
+
+def test_triangle_counts_planted_graph(spark):
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) + pendant edge 3-4
+    # + disjoint edge 5-6 (no triangles); input deliberately contains
+    # a flipped duplicate (1,0) to exercise canonicalization
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in dedup.triangle_counts(edges).collect()
+    }
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    # node 3 has degree 4 (K4 + pendant): 3 triangles over C(4,2)=6 wedges
+    assert got[3] == (4, 3, 0.5)
+    assert got[4] == (1, 0, 0.0)
+    assert got[5] == (1, 0, 0.0)
+    assert got[6] == (1, 0, 0.0)
+
+
+def test_triangle_counts_match_python_reference_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(1306)
+    nodes = list(range(24))
+    pairs = sorted(
+        p for p in itertools.combinations(nodes, 2) if rng.random() < 0.25
+    )
+    edges = spark.createDataFrame(
+        [(a, b) if rng.random() < 0.5 else (b, a) for a, b in pairs],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in dedup.triangle_counts(edges).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nbrs in adj.items():
+        t = sum(
+            1 for u, v in itertools.combinations(sorted(nbrs), 2) if v in adj[u]
+        )
+        d = len(nbrs)
+        want[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0)
+    assert got == want
