@@ -894,3 +894,71 @@ def pii_scrub(
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: e-mail/IPv4/denylist scrub audit over documents."""
     return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def source_kl_drift(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus:
+    ``KL(source || corpus)`` over unigram distributions — the
+    mixture-audit signal behind "did this crawl snapshot / new source
+    shift the training distribution?". A source whose KL is near zero
+    speaks the corpus's language; a high-KL source (code dumped into a
+    prose corpus, a new language, boilerplate farms) is exactly what a
+    data-mixture owner wants flagged before it trains.
+
+    KL against the corpus needs no smoothing: the corpus includes each
+    source, so q(word) > 0 wherever p(word) > 0, and the sum ranges
+    only over the source's own vocabulary — no source x vocab grid
+    expansion, unlike symmetric JS divergence.
+
+    Plan: one explode, three count aggregations (per (source, word),
+    per word, per source), a word-level join (vocabulary-sized, Zipf-
+    bounded and broadcast-able at real scale), one scalar cross join,
+    one per-source fold. At 100 TB every stage is partial-agg friendly
+    and the biggest shuffle carries one row per distinct (source,
+    word) — vocabulary terms, not corpus tokens.
+
+    Determinism: each term ``p·ln(p/q)`` is rounded to 9 decimals
+    before a word-sorted sequential fold (the unigram-logprob recipe),
+    so the result hash-matches DuckDB exactly.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(norm, " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    c = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ns = w.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    nt = w.agg(F.count(F.lit(1)).alias("nt"))
+    p = F.col("tf") / F.col("ns")
+    q = F.col("c") / F.col("nt")
+    terms = (
+        sw.join(c, "word")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "word",
+            "ns",
+            F.round(p * F.log(p / q), 9).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("ns").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("word", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ),
+            6,
+        ).alias("kl_vs_corpus"),
+    )
+
+
+def docs_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source unigram KL drift vs the corpus."""
+    return source_kl_drift(load_table(spark, sf_dir, "documents"))

@@ -2102,6 +2102,35 @@ REGISTRY: dict[str, QuerySpec] = {
         "temperature (alpha=0.3) multinomial mixture weights per source",
         ("pipeline",),
     ),
+    "docs_source_drift": QuerySpec(
+        pipeline.docs_source_drift,
+        # terms rounded to 9 BEFORE the word-sorted fold — the
+        # unigram-logprob determinism recipe applied to p*ln(p/q)
+        f"""
+        WITH w AS (
+          SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT * FROM w WHERE word != ''),
+        sw AS (SELECT source, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+        c AS (SELECT word, COUNT(*) AS c FROM w2 GROUP BY 1),
+        ns AS (SELECT source, COUNT(*) AS ns FROM w2 GROUP BY 1),
+        n AS (SELECT COUNT(*) AS nt FROM w2),
+        t AS (
+          SELECT sw.source, sw.word, ns.ns,
+                 ROUND((tf / ns) * ln((tf / ns) / (c / nt)), 9) AS term
+          FROM sw JOIN c USING (word) JOIN ns USING (source) CROSS JOIN n
+        )
+        SELECT source,
+               CAST(MIN(ns) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_vocab,
+               ROUND(list_sum(list(term ORDER BY word)), 6) AS kl_vs_corpus
+        FROM t GROUP BY source
+        """,
+        "per-source unigram KL(source||corpus) distribution-drift "
+        "audit (mixture-shift signal)",
+        ("pipeline", "text"),
+    ),
     "events_funnel": QuerySpec(
         timeseries.events_funnel,
         """
@@ -3223,6 +3252,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "vocab_bpe_pairs",
     # round 6 new: triangle counting on the near-dup graph
     "docs_neardup_triangles",
+    # round 6 new: per-source KL distribution-drift audit
+    "docs_source_drift",
 )
 
 

@@ -364,3 +364,46 @@ def test_unigram_logprob_skips_wordless_docs(spark):
     out = {r["doc_id"]: r for r in pipeline.unigram_logprob(df).collect()}
     assert set(out) == {1}
     assert out[1]["n_tokens"] == 3
+
+
+def test_source_kl_drift_flags_divergent_source(spark):
+    """A source speaking the corpus's dominant language has near-zero
+    KL; a source of words nobody else uses diverges. Exact values
+    cross-checked against a pure-Python computation."""
+    import math
+    from collections import Counter
+
+    rows = (
+        [(i, "the cat sat on the mat", "en", "crawl", 1) for i in range(8)]
+        + [(100 + i, "zyx qwv jkp bnm", "xx", "weird", 1) for i in range(2)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {r["source"]: r for r in pipeline.source_kl_drift(df).collect()}
+    assert out["weird"]["kl_vs_corpus"] > out["crawl"]["kl_vs_corpus"] >= 0.0
+
+    toks = [(s, w) for _i, t, _l, s, _n in rows for w in t.split()]
+    corpus = Counter(w for _s, w in toks)
+    nt = len(toks)
+    for src in ("crawl", "weird"):
+        mine = Counter(w for s, w in toks if s == src)
+        ns = sum(mine.values())
+        kl = 0.0
+        for w in sorted(mine):
+            p, q = mine[w] / ns, corpus[w] / nt
+            kl += round(p * math.log(p / q), 9)
+        assert out[src]["n_tokens"] == ns
+        assert out[src]["n_vocab"] == len(mine)
+        assert out[src]["kl_vs_corpus"] == round(kl, 6)
+
+
+def test_source_kl_drift_zero_for_identical_distributions(spark):
+    """Two sources with identical token distributions both sit at
+    exactly KL = 0 (p == q for every word)."""
+    rows = [(1, "a b c", "en", "s1", 1), (2, "a b c", "en", "s2", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {r["source"]: r["kl_vs_corpus"] for r in pipeline.source_kl_drift(df).collect()}
+    assert out == {"s1": 0.0, "s2": 0.0}
