@@ -326,3 +326,132 @@ def sketch_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(_QUANTILE_PROBS)
         ],
     )
+
+
+#: Bloom filter geometry: m bits, k hash functions. 32 K bits audits
+#: ~10 K inserted keys at sf0.1 at a realistic ~45% fill; production
+#: sizes m from the inserted-key estimate (m ≈ -n·ln(fp)/ln(2)²).
+BLOOM_BITS = 1 << 15
+BLOOM_HASHES = 3
+
+
+def bloom_positions(key: Column) -> Column:
+    """Array of ``BLOOM_HASHES`` bit positions for a key: seeded md5,
+    first 8 hex chars as an integer, mod ``BLOOM_BITS`` — the same
+    engine-neutral hash family as the MinHash signatures, so every
+    position is exactly reproducible in SQL."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), key)), 1, 8), 16, 10
+            ).cast("bigint")
+            % BLOOM_BITS
+            for s in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_membership_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_col: str,
+    probe_col: str,
+) -> DataFrame:
+    """Build a Bloom filter over ``build``'s keys, probe it with
+    ``probe``'s keys, and certify it against exact membership — the
+    "have we already ingested this document/key?" primitive that at
+    100 TB replaces an anti-join against the full history with a
+    kilobyte-scale bitmap test.
+
+    The filter is represented as the DISTINCT set of set bit
+    positions — MERGEABLE by construction: per-partition (or per-day,
+    per-shard) position sets union into the corpus filter by plain
+    bitwise OR / set union, no rescan. Probing broadcasts the position
+    set (<= m rows, ~256 KB at m=2^15) and marks a key present iff
+    ALL k of its positions are set.
+
+    Output is one audited row, exact-oracle-checkable: exact member /
+    non-member counts, the measured false-positive count/rate, a
+    ``no_false_negatives`` verdict (a Bloom filter's hard guarantee —
+    this failing means the operator is broken, and the query fails),
+    and ``fp_within_bound`` comparing the measured FP rate to
+    3 × fill^k + 0.2% — fill^k is the exact expected FP probability
+    given the realized fill factor.
+
+    Scale: build = one distinct + one explode/distinct over keys;
+    probe = one explode + broadcast join + per-key count. Nothing
+    quadratic, nothing driver-side.
+    """
+    keys = build.select(F.col(build_col).cast("string").alias("k")).distinct()
+    pos = (
+        keys.select(F.explode(bloom_positions(F.col("k"))).alias("p"))
+        .distinct()
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys_inserted"))
+    n_bits = pos.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    probe_keys = probe.select(F.col(probe_col).cast("string").alias("k")).distinct()
+    pp = probe_keys.select(
+        "k", F.explode(bloom_positions(F.col("k"))).alias("p")
+    )
+    hits = (
+        pp.join(F.broadcast(pos.withColumn("_hit", F.lit(1))), "p", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"))
+        .withColumn("bloom_pos", F.col("h") == BLOOM_HASHES)
+    )
+    joined = hits.join(
+        keys.withColumn("_m", F.lit(1)), "k", "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("bigint").alias("n_members"),
+        F.sum(F.col("bloom_pos").cast("int")).cast("bigint").alias("n_bloom_positive"),
+        F.sum(
+            (F.col("bloom_pos") & F.col("_m").isNull()).cast("int")
+        ).cast("bigint").alias("n_false_positive"),
+        F.sum(
+            ((~F.col("bloom_pos")) & F.col("_m").isNotNull()).cast("int")
+        ).cast("bigint").alias("_n_false_negative"),
+    )
+    fill = F.col("n_bits_set") / F.lit(float(BLOOM_BITS))
+    # expected FP = fill^k via explicit multiplication (IEEE-exact and
+    # engine-identical, unlike library pow)
+    expected = F.round(fill * fill * fill, 9)
+    return (
+        agg.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys_inserted",
+            "n_bits_set",
+            "n_probed",
+            "n_members",
+            "n_bloom_positive",
+            "n_false_positive",
+            F.round(
+                F.col("n_false_positive")
+                / F.nullif(F.col("n_probed") - F.col("n_members"), F.lit(0)),
+                6,
+            ).alias("fp_rate"),
+            (F.col("_n_false_negative") == 0).alias("no_false_negatives"),
+            (
+                F.coalesce(
+                    F.col("n_false_positive")
+                    / F.nullif(F.col("n_probed") - F.col("n_members"), F.lit(0)),
+                    F.lit(0.0),
+                )
+                <= F.round(F.lit(3.0) * expected + F.lit(0.002), 9)
+            ).alias("fp_within_bound"),
+        )
+    )
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: Bloom filter built over the custkeys that have
+    orders, probed with every customer, audited against the exact
+    semi-join membership."""
+    return bloom_membership_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

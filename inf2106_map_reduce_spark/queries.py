@@ -1284,6 +1284,69 @@ REGISTRY: dict[str, QuerySpec] = {
         "status grain, envelope-audited",
         ("agg", "sketch"),
     ),
+    "sketch_bloom_membership": QuerySpec(
+        sketches.sketch_bloom_membership,
+        # mirrors functions.sketches.bloom_membership_audit hash for
+        # hash: seeded md5 -> first 8 hex chars -> int mod 2^15;
+        # expected FP = fill^k via explicit multiplication
+        f"""
+        WITH bk AS (
+          SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        ),
+        seeds(s) AS (VALUES ('0'), ('1'), ('2')),
+        pos AS (
+          SELECT DISTINCT ('0x' || substr(md5(s || ':' || k), 1, 8))::BIGINT
+                 % {sketches.BLOOM_BITS} AS p
+          FROM bk CROSS JOIN seeds
+        ),
+        nk AS (SELECT COUNT(*) AS n_keys_inserted FROM bk),
+        nb AS (SELECT COUNT(*) AS n_bits_set FROM pos),
+        pk AS (
+          SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        ),
+        pp AS (
+          SELECT k, ('0x' || substr(md5(s || ':' || k), 1, 8))::BIGINT
+                 % {sketches.BLOOM_BITS} AS p
+          FROM pk CROSS JOIN seeds
+        ),
+        hits AS (
+          SELECT pp.k, COUNT(pos.p) AS h
+          FROM pp LEFT JOIN pos ON pos.p = pp.p GROUP BY pp.k
+        ),
+        j AS (
+          SELECT h.h = {sketches.BLOOM_HASHES} AS bloom_pos,
+                 bk.k IS NOT NULL AS is_member
+          FROM hits h LEFT JOIN bk ON bk.k = h.k
+        ),
+        a AS (
+          SELECT COUNT(*) AS n_probed,
+                 CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_members,
+                 CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_positive,
+                 CAST(SUM(CASE WHEN bloom_pos AND NOT is_member
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+                 CAST(SUM(CASE WHEN NOT bloom_pos AND is_member
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_fn
+          FROM j
+        )
+        SELECT n_keys_inserted, n_bits_set, n_probed, n_members,
+               n_bloom_positive, n_false_positive,
+               ROUND(n_false_positive / NULLIF(n_probed - n_members, 0), 6)
+                 AS fp_rate,
+               n_fn = 0 AS no_false_negatives,
+               COALESCE(n_false_positive
+                        / NULLIF(n_probed - n_members, 0), 0.0)
+                 <= ROUND(3.0 * ROUND((n_bits_set / {float(sketches.BLOOM_BITS)})
+                          * (n_bits_set / {float(sketches.BLOOM_BITS)})
+                          * (n_bits_set / {float(sketches.BLOOM_BITS)}), 9)
+                          + 0.002, 9) AS fp_within_bound
+        FROM a CROSS JOIN nk CROSS JOIN nb
+        """,
+        "mergeable Bloom-filter membership: filter over order "
+        "custkeys probed with all customers, FP-rate envelope audit",
+        ("agg", "sketch", "join"),
+    ),
     "sketch_heavy_hitters": QuerySpec(
         sketches.sketch_heavy_hitters,
         # exact top-20 words + TRUE audit verdicts: the Misra-Gries
@@ -3254,6 +3317,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_neardup_triangles",
     # round 6 new: per-source KL distribution-drift audit
     "docs_source_drift",
+    # round 6 new: Bloom-filter membership with FP-rate envelope audit
+    "sketch_bloom_membership",
 )
 
 

@@ -142,3 +142,56 @@ def test_misra_gries_summary_is_bounded_and_lower_bound(spark):
     }
     for item, est in merged.items():
         assert est <= exact[item], (item, est, exact[item])
+
+
+def test_bloom_membership_planted_sets(spark):
+    """All inserted keys must probe positive (no false negatives —
+    the Bloom guarantee), and the FP count matches a pure-Python
+    replay of the identical seeded-md5 hash family."""
+    import hashlib
+
+    from inf2106_map_reduce_spark.functions import sketches as sk
+
+    build_keys = list(range(100))
+    probe_keys = list(range(80, 200))  # 20 members + 100 non-members
+    build = spark.createDataFrame([(k,) for k in build_keys], "id bigint")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "id bigint")
+    row = sk.bloom_membership_audit(build, probe, "id", "id").collect()[0]
+
+    def positions(key: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{s}:{key}".encode()).hexdigest()[:8], 16)
+            % sk.BLOOM_BITS
+            for s in range(sk.BLOOM_HASHES)
+        ]
+
+    bits = {p for k in build_keys for p in positions(k)}
+    fp = sum(
+        1
+        for k in probe_keys
+        if k not in set(build_keys) and all(p in bits for p in positions(k))
+    )
+    assert row["n_keys_inserted"] == 100
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_probed"] == 120
+    assert row["n_members"] == 20
+    assert row["no_false_negatives"] is True
+    assert row["n_false_positive"] == fp
+    assert row["n_bloom_positive"] == 20 + fp
+
+
+def test_bloom_membership_saturated_filter_still_no_false_negatives(spark):
+    """Overfill the filter far past its design point: FP rate rises
+    (and may breach the envelope) but false negatives remain
+    impossible."""
+    from inf2106_map_reduce_spark.functions import sketches as sk
+
+    build = spark.range(0, 60_000).withColumnRenamed("id", "k")
+    probe = spark.range(50_000, 62_000).withColumnRenamed("id", "k")
+    row = sk.bloom_membership_audit(build, probe, "k", "k").collect()[0]
+    assert row["no_false_negatives"] is True
+    assert row["n_members"] == 10_000
+    # ~6x overload: fill -> ~1, nearly every non-member collides
+    assert row["fp_rate"] > 0.5
+    # the envelope itself scales with the realized fill, so it still holds
+    assert row["fp_within_bound"] is True
