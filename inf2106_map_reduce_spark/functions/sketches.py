@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.tables import load_table
@@ -454,4 +454,102 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         "o_custkey",
         "c_custkey",
+    )
+
+
+#: Equi-width histogram bin for the mergeable-median rollup: $5,000
+#: bins in exact integer cents, so bin edges can't drift between
+#: engines on float division.
+HIST_BIN_CENTS = 500_000
+
+
+def binned_median_rollup(
+    df: DataFrame,
+    group_col: str,
+    fine_col: Column,
+    value_col: str,
+    bin_cents: int = HIST_BIN_CENTS,
+) -> DataFrame:
+    """Mergeable equi-width-histogram median: the quantile analogue of
+    the HLL rollup. Fine-grain ``(group, fine)`` bin-count histograms
+    are built once (what production stores — one small map column per
+    grain cell), then MERGED to the coarser ``group`` grain by summing
+    bin counts; the median estimate interpolates inside the merged
+    bin that crosses n/2. Re-aggregation to any coarser grain touches
+    only O(bins) counters per cell, never the raw data — and unlike a
+    value-materializing exact percentile, the merge state is constant
+    size, so a 100 TB regroup is a counter add.
+
+    The output certifies the estimate in-plan: exact interpolated
+    median per group (the expensive path the sketch replaces) plus a
+    ``within_two_bins`` verdict — the estimate sits in the bin
+    containing order statistic ceil(n/2), the true median within one
+    more bin, so |est - exact| < 2 bin widths always holds; it failing
+    means the operator is broken and the query goes red.
+
+    Determinism: bins are exact integer-cents DIV; the interpolation
+    ``lo + width * (n/2 - cum_before)/cnt`` is fixed-structure double
+    arithmetic rounded to 6 — engine-identical.
+    """
+    cents = F.expr(
+        f"CAST(ROUND({value_col} * 100, 0) AS BIGINT) DIV {bin_cents}"
+    ).alias("bin")
+    fine = (
+        df.select(F.col(group_col), fine_col.alias("fine"), cents)
+        .groupBy(group_col, "fine", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = fine.groupBy(group_col, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = merged.select(
+        group_col,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n_bins"),
+    )
+    half = F.col("n") / F.lit(2.0)
+    med_bin = cum.filter(
+        ((F.col("cum") - F.col("cnt")) < half) & (F.col("cum") >= half)
+    )
+    est = med_bin.select(
+        group_col,
+        F.col("n").alias("n_rows"),
+        F.col("n_bins"),
+        F.round(
+            (
+                F.col("bin") * F.lit(float(bin_cents))
+                + F.lit(float(bin_cents))
+                * (half - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("est_median"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_median")
+    )
+    width_dollars = bin_cents / 100.0
+    return est.join(exact, group_col).select(
+        group_col,
+        "n_rows",
+        "n_bins",
+        "est_median",
+        "exact_median",
+        (
+            F.abs(F.col("est_median") - F.col("exact_median"))
+            <= F.lit(2.0 * width_dollars)
+        ).alias("within_two_bins"),
+    )
+
+
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-(status, order year) totalprice histograms
+    merged to status grain; interpolated median vs the exact
+    percentile with a two-bin-width certification."""
+    o = load_table(spark, sf_dir, "orders")
+    return binned_median_rollup(
+        o, "o_orderstatus", F.year("o_orderdate"), "o_totalprice"
     )

@@ -1347,6 +1347,56 @@ REGISTRY: dict[str, QuerySpec] = {
         "custkeys probed with all customers, FP-rate envelope audit",
         ("agg", "sketch", "join"),
     ),
+    "sketch_quantile_rollup": QuerySpec(
+        sketches.sketch_quantile_rollup,
+        # mirrors functions.sketches.binned_median_rollup: integer-cents
+        # DIV bins, merged counts, fixed-structure interpolation
+        f"""
+        WITH b AS (
+          SELECT o_orderstatus, year(o_orderdate) AS fine,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                   // {sketches.HIST_BIN_CENTS} AS bin
+          FROM orders
+        ),
+        fine AS (
+          SELECT o_orderstatus, fine, bin, COUNT(*) AS cnt
+          FROM b GROUP BY 1, 2, 3
+        ),
+        merged AS (
+          SELECT o_orderstatus, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM fine GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT o_orderstatus, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin)
+                   AS cum,
+                 SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_bins
+          FROM merged
+        ),
+        est AS (
+          SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows, n_bins,
+                 ROUND((bin * {float(sketches.HIST_BIN_CENTS)}
+                        + {float(sketches.HIST_BIN_CENTS)}
+                          * ((n / 2.0) - (cum - cnt)) / cnt) / 100.0, 6)
+                   AS est_median
+          FROM cum WHERE (cum - cnt) < n / 2.0 AND cum >= n / 2.0
+        ),
+        exact AS (
+          SELECT o_orderstatus,
+                 ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_median
+          FROM orders GROUP BY 1
+        )
+        SELECT est.o_orderstatus, n_rows, n_bins, est_median, exact_median,
+               abs(est_median - exact_median)
+                 <= {2.0 * sketches.HIST_BIN_CENTS / 100.0} AS within_two_bins
+        FROM est JOIN exact USING (o_orderstatus)
+        """,
+        "mergeable equi-width-histogram median rollup: per-(status, "
+        "year) bin counts merged to status grain, interpolated median "
+        "certified within two bin widths of the exact percentile",
+        ("agg", "sketch"),
+    ),
     "sketch_heavy_hitters": QuerySpec(
         sketches.sketch_heavy_hitters,
         # exact top-20 words + TRUE audit verdicts: the Misra-Gries
@@ -3319,6 +3369,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_source_drift",
     # round 6 new: Bloom-filter membership with FP-rate envelope audit
     "sketch_bloom_membership",
+    # round 6 new: mergeable binned-histogram median rollup
+    "sketch_quantile_rollup",
 )
 
 

@@ -195,3 +195,67 @@ def test_bloom_membership_saturated_filter_still_no_false_negatives(spark):
     assert row["fp_rate"] > 0.5
     # the envelope itself scales with the realized fill, so it still holds
     assert row["fp_within_bound"] is True
+
+
+def test_binned_median_rollup_matches_python_reference(spark):
+    """Merged-histogram interpolation and the two-bin certification
+    replayed in pure Python on a skewed planted distribution."""
+    import random
+
+    from inf2106_map_reduce_spark.functions import sketches as sk
+
+    rng = random.Random(77)
+    rows = [
+        ("A", 2020 + (i % 3), round(rng.lognormvariate(10.5, 0.6), 2))
+        for i in range(400)
+    ] + [("B", 2021, round(1000.0 + i, 2)) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, y int, v double")
+    got = {
+        r["g"]: r
+        for r in sk.binned_median_rollup(df, "g", F.col("y"), "v").collect()
+    }
+
+    for g in ("A", "B"):
+        vals = sorted(v for gg, _y, v in rows if gg == g)
+        n = len(vals)
+        bins: dict[int, int] = {}
+        for v in vals:
+            bins[int(round(v * 100)) // sk.HIST_BIN_CENTS] = (
+                bins.get(int(round(v * 100)) // sk.HIST_BIN_CENTS, 0) + 1
+            )
+        cum = 0
+        for b in sorted(bins):
+            if cum < n / 2.0 <= cum + bins[b]:
+                est = round(
+                    (
+                        b * float(sk.HIST_BIN_CENTS)
+                        + sk.HIST_BIN_CENTS * (n / 2.0 - cum) / bins[b]
+                    )
+                    / 100.0,
+                    6,
+                )
+                break
+            cum += bins[b]
+        # exact interpolated median (percentile_cont semantics)
+        mid = (n - 1) * 0.5
+        lo, hi = vals[int(mid)], vals[min(int(mid) + 1, n - 1)]
+        exact = round(lo + (hi - lo) * (mid - int(mid)), 6)
+        r = got[g]
+        assert r["n_rows"] == n
+        assert r["n_bins"] == len(bins)
+        assert r["est_median"] == est
+        assert abs(r["exact_median"] - exact) < 1e-6
+        assert r["within_two_bins"] is True
+
+
+def test_binned_median_merge_equals_direct_histogram(spark):
+    """Merging fine-grain histograms must give byte-identical output
+    to histogramming the coarse grain directly — the mergeability
+    property that makes the rollup a rescan-free re-aggregation."""
+    from inf2106_map_reduce_spark.functions import sketches as sk
+
+    rows = [("G", i % 7, float(100 * i % 9973)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, shard int, v double")
+    merged = sk.binned_median_rollup(df, "g", F.col("shard"), "v").collect()
+    direct = sk.binned_median_rollup(df, "g", F.lit(0), "v").collect()
+    assert merged == direct
