@@ -124,6 +124,56 @@ def main() -> None:
     def bm25(d):
         return bm25_topk(d)
 
+    # --- round-6 additions: triangles, KL drift, bloom membership ----
+    from inf2106_map_reduce_spark.functions.dedup import triangle_counts
+    from inf2106_map_reduce_spark.functions.pipeline import source_kl_drift
+    from inf2106_map_reduce_spark.functions.sketches import (
+        bloom_membership_audit,
+    )
+
+    def planted_tri_edges(scale: int) -> DataFrame:
+        # 10k disjoint triangles per copy — triangle-dense, so the
+        # wedge join and closing join both carry real work
+        base = spark.range(10_000).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (3 * F.col("id")).alias("id_a"),
+                        (3 * F.col("id") + 1).alias("id_b"),
+                    ),
+                    F.struct(
+                        (3 * F.col("id") + 1).alias("id_a"),
+                        (3 * F.col("id") + 2).alias("id_b"),
+                    ),
+                    F.struct(
+                        (3 * F.col("id")).alias("id_a"),
+                        (3 * F.col("id") + 2).alias("id_b"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.id_a", "e.id_b")
+        return replicate(base, scale, ["id_a", "id_b"]).localCheckpoint(
+            eager=True
+        )
+
+    te1, tek = planted_tri_edges(1), planted_tri_edges(k)
+
+    dsrc1 = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source"
+    ).localCheckpoint(eager=True)
+    dsrck = replicate(
+        load_table(spark, sf, "documents").select("doc_id", "text", "source"),
+        k,
+        ["doc_id"],
+    ).localCheckpoint(eager=True)
+
+    c1 = load_table(spark, sf, "customer").select("c_custkey").localCheckpoint(
+        eager=True
+    )
+    ck = replicate(
+        load_table(spark, sf, "customer").select("c_custkey"), k, ["c_custkey"]
+    ).localCheckpoint(eager=True)
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
@@ -133,6 +183,22 @@ def main() -> None:
         ("CC min-label solve", lambda s: cc(e1) if s == 1 else cc(ek)),
         ("substring-span report", lambda s: spans(d1) if s == 1 else spans(dk)),
         ("BM25 score+topk", lambda s: bm25(d1) if s == 1 else bm25(dk)),
+        (
+            "triangle enumeration",
+            lambda s: triangle_counts(te1) if s == 1 else triangle_counts(tek),
+        ),
+        (
+            "per-source KL drift",
+            lambda s: source_kl_drift(dsrc1)
+            if s == 1
+            else source_kl_drift(dsrck),
+        ),
+        (
+            "bloom build+probe",
+            lambda s: bloom_membership_audit(o1, c1, "o_custkey", "c_custkey")
+            if s == 1
+            else bloom_membership_audit(ok, ck, "o_custkey", "c_custkey"),
+        ),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
     for name, mk in shapes:
