@@ -962,3 +962,102 @@ def source_kl_drift(
 def docs_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-source unigram KL drift vs the corpus."""
     return source_kl_drift(load_table(spark, sf_dir, "documents"))
+
+
+def _pareto_mask(pdf):
+    """Boolean mask (aligned to ``pdf.index``) of non-dominated points
+    in a frame with ``g``/``x``/``y`` columns — dominance is evaluated
+    within each ``g`` group only (maximize both objectives; strict
+    dominance, so exact ties survive together). Fully vectorized:
+    per-(g, x) max, a per-group running max of y over strictly-greater
+    x (transform, never groupby.apply — apply unstacks equal-length
+    group results into a DataFrame), then a merge back."""
+    per = (
+        pdf.groupby(["g", "x"], sort=False)["y"]
+        .max()
+        .reset_index()
+        .sort_values(["g", "x"], ascending=[True, False])
+    )
+    # best y among same-group points with strictly greater x
+    per["above"] = per.groupby("g")["y"].transform(
+        lambda s: s.shift(1).cummax()
+    )
+    per = per.rename(columns={"y": "y_max_at_x"})
+    j = pdf.merge(per, on=["g", "x"], how="left", sort=False)
+    j.index = pdf.index
+    mask = (j["above"].isna() | (j["y"] > j["above"])) & (
+        j["y"] == j["y_max_at_x"]
+    )
+    return mask
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skyline / Pareto-frontier selection per group: the documents no
+    other same-group document beats on BOTH objectives (maximize
+    ``x_col`` and ``y_col``; strict dominance, so ties survive
+    together). The multi-objective curation primitive — "longest AND
+    lexically richest" without collapsing the two signals into one
+    weighted score whose weights nobody can defend.
+
+    Scale (the classic distributed skyline): a dominance check is not
+    partitionable directly, but local pruning is sound — a point
+    dominated inside any partition is dominated globally. Stage 1
+    drops locally-dominated points per Arrow batch (vectorized numpy
+    mask, no Python loop); stage 2 runs the exact mask per group on
+    the survivors. Frontier size is O(log n) expected for independent
+    objectives, so stage 2's per-group input is the pruned sliver,
+    not the corpus; the group column (e.g. language) gives the final
+    shuffle its natural partitioning. Worst case (all points on the
+    frontier) degrades to the group's own size — same bound as any
+    exact per-group operator.
+
+    Determinism: the frontier is a well-defined SET — partitioning
+    affects pruning order, never membership.
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    schema = "g string, id bigint, x bigint, y bigint"
+
+    def _prune(it):
+        for pdf in it:
+            if len(pdf):
+                yield pdf[_pareto_mask(pdf)]
+
+    pruned = pts.mapInPandas(_prune, schema)
+    return (
+        pruned.groupBy("g")
+        .applyInPandas(lambda _k, pdf: pdf[_pareto_mask(pdf)], schema)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("x").alias(x_col),
+            F.col("y").alias(y_col),
+        )
+    )
+
+
+def docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-language skyline over (n_chars, distinct
+    word count) — documents no same-language doc beats on both length
+    and lexical richness."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    feats = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(norm, " "))).alias("n_distinct_words"),
+    )
+    return pareto_frontier(
+        feats, "n_chars", "n_distinct_words", "lang", "doc_id"
+    )

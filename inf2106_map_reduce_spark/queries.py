@@ -2244,6 +2244,33 @@ REGISTRY: dict[str, QuerySpec] = {
         "audit (mixture-shift signal)",
         ("pipeline", "text"),
     ),
+    "docs_pareto_frontier": QuerySpec(
+        pipeline.docs_pareto_frontier,
+        # the frontier is a well-defined set, so the oracle can use the
+        # direct NOT EXISTS dominance definition (quadratic is fine for
+        # the oracle; the engine runs local-prune + per-group exact)
+        f"""
+        WITH f AS (
+          SELECT lang, doc_id, n_chars,
+                 len(list_distinct(string_split({_NORM}, ' ')))
+                   AS n_distinct_words
+          FROM documents
+        )
+        SELECT p.lang, p.doc_id, p.n_chars, p.n_distinct_words
+        FROM f p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM f o
+          WHERE o.lang = p.lang
+            AND ((o.n_chars >= p.n_chars
+                  AND o.n_distinct_words > p.n_distinct_words)
+              OR (o.n_chars > p.n_chars
+                  AND o.n_distinct_words >= p.n_distinct_words))
+        )
+        """,
+        "per-language Pareto frontier (skyline) over document length "
+        "vs distinct-word richness — multi-objective curation",
+        ("pipeline", "custom"),
+    ),
     "events_funnel": QuerySpec(
         timeseries.events_funnel,
         """
@@ -3371,6 +3398,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "sketch_bloom_membership",
     # round 6 new: mergeable binned-histogram median rollup
     "sketch_quantile_rollup",
+    # round 6 new: per-language Pareto-frontier (skyline) selection
+    "docs_pareto_frontier",
 )
 
 

@@ -407,3 +407,55 @@ def test_source_kl_drift_zero_for_identical_distributions(spark):
     )
     out = {r["source"]: r["kl_vs_corpus"] for r in pipeline.source_kl_drift(df).collect()}
     assert out == {"s1": 0.0, "s2": 0.0}
+
+
+def test_pareto_frontier_planted_dominance(spark):
+    """Strict-dominance semantics: ties survive together, same-x lower
+    y is dominated, groups are independent."""
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 10, 5),  # dominated by 2 (same x, higher y)
+            ("en", 2, 10, 7),
+            ("en", 3, 8, 9),
+            ("en", 4, 12, 3),
+            ("en", 5, 7, 9),  # dominated by 3 (x 8>7, y 9>=9)
+            ("en", 6, 12, 3),  # exact tie with 4: both survive
+            ("fr", 7, 1, 1),  # dominated by 8 within fr only
+            ("fr", 8, 2, 1),
+        ],
+        "lang string, doc_id bigint, x bigint, y bigint",
+    )
+    out = sorted(
+        (r["lang"], r["doc_id"])
+        for r in pipeline.pareto_frontier(df, "x", "y", "lang").collect()
+    )
+    assert out == [("en", 2), ("en", 3), ("en", 4), ("en", 6), ("fr", 8)]
+
+
+def test_pareto_frontier_matches_python_reference_random(spark):
+    """Random points vs a brute-force O(n^2) dominance reference; the
+    frontier must be partitioning-independent (repartition(13) before
+    the operator)."""
+    import random
+
+    rng = random.Random(64)
+    rows = [
+        (rng.choice(["a", "b"]), i, rng.randrange(40), rng.randrange(40))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id bigint, x bigint, y bigint"
+    ).repartition(13)
+    got = sorted(
+        (r["g"], r["id"])
+        for r in pipeline.pareto_frontier(df, "x", "y", "g", "id").collect()
+    )
+    want = sorted(
+        (g, i)
+        for g, i, x, y in rows
+        if not any(
+            og == g and ((ox >= x and oy > y) or (ox > x and oy >= y))
+            for og, _oi, ox, oy in rows
+        )
+    )
+    assert got == want
