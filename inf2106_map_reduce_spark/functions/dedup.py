@@ -17,6 +17,7 @@ integer hashing anywhere, so every step has an exact SQL oracle.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1363,3 +1364,91 @@ def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared near-dup Jaccard>=0.5 edge stage (seventh consumer of
     the session's candidate-graph cache)."""
     return triangle_counts(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
+
+
+#: k for the near-dup graph core (2-core = strip pendant chains and
+#: isolated edges until only cyclically-connected structure remains).
+K_CORE_K = 2
+
+#: Measured peel-round counts of the registry 2-core per dataset —
+#: constants OF THE DATA (like the k-means trajectory length), pinned
+#: so the unrolled SQL oracle renders the matching number of peels.
+#: Measure once per new SF (functions.dedup.k_core reports it) and
+#: fail loud on unknown SFs.
+K_CORE_ROUNDS: dict[str, int] = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 1}
+
+
+def kcore_rounds_for(sf_dir: str) -> int:
+    """Peel-round count for the registry 2-core at this dataset —
+    KeyError on unmeasured SFs (measure via docs_kcore_neardup)."""
+    return K_CORE_ROUNDS[os.path.basename(os.path.normpath(sf_dir))]
+
+
+def k_core(edges: DataFrame, k: int = K_CORE_K, max_rounds: int = 50) -> DataFrame:
+    """The k-core of an undirected edge list (id_a, id_b): repeatedly
+    peel every node of degree < k (all at once, one round) until none
+    remains. On the near-dup graph the 2-core separates *cyclically
+    reinforced* duplicate neighborhoods (template families, mirror
+    farms — structure that survives pruning) from pendant chains whose
+    "duplicate" relation hangs off a single edge and disappears once
+    its anchor is reviewed — a sharper keep/inspect split than raw
+    degree.
+
+    Scale: each round is one degree aggregation + one join-free
+    filter via two anti-joins against the (small) low-degree set; the
+    peeled set shrinks monotonically and round count is O(peel depth),
+    bounded by ``max_rounds``. The edge set is localCheckpoint'd per
+    round so lineage stays constant-depth.
+
+    Determinism: the k-core is a unique fixpoint, independent of peel
+    or partition order; simultaneous peeling also makes the ROUND
+    COUNT a constant of the graph, so the output's ``rounds`` column
+    is hash-checkable against an unrolled SQL oracle (the
+    kmeans_converged technique).
+
+    Returns (doc_id, degree, rounds): nodes of the k-core with their
+    within-core degree and the number of peel rounds performed.
+    """
+    alive = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        sym = alive.union(
+            alive.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        low = deg.filter(F.col("c") < k).select("u")
+        if low.isEmpty():
+            break
+        alive = (
+            alive.join(low, "u", "left_anti")
+            .join(low.withColumnRenamed("u", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+    sym = alive.union(
+        alive.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.col("u").alias("doc_id"),
+            "degree",
+            F.lit(rounds).cast("int").alias("rounds"),
+        )
+    )
+
+
+def docs_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 2-core of the shared near-dup Jaccard>=0.5 edge
+    stage (eighth consumer of the session's candidate-graph cache)."""
+    return k_core(_registry_edges(spark, sf_dir).select("id_a", "id_b"))

@@ -178,6 +178,35 @@ def _pagerank_ctes() -> str:
     return "".join(parts)
 
 
+def _k_core_oracle(rounds: int) -> str:
+    """Unrolled simultaneous-peel 2-core over the near-dup edge set —
+    mirrors functions.dedup.k_core round for round; ``rounds`` is a
+    constant of the dataset (dedup.K_CORE_ROUNDS), rendered per SF by
+    :func:`oracle_for`."""
+    k = dedup.K_CORE_K
+    parts = [
+        _CANDIDATES_SQL
+        + _EDGES_BODY
+        + ",\n    a0 AS (SELECT id_a AS u, id_b AS v FROM jac)"
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+    d{i} AS (SELECT u, COUNT(*) AS c FROM
+             (SELECT u, v FROM a{i} UNION ALL SELECT v, u FROM a{i})
+             GROUP BY u),
+    bad{i} AS (SELECT u FROM d{i} WHERE c < {k}),
+    a{i + 1} AS (SELECT a.u, a.v FROM a{i} a
+               WHERE a.u NOT IN (SELECT u FROM bad{i})
+                 AND a.v NOT IN (SELECT u FROM bad{i}))""")
+    parts.append(f"""
+    SELECT u AS doc_id, COUNT(*) AS degree,
+           CAST({rounds} AS INTEGER) AS rounds
+    FROM (SELECT u, v FROM a{rounds} UNION ALL SELECT v, u FROM a{rounds})
+    GROUP BY u
+    """)
+    return "".join(parts)
+
+
 # Triangle counting over the same edge set — mirrors
 # functions.dedup.triangle_counts: each triangle (a < b < c on
 # canonical jac pairs) found once via a triple join, attributed to all
@@ -2507,6 +2536,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "the near-dup similarity graph (degree-oriented enumeration)",
         ("dedup", "graph"),
     ),
+    "docs_kcore_neardup": QuerySpec(
+        dedup.docs_kcore_neardup,
+        _k_core_oracle(dedup.kcore_rounds_for("/root/testdata/sf0.01")),
+        "2-core of the near-dup similarity graph (simultaneous-peel "
+        "convergence; peel-round count hash-pinned per dataset)",
+        ("dedup", "graph", "iterative"),
+    ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
         f"""
@@ -3353,10 +3389,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 30 (not 40) leaves a 20-slot priority block while keeping the
+# 25 (not 40) leaves a 25-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/30) rounds.
-ROTATION_STRIDE = 30
+# segments still overlap, so full coverage within ceil(n/25) rounds.
+ROTATION_STRIDE = 25
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3400,6 +3436,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "sketch_quantile_rollup",
     # round 6 new: per-language Pareto-frontier (skyline) selection
     "docs_pareto_frontier",
+    # round 6 new: 2-core of the near-dup graph (pinned peel rounds)
+    "docs_kcore_neardup",
 )
 
 
@@ -3471,4 +3509,6 @@ def oracle_for(name: str, sf_dir: str) -> str | None:
     vector.KMEANS_CONVERGED_ROUNDS)."""
     if name == "kmeans_converged":
         return _kmeans_converged_oracle(vector.converged_rounds_for(sf_dir))
+    if name == "docs_kcore_neardup":
+        return _k_core_oracle(dedup.kcore_rounds_for(sf_dir))
     return REGISTRY[name].oracle

@@ -629,3 +629,57 @@ def test_triangle_counts_match_python_reference_on_random_graph(spark):
         d = len(nbrs)
         want[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0)
     assert got == want
+
+
+def test_k_core_planted_multiround_peel(spark):
+    # triangle {0,1,2} with a pendant chain 2-3-4-5: peeling is
+    # sequential (5 first, then 4, then 3), so rounds must be 3 and
+    # only the triangle survives with degree 2 each
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    rows = dedup.k_core(edges).collect()
+    got = {r["doc_id"]: r["degree"] for r in rows}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert {r["rounds"] for r in rows} == {3}
+
+
+def test_k_core_empty_when_forest(spark):
+    # a tree has no 2-core: everything peels away
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert dedup.k_core(edges).count() == 0
+
+
+def test_k_core_matches_python_reference_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(2606)
+    pairs = sorted(
+        p
+        for p in itertools.combinations(range(30), 2)
+        if rng.random() < 0.12
+    )
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = dedup.k_core(edges).collect()
+    got = {r["doc_id"]: r["degree"] for r in rows}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rounds = 0
+    while True:
+        low = [n for n, nb in adj.items() if len(nb) < 2]
+        if not low:
+            break
+        for n in low:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+        rounds += 1
+    assert got == {n: len(nb) for n, nb in adj.items()}
+    if rows:
+        assert {r["rounds"] for r in rows} == {rounds}

@@ -294,3 +294,51 @@ def test_pii_scrub_is_shuffle_free(spark, sf_oracle):
 
     df = pipeline.docs_pii_scrub(spark, sf_oracle)
     assert shuffle_count(df) == 0, f"scrub should be a pure scan: {shuffle_count(df)}"
+
+
+def test_bloom_probe_is_broadcast_join(spark, sf_oracle):
+    # the <=2^15-row position set must broadcast to the probe side —
+    # a shuffled probe join would defeat the whole point of a bloom
+    from inf2106_map_reduce_spark.functions import sketches
+
+    df = sketches.sketch_bloom_membership(spark, sf_oracle)
+    assert has_broadcast_join(df)
+
+
+def test_kl_drift_broadcasts_corpus_scalar(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_source_drift(spark, sf_oracle)
+    s = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in s
+
+
+def test_triangle_enumeration_no_nested_loop(spark, sf_oracle):
+    # wedge + closing joins must be hash equi-joins on the oriented
+    # edge keys — a nested-loop/cartesian fallback means the
+    # orientation condition fell out of the equi-join keys
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    from inf2106_map_reduce_spark.functions import dedup
+
+    s = explain_str(dedup.triangle_counts(edges), "simple")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_pareto_prune_precedes_group_exchange(spark, sf_oracle):
+    # the local dominance prune (mapInPandas / ArrowEvalPython stage)
+    # must sit BELOW the per-group exchange, so the shuffle carries the
+    # pruned sliver, not the corpus
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_pareto_frontier(spark, sf_oracle)
+    s = explain_str(df, "formatted")
+    assert "MapInPandas" in s and "FlatMapGroupsInPandas" in s
+    map_pos = s.index("MapInPandas")
+    grp_pos = s.index("FlatMapGroupsInPandas")
+    # formatted explain prints operators top-down (output first), so
+    # the upstream prune appears AFTER the downstream group op
+    assert map_pos > grp_pos

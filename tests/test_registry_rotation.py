@@ -86,3 +86,18 @@ def test_oracle_for_renders_sf_matched_kmeans_unroll():
     assert q.oracle_for("q1_pricing_summary", "/root/testdata/sf0.001") == (
         q.REGISTRY["q1_pricing_summary"].oracle
     )
+
+
+def test_oracle_for_renders_sf_matched_kcore_unroll():
+    # peel-round count is a dataset constant; all measured SFs happen
+    # to peel once, so the rendered oracles are identical today — the
+    # contract is that rendering goes through the per-SF table and the
+    # driver's static oracle equals the gate-SF rendering
+    o001 = q.oracle_for("docs_kcore_neardup", "/root/testdata/sf0.001")
+    o01 = q.oracle_for("docs_kcore_neardup", "/root/testdata/sf0.01")
+    assert "AS rounds" in o001 and "AS rounds" in o01
+    assert q.REGISTRY["docs_kcore_neardup"].oracle == o01
+    import pytest
+
+    with pytest.raises(KeyError):
+        q.oracle_for("docs_kcore_neardup", "/root/testdata/sf9.9")
