@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.operators import relational
 from inf2106_map_reduce_spark.plans import (
+    explain_str,
     has_broadcast_join,
     pushed_filters,
     scan_columns,
