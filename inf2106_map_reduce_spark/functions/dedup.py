@@ -1452,3 +1452,62 @@ def docs_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: 2-core of the shared near-dup Jaccard>=0.5 edge
     stage (eighth consumer of the session's candidate-graph cache)."""
     return k_core(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
+
+
+def source_overlap_matrix(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: near-dup pairs rolled up
+    by the (unordered) source pair they straddle — the "which corpora
+    duplicate each other" audit that decides whether two crawls can be
+    mixed at full weight or one is largely a re-crawl of the other.
+    Diagonal cells (src_lo = src_hi) measure within-source redundancy.
+
+    Scale: two dimension joins (documents projected to (doc_id,
+    source) — broadcast-able per-source metadata at any scale since
+    the edge list already bounds the rows), then a |sources|^2-bounded
+    rollup. n_docs uses the two-level distinct (union + distinct +
+    count) — no Expand.
+    """
+    d = docs.select("doc_id", "source")
+    pairs = (
+        edges.select("id_a", "id_b")
+        .join(
+            d.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+            ),
+            "id_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            "id_a",
+            "id_b",
+        )
+    )
+    n_pairs = pairs.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ids = (
+        pairs.select("src_lo", "src_hi", F.col("id_a").alias("id"))
+        .union(pairs.select("src_lo", "src_hi", F.col("id_b").alias("id")))
+        .distinct()
+    )
+    n_docs = ids.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return n_pairs.join(n_docs, ["src_lo", "src_hi"])
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: cross-source overlap matrix over the shared
+    near-dup Jaccard>=0.5 edge stage (ninth consumer of the session's
+    candidate-graph cache)."""
+    return source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"),
+        _registry_edges(spark, sf_dir).select("id_a", "id_b"),
+    )

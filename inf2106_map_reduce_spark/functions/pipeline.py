@@ -1061,3 +1061,54 @@ def docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier(
         feats, "n_chars", "n_distinct_words", "lang", "doc_id"
     )
+
+
+def unigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy (nats) + type count — the lexical
+    diversity companion to :func:`unigram_logprob`: low entropy marks
+    repetitive/boilerplate text (a handful of tokens dominate), high
+    entropy marks diverse vocabulary. Complements the repetition
+    scores with an information-theoretic form.
+
+    Plan: one explode + per-(doc, word) count + one per-doc fold — no
+    corpus-level join at all (the distribution is the document's own),
+    so the whole thing is two shuffles on doc-sized keys.
+
+    Determinism: each ``-(p ln p)`` term rounded to 9 before a
+    word-sorted sequential fold; the final negation is written
+    ``0.0 - sum`` so a zero-entropy doc can't produce -0.0 on one
+    engine and 0.0 on the other.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.groupBy(id_col).agg(F.sum("tf").alias("n"))
+    p = F.col("tf") / F.col("n")
+    terms = tf.join(n, id_col).select(
+        id_col,
+        "word",
+        "n",
+        F.round(p * F.log(p), 9).alias("term"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.min("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.lit(0.0)
+            - F.aggregate(
+                F.array_sort(F.collect_list(F.struct("word", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-doc unigram entropy over documents."""
+    return unigram_entropy(load_table(spark, sf_dir, "documents"))

@@ -2300,6 +2300,34 @@ REGISTRY: dict[str, QuerySpec] = {
         "vs distinct-word richness — multi-objective curation",
         ("pipeline", "custom"),
     ),
+    "docs_entropy": QuerySpec(
+        pipeline.docs_entropy,
+        # -(p ln p) terms rounded to 9 before the word-sorted fold;
+        # final negation written 0.0 - sum so zero-entropy docs can't
+        # split on -0.0 vs 0.0 between engines
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT * FROM w WHERE word != ''),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+        n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+        t AS (
+          SELECT tf.doc_id, tf.word, n.n,
+                 ROUND((tf / n) * ln(tf / n), 9) AS term
+          FROM tf JOIN n USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(MIN(n) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               ROUND(0.0 - list_sum(list(term ORDER BY word)), 6) AS entropy
+        FROM t GROUP BY doc_id
+        """,
+        "per-doc unigram entropy (nats) + type count — lexical "
+        "diversity / boilerplate signal",
+        ("pipeline", "text"),
+    ),
     "events_funnel": QuerySpec(
         timeseries.events_funnel,
         """
@@ -2542,6 +2570,34 @@ REGISTRY: dict[str, QuerySpec] = {
         "2-core of the near-dup similarity graph (simultaneous-peel "
         "convergence; peel-round count hash-pinned per dataset)",
         ("dedup", "graph", "iterative"),
+    ),
+    "dedup_source_overlap": QuerySpec(
+        dedup.dedup_source_overlap,
+        _CANDIDATES_SQL
+        + _EDGES_BODY
+        + """,
+    sp AS (
+      SELECT least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi,
+             j.id_a, j.id_b
+      FROM jac j
+      JOIN documents da ON da.doc_id = j.id_a
+      JOIN documents db ON db.doc_id = j.id_b
+    ),
+    np AS (SELECT src_lo, src_hi, COUNT(*) AS n_pairs FROM sp GROUP BY 1, 2),
+    ids AS (
+      SELECT DISTINCT src_lo, src_hi, id FROM (
+        SELECT src_lo, src_hi, id_a AS id FROM sp
+        UNION ALL SELECT src_lo, src_hi, id_b FROM sp
+      )
+    ),
+    nd AS (SELECT src_lo, src_hi, COUNT(*) AS n_docs FROM ids GROUP BY 1, 2)
+    SELECT src_lo, src_hi, n_pairs, n_docs
+    FROM np JOIN nd USING (src_lo, src_hi)
+    """,
+        "cross-source duplicate-overlap matrix over the near-dup "
+        "graph (which corpora duplicate each other)",
+        ("dedup", "pipeline"),
     ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
@@ -3438,6 +3494,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_pareto_frontier",
     # round 6 new: 2-core of the near-dup graph (pinned peel rounds)
     "docs_kcore_neardup",
+    # round 6 new: cross-source duplicate-overlap matrix
+    "dedup_source_overlap",
+    # round 6 new: per-doc unigram entropy
+    "docs_entropy",
 )
 
 

@@ -683,3 +683,20 @@ def test_k_core_matches_python_reference_on_random_graph(spark):
     assert got == {n: len(nb) for n, nb in adj.items()}
     if rows:
         assert {r["rounds"] for r in rows} == {rounds}
+
+
+def test_source_overlap_matrix_planted(spark):
+    # edges: 1-2 (A,B cross), 2-3 (B,B within), 1-3 (A,B cross)
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B"), (4, "C")],
+        "doc_id bigint, source string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["src_lo"], r["src_hi"]): (r["n_pairs"], r["n_docs"])
+        for r in dedup.source_overlap_matrix(docs, edges).collect()
+    }
+    # (A,B): pairs 1-2 and 1-3 -> docs {1,2,3}; (B,B): pair 2-3 -> docs {2,3}
+    assert got == {("A", "B"): (2, 3), ("B", "B"): (1, 2)}

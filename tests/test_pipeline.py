@@ -459,3 +459,26 @@ def test_pareto_frontier_matches_python_reference_random(spark):
         )
     )
     assert got == want
+
+
+def test_unigram_entropy_planted_values(spark):
+    """Exact entropy cross-checked in Python; a one-word doc has
+    exactly 0.0 entropy (never -0.0) and a uniform doc has ln(k)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # zero entropy
+            (2, "a b c d"),  # uniform over 4 types: ln(4)
+            (3, "a a b"),  # 2/3, 1/3
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pipeline.unigram_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and str(out[1]["entropy"]) == "0.0"
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 1
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-6
+    want3 = -(
+        round(2 / 3 * math.log(2 / 3), 9) + round(1 / 3 * math.log(1 / 3), 9)
+    )
+    assert out[3]["entropy"] == round(want3, 6)
