@@ -1511,3 +1511,74 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         _registry_edges(spark, sf_dir).select("id_a", "id_b"),
     )
+
+
+#: A pair is directional ("one doc contains the other") when the
+#: smaller side's shingles are >= this fraction covered.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs: C(A,B) = |A∩B|/|A|
+    and C(B,A) = |A∩B|/|B| over word shingles. Symmetric Jaccard
+    misses the quote-inclusion case — a short doc fully embedded in a
+    long one scores low Jaccard but containment ~1.0 from the short
+    side. The ``direction`` verdict ('a_in_b' / 'b_in_a' / 'mutual' /
+    'partial' at the 0.8 bar) is the survivorship signal: for an
+    embedded duplicate you keep the superset document, not the min-id.
+
+    Scale: identical join graph to :func:`ngram_jaccard_pairs` —
+    shingle table checkpointed once, joins run only on LSH candidates,
+    never all pairs.
+    """
+    sh = shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, id_col, text_col, shingles=sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        pairs.alias("p")
+        .join(a, F.col("p.id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            b,
+            (F.col("p.id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = F.round(F.col("n_common") / F.col("za.sz"), 6)
+    cb = F.round(F.col("n_common") / F.col("zb.sz"), 6)
+    t = F.lit(CONTAINMENT_THRESHOLD)
+    return (
+        common.join(sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("za.sz").alias("sz_a"),
+            F.col("zb.sz").alias("sz_b"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+            F.when((ca >= t) & (cb >= t), F.lit("mutual"))
+            .when(ca >= t, F.lit("a_in_b"))
+            .when(cb >= t, F.lit("b_in_a"))
+            .otherwise(F.lit("partial"))
+            .alias("direction"),
+        )
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: asymmetric shingle containment + direction
+    verdict for the shared LSH candidate stage (tenth consumer of the
+    session's candidate-graph cache)."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, pairs=_registry_candidates(spark, sf_dir))

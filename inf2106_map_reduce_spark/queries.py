@@ -2599,6 +2599,39 @@ REGISTRY: dict[str, QuerySpec] = {
         "graph (which corpora duplicate each other)",
         ("dedup", "pipeline"),
     ),
+    "dedup_containment": QuerySpec(
+        dedup.dedup_containment,
+        _CANDIDATES_SQL
+        + f""",
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           za.sz AS sz_a, zb.sz AS sz_b,
+           ROUND(c.n_common / za.sz, 6) AS containment_a,
+           ROUND(c.n_common / zb.sz, 6) AS containment_b,
+           CASE WHEN ROUND(c.n_common / za.sz, 6)
+                     >= {dedup.CONTAINMENT_THRESHOLD}
+                 AND ROUND(c.n_common / zb.sz, 6)
+                     >= {dedup.CONTAINMENT_THRESHOLD} THEN 'mutual'
+                WHEN ROUND(c.n_common / za.sz, 6)
+                     >= {dedup.CONTAINMENT_THRESHOLD} THEN 'a_in_b'
+                WHEN ROUND(c.n_common / zb.sz, 6)
+                     >= {dedup.CONTAINMENT_THRESHOLD} THEN 'b_in_a'
+                ELSE 'partial' END AS direction
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    """,
+        "asymmetric shingle containment + direction verdict for LSH "
+        "candidate pairs (quote-inclusion dedup signal)",
+        ("dedup",),
+    ),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact_stats,
         f"""
@@ -3498,6 +3531,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_source_overlap",
     # round 6 new: per-doc unigram entropy
     "docs_entropy",
+    # round 6 new: asymmetric containment + direction verdict
+    "dedup_containment",
 )
 
 

@@ -700,3 +700,47 @@ def test_source_overlap_matrix_planted(spark):
     }
     # (A,B): pairs 1-2 and 1-3 -> docs {1,2,3}; (B,B): pair 2-3 -> docs {2,3}
     assert got == {("A", "B"): (2, 3), ("B", "B"): (1, 2)}
+
+
+def test_containment_flags_embedded_quote(spark):
+    """A short doc fully embedded in a long one: low Jaccard but
+    containment ~1.0 from the short side -> direction 'b_in_a'."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    long_doc = base + " " + " ".join(f"word{i} filler{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, base)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = dedup.containment_pairs(docs, pairs=pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # every shingle of doc 2 appears in doc 1
+    assert r["containment_b"] == 1.0
+    assert r["direction"] == "b_in_a"
+    assert r["n_common"] == r["sz_b"]
+    # symmetric jaccard on the same pair would be far below the bar
+    assert r["n_common"] / (r["sz_a"] + r["sz_b"] - r["n_common"]) < 0.5
+
+
+def test_containment_direction_cases(spark):
+    """mutual / a_in_b / partial verdicts on planted overlaps."""
+    a = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, a),  # identical -> mutual
+            (3, a + " eleven twelve thirteen fourteen fifteen sixteen"),
+            (4, "one two three totally different words here now okay yes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["direction"]
+        for r in dedup.containment_pairs(docs, pairs=pairs).collect()
+    }
+    assert got[(1, 2)] == "mutual"
+    assert got[(1, 3)] == "a_in_b"  # 1's shingles all inside 3
+    assert got[(1, 4)] == "partial"
