@@ -1846,6 +1846,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "lineitem → ORC → read back → aggregate (columnar peer of parquet)",
         ("source",),
     ),
+    "source_xml_roundtrip": QuerySpec(
+        roundtrip.source_xml_roundtrip,
+        roundtrip.XML_ROUNDTRIP_ORACLE,
+        "nation+region → XML (Spark 4 native source) → explicit-schema "
+        "read → per-region rollup",
+        ("source",),
+    ),
     "source_partitioned_roundtrip": QuerySpec(
         roundtrip.source_partitioned_roundtrip,
         roundtrip.PARTITIONED_ROUNDTRIP_ORACLE,
@@ -3533,6 +3540,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_entropy",
     # round 6 new: asymmetric containment + direction verdict
     "dedup_containment",
+    # round 6 new: XML roundtrip via the Spark 4 native source
+    "source_xml_roundtrip",
 )
 
 

@@ -161,3 +161,31 @@ def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataF
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write a single string column as text, one row per line."""
     df.write.mode(mode).text(path)
+
+
+# ---------------------------------------------------------------------------
+# XML (Spark 4 native source)
+# ---------------------------------------------------------------------------
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Spark 4 built-in XML scan: one record per ``row_tag`` element.
+    Schema explicit by the same rule as CSV/JSON (inference is an
+    extra full pass — opt-in only)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

@@ -413,3 +413,38 @@ WHERE o_custkey <= 200
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY o_orderstatus
 """
+
+
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation+region → XML (Spark 4 native source) → explicit-schema
+    read → per-region rollup. XML is the interchange format the
+    reference's pluggable IOFormat never got; the native source keeps
+    it a real scan (splittable by row tag, schema explicit) rather
+    than a driver-side parse."""
+    path = _stage_dir(sf_dir, "nation_xml")
+    n = load_table(spark, sf_dir, "nation").join(
+        load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name", "r_name")
+    formats.write_xml(n, path, row_tag="nation")
+    back = formats.read_xml(
+        spark,
+        path,
+        row_tag="nation",
+        schema="n_nationkey bigint, n_name string, r_name string",
+    )
+    return back.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
+
+
+XML_ROUNDTRIP_ORACLE = """
+SELECT r.r_name, COUNT(*) AS n_nations,
+       MIN(n.n_name) AS first_nation, MAX(n.n_name) AS last_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""

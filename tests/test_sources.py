@@ -172,3 +172,13 @@ def test_convert_event_ts_normalizes_both_encodings(spark):
     # 1700000000123456789 ns floor-converts to ...123456 us == the NTZ
     # literal under the UTC session zone
     assert ua == ub == 1700000000123456
+
+
+def test_xml_roundtrip_value_exact(spark, sf_smoke, tmp_path):
+    df = _orders_sample(spark, sf_smoke)
+    p = str(tmp_path / "xml")
+    formats.write_xml(df, p, row_tag="order")
+    back = formats.read_xml(
+        spark, p, row_tag="order", schema=df.schema
+    )
+    _assert_same_rows(df, back)
