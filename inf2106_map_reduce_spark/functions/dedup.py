@@ -159,6 +159,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (defaults to
     LSH candidates — never all pairs). Returns (id_a, id_b, jaccard)
@@ -173,7 +174,11 @@ def ngram_jaccard_pairs(
     re-runs the query rather than replaying upstream — the right trade
     for a batch pipeline step.
     """
-    sh = shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    )
     if pairs is None:
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingles=sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -691,16 +696,30 @@ def build_registry_stage_cache(spark: SparkSession, sf_dir: str) -> dict[str, in
     checkpointed on first build, so the counts here are near-free
     scans of materialized partitions."""
     return {
+        "shingles": _registry_shingles(spark, sf_dir).count(),
         "lsh_candidates": _registry_candidates(spark, sf_dir).count(),
         "jaccard_edges": _registry_edges(spark, sf_dir).count(),
         "components_minlabel": _registry_components(spark, sf_dir).count(),
     }
 
 
+def _registry_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (doc_id, shingle) stage — shared by the LSH
+    candidate build, the Jaccard verifier, and the containment scorer
+    so the corpus is shingled exactly once per session."""
+    d = load_table(spark, sf_dir, "documents")
+    return _doc_stage(spark, sf_dir, "shingles", lambda: shingle_table(d))
+
+
 def _registry_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return _doc_stage(
-        spark, sf_dir, "lsh_candidates", lambda: lsh_candidate_pairs(d)
+        spark,
+        sf_dir,
+        "lsh_candidates",
+        lambda: lsh_candidate_pairs(
+            d, shingles=_registry_shingles(spark, sf_dir)
+        ),
     )
 
 
@@ -711,7 +730,10 @@ def _registry_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "jaccard_0.5",
         lambda: ngram_jaccard_pairs(
-            d, pairs=_registry_candidates(spark, sf_dir), threshold=0.5
+            d,
+            pairs=_registry_candidates(spark, sf_dir),
+            threshold=0.5,
+            shingles=_registry_shingles(spark, sf_dir),
         ),
     )
 
@@ -1523,6 +1545,7 @@ def containment_pairs(
     pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment for candidate pairs: C(A,B) = |A∩B|/|A|
     and C(B,A) = |A∩B|/|B| over word shingles. Symmetric Jaccard
@@ -1536,7 +1559,11 @@ def containment_pairs(
     shingle table checkpointed once, joins run only on LSH candidates,
     never all pairs.
     """
-    sh = shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    )
     if pairs is None:
         pairs = lsh_candidate_pairs(df, id_col, text_col, shingles=sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -1581,4 +1608,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict for the shared LSH candidate stage (tenth consumer of the
     session's candidate-graph cache)."""
     d = load_table(spark, sf_dir, "documents")
-    return containment_pairs(d, pairs=_registry_candidates(spark, sf_dir))
+    return containment_pairs(
+        d,
+        pairs=_registry_candidates(spark, sf_dir),
+        shingles=_registry_shingles(spark, sf_dir),
+    )
