@@ -157,3 +157,100 @@ def event_funnel(
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: view -> click -> purchase ordered funnel."""
     return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type, next_type), the transition count
+    and the row-normalized probability. The "what do users do next"
+    primitive behind funnel discovery and session modeling — the
+    funnel operator checks ONE hypothesized path; this surfaces all of
+    them, ranked.
+
+    Scale: one window (partitioned by user — events are already the
+    natural key, no global sort) + two aggregations; the matrix is
+    |types|² rows, so the epilogue is constant-sized regardless of
+    input. Ordering uses (ts, id) — a total order, so lag() is
+    deterministic under any partitioning.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    s = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("next_type"),
+        F.lag(type_col).over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = t.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("_tot")
+    )
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("prob"),
+    )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: event-type transition matrix over events."""
+    return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted per subsequent active week offset, with the
+    retention rate against the cohort's own size. The standard
+    product-analytics cohort table, all in three aggregations.
+
+    Scale: first-seen is one min-agg per user; (user, active-week) is
+    a distinct agg; the join back to cohorts is on user (same shuffle
+    key); the output is |weeks|²/2 rows. Week truncation is ISO-Monday
+    in both engines, and offsets are exact integer day-diffs DIV 7 —
+    no float date math.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
+        )
+        .distinct()
+    )
+    pairs = active.join(firsts, user_col).select(
+        "cohort_week",
+        F.expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)").alias(
+            "week_offset"
+        ),
+    )
+    counts = pairs.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    base = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("_cohort_size")
+    )
+    return counts.join(base, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: weekly retention triangle over events."""
+    return retention_cohorts(load_table(spark, sf_dir, "events"))

@@ -2360,6 +2360,65 @@ REGISTRY: dict[str, QuerySpec] = {
         "ordered view->click->purchase funnel on first-completion times",
         ("timeseries", "agg"),
     ),
+    "events_transition_matrix": QuerySpec(
+        timeseries.events_transition_matrix,
+        """
+        WITH s AS (
+          SELECT user_id, event_type AS next_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type
+          FROM events
+        ),
+        t AS (
+          SELECT prev_type, next_type, COUNT(*) AS n_transitions
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+          FROM t GROUP BY 1
+        )
+        SELECT t.prev_type, t.next_type, t.n_transitions,
+               ROUND(t.n_transitions / tot.tot, 6) AS prob
+        FROM t JOIN tot USING (prev_type)
+        """,
+        "first-order Markov event-type transition matrix (counts + "
+        "row-normalized probabilities, (ts, id) total order)",
+        ("timeseries", "events", "window"),
+    ),
+    "events_retention_cohorts": QuerySpec(
+        timeseries.events_retention_cohorts,
+        """
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+          FROM events GROUP BY 1
+        ),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        ),
+        pairs AS (
+          SELECT f.cohort_week,
+                 CAST(datediff('day', f.cohort_week, a.week) // 7 AS INTEGER)
+                   AS week_offset
+          FROM active a JOIN firsts f USING (user_id)
+        ),
+        counts AS (
+          SELECT cohort_week, week_offset, COUNT(*) AS n_users
+          FROM pairs GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT cohort_week, COUNT(*) AS cohort_size
+          FROM firsts GROUP BY 1
+        )
+        SELECT c.cohort_week, c.week_offset, c.n_users,
+               ROUND(c.n_users / b.cohort_size, 6) AS retention
+        FROM counts c JOIN base b USING (cohort_week)
+        """,
+        "weekly retention triangle: first-seen-week cohorts x active "
+        "week offset with per-cohort retention rate",
+        ("timeseries", "events", "agg"),
+    ),
     "docs_split": QuerySpec(
         pipeline.docs_split,
         """
@@ -3485,10 +3544,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 25 (not 40) leaves a 25-slot priority block while keeping the
+# 22 (not 40) leaves a 28-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/25) rounds.
-ROTATION_STRIDE = 25
+# segments still overlap, so full coverage within ceil(n/22) rounds.
+ROTATION_STRIDE = 22
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3542,6 +3601,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     # round 6 new: XML roundtrip via the Spark 4 native source
     "source_xml_roundtrip",
+    # round 6 new: Markov transition matrix + retention cohorts
+    "events_transition_matrix",
+    "events_retention_cohorts",
 )
 
 

@@ -87,3 +87,81 @@ def test_event_funnel_requires_order(spark):
     df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
     out = {r["step"]: r["n_users"] for r in timeseries.event_funnel(df).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_transition_matrix_planted_sequences(spark):
+    """Two users with known paths; probabilities row-normalize per
+    prev_type and lag respects the (ts, id) total order."""
+    from datetime import datetime
+
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    rows = [
+        # user 1: a -> b -> a -> c     user 2: a -> b
+        (1, datetime(2024, 1, 1, 0), 1, "a"),
+        (2, datetime(2024, 1, 1, 1), 1, "b"),
+        (3, datetime(2024, 1, 1, 2), 1, "a"),
+        (4, datetime(2024, 1, 1, 3), 1, "c"),
+        (5, datetime(2024, 1, 1, 0), 2, "a"),
+        (6, datetime(2024, 1, 1, 1), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["prob"])
+        for r in timeseries.transition_matrix(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_tiebreak_on_same_timestamp(spark):
+    """Equal timestamps order by event_id — the matrix must be
+    deterministic, not partition-dependent."""
+    from datetime import datetime
+
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(2, t, 1, "b"), (1, t, 1, "a"), (3, t, 1, "c")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    ).repartition(7)
+    got = {
+        (r["prev_type"], r["next_type"])
+        for r in timeseries.transition_matrix(df).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_retention_cohorts_planted_weeks(spark):
+    """User first seen in week 0 returning in week 2 lands at
+    offset 2; retention is n/cohort_size."""
+    from datetime import datetime
+
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    rows = [
+        # cohort Mon 2024-01-01: users 1 and 2; user 1 returns wk+2
+        (1, datetime(2024, 1, 2), 1, "a"),
+        (2, datetime(2024, 1, 3), 2, "a"),
+        (3, datetime(2024, 1, 16), 1, "a"),
+        # cohort Mon 2024-01-08: user 3
+        (4, datetime(2024, 1, 10), 3, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_users"], r["retention"])
+        for r in timeseries.retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): (2, 1.0),
+        ("2024-01-01 00:00:00", 2): (1, 0.5),
+        ("2024-01-08 00:00:00", 0): (1, 1.0),
+    }
