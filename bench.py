@@ -77,6 +77,8 @@ HEADLINE = (
     "dedup_simhash64_pairs",
     "ann_lsh",
     "docs_hybrid_rrf",
+    "sketch_bloom_membership",
+    "docs_neardup_triangles",
     "text_stats",
     "streaming_tumbling_hourly",
     "streaming_click_attribution",

@@ -1317,6 +1317,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Determinism: pure integer counts plus one final rounded division;
     orientation affects the join order, never the result.
     """
+    # pairs and (below) oriented are each consumed by several plan
+    # branches; materialize them so the canonicalizing distinct and the
+    # rank joins run once instead of once per branch (union/join
+    # branches get no common-subtree elimination)
     pairs = (
         edges.select(
             F.least("id_a", "id_b").alias("a"),
@@ -1324,6 +1328,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -1344,7 +1349,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(flip, F.col("b")).otherwise(F.col("a")).alias("src"),
         F.when(flip, F.col("a")).otherwise(F.col("b")).alias("dst"),
         F.when(flip, F.col("ka")).otherwise(F.col("kb")).alias("dst_k"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # each triangle {x,y,z} (rank x < y < z) appears exactly once: the
     # apex x holds both out-edges, and the wedge closes iff y->z exists
@@ -1359,10 +1364,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     tris = wedges.join(closing, ["y", "z"])
+    # explode, not a 3-way union: union branches get no common-subtree
+    # elimination, so each would replicate the entire wedge-join
+    # subtree (measured 97 Exchanges in the static plan vs 12 here)
     per_node = (
-        tris.select(F.col("x").alias("n"))
-        .union(tris.select(F.col("y")))
-        .union(tris.select(F.col("z")))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("t"))
     )
