@@ -579,9 +579,16 @@ def unigram_logprob(
     w = df.select(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
     ).filter(F.col("word") != "")
-    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    n_total = w.agg(F.count(F.lit(1)).alias("nt"))
+    # one corpus explode+agg, materialized; corpus word counts and the
+    # total re-aggregate the (doc, word) tf table instead of
+    # re-exploding the corpus per branch
+    tf = (
+        w.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = tf.groupBy("word").agg(F.sum("tf").cast("bigint").alias("c"))
+    n_total = tf.agg(F.sum("tf").cast("bigint").alias("nt"))
     terms = (
         tf.join(cnt, "word")
         .crossJoin(F.broadcast(n_total))
@@ -928,10 +935,18 @@ def source_kl_drift(
         F.col(source_col).alias("source"),
         F.explode(F.split(norm, " ")).alias("word"),
     ).filter(F.col("word") != "")
-    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
-    c = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    ns = w.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    nt = w.agg(F.count(F.lit(1)).alias("nt"))
+    # one corpus explode+agg, materialized; every other distribution
+    # (per-word, per-source, corpus total) re-aggregates the
+    # vocabulary-sized tf table — without this, each derived agg would
+    # re-scan and re-explode the corpus (no cross-branch CSE)
+    sw = (
+        w.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    c = sw.groupBy("word").agg(F.sum("tf").cast("bigint").alias("c"))
+    ns = sw.groupBy("source").agg(F.sum("tf").cast("bigint").alias("ns"))
+    nt = sw.agg(F.sum("tf").cast("bigint").alias("nt"))
     p = F.col("tf") / F.col("ns")
     q = F.col("c") / F.col("nt")
     terms = (
@@ -1085,7 +1100,13 @@ def unigram_entropy(
     w = df.select(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
     ).filter(F.col("word") != "")
-    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the per-doc total and the term join — materialize
+    # so the corpus explode runs once, not per consumer branch
+    tf = (
+        w.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n = tf.groupBy(id_col).agg(F.sum("tf").alias("n"))
     p = F.col("tf") / F.col("n")
     terms = tf.join(n, id_col).select(

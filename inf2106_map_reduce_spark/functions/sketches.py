@@ -382,7 +382,13 @@ def bloom_membership_audit(
     probe = one explode + broadcast join + per-key count. Nothing
     quadratic, nothing driver-side.
     """
-    keys = build.select(F.col(build_col).cast("string").alias("k")).distinct()
+    # consumed by the position build AND the exact-membership join —
+    # materialize so the distinct runs once
+    keys = (
+        build.select(F.col(build_col).cast("string").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pos = (
         keys.select(F.explode(bloom_positions(F.col("k"))).alias("p"))
         .distinct()

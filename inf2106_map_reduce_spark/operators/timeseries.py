@@ -185,9 +185,11 @@ def transition_matrix(
         F.col(type_col).alias("next_type"),
         F.lag(type_col).over(w).alias("prev_type"),
     ).filter(F.col("prev_type").isNotNull())
+    # |types|^2-sized; materialized so the row-normalizing total does
+    # not replay the per-user window over the full event stream
     t = s.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
-    )
+    ).localCheckpoint(eager=True)
     tot = t.groupBy("prev_type").agg(
         F.sum("n_transitions").cast("bigint").alias("_tot")
     )
@@ -220,9 +222,11 @@ def retention_cohorts(
     in both engines, and offsets are exact integer day-diffs DIV 7 —
     no float date math.
     """
+    # user-sized; materialized because both the offset join and the
+    # cohort-size base consume it (no cross-branch CSE)
     firsts = events.groupBy(user_col).agg(
         F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
-    )
+    ).localCheckpoint(eager=True)
     active = (
         events.select(
             F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")

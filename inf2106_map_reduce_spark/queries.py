@@ -3604,6 +3604,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # round 6 new: Markov transition matrix + retention cohorts
     "events_transition_matrix",
     "events_retention_cohorts",
+    # round 6: plan reshaped (single corpus explode, tf-derived aggs)
+    "docs_unigram_logprob",
 )
 
 
