@@ -1249,10 +1249,18 @@ def pagerank(
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
-    sym = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # sym and deg feed every round (and deg the epilogue); ranks'
+    # lineage would otherwise compound one join+agg per round — the
+    # iterative-algorithm checkpoint discipline (same as k_core),
+    # keeping each round's plan constant-depth
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("u").alias("id"), (F.lit(1.0) / F.col("n")).alias("r")
@@ -1275,8 +1283,10 @@ def pagerank(
                 lambda acc, s: acc + s["c"],
             ).alias("s")
         )
-        ranks = folded.crossJoin(F.broadcast(n)).select(
-            "id", F.round(base + damping * F.col("s"), 9).alias("r")
+        ranks = (
+            folded.crossJoin(F.broadcast(n))
+            .select("id", F.round(base + damping * F.col("s"), 9).alias("r"))
+            .localCheckpoint(eager=True)
         )
     return (
         ranks.join(deg, ranks.id == deg.u)
