@@ -80,13 +80,20 @@ def brute_force_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
     k: int = 10,
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
+
+    ``exclude_pairs`` (unordered (id_a, id_b) rows) drops those
+    query/candidate pairs BEFORE ranking — the hard-negative-mining
+    form: top semantic neighbors that are NOT in the excluded
+    (near-duplicate) relation, re-ranked after exclusion.
 
     Scale: the query set is tiny → broadcast; the scan side streams
     once, per-partition top-k via window-on-rank. Cost is O(n·|Q|) —
     right for a handful of queries; use :func:`lsh_ann_topk` for
-    query sets that grow with the data.
+    query sets that grow with the data. The exclusion is an anti-join
+    on the canonical pair key — edge-list sized, broadcast-able.
     """
     q = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -100,6 +107,17 @@ def brute_force_topk(
             F.round(cosine_batch(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.least("id_a", "id_b").alias("ex_a"),
+            F.greatest("id_a", "id_b").alias("ex_b"),
+        )
+        scored = scored.join(
+            F.broadcast(ex),
+            (F.least("query_id", "vec_id") == F.col("ex_a"))
+            & (F.greatest("query_id", "vec_id") == F.col("ex_b")),
+            "left_anti",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -857,5 +875,25 @@ def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(info["rounds"]).alias("rounds"),
         F.lit(bool(info["shift"] is not None and info["shift"] < KMEANS_CONVERGED_TOL)).alias(
             "converged"
+        ),
+    )
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: hard-negative mining — exact cosine top-10 per
+    query vector EXCLUDING pairs in the near-dup Jaccard>=0.5 relation
+    (doc_id and vec_id share the id space in the testdata; the
+    coverage audit pins that). Near-duplicates are the POSITIVES of a
+    contrastive objective; the top-ranked non-duplicate neighbors are
+    its hard negatives — semantically close, lexically distinct. The
+    composition runs the shared dedup edge stage against the vector
+    index: cosine scoring streams once, the edge-sized exclusion
+    anti-joins broadcast, ranks re-compute after exclusion."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        exclude_pairs=dedup._registry_edges(spark, sf_dir).select(
+            "id_a", "id_b"
         ),
     )

@@ -2824,6 +2824,43 @@ REGISTRY: dict[str, QuerySpec] = {
         "(centroid-mirrored oracle)",
         ("vector",),
     ),
+    "ann_hard_negatives": QuerySpec(
+        vector.ann_hard_negatives,
+        # brute-force cosine composed with the near-dup jac chain:
+        # exclusion BEFORE ranking, ranks re-computed on survivors
+        _CANDIDATES_SQL
+        + _EDGES_BODY
+        + f""",
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings
+          WHERE vec_id IN ({", ".join(map(str, vector.DEFAULT_QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_dot_sql("q.q_emb", "e.embedding")}
+               / (sqrt({_dot_sql("q.q_emb", "q.q_emb")})
+                  * sqrt({_dot_sql("e.embedding", "e.embedding")})), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ),
+    filtered AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM jac j
+        WHERE j.id_a = least(s.query_id, s.vec_id)
+          AND j.id_b = greatest(s.query_id, s.vec_id)
+      )
+    )
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM filtered)
+    WHERE rank <= 10
+    """,
+        "hard-negative mining: exact cosine top-10 excluding near-dup "
+        "pairs (contrastive-training negatives, re-ranked post-filter)",
+        ("vector", "dedup", "pipeline"),
+    ),
     "ann_recall_audit": QuerySpec(
         vector.ann_recall_audit,
         _ann_recall_oracle(),
@@ -3544,10 +3581,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 22 (not 40) leaves a 28-slot priority block while keeping the
+# 21 (not 40) leaves a 29-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/22) rounds.
-ROTATION_STRIDE = 22
+# segments still overlap, so full coverage within ceil(n/21) rounds.
+ROTATION_STRIDE = 21
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3606,6 +3643,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "events_retention_cohorts",
     # round 6: plan reshaped (single corpus explode, tf-derived aggs)
     "docs_unigram_logprob",
+    # round 6 new: hard-negative mining (cosine topk minus near-dups)
+    "ann_hard_negatives",
 )
 
 

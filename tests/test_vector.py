@@ -154,3 +154,33 @@ def test_kmeans_converges_on_embeddings(spark, sf_oracle):
     sizes2 = {r["cid"]: r["n_members"] for r in df2.collect()}
     assert info2["rounds"] >= info["rounds"]
     assert sizes2 == sizes
+
+
+def test_brute_force_exclude_pairs_reranks(spark):
+    """Exclusion removes the pair in either orientation and ranks are
+    recomputed on the survivors (no gaps)."""
+    import math
+
+    from inf2106_map_reduce_spark.functions import vector
+
+    # 4 unit-ish vectors: 1 closest to 0, then 2, then 3
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),
+        (2, [0.9, 0.44]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = {
+        r["rank"]: r["vec_id"]
+        for r in vector.brute_force_topk(emb, query_ids=(0,), k=3).collect()
+    }
+    assert base == {1: 1, 2: 2, 3: 3}
+    ex = spark.createDataFrame([(1, 0)], "id_a bigint, id_b bigint")  # flipped
+    got = {
+        r["rank"]: r["vec_id"]
+        for r in vector.brute_force_topk(
+            emb, query_ids=(0,), k=3, exclude_pairs=ex
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3}
