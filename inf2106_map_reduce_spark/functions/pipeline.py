@@ -1133,3 +1133,43 @@ def unigram_entropy(
 def docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-doc unigram entropy over documents."""
     return unigram_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def adaptive_quality(
+    docs: DataFrame,
+    percentile: float = 0.1,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language adaptive quality gate (the CCNet move): instead of
+    one corpus-wide perplexity cutoff — which silently deletes whole
+    low-resource languages whose scores sit below the majority
+    language's distribution — each document is judged against ITS OWN
+    language's unigram-logprob distribution, keeping everything above
+    the language's p10.
+
+    Scale: the logprob table is doc-sized and materialized once (it
+    feeds both the percentile aggregation and the verdict join); the
+    per-language exact percentile materializes each language's scores
+    in one aggregation buffer — swap to approx_percentile past ~10⁹
+    docs per language. The verdict join is |langs|-sized → broadcast.
+    """
+    lp = unigram_logprob(docs).join(
+        docs.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    ).localCheckpoint(eager=True)
+    stats = lp.groupBy("lang").agg(
+        F.round(
+            F.expr(f"percentile(avg_logprob, {percentile})"), 6
+        ).alias("lang_p10")
+    )
+    return lp.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "lang_p10",
+        (F.col("avg_logprob") >= F.col("lang_p10")).alias("keep"),
+    )
+
+
+def docs_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-language p10 logprob gate over documents."""
+    return adaptive_quality(load_table(spark, sf_dir, "documents"))

@@ -2335,6 +2335,46 @@ REGISTRY: dict[str, QuerySpec] = {
         "diversity / boilerplate signal",
         ("pipeline", "text"),
     ),
+    "docs_adaptive_quality": QuerySpec(
+        pipeline.docs_adaptive_quality,
+        # the unigram-logprob chain + per-language p10 (quantile_cont
+        # matches Spark's exact interpolated percentile — the
+        # percentile_battery precedent)
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT * FROM w WHERE word != ''),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+        c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nt FROM tf),
+        t AS (
+          SELECT doc_id, word, tf, ROUND(tf * ln(c / nt), 9) AS term
+          FROM tf JOIN c USING (word) CROSS JOIN n
+        ),
+        lp AS (
+          SELECT t.doc_id,
+                 ROUND(list_sum(list(term ORDER BY word)) / SUM(tf), 6)
+                   AS avg_logprob
+          FROM t GROUP BY t.doc_id
+        ),
+        jl AS (
+          SELECT lp.doc_id, d.lang, lp.avg_logprob
+          FROM lp JOIN documents d USING (doc_id)
+        ),
+        stats AS (
+          SELECT lang, ROUND(quantile_cont(avg_logprob, 0.1), 6) AS lang_p10
+          FROM jl GROUP BY lang
+        )
+        SELECT jl.doc_id, jl.lang, jl.avg_logprob, stats.lang_p10,
+               jl.avg_logprob >= stats.lang_p10 AS keep
+        FROM jl JOIN stats USING (lang)
+        """,
+        "per-language adaptive quality gate: keep docs above their "
+        "own language's p10 unigram logprob (CCNet-style cutoffs)",
+        ("pipeline", "text"),
+    ),
     "events_funnel": QuerySpec(
         timeseries.events_funnel,
         """
@@ -3581,10 +3621,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 21 (not 40) leaves a 29-slot priority block while keeping the
+# 20 (not 40) leaves a 30-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/21) rounds.
-ROTATION_STRIDE = 21
+# segments still overlap, so full coverage within ceil(n/20) rounds.
+ROTATION_STRIDE = 20
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3645,6 +3685,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_unigram_logprob",
     # round 6 new: hard-negative mining (cosine topk minus near-dups)
     "ann_hard_negatives",
+    # round 6 new: per-language adaptive quality gate
+    "docs_adaptive_quality",
 )
 
 

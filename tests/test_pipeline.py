@@ -482,3 +482,28 @@ def test_unigram_entropy_planted_values(spark):
         round(2 / 3 * math.log(2 / 3), 9) + round(1 / 3 * math.log(1 / 3), 9)
     )
     assert out[3]["entropy"] == round(want3, 6)
+
+
+def test_adaptive_quality_judges_within_language(spark):
+    """A low-resource language's docs survive even when their absolute
+    logprob sits below the majority language's cutoff — the exact
+    failure a corpus-wide threshold causes."""
+    en = [(i, "the cat sat on the mat", "en") for i in range(18)]
+    en_junk = [(100 + i, "zz qq kk vv ww", "en") for i in range(2)]
+    # tiny language: mutually rare tokens -> absolute logprobs far
+    # below every en doc
+    xx = [(200, "foo bar baz qux quux", "xx"), (201, "foo bar baz corge grault", "xx")]
+    df = spark.createDataFrame(
+        [(i, t, lang, "s", 1) for i, t, lang in en + en_junk + xx],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["doc_id"]: r for r in pipeline.adaptive_quality(df).collect()}
+    # both xx docs above (or at) their own language's p10 -> kept
+    assert out[200]["keep"] and out[201]["keep"]
+    # xx logprobs are below the en p10 cutoff — a global gate would
+    # have dropped them
+    en_p10 = out[0]["lang_p10"]
+    assert out[200]["avg_logprob"] < en_p10
+    # within en, the junk docs fall below the en p10 (18 fluent vs 2 junk)
+    assert not out[100]["keep"] and not out[101]["keep"]
+    assert out[0]["keep"]
