@@ -1173,3 +1173,116 @@ def adaptive_quality(
 def docs_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-language p10 logprob gate over documents."""
     return adaptive_quality(load_table(spark, sf_dir, "documents"))
+
+
+#: DSIR target slice: percent of docs (content-hash selected) treated
+#: as the target domain; in production this is the real target corpus.
+DSIR_TARGET_PERCENT = 10
+DSIR_SALT = "dsir:"
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_percent: int = DSIR_TARGET_PERCENT,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): per-document average
+    log-likelihood ratio between a TARGET-domain unigram model
+    (add-one smoothed over the corpus vocabulary) and the corpus
+    model. High scores mark documents that look like the target
+    domain — the resampling weight that upsamples domain-relevant
+    text without a trained classifier. The default target is a
+    deterministic content-hash slice of the corpus itself
+    (self-contained for tests, same device as benchmark_contamination);
+    production passes a real target corpus.
+
+    Scale: ONE corpus explode into a materialized tf table; both
+    models (target counts via a narrow hash filter on doc_id — no
+    join — and corpus counts) re-aggregate it, vocabulary-sized;
+    scalars (vocab size, totals) broadcast. Smoothing is add-one over
+    the corpus vocabulary so the target model is defined on every
+    corpus word.
+
+    Determinism: per-term rounding to 9 + word-sorted fold + final
+    round 6 (the unigram-family recipe).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = (
+        w.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+
+    def bucket(col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(DSIR_SALT), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        )
+
+    c = tf.groupBy("word").agg(F.sum("tf").cast("bigint").alias("c"))
+    nv = c.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").cast("bigint").alias("n")
+    )
+    tt = (
+        tf.filter(bucket(F.col(id_col)) < target_percent)
+        .groupBy("word")
+        .agg(F.sum("tf").cast("bigint").alias("tc"))
+    )
+    tn = tt.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("bigint").alias("tn"))
+    terms = (
+        tf.join(c, "word")
+        .join(tt, "word", "left")
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                        / (F.col("tn") + F.col("v"))
+                    )
+                    - F.log(F.col("c") / F.col("n"))
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    g = terms.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("word", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            )
+            / F.sum("tf"),
+            6,
+        ).alias("dsir_score"),
+    )
+    return g.select(
+        id_col,
+        "n_tokens",
+        (bucket(F.col(id_col)) < target_percent).alias("in_target"),
+        "dsir_score",
+    )
+
+
+def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: DSIR importance scores vs the content-hash
+    target slice."""
+    return dsir_scores(load_table(spark, sf_dir, "documents"))

@@ -2375,6 +2375,52 @@ REGISTRY: dict[str, QuerySpec] = {
         "own language's p10 unigram logprob (CCNet-style cutoffs)",
         ("pipeline", "text"),
     ),
+    "docs_dsir_scores": QuerySpec(
+        pipeline.docs_dsir_scores,
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT * FROM w WHERE word != ''),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+        c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        nv AS (SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS n FROM c),
+        tt AS (
+          SELECT word, CAST(SUM(tf) AS BIGINT) AS tc
+          FROM tf
+          WHERE CAST(('0x' || substr(md5('{pipeline.DSIR_SALT}'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < {pipeline.DSIR_TARGET_PERCENT}
+          GROUP BY 1
+        ),
+        tn AS (
+          SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS tn FROM tt
+        ),
+        t AS (
+          SELECT tf.doc_id, tf.word, tf.tf,
+                 ROUND(tf * (ln((COALESCE(tt.tc, 0) + 1) / (tn.tn + nv.v))
+                             - ln(c.c / nv.n)), 9) AS term
+          FROM tf JOIN c USING (word) LEFT JOIN tt USING (word)
+          CROSS JOIN nv CROSS JOIN tn
+        ),
+        g AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 ROUND(list_sum(list(term ORDER BY word)) / SUM(tf), 6)
+                   AS dsir_score
+          FROM t GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(('0x' || substr(md5('{pipeline.DSIR_SALT}'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 < {pipeline.DSIR_TARGET_PERCENT} AS in_target,
+               dsir_score
+        FROM g
+        """,
+        "DSIR importance scores: per-doc avg log-likelihood ratio "
+        "target model vs corpus model (importance-resampling weight)",
+        ("pipeline", "text"),
+    ),
     "events_funnel": QuerySpec(
         timeseries.events_funnel,
         """
@@ -3621,10 +3667,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 20 (not 40) leaves a 30-slot priority block while keeping the
+# 19 (not 40) leaves a 31-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/20) rounds.
-ROTATION_STRIDE = 20
+# segments still overlap, so full coverage within ceil(n/19) rounds.
+ROTATION_STRIDE = 19
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3687,6 +3733,8 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "ann_hard_negatives",
     # round 6 new: per-language adaptive quality gate
     "docs_adaptive_quality",
+    # round 6 new: DSIR importance-resampling scores
+    "docs_dsir_scores",
 )
 
 

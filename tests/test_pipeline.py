@@ -507,3 +507,59 @@ def test_adaptive_quality_judges_within_language(spark):
     # within en, the junk docs fall below the en p10 (18 fluent vs 2 junk)
     assert not out[100]["keep"] and not out[101]["keep"]
     assert out[0]["keep"]
+
+
+def test_dsir_scores_upweight_target_lookalikes(spark):
+    """Docs resembling the target slice score higher than docs that
+    don't; exact values cross-checked against a Python replay of the
+    smoothed log-likelihood ratio."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    target_text = "machine learning models train on data"
+    other_text = "cooking recipes need butter and flour"
+    rows = [(i, target_text if i % 2 == 0 else other_text) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pipeline.dsir_scores(df).collect()}
+
+    def bucket(doc_id: int) -> int:
+        return (
+            int(
+                hashlib.md5(f"{pipeline.DSIR_SALT}{doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 100
+        )
+
+    target_ids = [i for i, _t in rows if bucket(i) < pipeline.DSIR_TARGET_PERCENT]
+    assert target_ids, "hash slice empty — test corpus too small"
+    for i, _ in rows:
+        assert out[i]["in_target"] == (bucket(i) < pipeline.DSIR_TARGET_PERCENT)
+
+    toks = {i: t.split() for i, t in rows}
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    n = sum(corpus.values())
+    v = len(corpus)
+    tgt = Counter(w for i in target_ids for w in toks[i])
+    tn = sum(tgt.values())
+    for i in (0, 1):  # one target-like, one other-like
+        per = Counter(toks[i])
+        s = 0.0
+        for wd in sorted(per):
+            s += round(
+                per[wd]
+                * (
+                    math.log((tgt.get(wd, 0) + 1) / (tn + v))
+                    - math.log(corpus[wd] / n)
+                ),
+                9,
+            )
+        assert out[i]["dsir_score"] == round(s / len(toks[i]), 6)
+    # which side scores higher depends on the hash slice composition;
+    # assert the DIRECTION matches the slice's majority
+    n_target_like = sum(1 for i in target_ids if i % 2 == 0)
+    if n_target_like * 2 > len(target_ids):
+        assert out[0]["dsir_score"] > out[1]["dsir_score"]
+    elif n_target_like * 2 < len(target_ids):
+        assert out[1]["dsir_score"] > out[0]["dsir_score"]
