@@ -174,6 +174,22 @@ def main() -> None:
         load_table(spark, sf, "customer").select("c_custkey"), k, ["c_custkey"]
     ).localCheckpoint(eager=True)
 
+    from inf2106_map_reduce_spark.functions.dedup import containment_pairs
+    from inf2106_map_reduce_spark.functions.pipeline import pareto_frontier
+
+    def pareto_points(scale: int) -> DataFrame:
+        # deterministic integer lattice points with a hash spread —
+        # a realistic mostly-dominated cloud
+        base = spark.range(50_000).select(
+            (F.col("id") % 5).cast("string").alias("g"),
+            F.col("id").alias("id"),
+            (F.xxhash64("id") % 10_000).alias("x"),
+            (F.xxhash64("id", F.lit(1)) % 10_000).alias("y"),
+        )
+        return replicate(base, scale, ["id"]).localCheckpoint(eager=True)
+
+    pts1, ptsk = pareto_points(1), pareto_points(k)
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
@@ -198,6 +214,16 @@ def main() -> None:
             lambda s: bloom_membership_audit(o1, c1, "o_custkey", "c_custkey")
             if s == 1
             else bloom_membership_audit(ok, ck, "o_custkey", "c_custkey"),
+        ),
+        (
+            "pareto skyline (prune+exact)",
+            lambda s: pareto_frontier(pts1, "x", "y", "g", "id")
+            if s == 1
+            else pareto_frontier(ptsk, "x", "y", "g", "id"),
+        ),
+        (
+            "containment verify (LSH candidates)",
+            lambda s: containment_pairs(d1) if s == 1 else containment_pairs(dk),
         ),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
