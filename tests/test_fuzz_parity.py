@@ -1,0 +1,122 @@
+"""Property-based differential fuzzing of the relational surface:
+randomly generated filter+groupBy+agg specs over ``orders`` are
+rendered BOTH as a DataFrame plan and as SQL, and must hash-match the
+DuckDB oracle exactly — the registry checks 175 hand-written queries;
+this checks the COMPOSITION SPACE between them.
+
+Determinism rules baked into the generator (the same rules every
+registry oracle follows): only order-insensitive aggregates (count /
+min / max / integer sum / count-distinct), no float summation, filters
+on exact-comparable columns, and a deterministic seed so failures
+reproduce.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+from tests.oracle_utils import assert_matches_oracle, duckdb_connection
+
+GROUP_COLS = {
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "order_year": "CAST(year(o_orderdate) AS INT)",
+}
+
+AGGS = {
+    "n_rows": (
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "COUNT(*) AS n_rows",
+    ),
+    "n_cust": (
+        lambda: F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+        "COUNT(DISTINCT o_custkey) AS n_cust",
+    ),
+    "min_price": (
+        lambda: F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        "ROUND(MIN(o_totalprice), 2) AS min_price",
+    ),
+    "max_price": (
+        lambda: F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        "ROUND(MAX(o_totalprice), 2) AS max_price",
+    ),
+    "sum_key": (
+        lambda: F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key",
+    ),
+    "min_date": (
+        lambda: F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        "MIN(CAST(o_orderdate AS DATE)) AS min_date",
+    ),
+}
+
+FILTERS = [
+    (
+        lambda: F.col("o_orderstatus") == "F",
+        "o_orderstatus = 'F'",
+    ),
+    (
+        lambda: F.col("o_totalprice") > 150000.0,
+        "o_totalprice > 150000.0",
+    ),
+    (
+        lambda: F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"),
+        "o_orderdate >= TIMESTAMP '1995-01-01'",
+    ),
+    (
+        lambda: F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    ),
+    (
+        lambda: F.col("o_custkey") % 7 == 3,
+        "o_custkey % 7 = 3",
+    ),
+]
+
+
+def _cases(n: int, seed: int = 2026):
+    rng = random.Random(seed)
+    for i in range(n):
+        groups = rng.sample(sorted(GROUP_COLS), rng.randint(0, 2))
+        aggs = rng.sample(sorted(AGGS), rng.randint(1, 3))
+        filters = rng.sample(range(len(FILTERS)), rng.randint(0, 2))
+        yield i, groups, aggs, filters
+
+
+def test_random_relational_specs_match_duckdb(spark, sf_smoke):
+    con = duckdb_connection(sf_smoke)
+    o = load_table(spark, sf_smoke, "orders")
+    for i, groups, aggs, filters in _cases(25):
+        df = o
+        conds = []
+        for fi in filters:
+            df = df.filter(FILTERS[fi][0]())
+            conds.append(FILTERS[fi][1])
+        gexprs = {
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_orderpriority": F.col("o_orderpriority"),
+            "order_year": F.year("o_orderdate").cast("int").alias("order_year"),
+        }
+        agg_cols = [AGGS[a][0]() for a in aggs]
+        if groups:
+            df = df.groupBy(*[gexprs[g].alias(g) for g in groups]).agg(*agg_cols)
+        else:
+            df = df.agg(*agg_cols)
+        sql = "SELECT "
+        sel = [f"{GROUP_COLS[g]} AS {g}" for g in groups] + [AGGS[a][1] for a in aggs]
+        sql += ", ".join(sel) + " FROM orders"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        if groups:
+            sql += " GROUP BY " + ", ".join(GROUP_COLS[g] for g in groups)
+        try:
+            assert_matches_oracle(df, con, sql)
+        except AssertionError as e:
+            raise AssertionError(
+                f"fuzz case {i} diverged: groups={groups} aggs={aggs} "
+                f"filters={[FILTERS[f][1] for f in filters]}\n{e}"
+            ) from e
