@@ -120,3 +120,102 @@ def test_random_relational_specs_match_duckdb(spark, sf_smoke):
                 f"fuzz case {i} diverged: groups={groups} aggs={aggs} "
                 f"filters={[FILTERS[f][1] for f in filters]}\n{e}"
             ) from e
+
+
+JOIN_TYPES = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "left_semi": "SEMI JOIN",
+    "left_anti": "ANTI JOIN",
+}
+
+JOIN_GROUPS = {
+    "c_mktsegment": "c_mktsegment",
+    "o_orderstatus": "o_orderstatus",
+    "c_nationkey": "c_nationkey",
+}
+
+JOIN_AGGS = {
+    "n_rows": (
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "COUNT(*) AS n_rows",
+    ),
+    "n_orders": (
+        lambda: F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        "COUNT(DISTINCT o_orderkey) AS n_orders",
+    ),
+    "max_bal": (
+        lambda: F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        "ROUND(MAX(c_acctbal), 2) AS max_bal",
+    ),
+    "min_key": (
+        lambda: F.min("c_custkey").alias("min_key"),
+        "MIN(c_custkey) AS min_key",
+    ),
+}
+
+JOIN_FILTERS = [
+    (lambda: F.col("c_acctbal") > 0.0, "c_acctbal > 0.0"),
+    (
+        lambda: F.col("c_mktsegment").isin("BUILDING", "MACHINERY"),
+        "c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    ),
+    (lambda: F.col("c_nationkey") < 13, "c_nationkey < 13"),
+]
+
+
+def test_random_join_specs_match_duckdb(spark, sf_smoke):
+    """Same differential game over the join composition space:
+    customer x orders through inner/left/semi/anti joins. Semi/anti
+    restrict the groupable/aggregable columns to the left side, which
+    the generator respects — exactly the asymmetry a hand-written
+    suite under-covers."""
+    con = duckdb_connection(sf_smoke)
+    c = load_table(spark, sf_smoke, "customer")
+    o = load_table(spark, sf_smoke, "orders")
+    rng = random.Random(64_2026)
+    for i in range(20):
+        jt = rng.choice(sorted(JOIN_TYPES))
+        left_only = jt in ("left_semi", "left_anti")
+        groups = rng.sample(
+            [g for g in sorted(JOIN_GROUPS) if not (left_only and g.startswith("o_"))],
+            rng.randint(0, 2),
+        )
+        aggs = rng.sample(
+            [
+                a
+                for a in sorted(JOIN_AGGS)
+                if not (left_only and a in ("n_orders",))
+            ],
+            rng.randint(1, 2),
+        )
+        filters = rng.sample(range(len(JOIN_FILTERS)), rng.randint(0, 2))
+
+        cf = c
+        conds = []
+        for fi in filters:
+            cf = cf.filter(JOIN_FILTERS[fi][0]())
+            conds.append(JOIN_FILTERS[fi][1])
+        df = cf.join(o, cf.c_custkey == o.o_custkey, jt)
+        agg_cols = [JOIN_AGGS[a][0]() for a in aggs]
+        if groups:
+            df = df.groupBy(*groups).agg(*agg_cols)
+        else:
+            df = df.agg(*agg_cols)
+
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        base = f"(SELECT * FROM customer{where}) c"
+        sel = [JOIN_GROUPS[g] for g in groups] + [JOIN_AGGS[a][1] for a in aggs]
+        sql = (
+            f"SELECT {', '.join(sel)} FROM {base} "
+            f"{JOIN_TYPES[jt]} orders ON c.c_custkey = orders.o_custkey"
+        )
+        if groups:
+            sql += " GROUP BY " + ", ".join(JOIN_GROUPS[g] for g in groups)
+        try:
+            assert_matches_oracle(df, con, sql)
+        except AssertionError as e:
+            raise AssertionError(
+                f"join fuzz case {i} diverged: jt={jt} groups={groups} "
+                f"aggs={aggs} filters={[JOIN_FILTERS[f][1] for f in filters]}\n{e}"
+            ) from e
