@@ -219,3 +219,75 @@ def test_random_join_specs_match_duckdb(spark, sf_smoke):
                 f"join fuzz case {i} diverged: jt={jt} groups={groups} "
                 f"aggs={aggs} filters={[JOIN_FILTERS[f][1] for f in filters]}\n{e}"
             ) from e
+
+
+def test_random_window_specs_match_duckdb(spark, sf_smoke):
+    """Differential fuzzing of the window surface: random partition /
+    total-order / function / frame combinations, ROWS frames spelled
+    explicitly on both sides, integer aggregates only. Ordering is
+    always made total with the orderkey tiebreak — the rule every
+    registry window query follows."""
+    from pyspark.sql import Window
+
+    con = duckdb_connection(sf_smoke)
+    o = load_table(spark, sf_smoke, "orders").filter(
+        F.col("o_custkey") % 37 == 1
+    )
+
+    parts = {
+        "": None,
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+    }
+    orders_by = {
+        "date": (
+            [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+            "o_orderdate ASC, o_orderkey ASC",
+        ),
+        "price_desc": (
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            "o_totalprice DESC, o_orderkey ASC",
+        ),
+    }
+    rng = random.Random(1789)
+    for i in range(15):
+        pkey = rng.choice(sorted(parts))
+        okey = rng.choice(sorted(orders_by))
+        ocols, osql = orders_by[okey]
+        w = Window.partitionBy(*([pkey] if pkey else [])).orderBy(*ocols)
+        over = (
+            f"OVER (PARTITION BY {parts[pkey]} ORDER BY {osql}"
+            if pkey
+            else f"OVER (ORDER BY {osql}"
+        )
+        fn = rng.choice(["row_number", "lag", "running_sum", "moving_min"])
+        if fn == "row_number":
+            col = F.row_number().over(w).alias("v")
+            vsql = f"ROW_NUMBER() {over}) AS v"
+        elif fn == "lag":
+            col = F.lag("o_orderkey", 1).over(w).alias("v")
+            vsql = f"LAG(o_orderkey, 1) {over}) AS v"
+        elif fn == "running_sum":
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            col = F.sum("o_orderkey").over(wf).cast("bigint").alias("v")
+            vsql = (
+                f"CAST(SUM(o_orderkey) {over} ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW) AS BIGINT) AS v"
+            )
+        else:
+            wf = w.rowsBetween(-2, Window.currentRow)
+            col = F.min("o_orderkey").over(wf).alias("v")
+            vsql = (
+                f"MIN(o_orderkey) {over} ROWS BETWEEN 2 PRECEDING "
+                "AND CURRENT ROW) AS v"
+            )
+        df = o.select("o_orderkey", col)
+        sql = (
+            f"SELECT o_orderkey, {vsql} FROM orders WHERE o_custkey % 37 = 1"
+        )
+        try:
+            assert_matches_oracle(df, con, sql)
+        except AssertionError as e:
+            raise AssertionError(
+                f"window fuzz case {i} diverged: part={pkey!r} order={okey} fn={fn}\n{e}"
+            ) from e
