@@ -1647,3 +1647,69 @@ def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.col("c_custkey").isNull().alias("was_inserted"),
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (total spend), each quintile-scored 1-5 against the customer
+    population — the classic CRM segmentation, done scale-safely.
+
+    Scale: NO global ntile window (that funnels every customer through
+    one partition). The four quintile cut values per dimension come
+    from ONE exact-percentile aggregation (a 12-value scalar row,
+    broadcast); scores are then plain comparisons in a narrow pass.
+    Ties sit on the same side of a cut in both engines because cuts
+    and metrics are rounded before comparison.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    per = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("maxd", "lastd").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs = (0.2, 0.4, 0.6, 0.8)
+    cuts = per.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+
+    def score(metric: str, prefix: str, reversed_: bool) -> F.Column:
+        op = (lambda c: F.col(metric) < F.col(c)) if reversed_ else (
+            lambda c: F.col(metric) > F.col(c)
+        )
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + op(f"{prefix}{i}").cast("int")
+        return s
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", True).alias("r_score"),
+        score("frequency", "f", False).alias("f_score"),
+        score("monetary", "m", False).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )

@@ -258,3 +258,66 @@ def retention_cohorts(
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: weekly retention triangle over events."""
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def volume_anomaly_zscores(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-event-type daily volume anomaly detection: each day's count
+    is scored against ITS TYPE's own distribution (z = (n - mean) /
+    stddev over the type's daily counts) — the pipeline-monitoring
+    primitive behind "did yesterday's crawl double-ingest?" alarms.
+
+    Scale: one (type, day) count aggregation — map-side combinable —
+    then per-type moments over the tiny (types x days) table and a
+    broadcast join back. Nothing touches raw events twice.
+
+    Determinism: mean/stddev computed from integer counts via explicit
+    sums (n, sum, sum of squares — population variance), every derived
+    float rounded; z rounded to 6. Types with a single day (stddev 0)
+    emit z = 0.0 rather than NULL/inf.
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    joined = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean, 6).alias("mean_n"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("stddev_n"),
+    )
+    z = F.when(
+        F.col("stddev_n") > 0.0,
+        F.round((F.col("n") - F.col("mean_n")) / F.col("stddev_n"), 6),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "event_type",
+        "day",
+        "n",
+        "mean_n",
+        "stddev_n",
+        z.alias("zscore"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
+def events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-type daily volume z-scores over events."""
+    return volume_anomaly_zscores(load_table(spark, sf_dir, "events"))

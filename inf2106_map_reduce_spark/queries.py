@@ -2505,6 +2505,42 @@ REGISTRY: dict[str, QuerySpec] = {
         "week offset with per-cohort retention rate",
         ("timeseries", "events", "agg"),
     ),
+    "events_volume_anomalies": QuerySpec(
+        timeseries.events_volume_anomalies,
+        # moments from integer sums (population variance), every
+        # derived float rounded; single-day types emit z = 0.0
+        """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM daily GROUP BY 1
+        ),
+        j AS (
+          SELECT d.event_type, d.day, d.n,
+                 ROUND(s1 / n_days, 6) AS mean_n,
+                 ROUND(sqrt(greatest(
+                   s2 / n_days - (s1 / n_days) * (s1 / n_days), 0.0)), 6)
+                   AS stddev_n
+          FROM daily d JOIN stats USING (event_type)
+        )
+        SELECT event_type, day, n, mean_n, stddev_n,
+               CASE WHEN stddev_n > 0.0
+                    THEN ROUND((n - mean_n) / stddev_n, 6)
+                    ELSE 0.0 END AS zscore,
+               abs(CASE WHEN stddev_n > 0.0
+                        THEN ROUND((n - mean_n) / stddev_n, 6)
+                        ELSE 0.0 END) > 2.0 AS is_anomaly
+        FROM j
+        """,
+        "per-type daily event-volume z-scores vs the type's own "
+        "distribution (pipeline-monitoring anomaly signal)",
+        ("timeseries", "events", "agg"),
+    ),
     "docs_split": QuerySpec(
         pipeline.docs_split,
         """
@@ -3550,7 +3586,58 @@ REGISTRY.update(
             "per-column null/distinct/min/max data-quality profile",
             ("agg", "pipeline"),
         ),
-        "merge_upsert_customer_balance": QuerySpec(
+        "orders_rfm_segments": QuerySpec(
+        relational.rfm_segments,
+        # quintile cuts from ONE exact-percentile agg (no global ntile
+        # window); scores are cut comparisons on rounded values
+        """
+        WITH anchor AS (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+        ),
+        per AS (
+          SELECT o_custkey AS c_custkey,
+                 datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                          anchor.maxd) AS recency_days,
+                 COUNT(*) AS frequency,
+                 ROUND(SUM(o_totalprice), 2) AS monetary
+          FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.maxd
+        ),
+        cuts AS (
+          SELECT
+        """
+        + ",\n            ".join(
+            f"ROUND(quantile_cont({m}, {q}), 6) AS {m[0]}{i}"
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        )
+        + """
+          FROM per
+        ),
+        scored AS (
+          SELECT p.c_custkey, p.recency_days, p.frequency, p.monetary,
+                 1 + CAST(p.recency_days < c.r1 AS INT)
+                   + CAST(p.recency_days < c.r2 AS INT)
+                   + CAST(p.recency_days < c.r3 AS INT)
+                   + CAST(p.recency_days < c.r4 AS INT) AS r_score,
+                 1 + CAST(p.frequency > c.f1 AS INT)
+                   + CAST(p.frequency > c.f2 AS INT)
+                   + CAST(p.frequency > c.f3 AS INT)
+                   + CAST(p.frequency > c.f4 AS INT) AS f_score,
+                 1 + CAST(p.monetary > c.m1 AS INT)
+                   + CAST(p.monetary > c.m2 AS INT)
+                   + CAST(p.monetary > c.m3 AS INT)
+                   + CAST(p.monetary > c.m4 AS INT) AS m_score
+          FROM per p CROSS JOIN cuts c
+        )
+        SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+        """,
+        "RFM customer segmentation: population-quintile scores from "
+        "one exact-percentile agg, no global ntile window",
+        ("relational", "agg", "pipeline"),
+    ),
+    "merge_upsert_customer_balance": QuerySpec(
             relational.merge_upsert_customer_balance,
             """
             WITH changes AS (
@@ -3667,10 +3754,10 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 19 (not 40) leaves a 31-slot priority block while keeping the
+# 17 (not 40) leaves a 33-slot priority block while keeping the
 # window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/19) rounds.
-ROTATION_STRIDE = 19
+# segments still overlap, so full coverage within ceil(n/17) rounds.
+ROTATION_STRIDE = 17
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -3735,6 +3822,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_adaptive_quality",
     # round 6 new: DSIR importance-resampling scores
     "docs_dsir_scores",
+    # round 6 new: volume anomaly z-scores + RFM segmentation
+    "events_volume_anomalies",
+    "orders_rfm_segments",
 )
 
 

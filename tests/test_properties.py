@@ -93,3 +93,28 @@ def test_bpe_pairs_match_python_reference(spark):
             pc[f"{w[i]} {w[i+1]}"] += c
     want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == [(i + 1, p, n) for i, (p, n) in enumerate(want)]
+
+
+def test_rfm_scores_are_population_quintiles(spark, sf_oracle):
+    """Each score's bucket sizes are near-quintile (exact percentile
+    cuts), best recency earns the highest r_score, and segment
+    concatenates the three digits."""
+    from collections import Counter
+
+    from inf2106_map_reduce_spark.operators import relational
+
+    rows = relational.rfm_segments(spark, sf_oracle).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = Counter(r[col] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4, 5}
+        # frequency is heavily tied (small ints) so its buckets skew;
+        # recency/monetary are near-continuous -> each bucket within
+        # 2x of n/5
+        if col != "f_score":
+            for b in range(1, 6):
+                assert counts.get(b, 0) < 2 * n / 5 + 5, (col, counts)
+    best_r = min(rows, key=lambda r: (r["recency_days"], r["c_custkey"]))
+    assert best_r["r_score"] == 5
+    for r in rows[:20]:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"

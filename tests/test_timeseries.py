@@ -165,3 +165,31 @@ def test_retention_cohorts_planted_weeks(spark):
         ("2024-01-01 00:00:00", 2): (1, 0.5),
         ("2024-01-08 00:00:00", 0): (1, 1.0),
     }
+
+
+def test_volume_anomalies_flags_planted_spike(spark):
+    """9 normal days + one 10x spike: only the spike day crosses
+    |z| > 2; a single-day type emits z = 0.0."""
+    from datetime import datetime
+
+    from inf2106_map_reduce_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        for _ in range(10):
+            rows.append((eid, datetime(2024, 3, d, 12), 1, "click")); eid += 1
+    for _ in range(100):
+        rows.append((eid, datetime(2024, 3, 10, 12), 1, "click")); eid += 1
+    rows.append((eid, datetime(2024, 3, 5, 9), 2, "solo"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = timeseries.volume_anomaly_zscores(df).collect()
+    clicks = {str(r["day"])[:10]: r for r in out if r["event_type"] == "click"}
+    assert clicks["2024-03-10"]["is_anomaly"] is True
+    assert all(
+        not clicks[d]["is_anomaly"] for d in clicks if d != "2024-03-10"
+    )
+    solo = [r for r in out if r["event_type"] == "solo"][0]
+    assert solo["zscore"] == 0.0 and solo["is_anomaly"] is False
