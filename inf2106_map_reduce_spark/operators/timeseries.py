@@ -321,3 +321,238 @@ def volume_anomaly_zscores(
 def events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-type daily volume z-scores over events."""
     return volume_anomaly_zscores(load_table(spark, sf_dir, "events"))
+
+
+#: Truncated-EWMA filter parameters: smoothing alpha = 0.3 and a
+#: 14-tap horizon (0.7^14 ≈ 0.7% residual weight — the dropped tail).
+#: A FIR truncation rather than the textbook recursive form because
+#: the recursion is a sequential scan (unbounded window state, and a
+#: trajectory no SQL oracle can replay without per-row recursion); the
+#: truncated form is ONE bounded window pass, embarrassingly parallel
+#: per key, and renders as the identical lag-chain expression in the
+#: DuckDB oracle.
+EWMA_ALPHA = 0.3
+EWMA_TAPS = 14
+
+
+def ewma_volume(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = EWMA_ALPHA,
+    taps: int = EWMA_TAPS,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    volume per type, with a spike flag — the smoother behind
+    "ingest volume just jumped" alarms where the plain z-score
+    (:func:`volume_anomaly_zscores`) is too twitchy on trending
+    series: EWMA tracks the trend, so only deviations FROM the trend
+    flag.
+
+    ewma(t) = Σ_{j=0..taps-1} (1-α)^j · n(t-j) / Σ_present (1-α)^j —
+    the weight sum renormalizes at series edges (first rows have fewer
+    lags), so early days aren't biased toward zero.
+
+    Scale: the corpus-sized work is one (type, day) count aggregate
+    (map-side combinable); the window runs over the tiny types×days
+    table, partitioned by type — ``taps`` lag terms in ONE window pass
+    (a rowsBetween frame can't weight by distance, a lag chain can).
+
+    Determinism: counts are integers, weights are double literals, and
+    both engines evaluate the SAME written left-to-right term chain —
+    then one round(6). The spike test compares against the PRIOR day's
+    EWMA (lag of the rounded column), so a spike doesn't suppress
+    itself by lifting its own average.
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for j in range(taps):
+        wt = (1.0 - alpha) ** j
+        lagged = F.lag("n", j).over(w) if j else F.col("n")
+        term = F.when(lagged.isNotNull(), lagged * F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+        wterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    scored = daily.select(
+        "event_type", "day", "n", F.round(num / den, 6).alias("ewma")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    prior = F.lag("ewma").over(w2)
+    return scored.select(
+        "*",
+        F.round(F.col("n") - prior, 6).alias("deviation"),
+        (prior.isNotNull() & (F.col("n") > 2.0 * prior)).alias("is_spike"),
+    )
+
+
+def events_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: truncated-EWMA daily volume smoother + spike
+    flags over events."""
+    return ewma_volume(load_table(spark, sf_dir, "events"))
+
+
+#: Linear multi-touch lookback: clicks within 7 days before a purchase
+#: share its value equally.
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window_days: int = ATTRIBUTION_WINDOW_DAYS,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion's value is
+    split EQUALLY across that user's touch events in the lookback
+    window (strictly before the conversion), then rolled up to the
+    touch day — the marketing-analytics counterpart of the as-of
+    join's last-touch model (:mod:`..operators.asof`), which credits
+    only the nearest touch.
+
+    Scale: conversions ⋈ touches is an equi-join on user_id with the
+    time window as a residual range predicate — the shuffle key is the
+    user, so fan-out is bounded by per-user touch×conversion density,
+    never corpus². The per-conversion touch count is a window over the
+    join output (same user partitioning, no extra shuffle).
+
+    Determinism: per-touch credit rounds to 9 before the day rollup,
+    and the day rollup folds credits in (conversion id, touch id)
+    order — the summation-order-proofing every float aggregate here
+    uses.
+    """
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+    )
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.col("value"),
+    )
+    j = conv.join(touches, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        )
+    )
+    w = Window.partitionBy("conv_id")
+    credited = j.select(
+        F.date_trunc("day", F.col("touch_ts")).alias("touch_day"),
+        "conv_id",
+        "touch_id",
+        F.round(
+            F.col("value") / F.count(F.lit(1)).over(w), 9
+        ).alias("credit"),
+    )
+    return credited.groupBy("touch_day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("conv_id", "touch_id", "credit"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["credit"],
+            ),
+            6,
+        ).alias("attributed_value"),
+    )
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: linear multi-touch click attribution by day."""
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+#: Order-activity interval half-length: each order opens a 30-day
+#: activity window; overlapping windows merge into islands.
+ACTIVITY_WINDOW_DAYS = 30
+
+
+def activity_islands(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    window_days: int = ACTIVITY_WINDOW_DAYS,
+) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over SPANS): each order
+    opens a ``[date, date + window_days)`` activity interval per
+    customer; overlapping/touching intervals merge into islands, and
+    the output is one row per customer with island count and coverage
+    stats. The classic warehouse interval-union — distinct from
+    point-gap sessionization (:func:`..streaming` session windows): a
+    new island starts only when an interval's START clears the running
+    MAX of every prior interval's END, which handles intervals that
+    CONTAIN later ones (a lag-gap test would wrongly split those).
+
+    Scale: one window over (key, start, end) — shuffle on the
+    customer key, sort within partition — then one aggregate. No
+    join, no global sort; output is customer-sized.
+
+    Determinism: pure integer date arithmetic (day diffs), no floats.
+    """
+    iv = orders.select(
+        F.col(key_col).alias("custkey"),
+        F.to_date(date_col).alias("start"),
+        F.date_add(F.to_date(date_col), window_days).alias("end"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "custkey",
+        "start",
+        "end",
+        # strictly-greater: an interval starting ON the running max end
+        # touches it (half-open intervals) and merges
+        (
+            F.col("start") > F.coalesce(F.max("end").over(w), F.lit("0001-01-01").cast("date"))
+        )
+        .cast("int")
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("custkey")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "custkey", "start", "end", F.sum("is_new").over(w2).alias("island_id")
+    )
+    per_island = islands.groupBy("custkey", "island_id").agg(
+        F.min("start").alias("i_start"),
+        F.max("end").alias("i_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_island.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum(F.datediff("i_end", "i_start")).cast("bigint").alias(
+            "covered_days"
+        ),
+        F.max(F.datediff("i_end", "i_start")).cast("int").alias(
+            "longest_island_days"
+        ),
+    )
+
+
+def orders_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-customer order-activity interval coalescing."""
+    return activity_islands(load_table(spark, sf_dir, "orders"))

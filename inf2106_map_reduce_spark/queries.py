@@ -35,6 +35,7 @@ from inf2106_map_reduce_spark.functions import (
 from inf2106_map_reduce_spark.operators import (
     asof,
     bucketing,
+    linkage,
     relational,
     skew,
     timeseries,
@@ -658,6 +659,80 @@ def _kmeans_converged_oracle(n_rounds: int) -> str:
             f", CAST({n_rounds} AS INT) AS rounds, TRUE AS converged"
         ),
     )
+
+
+def _ewma_oracle() -> str:
+    """Oracle for the truncated-EWMA volume smoother: the SAME
+    left-to-right weighted lag chain the engine builds, with the
+    weight doubles embedded via repr() so both engines multiply by
+    bit-identical literals."""
+    taps, alpha = timeseries.EWMA_TAPS, timeseries.EWMA_ALPHA
+    num = " + ".join(
+        (
+            f"COALESCE(LAG(n, {j}) OVER w * {(1.0 - alpha) ** j!r}, 0.0)"
+            if j
+            else f"n * {(1.0 - alpha) ** 0!r}"
+        )
+        for j in range(taps)
+    )
+    den = " + ".join(
+        (
+            f"(CASE WHEN LAG(n, {j}) OVER w IS NULL THEN 0.0"
+            f" ELSE {(1.0 - alpha) ** j!r} END)"
+            if j
+            else f"{(1.0 - alpha) ** 0!r}"
+        )
+        for j in range(taps)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT event_type, day, n, ROUND(({num}) / ({den}), 6) AS ewma
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, n, ewma,
+           ROUND(n - LAG(ewma) OVER w2, 6) AS deviation,
+           (LAG(ewma) OVER w2 IS NOT NULL
+            AND n > 2.0 * LAG(ewma) OVER w2) AS is_spike
+    FROM sc WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+    """
+
+
+def _rp_oracle() -> str:
+    """Oracle for the JL random projection: the seeded Gaussian planes
+    embedded as list literals (the LSH-oracle technique), projections
+    rounded to 9, then the same left-to-right squared-sum chains the
+    engine's codegen expressions evaluate."""
+    planes = vector.random_hyperplanes(64, vector.RP_OUT_DIM, seed=vector.RP_SEED)
+    projs = ", ".join(
+        "ROUND("
+        + _dot_sql(
+            "embedding", "[" + ", ".join(repr(c) for c in p) + "]"
+        )
+        + f", 9) AS p{j}"
+        for j, p in enumerate(planes)
+    )
+    psq = " + ".join(f"(p{j} * p{j})" for j in range(vector.RP_OUT_DIM))
+    return f"""
+    WITH pr AS (
+      SELECT vec_id,
+             ROUND({_dot_sql("embedding", "embedding")}, 6) AS orig_norm2,
+             {projs}
+      FROM embeddings
+    ),
+    jl AS (
+      SELECT vec_id, orig_norm2,
+             ROUND(({psq}) / {vector.RP_OUT_DIM}, 6) AS jl_norm2
+      FROM pr
+    )
+    SELECT vec_id, orig_norm2, jl_norm2,
+           (abs(jl_norm2 / orig_norm2 - 1.0) <= {vector.RP_REL_BOUND!r})
+             AS within_jl_bound
+    FROM jl
+    """
 
 
 def _marker_list(lang: str) -> str:
@@ -3730,6 +3805,241 @@ REGISTRY.update(
             "hash-checked round count and convergence verdict",
             ("vector", "iterative"),
         ),
+        "events_ewma_volume": QuerySpec(
+            timeseries.events_ewma_volume,
+            _ewma_oracle(),
+            "truncated-EWMA (alpha=0.3, 14 taps) daily volume smoother "
+            "with prior-trend spike flags",
+            ("timeseries", "events", "window"),
+        ),
+        "events_multitouch_attribution": QuerySpec(
+            timeseries.events_multitouch_attribution,
+            """
+            WITH touches AS (
+              SELECT user_id, event_id AS touch_id, ts AS touch_ts
+              FROM events WHERE event_type = 'click'
+            ),
+            conv AS (
+              SELECT user_id, event_id AS conv_id, ts AS conv_ts, value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            j AS (
+              SELECT t.touch_id, t.touch_ts, c.conv_id, c.value
+              FROM conv c JOIN touches t USING (user_id)
+              WHERE t.touch_ts < c.conv_ts
+                AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+            ),
+            credited AS (
+              SELECT date_trunc('day', touch_ts) AS touch_day, conv_id,
+                     touch_id,
+                     ROUND(value / (COUNT(*) OVER (PARTITION BY conv_id)), 9)
+                       AS credit
+              FROM j
+            )
+            SELECT touch_day, COUNT(*) AS n_touches,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+                   ROUND(list_sum(list(credit ORDER BY conv_id, touch_id)), 6)
+                     AS attributed_value
+            FROM credited GROUP BY touch_day
+            """,
+            "linear multi-touch attribution: purchase value split "
+            "equally over the user's 7-day click history, by touch day",
+            ("timeseries", "events", "join", "window"),
+        ),
+        "orders_activity_islands": QuerySpec(
+            timeseries.orders_activity_islands,
+            """
+            WITH iv AS (
+              SELECT o_custkey AS custkey,
+                     CAST(o_orderdate AS DATE) AS "start",
+                     CAST(o_orderdate AS DATE) + 30 AS "end"
+              FROM orders
+            ),
+            marked AS (
+              SELECT custkey, "start", "end",
+                CASE WHEN "start" > COALESCE(
+                       MAX("end") OVER (
+                         PARTITION BY custkey ORDER BY "start", "end"
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       DATE '0001-01-01')
+                     THEN 1 ELSE 0 END AS is_new
+              FROM iv
+            ),
+            islands AS (
+              SELECT custkey, "start", "end",
+                     SUM(is_new) OVER (
+                       PARTITION BY custkey ORDER BY "start", "end"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island_id
+              FROM marked
+            ),
+            per_island AS (
+              SELECT custkey, island_id, MIN("start") AS i_start,
+                     MAX("end") AS i_end, COUNT(*) AS n_orders
+              FROM islands GROUP BY 1, 2
+            )
+            SELECT custkey, COUNT(*) AS n_islands,
+                   CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+                   CAST(SUM(datediff('day', i_start, i_end)) AS BIGINT)
+                     AS covered_days,
+                   CAST(MAX(datediff('day', i_start, i_end)) AS INT)
+                     AS longest_island_days
+            FROM per_island GROUP BY custkey
+            """,
+            "interval coalescing: per-customer 30-day order-activity "
+            "windows merged into islands (running-max span union)",
+            ("timeseries", "window", "agg"),
+        ),
+        "docs_bigram_logprob": QuerySpec(
+            pipeline.docs_bigram_logprob,
+            f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '),
+                                 x -> x != '') AS words
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([words[i] FOR i IN range(1, len(words))]) AS w1,
+                     unnest([words[i+1] FOR i IN range(1, len(words))]) AS w2
+              FROM w
+            ),
+            tf AS (
+              SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+            ),
+            c12 AS (
+              SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+              FROM tf GROUP BY 1, 2
+            ),
+            c1 AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+            v AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (
+                SELECT DISTINCT w FROM (
+                  SELECT w1 AS w FROM tf UNION ALL SELECT w2 FROM tf))
+            ),
+            t AS (
+              SELECT doc_id, w1, w2, tf,
+                     ROUND(tf * ln((c12 + 1) / (c1 + v)), 9) AS term
+              FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   ROUND(list_sum(list(term ORDER BY w1, w2)) / SUM(tf), 6)
+                     AS avg_logprob
+            FROM t GROUP BY doc_id
+            """,
+            "per-doc average bigram log-prob under the corpus's add-one "
+            "smoothed bigram model (KenLM-style perplexity filter)",
+            ("pipeline", "text"),
+        ),
+        "dq_expectations_orders": QuerySpec(
+            relational.dq_expectations_orders,
+            """
+            WITH base AS (SELECT COUNT(*) AS n FROM orders),
+            kg AS (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1),
+            uniq AS (
+              SELECT COUNT(*) AS n_checked,
+                     CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS viol
+              FROM kg
+            ),
+            agg AS (
+              SELECT COUNT(*) AS n_checked,
+                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k_null,
+                CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                               OR o_totalprice > 10000000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS price_bad,
+                CAST(SUM(CASE WHEN o_orderdate IS NULL
+                               OR CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+                               OR CAST(o_orderdate AS DATE) > DATE '2001-12-31'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS date_bad,
+                CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS status_bad
+              FROM orders
+            ),
+            fk AS (
+              SELECT (SELECT n FROM base) AS n_checked,
+                     CAST(COUNT(*) AS BIGINT) AS orphans
+              FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)
+            )
+            SELECT 'orderkey_unique' AS expectation,
+                   CAST(n_checked AS BIGINT) AS n_checked,
+                   viol AS n_violations, viol = 0 AS passed FROM uniq
+            UNION ALL SELECT 'orderkey_not_null', n_checked, k_null,
+                   k_null = 0 FROM agg
+            UNION ALL SELECT 'custkey_fk_customer', CAST(n_checked AS BIGINT),
+                   orphans, orphans = 0 FROM fk
+            UNION ALL SELECT 'totalprice_in_range', n_checked, price_bad,
+                   price_bad = 0 FROM agg
+            UNION ALL SELECT 'orderdate_in_range', n_checked, date_bad,
+                   date_bad = 0 FROM agg
+            UNION ALL SELECT 'orderstatus_in_domain', n_checked, status_bad,
+                   status_bad = 0 FROM agg
+            """,
+            "data-quality expectation suite over orders: PK uniqueness/"
+            "not-null, FK to customer, range and domain checks",
+            ("agg", "pipeline"),
+        ),
+        "customer_fuzzy_pairs": QuerySpec(
+            linkage.customer_fuzzy_pairs,
+            """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND len(a.c_name) = len(b.c_name)
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            """,
+            "entity resolution: blocked (nation x segment x length) "
+            "customer-name pairs at edit distance <= 1",
+            ("join", "text"),
+        ),
+        "sketch_distinct_overlap": QuerySpec(
+            sketches.sketch_distinct_overlap,
+            """
+            WITH dd AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+            flags AS (
+              SELECT o_custkey,
+                MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f,
+                MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_o,
+                MAX(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS in_p
+              FROM dd GROUP BY 1
+            ),
+            e AS (
+              SELECT CAST(SUM(in_f) AS BIGINT) AS n_f,
+                     CAST(SUM(in_o) AS BIGINT) AS n_o,
+                     CAST(SUM(in_p) AS BIGINT) AS n_p,
+                     CAST(SUM(in_f * in_o) AS BIGINT) AS n_fo,
+                     CAST(SUM(in_f * in_p) AS BIGINT) AS n_fp,
+                     CAST(SUM(in_o * in_p) AS BIGINT) AS n_op,
+                     CAST(SUM(GREATEST(in_f, in_o)) AS BIGINT) AS u_fo,
+                     CAST(SUM(GREATEST(in_f, in_p)) AS BIGINT) AS u_fp,
+                     CAST(SUM(GREATEST(in_o, in_p)) AS BIGINT) AS u_op
+              FROM flags
+            )
+            SELECT 'F' AS status_a, 'O' AS status_b, n_f AS n_a, n_o AS n_b,
+                   u_fo AS n_union, n_fo AS n_overlap,
+                   TRUE AS overlap_within_bound FROM e
+            UNION ALL SELECT 'F', 'P', n_f, n_p, u_fp, n_fp, TRUE FROM e
+            UNION ALL SELECT 'O', 'P', n_o, n_p, u_op, n_op, TRUE FROM e
+            """,
+            "segment-overlap cardinality from mergeable HLL sketches via "
+            "inclusion-exclusion, audited against the exact overlap",
+            ("sketch", "agg"),
+        ),
+        "embedding_random_projection": QuerySpec(
+            vector.embedding_random_projection,
+            _rp_oracle(),
+            "JL random projection 64->16 (seeded Gaussian planes) with "
+            "per-vector norm-preservation audit",
+            ("vector", "pipeline"),
+        ),
     }
 )
 
@@ -3771,10 +4081,6 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # (ANN_LSH_TABLES 8->16, ANN_IVF_PROBE 4->10)
     "ann_lsh",
     "ann_ivf",
-    # round 6: fixed-iter oracle refactored onto the shared generator
-    "kmeans_clusters",
-    # round 6: key-level (distinct) coverage semantics
-    "docs_embedding_coverage",
     # round 6 new: Misra-Gries heavy hitters with envelope audit
     "sketch_heavy_hitters",
     # round 6 new: SemDeDup cluster-blocked semantic dedup
@@ -3811,20 +4117,34 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     # round 6 new: XML roundtrip via the Spark 4 native source
     "source_xml_roundtrip",
-    # round 6 new: Markov transition matrix + retention cohorts
-    "events_transition_matrix",
-    "events_retention_cohorts",
-    # round 6: plan reshaped (single corpus explode, tf-derived aggs)
-    "docs_unigram_logprob",
     # round 6 new: hard-negative mining (cosine topk minus near-dups)
     "ann_hard_negatives",
     # round 6 new: per-language adaptive quality gate
     "docs_adaptive_quality",
     # round 6 new: DSIR importance-resampling scores
     "docs_dsir_scores",
-    # round 6 new: volume anomaly z-scores + RFM segmentation
-    "events_volume_anomalies",
-    "orders_rfm_segments",
+    # round 6 new: truncated-EWMA volume smoother + spike flags
+    "events_ewma_volume",
+    # round 6 new: linear multi-touch click attribution
+    "events_multitouch_attribution",
+    # round 6 new: bigram-LM perplexity-filter scores
+    "docs_bigram_logprob",
+    # round 6 new: data-quality expectation suite over orders
+    "dq_expectations_orders",
+    # round 6 new: blocked Levenshtein entity resolution
+    "customer_fuzzy_pairs",
+    # round 6 new: HLL inclusion-exclusion segment overlap
+    "sketch_distinct_overlap",
+    # round 6 new: JL random projection with norm-preservation audit
+    "embedding_random_projection",
+    # Not re-listed (the 33-slot cap is the rotation-coverage bound):
+    # kmeans_clusters / docs_embedding_coverage / docs_unigram_logprob
+    # were driver-green in r05 and their semantics changes are
+    # oracle-pinned locally; orders_activity_islands (new) and
+    # orders_rfm_segments land in THIS round's rotation fill segment
+    # (offset 102) anyway; events_transition_matrix /
+    # events_retention_cohorts / events_volume_anomalies defer to the
+    # r07 priority block.
 )
 
 
