@@ -1136,10 +1136,14 @@ def duplicate_span_report(
     corpus size; nothing is pairwise.
 
     Scale: the windows table is ~window x token count rows of
-    (id, hash) — at 100 TB swap the md5 hex for xxhash64 to cut
-    shuffle bytes 4x (md5 here because it is the cross-engine parity
-    hash); the repeat table is Zipf-small and the join keys are
-    hashes, so AQE's skew split handles pathological boilerplate.
+    (id, hash); the hash is ``xxhash64`` — a JVM intrinsic producing
+    an 8-byte long shuffle key (vs 32-char md5 hex: 4x fewer shuffle
+    bytes and no hex encode). The hash only carries EQUALITY — which
+    windows collide — so the DuckDB oracle grouping by md5 (or by the
+    raw window text) computes the identical report; no cross-engine
+    hash parity is needed, unlike the content-fingerprint operators.
+    The repeat table is Zipf-small and the join keys are hashes, so
+    AQE's skew split handles pathological boilerplate.
     """
     words = F.split(_norm_text(text_col), " ")
     wins_arr = F.when(
@@ -1148,12 +1152,12 @@ def duplicate_span_report(
             F.sequence(F.lit(0), F.size(words) - window),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(words, i + 1, window))).alias(
-                    "wh"
-                ),
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(words, i + 1, window))
+                ).alias("wh"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:bigint>>"))
     # the windows table feeds three plan subtrees (repeat aggregate,
     # mark join, totals): checkpoint once instead of re-tokenizing the
     # corpus three times — the same multi-consumer shape (and fix) as
