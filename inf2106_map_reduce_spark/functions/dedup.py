@@ -1633,3 +1633,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs=_registry_candidates(spark, sf_dir),
         shingles=_registry_shingles(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance from each cluster's canonical document
+# ---------------------------------------------------------------------------
+
+#: Hop cap for the BFS query — a structural bound, not a tuning knob:
+#: near-dup components are short edit/paraphrase chains (measured
+#: diameter <= 3 on the testdata), and the engine stops EARLY on an
+#: empty frontier, so the cap only matters for adversarial long-chain
+#: graphs, where it bounds the round count exactly like
+#: ``connected_components``' diameter budget.
+BFS_MAX_HOPS = 12
+
+
+def bfs_hops_from_roots(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge list:
+    hop distance from the nearest root, as (node, hops) with hops 0
+    for the roots themselves. Sources are all roots at once — for
+    disjoint components (one root each) this is per-component BFS in
+    a single pass.
+
+    The iterative-join BFS: each round joins the FRONTIER (newly
+    reached nodes only, never the whole visited set) against the edge
+    list, anti-joins out already-visited nodes, and stops on an empty
+    frontier or the hop cap. Each round's frontier is eagerly
+    ``localCheckpoint``-ed so lineage stays one round deep — same
+    iterative discipline as :func:`connected_components` and pagerank.
+
+    Scale: per-round cost is |frontier| × avg-degree join work, keyed
+    on node id (shuffle on the join key); total work is O(|E|) across
+    all rounds — every edge relaxes at most twice. The visited set
+    grows to |V(components)| rows of (node, hops) — two longs."""
+    sym = (
+        edges.select(F.col(edges.columns[0]).alias("u"),
+                     F.col(edges.columns[1]).alias("v"))
+        .union(
+            edges.select(F.col(edges.columns[1]).alias("u"),
+                         F.col(edges.columns[0]).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        roots.select(F.col(roots.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def docs_neardup_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: hop distance from each near-dup cluster's
+    CANONICAL document (the component's min doc_id — the survivor the
+    canonical-corpus pass keeps) to every document in the cluster —
+    "how far from the kept copy is this duplicate", the per-doc
+    provenance depth of a dedup decision. Reuses the session-cached
+    candidate-graph stages (shingles → LSH → Jaccard edges →
+    components), so the incremental cost is the BFS rounds only."""
+    edges = _registry_edges(spark, sf_dir).select("id_a", "id_b")
+    cc = _registry_components(spark, sf_dir)
+    roots = cc.select(F.col("component").alias("node")).distinct()
+    d = bfs_hops_from_roots(edges, roots)
+    return d.select(F.col("node").alias("doc_id"), "hops")

@@ -805,10 +805,18 @@ def _lloyd_iterate_local(
         else:
             cents = updated
     final_cid = assign(np.array(assign_cents, dtype=np.float64))
+    # same (vec_id, emb, cid) shape as the distributed _assigned_df —
+    # downstream consumers (SemDeDup's within-cluster verify) read the
+    # embedding back out of the assignment
     assigned = spark.createDataFrame(
         pd.DataFrame(
-            {"vec_id": ids, "cid": final_cid.astype("int32")}
-        )
+            {
+                "vec_id": ids,
+                "emb": pd.Series([row.tolist() for row in x], dtype=object),
+                "cid": final_cid.astype("int32"),
+            }
+        ),
+        schema="vec_id bigint, emb array<double>, cid int",
     )
     return assigned, cents, rounds, last_shift
 

@@ -82,6 +82,72 @@ def fuzzy_pairs(
     )
 
 
+def golden_record(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    balance_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Golden-record resolution (MDM survivorship): fuzzy-match edges
+    → connected components → one surviving record per entity. The
+    full master-data pipeline: :func:`fuzzy_pairs` generates the
+    match graph, :func:`..functions.dedup.connected_components`
+    resolves transitive identity (A≈B, B≈C ⇒ one entity even when
+    A and C differ by 2 edits), and a survivorship rule — highest
+    balance, ties to the lowest id — picks each entity's canonical
+    row. Output: one row per MULTI-member entity (singletons are
+    already golden) with membership fingerprints, the survivor, and
+    the merged balance.
+
+    Scale: edges are block-bounded (never n²); components over a
+    fuzzy-match graph are tiny (name-edit chains), so the CC rounds
+    converge in a couple of iterations; the survivorship pick is a
+    per-entity window over |matched records| rows — the corpus-sized
+    table is touched exactly once, by the blocked self-join.
+    """
+    from pyspark.sql import Window
+
+    from inf2106_map_reduce_spark.functions.dedup import connected_components
+
+    pairs = fuzzy_pairs(
+        df, id_col, name_col, block_cols, max_distance=max_distance
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    members = comp.join(
+        df.select(
+            F.col(id_col).alias("node"),
+            F.col(balance_col).alias("_bal"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_bal").desc(), F.col("node")
+    )
+    ranked = members.select(
+        "component",
+        "node",
+        "_bal",
+        F.row_number().over(w).alias("_rn"),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("node").alias("member_id_sum"),
+            F.max(F.when(F.col("_rn") == 1, F.col("node"))).alias(
+                "survivor_id"
+            ),
+            F.round(
+                F.max(F.when(F.col("_rn") == 1, F.col("_bal"))), 2
+            ).alias("survivor_balance"),
+            F.round(F.sum("_bal"), 2).alias("total_balance"),
+        )
+        .withColumnRenamed("component", "entity_id")
+    )
+
+
 def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: near-identical customer names within
     (nation, market-segment) blocks at edit distance ≤ 1 — the
@@ -92,5 +158,19 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         name_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"],
+        max_distance=1,
+    )
+
+
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: golden-record resolution over customers — fuzzy
+    name matches within (nation, segment) blocks resolved into
+    entities, survivor = highest account balance (ties: lowest key)."""
+    return golden_record(
+        load_table(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        balance_col="c_acctbal",
         max_distance=1,
     )

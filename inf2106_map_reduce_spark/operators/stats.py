@@ -1,0 +1,237 @@
+"""Statistical analysis operators: grouped OLS regression, pairwise
+correlation matrices, and Welch's two-sample t-test.
+
+The inferential-statistics surface of the engine — the "is this
+relationship real" layer that sits on top of the descriptive
+aggregates (``agg_stats_battery``) and the profiler
+(``profile_orders_columns``). All three operators are MOMENT
+aggregations: every statistic reduces to sums of {1, x, y, x², y²,
+xy}, which Spark computes as one partial+final aggregate per group —
+a single shuffle of a handful of doubles per group regardless of
+input size, the textbook map-side-combine shape.
+
+Numeric-parity contract: statistics are computed from EXPLICIT moment
+formulas (not ``regr_slope``/``corr`` built-ins) so the engine and the
+DuckDB oracle evaluate the exact same arithmetic over the same sums,
+and every emitted statistic is rounded to 6 decimals — the repo-wide
+double-summation tolerance (sums of doubles are summation-order
+sensitive in the last ulp; ratios of centered moments are stable well
+inside 1e-6).
+
+Superset capability vs the reference (word-count MapReduce only);
+the moment-aggregation pattern itself is the classic one-pass
+MapReduce statistics job, re-expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def _moments(x: Column, y: Column) -> list[Column]:
+    return [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ]
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group simple linear regression y = slope·x + intercept with
+    the Pearson r² fit measure — the "price per unit by segment" /
+    "trend per cohort" question, answered for every group in ONE
+    aggregation pass.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n, r² = slope² · var(x)/var(y). Groups with zero
+    x-variance emit NULL slope/intercept/r2 rather than dividing by
+    zero (3VL-safe: the CASE guards below).
+
+    Scale: one shuffle keyed on the group columns, six doubles per
+    group after the map-side partial — the aggregate state is O(1)
+    per group, so a 100 TB fact table reduces to |groups| rows before
+    anything crosses the network.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    m = df.groupBy(*group_cols).agg(*_moments(x, y))
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = F.when(
+        den_x != 0, (F.col("sy") - (num / den_x) * F.col("sx")) / F.col("n")
+    )
+    r2 = F.when((den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y))
+    # rounding scale tracks magnitude: slope/r2 are O(1)-ish ratios
+    # (6 decimals leaves >10x summation-order headroom); the intercept
+    # carries the y magnitude (~5e4 here), where 6 decimals would sit
+    # inside the cross-engine double-sum jitter — 4 keeps 40x margin
+    return m.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over the given numeric columns,
+    long form: one row per ordered pair (col_x < col_y by position)
+    — the feature-redundancy screen a training pipeline runs before
+    model fitting.
+
+    Plan: ONE aggregation computes every needed moment (k sums, k
+    sums-of-squares, k·(k−1)/2 cross sums) in a single pass — the
+    row explodes into k² correlations only AFTER reduction to one
+    row, so the per-pair work is driver-free column arithmetic on a
+    1-row DataFrame, never a second scan. Compare per-pair
+    ``F.corr`` aggregates: k²/2 scans of the fact table.
+
+    Scale: aggregate state is O(k²) doubles total (not per row), one
+    partial+final agg, no shuffle beyond the single global reduce.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"s{i}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"p{i}_{j}")
+            )
+    m = df.agg(*aggs)
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(
+                f"s{j}"
+            )
+            den = F.sqrt(
+                (F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+                * (
+                    F.col("n") * F.col(f"q{j}")
+                    - F.col(f"s{j}") * F.col(f"s{j}")
+                )
+            )
+            pairs.append(
+                m.select(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.round(F.when(den != 0, num / den), 6).alias("pearson_r"),
+                )
+            )
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups —
+    the A/B comparison primitive (does segment A's balance really
+    differ from segment B's?). One row: per-group n/mean/variance,
+    the t statistic, and the Welch–Satterthwaite degrees of freedom.
+
+    t = (mean_a − mean_b) / sqrt(va/na + vb/nb),
+    df = (va/na + vb/nb)² / ((va/na)²/(na−1) + (vb/nb)²/(nb−1)),
+    with v the SAMPLE variance (n−1 denominator, computed from the
+    same moment sums as everything else in this module).
+
+    Scale: a conditional-moment aggregate — one pass, one global
+    reduce of 6 doubles; the two groups are filtered with CASE inside
+    the aggregate, so no second scan and no join.
+    """
+    v = F.col(value_col)
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    m = df.filter(in_a | in_b).agg(
+        F.sum(in_a.cast("double")).alias("na"),
+        F.sum(F.when(in_a, v).otherwise(F.lit(0.0))).alias("sa"),
+        F.sum(F.when(in_a, v * v).otherwise(F.lit(0.0))).alias("qa"),
+        F.sum(in_b.cast("double")).alias("nb"),
+        F.sum(F.when(in_b, v).otherwise(F.lit(0.0))).alias("sb"),
+        F.sum(F.when(in_b, v * v).otherwise(F.lit(0.0))).alias("qb"),
+    )
+    mean_a = F.col("sa") / F.col("na")
+    mean_b = F.col("sb") / F.col("nb")
+    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    se2_a = var_a / F.col("na")
+    se2_b = var_b / F.col("nb")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    dof = ((se2_a + se2_b) * (se2_a + se2_b)) / (
+        se2_a * se2_a / (F.col("na") - 1) + se2_b * se2_b / (F.col("nb") - 1)
+    )
+    return m.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        # variances are O(1e7) for balance-like values — 4 decimals
+        # keeps the rounding threshold ~50x above double-sum jitter
+        F.round(var_a, 4).alias("var_a"),
+        F.round(var_b, 4).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+
+def lineitem_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-returnflag regression of extended price on
+    quantity (unit-price trend by flag)."""
+    return grouped_ols(
+        load_table(spark, sf_dir, "lineitem"),
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag")
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: Pearson correlation matrix over lineitem's four
+    numeric measures."""
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def segment_balance_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: Welch t-test of customer account balance,
+    BUILDING vs MACHINERY segments."""
+    return welch_ttest(
+        load_table(spark, sf_dir, "customer"),
+        value_col="c_acctbal",
+        group_col="c_mktsegment",
+        group_a="BUILDING",
+        group_b="MACHINERY",
+    )

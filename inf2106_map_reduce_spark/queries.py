@@ -38,6 +38,7 @@ from inf2106_map_reduce_spark.operators import (
     linkage,
     relational,
     skew,
+    stats,
     timeseries,
 )
 from inf2106_map_reduce_spark.sources import roundtrip
@@ -733,6 +734,97 @@ def _rp_oracle() -> str:
              AS within_jl_bound
     FROM jl
     """
+
+
+_OLS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_quantity) AS sxx,
+         SUM(l_extendedprice * l_extendedprice) AS syy,
+         SUM(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0
+             THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             END, 4) AS intercept,
+       ROUND(CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+             THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
+    """Pearson-matrix oracle: the same single moment aggregation the
+    engine runs (k sums, k squared sums, k(k-1)/2 cross sums) and the
+    same explicit formula per pair, one UNION ALL branch per pair."""
+    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(cols):
+        aggs.append(f"SUM({c}) AS s{i}")
+        aggs.append(f"SUM({c} * {c}) AS q{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(f"SUM({cols[i]} * {cols[j]}) AS p{i}_{j}")
+    branches = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = f"(n * p{i}_{j} - s{i} * s{j})"
+            den = (
+                f"sqrt((n * q{i} - s{i} * s{i})"
+                f" * (n * q{j} - s{j} * s{j}))"
+            )
+            branches.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"ROUND(CASE WHEN {den} != 0 THEN {num} / {den} END, 6) "
+                "AS pearson_r FROM m"
+            )
+    return (
+        f"WITH m AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL ".join(branches)
+    )
+
+
+_TTEST_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS na,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal
+             ELSE 0 END) AS sa,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * c_acctbal
+             ELSE 0 END) AS qa,
+    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS nb,
+    SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal
+             ELSE 0 END) AS sb,
+    SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * c_acctbal
+             ELSE 0 END) AS qb
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+s AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         (qa - sa * sa / na) / (na - 1) AS va,
+         (qb - sb * sb / nb) / (nb - 1) AS vb,
+         (qa - sa * sa / na) / (na - 1) / na AS ea,
+         (qb - sb * sb / nb) / (nb - 1) / nb AS eb
+  FROM m
+)
+SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND(va, 4) AS var_a, ROUND(vb, 4) AS var_b,
+       ROUND((ma - mb) / sqrt(ea + eb), 6) AS t_stat,
+       ROUND((ea + eb) * (ea + eb)
+             / (ea * ea / (na - 1) + eb * eb / (nb - 1)), 6) AS welch_df
+FROM s
+"""
 
 
 def _marker_list(lang: str) -> str:
@@ -4040,6 +4132,101 @@ REGISTRY.update(
             "per-vector norm-preservation audit",
             ("vector", "pipeline"),
         ),
+        "customer_golden_records": QuerySpec(
+            linkage.customer_golden_records,
+            # fuzzy blocks -> symmetric edges -> recursive transitive
+            # closure (component = min reachable id) -> survivorship:
+            # highest balance, ties to lowest key
+            """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_mktsegment = b.c_mktsegment
+               AND len(a.c_name) = len(b.c_name)
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id
+            ),
+            comp AS (SELECT id AS node, MIN(r) AS component
+                     FROM reach GROUP BY id),
+            m AS (SELECT c.component, c.node, cu.c_acctbal AS bal
+                  FROM comp c JOIN customer cu ON cu.c_custkey = c.node),
+            surv AS (
+              SELECT component, node AS survivor_id, bal AS survivor_bal
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY bal DESC, node) AS rn FROM m)
+              WHERE rn = 1
+            )
+            SELECT m.component AS entity_id,
+                   COUNT(*) AS n_members,
+                   CAST(SUM(m.node) AS BIGINT) AS member_id_sum,
+                   ANY_VALUE(s.survivor_id) AS survivor_id,
+                   ROUND(ANY_VALUE(s.survivor_bal), 2) AS survivor_balance,
+                   ROUND(SUM(m.bal), 2) AS total_balance
+            FROM m JOIN surv s USING (component)
+            GROUP BY m.component
+            """,
+            "golden-record MDM resolution: fuzzy-match components with "
+            "highest-balance survivorship",
+            ("join", "text", "graph"),
+        ),
+        "lineitem_price_ols": QuerySpec(
+            stats.lineitem_price_ols,
+            _OLS_ORACLE,
+            "per-returnflag OLS regression of extended price on quantity "
+            "(explicit moment formulas, one aggregation pass)",
+            ("stats", "agg"),
+        ),
+        "lineitem_corr_matrix": QuerySpec(
+            stats.lineitem_corr_matrix,
+            _corr_matrix_oracle(
+                "lineitem",
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ),
+            "pairwise Pearson correlation over lineitem's numeric "
+            "measures from one moment aggregation",
+            ("stats", "agg"),
+        ),
+        "segment_balance_ttest": QuerySpec(
+            stats.segment_balance_ttest,
+            _TTEST_ORACLE,
+            "Welch two-sample t-test of account balance, BUILDING vs "
+            "MACHINERY (conditional-moment single pass)",
+            ("stats", "agg"),
+        ),
+        "source_csv_gzip_roundtrip": QuerySpec(
+            roundtrip.source_csv_gzip_roundtrip,
+            roundtrip.CSV_GZIP_ROUNDTRIP_ORACLE,
+            "customer -> gzip CSV -> schema read-back -> per-segment "
+            "aggregate (compressed-codec connector lane)",
+            ("source",),
+        ),
+        "docs_neardup_bfs": QuerySpec(
+            dedup.docs_neardup_bfs,
+            _CC_CTES
+            + f""",
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+            bfs(id, hops) AS (
+              SELECT DISTINCT component, 0 FROM comp
+              UNION
+              SELECT e.v, b.hops + 1
+              FROM bfs b JOIN edges e ON e.u = b.id
+              WHERE b.hops < {dedup.BFS_MAX_HOPS}
+            )
+            SELECT id AS doc_id, CAST(MIN(hops) AS INT) AS hops
+            FROM bfs GROUP BY id
+            """,
+            "multi-source BFS: hop distance from each near-dup cluster's "
+            "canonical doc to every member",
+            ("dedup", "graph"),
+        ),
     }
 )
 
@@ -4144,7 +4331,11 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # orders_rfm_segments land in THIS round's rotation fill segment
     # (offset 102) anyway; events_transition_matrix /
     # events_retention_cohorts / events_volume_anomalies defer to the
-    # r07 priority block.
+    # r07 priority block, as do the round-6b additions
+    # (customer_golden_records, lineitem_price_ols,
+    # lineitem_corr_matrix, segment_balance_ttest,
+    # source_csv_gzip_roundtrip, docs_neardup_bfs) — all six are
+    # locally oracle-checked every round by tests/test_oracle_parity.
 )
 
 

@@ -108,10 +108,18 @@ def write_csv(
     sep: str = ",",
     partition_by: list[str] | None = None,
     timestamp_format: str | None = None,
+    compression: str | None = None,
 ) -> None:
     w = df.write.mode(mode).option("header", header).option("sep", sep)
     if timestamp_format:
         w = w.option("timestampFormat", timestamp_format)
+    if compression:
+        # any Hadoop codec name Spark ships (gzip, bzip2, lz4, snappy,
+        # deflate, zstd); readers splitting matters at scale — gzip
+        # files are NOT splittable, so one file = one task on read:
+        # fine for staging exports, wrong for 100 TB ingest (prefer
+        # zstd/lz4 or parquet there — see source_csv_gzip_roundtrip)
+        w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.csv(path)

@@ -448,3 +448,46 @@ SELECT r.r_name, COUNT(*) AS n_nations,
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """
+
+
+def source_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → gzip-compressed CSV → explicit-schema read → per-
+    segment aggregate: the COMPRESSED-codec connector lane (the other
+    roundtrips exercise formats; this one exercises the codec axis —
+    Spark wires any Hadoop codec through the same option).
+
+    Scale note, recorded deliberately: gzip output is NOT splittable —
+    each .csv.gz file maps to exactly one read task, so a 100 TB gzip
+    export serializes its scan per file. The write side controls file
+    count (one gzip member per write task), which bounds read
+    parallelism to the write's partitioning; for scan-heavy pipelines
+    prefer zstd (splittable via Hadoop 3's SplittableCompressionCodec
+    support in text inputs is absent — so really: prefer parquet) and
+    keep gzip for interchange exports like this one.
+    """
+    path = _stage_dir(sf_dir, "customer_csv_gz")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    formats.write_csv(cust, path, compression="gzip")
+    back = formats.read_csv(
+        spark,
+        path,
+        schema=(
+            "c_custkey bigint, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string"
+        ),
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+CSV_GZIP_ROUNDTRIP_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       ROUND(SUM(c_acctbal), 2) AS total_balance
+FROM customer GROUP BY c_mktsegment
+"""

@@ -1,0 +1,142 @@
+"""Planted-data semantics tests for the round-6b operators (oracle
+parity pins engine==DuckDB; these pin that BOTH mean what the
+docstrings claim)."""
+
+from __future__ import annotations
+
+import math
+
+from inf2106_map_reduce_spark.functions.dedup import bfs_hops_from_roots
+from inf2106_map_reduce_spark.operators.linkage import golden_record
+from inf2106_map_reduce_spark.operators.stats import (
+    corr_matrix,
+    grouped_ols,
+    welch_ttest,
+)
+
+
+def test_golden_record_transitive_merge_and_survivorship(spark):
+    # A~B and B~C by one edit each, A vs C differ by TWO edits — the
+    # pairwise matcher never links A-C, connected components must.
+    # Survivor = highest balance (id 3); total = sum of all three.
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa", "N1", 10.0),
+            (2, "aaab", "N1", 30.0),   # 1 edit from both 1 and 3
+            (3, "aabb", "N1", 20.0),
+            (4, "zzzz", "N1", 99.0),   # singleton: absent from output
+            (5, "aaaa", "N2", 50.0),   # other block: no cross-block edge
+        ],
+        "id long, name string, blk string, bal double",
+    )
+    rows = golden_record(
+        df, "id", "name", ["blk"], "bal", max_distance=1
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["entity_id"] == 1
+    assert r["n_members"] == 3
+    assert r["member_id_sum"] == 6
+    assert r["survivor_id"] == 2  # highest balance wins
+    assert r["survivor_balance"] == 30.0
+    assert r["total_balance"] == 60.0
+
+
+def test_golden_record_survivor_tie_breaks_to_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(7, "xxxx", "N1", 5.0), (9, "xxxy", "N1", 5.0)],
+        "id long, name string, blk string, bal double",
+    )
+    r = golden_record(df, "id", "name", ["blk"], "bal").collect()[0]
+    assert r["survivor_id"] == 7
+
+
+def test_grouped_ols_exact_line(spark):
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    df = spark.createDataFrame(
+        [("g", float(x), 3.0 * x + 2.0) for x in range(1, 6)],
+        "g string, x double, y double",
+    )
+    r = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert r["n_rows"] == 5
+    assert r["slope"] == 3.0
+    assert r["intercept"] == 2.0
+    assert r["r2"] == 1.0
+
+
+def test_grouped_ols_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 4.0, 1.0), ("g", 4.0, 9.0)], "g string, x double, y double"
+    )
+    r = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_corr_matrix_known_values(spark):
+    # b = 2a (r=1); c = -a (r=-1); b vs c = -1
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+        "a double, b double, c double",
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_corr_matrix_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, k double"
+    )
+    r = corr_matrix(df, ["a", "k"]).collect()[0]
+    assert r["pearson_r"] is None
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in b],
+        "g string, v double",
+    )
+    r = welch_ttest(df, "v", "g", "A", "B").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    ea, eb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(ea + eb)
+    dof = (ea + eb) ** 2 / (ea**2 / (na - 1) + eb**2 / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - ma) < 1e-6 and abs(r["mean_b"] - mb) < 1e-6
+    assert abs(r["var_a"] - va) < 1e-4 and abs(r["var_b"] - vb) < 1e-4
+    assert abs(r["t_stat"] - t) < 1e-6
+    assert abs(r["welch_df"] - dof) < 1e-6
+
+
+def test_bfs_hops_chain_and_early_stop(spark):
+    # chain 1-2-3-4 plus disjoint pair 10-11; roots 1 and 10.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    roots = spark.createDataFrame([(1,), (10,)], "node long")
+    out = {
+        r["node"]: r["hops"]
+        for r in bfs_hops_from_roots(edges, roots).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1}
+
+
+def test_bfs_hop_cap_bounds_reach(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    roots = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["hops"]
+        for r in bfs_hops_from_roots(edges, roots, max_hops=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2}  # node 4 is beyond the cap
