@@ -527,6 +527,64 @@ def _star_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
+#: Edge gate for the connected-components local-solve fast path: edge
+#: lists at or under this bound (~16 MB of id pairs) are collected
+#: from their (already-materialized) checkpoint and solved with a
+#: driver union-find — the same small-input rationale as the k-means
+#: LLOYD_LOCAL_SOLVE_ELEMENTS gate. Near-dup graphs are SPARSE (edges
+#: only between verified near-duplicates), so even very large corpora
+#: often fit; a 100 TB adversarial graph exceeds the gate and takes
+#: the distributed label-propagation / star path unchanged.
+CC_LOCAL_SOLVE_EDGES = 1_000_000
+
+
+def _components_local(spark: SparkSession, head: list) -> DataFrame:
+    """Driver union-find over the collected edge list: path-compressed,
+    union-by-size, second pass relabels every set to its MIN member —
+    exactly the distributed algorithms' fixed point, computed exactly
+    (no iteration caps, no convergence detection)."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for r in head:
+        u, v = r["u"], r["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if size[ru] < size[rv]:
+                ru, rv = rv, ru
+            parent[rv] = ru
+            size[ru] += size[rv]
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    nodes = sorted(parent)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": nodes,
+                "component": [comp_min[find(n)] for n in nodes],
+            }
+        ),
+        schema="node bigint, component bigint",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -581,6 +639,21 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    # Small-graph fast path (minlabel/auto only — the "star" entry
+    # exists precisely to driver-verify the distributed star rounds,
+    # so it never short-circuits): probe the CHECKPOINTED edge list
+    # with a bounded limit-collect; if the whole graph fits the edge
+    # gate, solve with a driver union-find. Below the gate each
+    # distributed round is pure fixed cost (join + agg + checkpoint
+    # job on a few thousand rows), and label propagation needs
+    # O(diameter) such rounds; the union-find is exact, reads the
+    # already-materialized checkpoint, and emits the identical
+    # (node, component=min id) labels. At scale the probe returns
+    # cap+1 rows from the checkpoint (no recompute) and the
+    # distributed loop proceeds untouched.
+    head = edges.limit(CC_LOCAL_SOLVE_EDGES + 1).collect()
+    if len(head) <= CC_LOCAL_SOLVE_EDGES:
+        return _components_local(edges.sparkSession, head)
     sym = edges.union(edges.select(F.col("v"), F.col("u"))).localCheckpoint(
         eager=True
     )

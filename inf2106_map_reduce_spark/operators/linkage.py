@@ -61,6 +61,17 @@ def fuzzy_pairs(
             )
         )
     a, b = sides
+    # The build side broadcasts, so the probe side's input splits ARE
+    # the join's parallelism. A small-file input (one split) would run
+    # the whole |block|²-candidate levenshtein probe in a single task;
+    # when the scan yields fewer splits than cores, shuffle the probe
+    # side up to the default parallelism (keyed round-robin — the
+    # block key is NOT needed: broadcast probes are partition-local
+    # anyway). At scale the input has >= cores splits and this is a
+    # no-op — no extra shuffle on the 100 TB path.
+    sc = df.sparkSession.sparkContext
+    if a.rdd.getNumPartitions() < sc.defaultParallelism:
+        a = a.repartition(sc.defaultParallelism)
     cond = (F.col("_len_a") == F.col("_len_b")) & (
         F.col("id_a") < F.col("id_b")
     )
