@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inf2106_map_reduce_spark.tables import load_table
+from inf2106_map_reduce_spark.tables import ensure_parallelism, load_table
 
 N_HASHES = 12  # minhash signature length
 BAND_ROWS = 3  # rows per LSH band -> 4 bands

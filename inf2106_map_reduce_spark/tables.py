@@ -73,6 +73,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = convert_event_ts(df)
+    if name == "documents":
+        # The text corpus feeds per-row-EXPENSIVE pipelines (tokenize/
+        # regex/md5 explodes) whose parallelism is the scan's split
+        # count — see ensure_parallelism (substring spans: 4.9 s ->
+        # 1.7 s at sf0.1). Safe to apply centrally: no operator in
+        # this repo uses partition-sensitive expressions (rand/sample/
+        # monotonically_increasing_id are banned by the determinism
+        # contract — samplers are content-hash-keyed), and Catalyst
+        # pushes filters/pruning through the repartition to the scan.
+        # Measured and REJECTED for embeddings: its ANN plans self-join
+        # the same scan repeatedly, and the extra exchange per branch
+        # beats the parallelism gain 2x (ann_recall_audit 2.2 -> 11.9 s).
+        df = ensure_parallelism(df)
     return df
 
 
@@ -102,3 +115,24 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Raise a DataFrame's partition count to the session's default
+    parallelism when its source yields fewer splits than cores.
+
+    Compute-heavy per-row pipelines (tokenize→shingle explodes, blocked
+    string-distance probes) inherit their parallelism from the SCAN's
+    split count; a small single-file input therefore runs the whole
+    pipeline in ONE task no matter how many cores the cluster has —
+    parquet can't split below a row group, so
+    ``spark.sql.files.maxPartitionBytes`` can't help. The round-robin
+    repartition costs one shuffle of the (small, pre-explosion) input.
+    At 100 TB the scan yields >= cores splits and this is a NO-OP — no
+    extra shuffle ever appears on the scale path. Apply it between the
+    scan and per-row-expensive work, never after an explode (shuffling
+    the exploded rows would move the blown-up data)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
