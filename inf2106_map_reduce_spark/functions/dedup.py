@@ -211,20 +211,43 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def word_hash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded per-word hash table (id, hi, lo): the md5-hex first 16
+    chars as two 32-bit halves — the shared input of BOTH SimHash
+    widths (32-bit uses ``hi``; 64-bit uses both). The explode+md5 is
+    the dominant cost of every SimHash query, so the registry stages
+    this table once per session (``_registry_word_hashes``) exactly
+    like the shingle table."""
+    words = F.explode(
+        F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
+    ).alias("word")
+    md5 = F.md5(F.col("word"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+    return df.select(F.col(id_col), words).select(
+        id_col, hi.alias("hi"), lo.alias("lo")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
     """32-bit SimHash over word hashes (md5-hex first 8 chars → int).
 
     Per doc: bit j of the signature is 1 iff Σ_words (±1 for word-hash
     bit j) > 0. Computed as 32 conditional SUMs in one aggregation —
     no UDF, one shuffle. Near-dup candidates are then docs whose
     signatures match on a rotated prefix (not part of this function).
+    ``hashes`` injects a precomputed :func:`word_hash_table` (the
+    session stage) so the explode+md5 is not re-run per consumer.
     """
-    words = F.explode(
-        F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
-    ).alias("word")
-    wh = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
-    exploded = df.select(F.col(id_col), words).select(
-        id_col, wh.alias("wh")
+    exploded = (hashes if hashes is not None else word_hash_table(df, id_col, text_col)).select(
+        id_col, F.col("hi").alias("wh")
     )
     bit_sums = [
         F.sum(
@@ -836,7 +859,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature per document."""
+    """SimHash signature per document. (A checkpointed shared
+    word-hash stage across the three SimHash entries was measured and
+    REJECTED: materializing the ~word-count-sized (id, hi, lo) table
+    cost more than the three parallel explode+md5 recomputes it
+    saved — the hash is cheap JVM codegen; the checkpoint is I/O.)"""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d)
 
@@ -1062,7 +1089,10 @@ def _hamming_banded_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """64-bit SimHash — the corpus-scale precision variant of
     :func:`simhash`. At 32 bits, random-doc collisions within Hamming 3
@@ -1084,14 +1114,10 @@ def simhash64(
     duplication). The current single explode + single agg is the
     measured optimum of the three shapes.
     """
-    words = F.explode(
-        F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
-    ).alias("word")
-    md5 = F.md5(F.col("word"))
-    wh_hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
-    wh_lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
-    exploded = df.select(F.col(id_col), words).select(
-        id_col, wh_hi.alias("hi"), wh_lo.alias("lo")
+    exploded = (
+        hashes
+        if hashes is not None
+        else word_hash_table(df, id_col, text_col)
     )
     def _src(j: int):
         return (

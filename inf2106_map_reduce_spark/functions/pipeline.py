@@ -470,6 +470,72 @@ def difficulty_buckets(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum training order: rank documents short→long within
+    each source (length proxies difficulty — the classic curriculum),
+    then interleave sources by rank so the global order cycles through
+    every source's easiest remaining doc before moving deeper. The
+    emitted ``global_pos`` is the exact rank in that
+    (rank_in_source, source, doc_id) total order — the sequence a
+    curriculum data loader would consume.
+
+    Scale: the per-source rank is a SHARD-partitioned window
+    (parallelism = #sources). The global position is NOT a global
+    window (that is a single-task sort — the pack_sequences lesson);
+    it is computed ARITHMETICALLY from the tiny per-source size table,
+    broadcast as an array: docs ranked below r contribute
+    Σ_s min(r−1, n_s), and within rank r each lexicographically
+    smaller source with n_s ≥ r contributes one slot. The oracle
+    states the same order as a plain global ROW_NUMBER — identical
+    semantics, deliberately different (scale-correct) plan.
+    """
+    n_words = F.size(_words(text_col)).alias("n_words")
+    w = Window.partitionBy(shard_col).orderBy("n_words", id_col)
+    ranked = df.select(shard_col, F.col(id_col), n_words).withColumn(
+        "rank_in_source", F.row_number().over(w)
+    )
+    sizes = (
+        ranked.groupBy(shard_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(shard_col).alias("s"), "_n"))
+            ).alias("_sizes")
+        )
+    )
+    r = F.col("rank_in_source").cast("long")
+    pos = (
+        F.aggregate(
+            F.col("_sizes"),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.least(r - 1, e["_n"])
+            + F.when(
+                (e["_n"] >= r) & (e["s"] < F.col(shard_col)), 1
+            ).otherwise(0),
+        )
+        + 1
+    )
+    return ranked.crossJoin(F.broadcast(sizes)).select(
+        F.col(id_col),
+        shard_col,
+        "n_words",
+        "rank_in_source",
+        pos.alias("global_pos"),
+    )
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: interleaved short→long curriculum order over
+    the documents corpus."""
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
 def masked_pattern_profile(
     df: DataFrame,
     col: str = "props",

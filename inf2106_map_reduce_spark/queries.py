@@ -3437,6 +3437,33 @@ REGISTRY.update(
             "curriculum binning: per-source length deciles (ntile)",
             ("pipeline",),
         ),
+        "docs_curriculum_order": QuerySpec(
+            pipeline.docs_curriculum_order,
+            # the oracle states the SEMANTICS as a plain global window;
+            # the engine computes the identical total-order position
+            # arithmetically from broadcast per-source counts so no
+            # single-task global sort appears in the plan
+            f"""
+            WITH t AS (
+              SELECT source, doc_id, len({_WORDS_LC}) AS n_words
+              FROM documents
+            ),
+            r AS (
+              SELECT source, doc_id, n_words,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_words, doc_id)
+                       AS rank_in_source
+              FROM t
+            )
+            SELECT doc_id, source, n_words, rank_in_source,
+                   ROW_NUMBER() OVER (ORDER BY rank_in_source, source,
+                                      doc_id) AS global_pos
+            FROM r
+            """,
+            "interleaved short->long curriculum order; global position "
+            "computed shuffle-arithmetically, not via a global sort",
+            ("pipeline",),
+        ),
         "events_masked_profile": QuerySpec(
             pipeline.events_masked_profile,
             """
