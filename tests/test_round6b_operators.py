@@ -140,3 +140,31 @@ def test_bfs_hop_cap_bounds_reach(spark):
         for r in bfs_hops_from_roots(edges, roots, max_hops=2).collect()
     }
     assert out == {1: 0, 2: 1, 3: 2}  # node 4 is beyond the cap
+
+
+def test_curriculum_order_matches_global_window(spark):
+    # unequal source sizes: the arithmetic position must agree with
+    # the naive global (rank, source, id) sort even when one source
+    # exhausts early
+    from inf2106_map_reduce_spark.functions.pipeline import curriculum_order
+
+    rows = [
+        # (doc_id, source, text) — word counts planted via repetition
+        (1, "a", "x " * 3),
+        (2, "a", "x " * 1),
+        (3, "a", "x " * 2),
+        (4, "b", "x " * 5),
+        (5, "b", "x " * 4),
+        (6, "c", "x " * 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curriculum_order(df).collect()
+    got = {r["doc_id"]: r["global_pos"] for r in out}
+    ranked = sorted(
+        out, key=lambda r: (r["rank_in_source"], r["source"], r["doc_id"])
+    )
+    expect = {r["doc_id"]: i + 1 for i, r in enumerate(ranked)}
+    assert got == expect
+    # interleave property: position 1..3 are the three sources' easiest
+    first3 = {r["doc_id"] for r in out if r["global_pos"] <= 3}
+    assert first3 == {2, 5, 6}
