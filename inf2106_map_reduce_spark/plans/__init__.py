@@ -6,6 +6,7 @@ from inf2106_map_reduce_spark.plans.inspect import (
     has_broadcast_join,
     pushed_filters,
     scan_columns,
+    data_shuffle_count,
     shuffle_count,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "has_broadcast_join",
     "pushed_filters",
     "scan_columns",
+    "data_shuffle_count",
     "shuffle_count",
 ]

@@ -49,3 +49,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (shuffles) in the physical plan."""
     return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", explain_str(df, "simple")))
+
+
+def data_shuffle_count(df: DataFrame) -> int:
+    """Exchanges that move data BY KEY (hash/range/single-partition) —
+    the shuffles that exist at every scale. Excludes round-robin
+    repartitions: the only source of those in this engine is
+    ``tables.ensure_parallelism``'s small-file parallelism fix, which
+    is structurally absent at scale (the node is added only when the
+    scan yields fewer splits than cores), so scale-property tests pin
+    THIS count."""
+    return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)", explain_str(df, "simple")))

@@ -12,6 +12,7 @@ from inf2106_map_reduce_spark.plans import (
     has_broadcast_join,
     pushed_filters,
     scan_columns,
+    data_shuffle_count,
     shuffle_count,
 )
 from inf2106_map_reduce_spark.tables import load_table
@@ -185,7 +186,7 @@ def test_boilerplate_single_shuffle(spark, sf_oracle):
     df = pipeline.docs_boilerplate(spark, sf_oracle)
     # explode + hash is narrow; the only wide op is the block groupBy
     # (partial agg on the map side + final) — AQE may add a coalesce.
-    assert shuffle_count(df) <= 2, f"too many shuffles: {shuffle_count(df)}"
+    assert data_shuffle_count(df) <= 2, f"too many shuffles: {data_shuffle_count(df)}"
 
 
 def test_difficulty_buckets_partition_by_shard(spark, sf_oracle):
@@ -256,7 +257,7 @@ def test_chunk_dedup_is_two_shuffles(spark, sf_oracle):
     from inf2106_map_reduce_spark.functions.pipeline import docs_chunk_dedup
 
     df = docs_chunk_dedup(spark, sf_oracle)
-    assert shuffle_count(df) == 2
+    assert data_shuffle_count(df) == 2
 
 
 def test_bm25_plan_is_narrow(spark, sf_oracle):
@@ -268,7 +269,7 @@ def test_bm25_plan_is_narrow(spark, sf_oracle):
     df = retrieval.docs_bm25_topk(spark, sf_oracle)
     plan = explain_str(df)
     assert "Generate" not in plan, "corpus exploded — narrow form regressed"
-    assert shuffle_count(df) <= 2, f"too many shuffles: {shuffle_count(df)}"
+    assert data_shuffle_count(df) <= 2, f"too many shuffles: {data_shuffle_count(df)}"
 
 
 def test_hybrid_rrf_broadcasts_and_bounds_shuffles(spark, sf_oracle):
@@ -276,7 +277,7 @@ def test_hybrid_rrf_broadcasts_and_bounds_shuffles(spark, sf_oracle):
 
     df = retrieval.docs_hybrid_rrf(spark, sf_oracle)
     assert has_broadcast_join(df)
-    assert shuffle_count(df) <= 5, f"too many shuffles: {shuffle_count(df)}"
+    assert data_shuffle_count(df) <= 5, f"too many shuffles: {data_shuffle_count(df)}"
 
 
 def test_substring_span_window_is_per_doc(spark, sf_oracle):
@@ -294,7 +295,7 @@ def test_pii_scrub_is_shuffle_free(spark, sf_oracle):
     from inf2106_map_reduce_spark.functions import pipeline
 
     df = pipeline.docs_pii_scrub(spark, sf_oracle)
-    assert shuffle_count(df) == 0, f"scrub should be a pure scan: {shuffle_count(df)}"
+    assert data_shuffle_count(df) == 0, f"scrub must not shuffle data by key: {data_shuffle_count(df)}"
 
 
 def test_bloom_probe_is_broadcast_join(spark, sf_oracle):
