@@ -36,9 +36,15 @@ def replicate(df: DataFrame, k: int, key_cols: list[str]) -> DataFrame:
     return reduce(DataFrame.unionAll, copies)
 
 
-def timed(df: DataFrame) -> float:
+def timed(mk_df) -> float:
+    """Time CONSTRUCTION + EXECUTION of a shape: iterative operators
+    (CC rounds, BFS frontiers, the local solves) do their work eagerly
+    while the DataFrame is being BUILT (per-round localCheckpoint
+    actions), so the thunk must run inside the timer — timing only the
+    final noop write of a pre-built DataFrame under-reports them to
+    just the label-join epilogue."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    mk_df().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -113,7 +119,17 @@ def main() -> None:
     e1, ek = planted_edges(1), planted_edges(k)
 
     def cc(edges):
-        return connected_components(edges)
+        # force the DISTRIBUTED label-propagation path: the probe
+        # measures the scale algorithm, and the planted graphs sit
+        # under the driver union-find gate (CC_LOCAL_SOLVE_EDGES)
+        from inf2106_map_reduce_spark.functions import dedup as _dd
+
+        prev = _dd.CC_LOCAL_SOLVE_EDGES
+        _dd.CC_LOCAL_SOLVE_EDGES = 0
+        try:
+            return connected_components(edges)
+        finally:
+            _dd.CC_LOCAL_SOLVE_EDGES = prev
 
     from inf2106_map_reduce_spark.functions.dedup import duplicate_span_report
     from inf2106_map_reduce_spark.functions.retrieval import bm25_topk
@@ -190,6 +206,47 @@ def main() -> None:
 
     pts1, ptsk = pareto_points(1), pareto_points(k)
 
+    # --- round-6b additions: blocked fuzzy match, BFS hops -----------
+    from inf2106_map_reduce_spark.functions.dedup import bfs_hops_from_roots
+    from inf2106_map_reduce_spark.operators.linkage import fuzzy_pairs
+
+    def fuzzy_customers(scale: int) -> DataFrame:
+        base = load_table(spark, sf, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
+        copies = []
+        for i in range(scale):
+            c = base.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * 100_000_000)
+            )
+            # vary the name LENGTH per copy so the length blocking key
+            # keeps copies disjoint — replicated entities must stay
+            # distinct or the pair count (and the work) grows k²-fold
+            # by construction instead of linearly with the data
+            if i:
+                c = c.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit("x" * i))
+                )
+            copies.append(c)
+        return reduce(DataFrame.unionAll, copies).localCheckpoint(eager=True)
+
+    fc1, fck = fuzzy_customers(1), fuzzy_customers(k)
+
+    def fuzzy(dfc):
+        return fuzzy_pairs(
+            dfc, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"]
+        )
+
+    def bfs(edges):
+        # chain starts (id % 5 == 0 survives the copy offsets, which
+        # are multiples of 5) are the roots — per-component BFS
+        roots = (
+            edges.select(F.col("id_a").alias("node"))
+            .filter(F.col("node") % 5 == 0)
+            .distinct()
+        )
+        return bfs_hops_from_roots(edges, roots)
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
@@ -225,12 +282,17 @@ def main() -> None:
             "containment verify (LSH candidates)",
             lambda s: containment_pairs(d1) if s == 1 else containment_pairs(dk),
         ),
+        (
+            "blocked fuzzy match (levenshtein)",
+            lambda s: fuzzy(fc1) if s == 1 else fuzzy(fck),
+        ),
+        ("BFS hops (frontier joins)", lambda s: bfs(e1) if s == 1 else bfs(ek)),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
     for name, mk in shapes:
-        timed(mk(1))  # warm codegen per shape
-        t1 = min(timed(mk(1)) for _ in range(3))
-        tk = min(timed(mk(k)) for _ in range(3))
+        timed(lambda: mk(1))  # warm codegen per shape
+        t1 = min(timed(lambda: mk(1)) for _ in range(3))
+        tk = min(timed(lambda: mk(k)) for _ in range(3))
         print(
             f"  {name}: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
             f"(ideal <= {k}x; sublinear = fixed cost amortized)"
