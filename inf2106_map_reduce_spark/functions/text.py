@@ -272,3 +272,108 @@ def bpe_pair_counts(
 def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: top-20 BPE merge candidates over documents."""
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+#: Rounds of the iterative BPE trainer registry entry — enough that
+#: later merges visibly build on earlier ones (a round-3 top pair can
+#: contain a round-1 merged symbol).
+BPE_TRAIN_ROUNDS = 6
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = BPE_TRAIN_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE training (Sennrich et al. ACL'16), merges
+    APPLIED: where :func:`bpe_pair_counts` stops at the first argmax,
+    this runs the real loop — count weighted adjacent symbol pairs
+    over the vocabulary, merge the top pair into one symbol in every
+    word, recount, repeat. Later rounds see earlier merges, so the
+    output is the ordered merge TABLE a tokenizer ships. One row per
+    round: the learned pair, its count at selection time, and the
+    weighted corpus symbol count after applying it (hash-checking the
+    merge's APPLICATION, not just its selection).
+
+    Representation: each word's symbol sequence is a string
+    ``' s1  s2  ...  sn '`` — two spaces BETWEEN symbols, one at each
+    end, so every symbol owns one bracketing space per side. The merge
+    is then a literal ``replace(seq, ' a  b ', ' ab ')``: matches can
+    never share characters (consecutive ``a b a b`` merges both
+    pairs, exactly BPE's non-overlapping left-to-right semantics),
+    and the same literal-replace runs identically in DuckDB, making
+    the whole trajectory SQL-mirrorable.
+
+    Scale: the loop state is the VOCABULARY (word, seq, count) —
+    Zipf-bounded, not corpus-sized; one corpus-wide shuffle builds it,
+    after which every round is a vocab-scale aggregate + a narrow
+    replace. The per-round driver collect is the top-1 pair (3
+    values) — the k-means centroid pattern. Ties break
+    deterministically: count desc, then (token_a, token_b) asc.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(F.explode(F.split(norm, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.concat(
+                F.lit(" "),
+                F.concat_ws("  ", F.split(F.col("word"), "")),
+                F.lit(" "),
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    symbols = F.split(F.trim(F.col("seq")), "  ")
+    out_rows = []
+    v = vocab
+    for r in range(1, rounds + 1):
+        pairs = v.select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(symbols) - 1),
+                    lambda i: F.struct(
+                        F.element_at(symbols, i).alias("a"),
+                        F.element_at(symbols, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size(symbols) >= 2)
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        v = v.select(
+            "wc",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} "),
+            ).alias("seq"),
+        )
+        after = v.agg(
+            F.sum(F.col("wc") * F.size(symbols)).alias("t")
+        ).collect()[0]["t"]
+        out_rows.append((r, a, b, int(n), int(after)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, token_a string, token_b string, "
+        "pair_count bigint, corpus_symbols_after bigint",
+    )
+
+
+def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 6 applied BPE merge rounds over documents."""
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))

@@ -736,6 +736,56 @@ def _rp_oracle() -> str:
     """
 
 
+def _bpe_train_oracle() -> str:
+    """Unrolled BPE-training trajectory: per round, the weighted
+    pair-count argmax over the vocabulary's symbol sequences, the
+    literal boundary-safe replace (the engine's exact double-space
+    representation), and the post-merge weighted symbol count. The
+    merge pair flows through SQL columns (CROSS JOIN with the 1-row
+    top-pair CTE), so the oracle needs no collected constants."""
+    rounds = text.BPE_TRAIN_ROUNDS
+    parts = [
+        f"""
+        WITH w AS (
+          SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+        ),
+        v0 AS (
+          SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+                   || ' ' AS seq,
+                 COUNT(*) AS wc
+          FROM w WHERE word != '' GROUP BY word
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        p{r} AS (
+          SELECT ss[i] AS a, ss[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+          FROM (SELECT wc, string_split(trim(seq, ' '), '  ') AS ss
+                FROM v{r - 1}),
+               LATERAL unnest(range(1, len(ss))) t(i)
+          GROUP BY 1, 2
+        ),
+        t{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+        v{r} AS (
+          SELECT wc,
+                 replace(seq, ' ' || t.a || '  ' || t.b || ' ',
+                         ' ' || t.a || t.b || ' ') AS seq
+          FROM v{r - 1} CROSS JOIN t{r} t
+        ),
+        s{r} AS (
+          SELECT CAST(SUM(wc * len(string_split(trim(seq, ' '), '  ')))
+                      AS BIGINT) AS tot
+          FROM v{r}
+        )""")
+    selects = [
+        f"SELECT CAST({r} AS INT) AS merge_rank, t.a AS token_a, "
+        f"t.b AS token_b, t.n AS pair_count, s.tot AS corpus_symbols_after "
+        f"FROM t{r} t CROSS JOIN s{r} s"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 _OLS_ORACLE = """
 WITH m AS (
   SELECT l_returnflag,
@@ -4234,6 +4284,13 @@ REGISTRY.update(
             "customer -> gzip CSV -> schema read-back -> per-segment "
             "aggregate (compressed-codec connector lane)",
             ("source",),
+        ),
+        "vocab_bpe_train": QuerySpec(
+            text.vocab_bpe_train,
+            _bpe_train_oracle(),
+            "iterative BPE training: 6 applied merge rounds with the "
+            "post-merge corpus symbol count hash-checked per round",
+            ("text", "pipeline", "iterative"),
         ),
         "docs_neardup_bfs": QuerySpec(
             dedup.docs_neardup_bfs,

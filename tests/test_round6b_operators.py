@@ -168,3 +168,33 @@ def test_curriculum_order_matches_global_window(spark):
     # interleave property: position 1..3 are the three sources' easiest
     first3 = {r["doc_id"] for r in out if r["global_pos"] <= 3}
     assert first3 == {2, 5, 6}
+
+
+def test_bpe_train_applies_merges_and_composes(spark):
+    from inf2106_map_reduce_spark.functions.text import bpe_train_merges
+
+    # corpus: 'abab' x3, 'ab' x2 -> round 1 merges (a,b) [count 8];
+    # round 2 must see the MERGED symbol: 'abab' is now [ab, ab], so
+    # (ab, ab) [count 3] wins over any char pair — proving application
+    df = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(df, rounds=2).collect()
+    assert (rows[0]["token_a"], rows[0]["token_b"]) == ("a", "b")
+    assert rows[0]["pair_count"] == 8
+    # after merging all (a,b): abab -> 2 symbols x3, ab -> 1 symbol x2
+    assert rows[0]["corpus_symbols_after"] == 8
+    assert (rows[1]["token_a"], rows[1]["token_b"]) == ("ab", "ab")
+    assert rows[1]["pair_count"] == 3
+    assert rows[1]["corpus_symbols_after"] == 5
+
+
+def test_bpe_train_consecutive_pairs_merge_non_overlapping(spark):
+    from inf2106_map_reduce_spark.functions.text import bpe_train_merges
+
+    # 'aaaa' = [a,a,a,a]: pair (a,a) occurs 3 times overlapping, but
+    # the merge is left-to-right NON-overlapping -> [aa, aa]
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    rows = bpe_train_merges(df, rounds=1).collect()
+    assert (rows[0]["token_a"], rows[0]["token_b"]) == ("a", "a")
+    assert rows[0]["corpus_symbols_after"] == 2
