@@ -556,3 +556,69 @@ def activity_islands(
 def orders_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-customer order-activity interval coalescing."""
     return activity_islands(load_table(spark, sf_dir, "orders"))
+
+
+def sequence_patterns(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequential pattern mining over per-user event streams — the
+    MATCH_RECOGNIZE-style question :func:`event_funnel` does NOT
+    answer: not "did the user ever do A then B then C" (first-
+    completion funnel) but "how many times did the EXACT consecutive
+    run A,B,C occur" (``n_contiguous``) plus the subsequence form with
+    arbitrary events between (``has_gapped``).
+
+    Technique: each user's event types, ordered by (ts, event_id),
+    become one SPACE-JOINED STRING; the contiguous pattern is then a
+    ``regexp_count`` and the gapped pattern an ``rlike`` — both
+    whole-stage-codegen JVM regex over one row per user, no iteration,
+    no UDF. Exactness precondition (documented, not assumed): the
+    event-type vocabulary is a closed set in which no type is a
+    substring of another, so unpadded matching cannot cross token
+    boundaries.
+
+    Scale: one shuffle on the user key; per-user state is that user's
+    event-type sequence (the sessionization-family caveat — bounded by
+    per-user activity, not corpus size). The regex runs over
+    user-sequence-length strings, linear, codegen'd.
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("e"),
+                )
+            )
+        ),
+        lambda x: x["e"],
+    )
+    contiguous = " ".join(steps)
+    gapped = ".*".join(steps)
+    return (
+        events.groupBy(F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(" ", ordered).alias("_seq"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            F.regexp_count(F.col("_seq"), F.lit(contiguous)).alias(
+                "n_contiguous"
+            ),
+            F.col("_seq").rlike(gapped).alias("has_gapped"),
+        )
+    )
+
+
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-user view,click,purchase run counts
+    (contiguous) and gapped-subsequence presence."""
+    return sequence_patterns(load_table(spark, sf_dir, "events"))

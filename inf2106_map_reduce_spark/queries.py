@@ -4285,6 +4285,25 @@ REGISTRY.update(
             "aggregate (compressed-codec connector lane)",
             ("source",),
         ),
+        "events_sequence_patterns": QuerySpec(
+            timeseries.events_sequence_patterns,
+            """
+            WITH s AS (
+              SELECT user_id, COUNT(*) AS n_events,
+                     array_to_string(
+                       list(event_type ORDER BY ts, event_id), ' ') AS seq
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(len(regexp_extract_all(
+                     seq, 'view click purchase')) AS INT) AS n_contiguous,
+                   regexp_matches(seq, 'view.*click.*purchase') AS has_gapped
+            FROM s
+            """,
+            "sequence pattern mining: contiguous run counts + gapped "
+            "subsequence over ordered per-user event strings",
+            ("timeseries", "text"),
+        ),
         "vocab_bpe_train": QuerySpec(
             text.vocab_bpe_train,
             _bpe_train_oracle(),

@@ -198,3 +198,32 @@ def test_bpe_train_consecutive_pairs_merge_non_overlapping(spark):
     rows = bpe_train_merges(df, rounds=1).collect()
     assert (rows[0]["token_a"], rows[0]["token_b"]) == ("a", "a")
     assert rows[0]["corpus_symbols_after"] == 2
+
+
+def test_sequence_patterns_contiguous_vs_gapped(spark):
+    import datetime
+
+    from inf2106_map_reduce_spark.operators.timeseries import (
+        sequence_patterns,
+    )
+
+    def ev(uid, i, t):
+        return (uid, i, t, datetime.datetime(2024, 1, 1, 0, i))
+
+    rows = [
+        # user 1: view click purchase view click purchase -> 2 contiguous
+        *[ev(1, i, t) for i, t in enumerate(
+            ["view", "click", "purchase", "view", "click", "purchase"])],
+        # user 2: view error click error purchase -> gapped only
+        *[ev(2, i, t) for i, t in enumerate(
+            ["view", "error", "click", "error", "purchase"])],
+        # user 3: purchase click view -> wrong order, neither
+        *[ev(3, i, t) for i, t in enumerate(["purchase", "click", "view"])],
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r.asDict() for r in sequence_patterns(df).collect()}
+    assert out[1]["n_contiguous"] == 2 and out[1]["has_gapped"]
+    assert out[2]["n_contiguous"] == 0 and out[2]["has_gapped"]
+    assert out[3]["n_contiguous"] == 0 and not out[3]["has_gapped"]
