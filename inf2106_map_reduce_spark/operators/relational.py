@@ -1808,3 +1808,59 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, checks)
+
+
+def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* arithmetic coverage: ``try_divide`` (zero
+    divisor), ``try_add``/``try_multiply`` (bigint overflow),
+    ``try_cast`` (unparseable and parseable prefixes), and
+    ``try_element_at`` (out-of-bounds index) — the NULL-instead-of-
+    raise surface that makes pipelines total under ANSI mode (the
+    driver's vanilla sessions run ANSI ON, so these are the exact
+    forms a production job must use instead of bare operators).
+
+    Scale: pure narrow projection, whole-stage codegen, no shuffle.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    den = (F.col("o_custkey") % 3).cast("double")
+    idx = (F.col("o_orderkey") % 5 + 1).cast("int")  # 1..5 vs len-3 array
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), den), 6).alias(
+            "try_div"
+        ),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"), F.col("o_orderkey")
+        ).alias("try_add_overflow"),
+        F.try_multiply(
+            F.lit(2**62).cast("bigint"),
+            (F.col("o_orderkey") % 4).cast("bigint"),
+        ).alias("try_mul"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("try_cast_full"),
+        F.expr(
+            "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+        ).alias("try_cast_prefix"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)), idx
+        ).alias("try_elem"),
+    )
+
+
+def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (exact
+    integer-ratio doubles, rounded 9 for cross-engine safety) plus
+    first/last/nth_value over the full partition frame — completes the
+    rank-family coverage next to window_rank_battery's
+    rank/dense_rank/lag/lead/ntile."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )

@@ -4285,6 +4285,52 @@ REGISTRY.update(
             "aggregate (compressed-codec connector lane)",
             ("source",),
         ),
+        "scalar_try_battery": QuerySpec(
+            relational.scalar_try_battery,
+            """
+            SELECT o_orderkey,
+                   ROUND(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                         ELSE o_totalprice / CAST(o_custkey % 3 AS DOUBLE)
+                         END, 6) AS try_div,
+                   CASE WHEN o_orderkey = 0
+                        THEN CAST(9223372036854775807 AS BIGINT)
+                        ELSE CAST(NULL AS BIGINT) END AS try_add_overflow,
+                   CASE CAST(o_orderkey % 4 AS BIGINT)
+                        WHEN 0 THEN CAST(0 AS BIGINT)
+                        WHEN 1 THEN CAST(4611686018427387904 AS BIGINT)
+                        ELSE CAST(NULL AS BIGINT) END AS try_mul,
+                   TRY_CAST(o_orderpriority AS INTEGER) AS try_cast_full,
+                   TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
+                     AS try_cast_prefix,
+                   ([10, 20, 30])[CAST(o_orderkey % 5 + 1 AS INT)]
+                     AS try_elem
+            FROM orders WHERE o_orderkey % 11 = 0
+            """,
+            "ANSI-safe TRY_* arithmetic: zero divide, bigint overflow, "
+            "bad casts, out-of-bounds element_at -> NULL not raise",
+            ("scalar", "relational"),
+        ),
+        "window_distribution_battery": QuerySpec(
+            relational.window_distribution_battery,
+            """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 9) AS cume,
+                   FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+                   LAST_VALUE(o_orderkey) OVER wf AS last_order,
+                   NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                   wf AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+            """,
+            "percent_rank/cume_dist + first/last/nth_value over the "
+            "full partition frame",
+            ("window", "relational"),
+        ),
         "events_sequence_patterns": QuerySpec(
             timeseries.events_sequence_patterns,
             """
