@@ -45,6 +45,7 @@ WARMUP = (
     # (tests/test_bench_contract.py asserts the streaming family stays
     # fully covered here)
     "streaming_click_attribution",
+    "streaming_click_attribution_outer",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_session_windows",

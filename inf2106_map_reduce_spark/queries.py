@@ -3330,6 +3330,41 @@ REGISTRY: dict[str, QuerySpec] = {
         "stream-stream inner join (watermarked 1-hour attribution window)",
         ("streaming", "join", "events"),
     ),
+    "streaming_click_attribution_outer": QuerySpec(
+        stream_joins.streaming_click_attribution_outer,
+        # the STREAMING semantics are oracle-encoded, not just the
+        # batch join: unmatched clicks emit null-extended only once
+        # the global watermark (min of the two filtered inputs' maxes,
+        # minus the 1 h delay) passes click_ts + horizon — i.e.
+        # click_ts < least(max click ts, max purchase ts) − 2 h; later
+        # clicks stay buffered and are correctly absent
+        """
+        WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT LEAST((SELECT MAX(cts) FROM c),
+                            (SELECT MAX(pts) FROM p))
+                      - INTERVAL 2 HOUR AS cutoff),
+        matched AS (
+          SELECT c.user_id, c.click_id, p.purchase_id FROM c JOIN p
+            ON c.user_id = p.user_id
+           AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR),
+        unmatched AS (
+          SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+          FROM c CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM p
+                            WHERE p.user_id = c.user_id
+                              AND p.pts >= c.cts
+                              AND p.pts <= c.cts + INTERVAL 1 HOUR)
+            AND c.cts < wm.cutoff)
+        SELECT user_id, click_id, purchase_id FROM matched
+        UNION ALL SELECT * FROM unmatched
+        """,
+        "LEFT OUTER stream-stream join: unmatched clicks null-extend "
+        "only when the watermark proves no match can arrive",
+        ("streaming", "join", "events"),
+    ),
 }
 
 

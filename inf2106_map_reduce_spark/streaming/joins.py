@@ -35,10 +35,15 @@ from inf2106_map_reduce_spark.tables import (
 ATTRIBUTION_HORIZON = "1 hour"
 
 
-def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def click_purchase_pairs(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """All (click, purchase) pairs per user where the purchase lands
     within the attribution horizon AFTER the click. Works on batch or
-    streaming inputs — the streaming binding just adds watermarks."""
+    streaming inputs — the streaming binding just adds watermarks.
+    ``how="left_outer"`` additionally keeps unattributed clicks with a
+    NULL purchase; on a stream those rows emit only once the
+    purchase-side watermark proves no match can still arrive."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -57,6 +62,7 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}")
         ),
+        how,
     )
     return joined.select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id"
@@ -69,6 +75,31 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, both sides watermarked (state eviction on both buffers).
     Append-mode matches through a foreachBatch parquet sink; oracle is
     the equivalent batch join."""
+    return _attribution_drain(spark, sf_dir, how="inner")
+
+
+def streaming_click_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: LEFT OUTER stream-stream join — attributed
+    clicks emit on match arrival (the inner part), and UNATTRIBUTED
+    clicks emit null-extended only once the purchase watermark proves
+    no match can still arrive. Under the AvailableNow drain the final
+    watermark is ``max(event ts) − horizon``, so a click is provably
+    matchless only when ``click_ts + horizon < max_ts − horizon`` —
+    clicks in the stream's last 2×horizon stay buffered and are
+    correctly ABSENT from the output. The oracle mirrors exactly that
+    cutoff (matched pairs ∪ unmatched clicks older than the final
+    watermark minus the horizon), so the streaming-specific semantics
+    — not just the batch join — are hash-checked. Requires the
+    trailing no-data micro-batch (runtime.needs_no_data_batch detects
+    the outer-join shape structurally)."""
+    return _attribution_drain(spark, sf_dir, how="left_outer")
+
+
+def _attribution_drain(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     raw_schema = raw_events_schema(spark, sf_dir)
 
     def _stream() -> DataFrame:
@@ -81,7 +112,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clicks = _stream().filter(F.col("event_type") == "click")
     purchases = _stream().filter(F.col("event_type") == "purchase")
-    out = click_purchase_pairs(clicks, purchases)
+    out = click_purchase_pairs(clicks, purchases, how=how)
 
     sink = tempfile.mkdtemp(prefix="stream_sink_")
     # A stream-stream join keeps FOUR state stores per partition — the

@@ -116,15 +116,24 @@ NO_DATA_BATCHES = os.environ.get("SPARK_GRAFT_NO_DATA_BATCHES", "false")
 
 def needs_no_data_batch(out, output_mode: str) -> bool:
     """True when skipping the trailing no-data micro-batch would DROP
-    output: an append-mode watermarked aggregation (incl. streaming
-    dedup's Aggregate-free cousin is fine — Deduplicate emits on
-    arrival; only watermark-gated *Aggregate* output waits for the
-    watermark to pass). Inspected from the ANALYZED streaming plan so
-    the policy tracks the query shape, not a comment."""
+    output. Two shapes qualify (both inspected from the ANALYZED
+    streaming plan so the policy tracks the query shape, not a
+    comment): an append-mode watermarked AGGREGATION (final windows
+    emit only when the watermark passes them; streaming dedup's
+    Aggregate-free cousin is fine — Deduplicate emits on arrival), and
+    an OUTER stream-stream join (null-extended unmatched rows emit
+    only when the watermark proves no future match can arrive — i.e.
+    in the trailing batch under an AvailableNow drain)."""
     if output_mode != "append" or out is None:
         return False
     plan = out._jdf.queryExecution().analyzed().toString()
-    return "EventTimeWatermark" in plan and "Aggregate" in plan
+    if "EventTimeWatermark" not in plan:
+        return False
+    if "Aggregate" in plan:
+        return True
+    import re as _re
+
+    return _re.search(r"Join (LeftOuter|RightOuter|FullOuter)", plan) is not None
 
 
 @contextmanager

@@ -191,3 +191,36 @@ def test_state_partitions_derived_from_key_cardinality(spark, monkeypatch):
     assert runtime.state_partitions_for(None) == runtime.STATE_PARTITIONS
     monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "7")
     assert runtime.state_partitions_for(big) == 7
+
+
+def test_no_data_batch_forced_for_outer_stream_stream_join(spark, sf_oracle):
+    """The other shape that loses output without the trailing no-data
+    micro-batch: an append-mode OUTER stream-stream join's unmatched
+    rows emit only when the watermark proves no match can arrive.
+    needs_no_data_batch must detect the outer-join shape structurally
+    (inner joins emit on arrival and must NOT force the batch)."""
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.streaming.joins import click_purchase_pairs
+    from inf2106_map_reduce_spark.streaming.runtime import needs_no_data_batch
+    from inf2106_map_reduce_spark.tables import (
+        convert_event_ts,
+        raw_events_schema,
+    )
+
+    raw_schema = raw_events_schema(spark, sf_oracle)
+
+    def stream():
+        return convert_event_ts(
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_oracle)
+        ).withWatermark("ts", "1 hour")
+
+    clicks = stream().filter(F.col("event_type") == "click")
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    outer = click_purchase_pairs(clicks, purchases, how="left_outer")
+    inner = click_purchase_pairs(clicks, purchases, how="inner")
+    assert needs_no_data_batch(outer, "append") is True
+    assert needs_no_data_batch(inner, "append") is False
