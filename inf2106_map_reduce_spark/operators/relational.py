@@ -1864,3 +1864,44 @@ def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
     )
+
+
+def part_cooccurrence(
+    lineitems: DataFrame,
+    top_k: int = 50,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Market-basket co-occurrence (the A-Priori candidate-pair step):
+    which item pairs appear together in the most orders. The classic
+    MapReduce analytics workload — pairs generated per basket, counted
+    globally — re-expressed as one self-equi-join on the basket key.
+
+    Scale: the self-join shuffles on the BASKET key, so pair fan-out
+    is Σ_baskets |basket|² — bounded by basket size (TPC-H orders hold
+    ≤ 7 line items), never corpus². DISTINCT first (an item repeated
+    in a basket counts once — support semantics), map-side partial agg
+    on the pair count, k-bounded TakeOrdered for the result. A skewed
+    mega-basket would salt exactly like the skew join; with
+    size-bounded baskets AQE needs no help.
+    """
+    items = lineitems.select(
+        F.col(order_col).alias("o"), F.col(item_col).alias("i")
+    ).distinct()
+    a = items.select("o", F.col("i").alias("item_a"))
+    b = items.select("o", F.col("i").alias("item_b"))
+    pairs = a.join(b, "o").filter(F.col("item_a") < F.col("item_b"))
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("item_a"), F.asc("item_b"))
+    return (
+        counts.orderBy(F.desc("n_orders"), F.asc("item_a"), F.asc("item_b"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: top-50 part pairs co-ordered in the same order."""
+    return part_cooccurrence(_t(spark, sf_dir, "lineitem"))

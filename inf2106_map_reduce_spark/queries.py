@@ -4320,6 +4320,28 @@ REGISTRY.update(
             "aggregate (compressed-codec connector lane)",
             ("source",),
         ),
+        "orders_part_cooccurrence": QuerySpec(
+            relational.orders_part_cooccurrence,
+            """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_orders
+              FROM items a JOIN items b
+                ON a.o = b.o AND a.i < b.i
+              GROUP BY 1, 2
+            )
+            SELECT item_a, item_b, n_orders,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC,
+                        item_a, item_b) AS INT) AS rank
+            FROM pairs
+            ORDER BY n_orders DESC, item_a, item_b LIMIT 50
+            """,
+            "market-basket co-occurrence: top part pairs per order "
+            "(A-Priori candidate step, basket-bounded self-join)",
+            ("agg", "join", "pipeline"),
+        ),
         "scalar_try_battery": QuerySpec(
             relational.scalar_try_battery,
             """

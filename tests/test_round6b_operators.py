@@ -227,3 +227,34 @@ def test_sequence_patterns_contiguous_vs_gapped(spark):
     assert out[1]["n_contiguous"] == 2 and out[1]["has_gapped"]
     assert out[2]["n_contiguous"] == 0 and out[2]["has_gapped"]
     assert out[3]["n_contiguous"] == 0 and not out[3]["has_gapped"]
+
+
+def test_ensure_parallelism_noop_above_cores(spark):
+    from inf2106_map_reduce_spark.tables import ensure_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, cores + 4)
+    assert ensure_parallelism(wide) is wide  # structurally untouched
+    narrow = spark.range(0, 1000, 1, 1)
+    out = ensure_parallelism(narrow)
+    assert out.rdd.getNumPartitions() == cores
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+def test_part_cooccurrence_counts_distinct_per_basket(spark):
+    from inf2106_map_reduce_spark.operators.relational import (
+        part_cooccurrence,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 20),   # dup item in basket: counts once
+            (2, 10), (2, 20),
+            (3, 10), (3, 30),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = part_cooccurrence(li, top_k=10).collect()
+    got = {(r["item_a"], r["item_b"]): r["n_orders"] for r in rows}
+    assert got == {(10, 20): 2, (10, 30): 1}
+    assert rows[0]["rank"] == 1 and rows[0]["n_orders"] == 2
