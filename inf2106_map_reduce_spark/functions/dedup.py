@@ -1815,3 +1815,74 @@ def docs_neardup_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = cc.select(F.col("component").alias("node")).distinct()
     d = bfs_hops_from_roots(edges, roots)
     return d.select(F.col("node").alias("doc_id"), "hops")
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard ESTIMATION audit (estimate vs exact, in-plan envelope)
+# ---------------------------------------------------------------------------
+
+#: Signature length for the ESTIMATOR entry — independent of the
+#: 12-hash LSH banding signature: estimation error is ~0.5/sqrt(k), so
+#: the candidate-generation length (tuned for banding recall) is too
+#: coarse to audit against; 64 components give sigma <= 0.0625.
+MINHASH_EST_HASHES = 64
+#: Audit envelope: 4 sigma at k=64. Deterministic (seeded digests), so
+#: the oracle pins within_bound TRUE — an estimator regression goes
+#: red rather than both sides agreeing on a bad number.
+MINHASH_EST_BOUND = 0.25
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the MinHash Jaccard ESTIMATE itself — the
+    fraction of agreeing signature components over k=64 seeded hashes
+    per LSH candidate pair — audited in-plan against the exact shingle
+    Jaccard (|est − exact| ≤ 4σ), completing the sketch story for the
+    dedup family: candidates (banding), verification (exact), and now
+    the estimator a 100 TB pipeline would SHIP instead of the exact
+    join (signatures are fixed-size; the exact verify re-joins the
+    shingle table).
+
+    Scale: signatures are one pass over the cached shingle stage; the
+    estimate join touches candidates only. Everything is deterministic
+    (seeded md5 digests), so the estimate VALUE hash-matches the
+    oracle's identical construction — the approximate path is exactly
+    checked, the sketch-entry pattern."""
+    from operator import add
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _registry_shingles(spark, sf_dir)
+    cand = _registry_candidates(spark, sf_dir)
+    sigs = minhash_signatures(
+        d, n_hashes=MINHASH_EST_HASHES, shingles=sh
+    )
+    matches = reduce(
+        add,
+        [
+            (F.col(f"A.mh{i}") == F.col(f"B.mh{i}")).cast("int")
+            for i in range(MINHASH_EST_HASHES)
+        ],
+    )
+    est = (
+        cand.join(sigs.alias("A"), cand.id_a == F.col("A.doc_id"))
+        .join(sigs.alias("B"), cand.id_b == F.col("B.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(MINHASH_EST_HASHES), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    exact = ngram_jaccard_pairs(d, pairs=cand, threshold=0.0, shingles=sh)
+    joined = est.join(exact, ["id_a", "id_b"])
+    abs_err = F.round(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")), 6
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        abs_err.alias("abs_err"),
+        (abs_err <= F.lit(MINHASH_EST_BOUND)).alias("within_bound"),
+    )

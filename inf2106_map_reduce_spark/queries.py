@@ -736,6 +736,60 @@ def _rp_oracle() -> str:
     """
 
 
+def _minhash_estimate_oracle() -> str:
+    """Estimator-audit oracle: the same 64-component seeded signature
+    construction as the engine (16 md5 digests x 4 8-hex-char lanes),
+    component-agreement fraction per LSH candidate pair, exact shingle
+    Jaccard, and the 4-sigma envelope verdict (within_bound computed,
+    not pinned as a literal — both engines evaluate the same
+    comparison on identically rounded values)."""
+    k = dedup.MINHASH_EST_HASHES
+    digests = ", ".join(
+        f"md5('{j}:' || shingle) AS h{j}" for j in range(k // 4)
+    )
+    mins = ", ".join(
+        f"min(substr(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(k)
+    )
+    agree = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(k))
+    return (
+        _CANDIDATES_SQL
+        + f""",
+        sig64 AS (SELECT doc_id, {mins}
+                  FROM (SELECT doc_id, {digests} FROM sh) GROUP BY doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+          GROUP BY c.id_a, c.id_b
+        ),
+        exact AS (
+          SELECT c.id_a, c.id_b,
+                 ROUND(c.n_common / (za.sz + zb.sz - c.n_common), 6)
+                   AS jaccard
+          FROM common c
+          JOIN sizes za ON za.doc_id = c.id_a
+          JOIN sizes zb ON zb.doc_id = c.id_b
+        ),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 ROUND(({agree}) / CAST({k} AS DOUBLE), 6) AS est_jaccard
+          FROM cand c
+          JOIN sig64 a ON a.doc_id = c.id_a
+          JOIN sig64 b ON b.doc_id = c.id_b
+        )
+        SELECT e.id_a, e.id_b, e.est_jaccard, x.jaccard,
+               ROUND(ABS(e.est_jaccard - x.jaccard), 6) AS abs_err,
+               ROUND(ABS(e.est_jaccard - x.jaccard), 6)
+                 <= {dedup.MINHASH_EST_BOUND} AS within_bound
+        FROM est e JOIN exact x
+          ON e.id_a = x.id_a AND e.id_b = x.id_b
+        """
+    )
+
+
 def _bpe_train_oracle() -> str:
     """Unrolled BPE-training trajectory: per round, the weighted
     pair-count argmax over the vocabulary's symbol sequences, the
@@ -4319,6 +4373,13 @@ REGISTRY.update(
             "customer -> gzip CSV -> schema read-back -> per-segment "
             "aggregate (compressed-codec connector lane)",
             ("source",),
+        ),
+        "dedup_minhash_estimate": QuerySpec(
+            dedup.dedup_minhash_estimate,
+            _minhash_estimate_oracle(),
+            "MinHash Jaccard estimator (k=64) vs exact shingle Jaccard "
+            "per LSH candidate, 4-sigma envelope audited in-plan",
+            ("dedup", "sketch"),
         ),
         "orders_part_cooccurrence": QuerySpec(
             relational.orders_part_cooccurrence,
