@@ -1905,3 +1905,61 @@ def part_cooccurrence(
 def orders_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: top-50 part pairs co-ordered in the same order."""
     return part_cooccurrence(_t(spark, sf_dir, "lineitem"))
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorized (outlier-clipped) statistics per group: exact
+    per-group p01/p99 cut points, values clipped INTO the band, and
+    the robust mean/sum next to the raw out-of-band counts — the
+    data-cleaning primitive between raw aggregates and the anomaly
+    detectors (a handful of fat-finger rows shouldn't move a segment
+    mean).
+
+    Plan: one percentile aggregate per group (both cut points from a
+    single sort pass, array form), broadcast back onto the fact rows,
+    clip with GREATEST/LEAST in codegen, re-aggregate — two shuffles
+    on the group key, the cut table is |groups| rows and always
+    broadcastable. At 100 TB swap the exact percentile for the sketch
+    form (functions/sketches.py) like the other percentile consumers.
+    """
+    v = F.col(value_col)
+    cuts = (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"percentile({value_col}, array({lo}, {hi}))"
+            ).alias("_c")
+        )
+        .select(
+            group_col,
+            F.element_at("_c", 1).alias("_plo"),
+            F.element_at("_c", 2).alias("_phi"),
+        )
+    )
+    clipped = F.greatest(F.col("_plo"), F.least(F.col("_phi"), v))
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((v < F.col("_plo")).cast("long")).alias("n_below"),
+            F.sum((v > F.col("_phi")).cast("long")).alias("n_above"),
+            F.round(F.min("_plo"), 4).alias("p_lo"),
+            F.round(F.max("_phi"), 4).alias("p_hi"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.sum(clipped), 2).alias("winsorized_sum"),
+        )
+    )
+
+
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: p01/p99-winsorized order totals per priority."""
+    return winsorized_stats(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )

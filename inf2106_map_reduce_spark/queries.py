@@ -4374,6 +4374,34 @@ REGISTRY.update(
             "aggregate (compressed-codec connector lane)",
             ("source",),
         ),
+        "orders_winsorized_stats": QuerySpec(
+            relational.orders_winsorized_stats,
+            """
+            WITH cuts AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.01) AS plo,
+                     quantile_cont(o_totalprice, 0.99) AS phi
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_totalprice < c.plo
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                   CAST(SUM(CASE WHEN o.o_totalprice > c.phi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   ROUND(MIN(c.plo), 4) AS p_lo,
+                   ROUND(MAX(c.phi), 4) AS p_hi,
+                   ROUND(AVG(GREATEST(c.plo, LEAST(c.phi, o.o_totalprice))),
+                         4) AS winsorized_mean,
+                   ROUND(SUM(GREATEST(c.plo, LEAST(c.phi, o.o_totalprice))),
+                         2) AS winsorized_sum
+            FROM orders o JOIN cuts c USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+            """,
+            "winsorized stats: exact p01/p99 clipping with robust "
+            "mean/sum and out-of-band counts per priority",
+            ("relational", "agg", "stats"),
+        ),
         "dedup_minhash_estimate": QuerySpec(
             dedup.dedup_minhash_estimate,
             _minhash_estimate_oracle(),
