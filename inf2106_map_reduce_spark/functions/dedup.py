@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from inf2106_map_reduce_spark.tables import ensure_parallelism, load_table
+from inf2106_map_reduce_spark.tables import load_table
 
 N_HASHES = 12  # minhash signature length
 BAND_ROWS = 3  # rows per LSH band -> 4 bands
@@ -215,11 +215,12 @@ def word_hash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exploded per-word hash table (id, hi, lo): the md5-hex first 16
-    chars as two 32-bit halves — the shared input of BOTH SimHash
-    widths (32-bit uses ``hi``; 64-bit uses both). The explode+md5 is
-    the dominant cost of every SimHash query, so the registry stages
-    this table once per session (``_registry_word_hashes``) exactly
-    like the shingle table."""
+    chars as two 32-bit halves — the shared construction of BOTH
+    SimHash widths (32-bit uses ``hi``; 64-bit uses both). Each
+    consumer computes it inline: a checkpointed session stage was
+    measured and REJECTED (materializing the word-count-sized table
+    cost more than the parallel explode+md5 recomputes it saved — see
+    :func:`dedup_simhash_signatures`)."""
     words = F.explode(
         F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
     ).alias("word")
@@ -232,10 +233,7 @@ def word_hash_table(
 
 
 def simhash(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hashes: DataFrame | None = None,
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """32-bit SimHash over word hashes (md5-hex first 8 chars → int).
 
@@ -243,10 +241,8 @@ def simhash(
     bit j) > 0. Computed as 32 conditional SUMs in one aggregation —
     no UDF, one shuffle. Near-dup candidates are then docs whose
     signatures match on a rotated prefix (not part of this function).
-    ``hashes`` injects a precomputed :func:`word_hash_table` (the
-    session stage) so the explode+md5 is not re-run per consumer.
     """
-    exploded = (hashes if hashes is not None else word_hash_table(df, id_col, text_col)).select(
+    exploded = word_hash_table(df, id_col, text_col).select(
         id_col, F.col("hi").alias("wh")
     )
     bit_sums = [
@@ -674,9 +670,16 @@ def connected_components(
     # (node, component=min id) labels. At scale the probe returns
     # cap+1 rows from the checkpoint (no recompute) and the
     # distributed loop proceeds untouched.
-    head = edges.limit(CC_LOCAL_SOLVE_EDGES + 1).collect()
-    if len(head) <= CC_LOCAL_SOLVE_EDGES:
-        return _components_local(edges.sparkSession, head)
+    # Two-step probe: a bounded COUNT first (one JVM-side long crosses
+    # to the driver), then collect only when the graph actually fits —
+    # an at-scale graph must never pay Py4J deserialization of
+    # cap+1 Rows just to learn it is big. Both jobs read the
+    # already-materialized checkpoint.
+    if (
+        edges.limit(CC_LOCAL_SOLVE_EDGES + 1).count()
+        <= CC_LOCAL_SOLVE_EDGES
+    ):
+        return _components_local(edges.sparkSession, edges.collect())
     sym = edges.union(edges.select(F.col("v"), F.col("u"))).localCheckpoint(
         eager=True
     )
@@ -1089,10 +1092,7 @@ def _hamming_banded_pairs(
 
 
 def simhash64(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hashes: DataFrame | None = None,
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash — the corpus-scale precision variant of
     :func:`simhash`. At 32 bits, random-doc collisions within Hamming 3
@@ -1114,11 +1114,7 @@ def simhash64(
     duplication). The current single explode + single agg is the
     measured optimum of the three shapes.
     """
-    exploded = (
-        hashes
-        if hashes is not None
-        else word_hash_table(df, id_col, text_col)
-    )
+    exploded = word_hash_table(df, id_col, text_col)
     def _src(j: int):
         return (
             F.shiftright(F.col("lo"), j)
@@ -1779,27 +1775,31 @@ def bfs_hops_from_roots(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dist = (
+    frontier = (
         roots.select(F.col(roots.columns[0]).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hops"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist
+    # Only FRONTIERS are materialized (each exactly once); the visited
+    # set is a lazy union over the already-checkpointed frontiers, so
+    # total checkpoint volume is O(|V|) — re-materializing the growing
+    # visited set per round would copy hop-1 nodes ~depth times.
+    visited = frontier
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt)
         frontier = nxt
-    return dist
+    return visited
 
 
 def docs_neardup_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,7 +1874,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = ngram_jaccard_pairs(d, pairs=cand, threshold=0.0, shingles=sh)
-    joined = est.join(exact, ["id_a", "id_b"])
+    # LEFT join + coalesce: a candidate pair with ZERO common shingles
+    # has no row in the common-shingle spine (exact jaccard 0) — it is
+    # exactly the pair where a broken estimator would be most wrong,
+    # so it must stay IN the audit, not silently drop out of it
+    joined = est.join(exact, ["id_a", "id_b"], "left").withColumn(
+        "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+    )
     abs_err = F.round(
         F.abs(F.col("est_jaccard") - F.col("jaccard")), 6
     )

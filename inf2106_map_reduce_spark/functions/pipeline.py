@@ -496,8 +496,14 @@ def curriculum_order(
     """
     n_words = F.size(_words(text_col)).alias("n_words")
     w = Window.partitionBy(shard_col).orderBy("n_words", id_col)
-    ranked = df.select(shard_col, F.col(id_col), n_words).withColumn(
-        "rank_in_source", F.row_number().over(w)
+    # checkpoint: the ranked projection feeds TWO consumers (the
+    # per-source size aggregate and the output crossJoin) with
+    # different shapes, so without it the corpus is tokenized twice —
+    # the ngram_jaccard_pairs multi-consumer discipline
+    ranked = (
+        df.select(shard_col, F.col(id_col), n_words)
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .localCheckpoint(eager=True)
     )
     sizes = (
         ranked.groupBy(shard_col)

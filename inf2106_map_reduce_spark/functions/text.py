@@ -329,21 +329,25 @@ def bpe_train_merges(
         .localCheckpoint(eager=True)
     )
     symbols = F.split(F.trim(F.col("seq")), "  ")
+    # Guard single-symbol words INSIDE the expression (empty array),
+    # not with a filter after the explode: sequence(1, 0) DESCENDS to
+    # [1, 0] in Spark, so an unguarded transform would evaluate
+    # element_at(symbols, 0) and only optimizer predicate-pushdown
+    # would save it — the duplicate_span_report pattern
+    pair_arr = F.when(
+        F.size(symbols) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(symbols) - 1),
+            lambda i: F.struct(
+                F.element_at(symbols, i).alias("a"),
+                F.element_at(symbols, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     out_rows = []
     v = vocab
     for r in range(1, rounds + 1):
-        pairs = v.select(
-            "wc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(symbols) - 1),
-                    lambda i: F.struct(
-                        F.element_at(symbols, i).alias("a"),
-                        F.element_at(symbols, i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-        ).filter(F.size(symbols) >= 2)
+        pairs = v.select("wc", F.explode(pair_arr).alias("p"))
         top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("wc").alias("n"))

@@ -771,10 +771,20 @@ def _lloyd_iterate_local(
     dim = x.shape[1]
 
     def assign(cmat: np.ndarray) -> np.ndarray:
-        d = np.add.accumulate(
-            (x[:, None, :] - cmat[None, :, :]) ** 2, axis=2
-        )[:, :, -1]
-        return np.argmin(d, axis=1)  # first-min, same as array_position
+        # chunk the (n, k, dim) distance cube like the distributed
+        # path's per-Arrow-batch evaluation: the broadcasted temp is
+        # bounded at chunk x k x dim floats regardless of n and k, so
+        # an input just under the element gate with a large k cannot
+        # blow up driver memory
+        chunk = max(1, 2_000_000 // (len(cents) * dim))
+        parts = []
+        for s in range(0, x.shape[0], chunk):
+            xs = x[s : s + chunk]
+            d = np.add.accumulate(
+                (xs[:, None, :] - cmat[None, :, :]) ** 2, axis=2
+            )[:, :, -1]
+            parts.append(np.argmin(d, axis=1))  # first-min
+        return np.concatenate(parts)
 
     rounds = 0
     last_shift = None
@@ -845,17 +855,17 @@ def _lloyd_iterate(
     rounds run, last shift)."""
     import math
 
-    # Small-input fast path: probe with a bounded limit-collect (cap+1
-    # rows, never more) — if the whole input fits the element gate,
-    # solve locally; the probe's rows ARE the input, so nothing is
-    # read twice. At scale the probe returns cap+1 rows and the
-    # distributed loop below proceeds untouched.
+    # Small-input fast path, probed in two steps: a bounded COUNT
+    # first (one JVM long to the driver), then a full collect only
+    # when the input actually fits the element gate — the at-scale
+    # path must never pay Py4J deserialization of cap+1 vector rows
+    # just to learn the input is big. Both jobs read the persisted
+    # loop input, so nothing is scanned twice.
     dim0 = len(cents[0])
     cap = max(1, LLOYD_LOCAL_SOLVE_ELEMENTS // dim0)
-    head = e.limit(cap + 1).collect()
-    if len(head) <= cap:
+    if e.limit(cap + 1).count() <= cap:
         return _lloyd_iterate_local(
-            e.sparkSession, head, cents, n_rounds, tol
+            e.sparkSession, e.collect(), cents, n_rounds, tol
         )
 
     # (Measured and rejected: coalescing the iteration input to

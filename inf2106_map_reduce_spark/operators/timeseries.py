@@ -349,9 +349,18 @@ def ewma_volume(
     series: EWMA tracks the trend, so only deviations FROM the trend
     flag.
 
-    ewma(t) = Σ_{j=0..taps-1} (1-α)^j · n(t-j) / Σ_present (1-α)^j —
-    the weight sum renormalizes at series edges (first rows have fewer
-    lags), so early days aren't biased toward zero.
+    ewma(t) = Σ_{j=0..taps-1} (1-α)^j · n(prev_j(t)) / Σ_present
+    (1-α)^j, where prev_j(t) is the j-th previous OBSERVED day of the
+    type's series (row-offset lags, deliberately: a lag chain over the
+    observed rows). On a gapless daily series this equals the calendar
+    formula; across a gap the weights apply to the nearest observed
+    days rather than decaying through empty calendar days — i.e. the
+    smoother treats the series as a sequence of observations, the
+    standard trading-days convention. A calendar-decay variant would
+    compose this operator with :func:`gapfill_hourly`'s zero-filled
+    day spine first. The weight sum renormalizes at series edges
+    (first rows have fewer lags), so early days aren't biased toward
+    zero.
 
     Scale: the corpus-sized work is one (type, day) count aggregate
     (map-side combinable); the window runs over the tiny types×days

@@ -780,11 +780,13 @@ def _minhash_estimate_oracle() -> str:
           JOIN sig64 a ON a.doc_id = c.id_a
           JOIN sig64 b ON b.doc_id = c.id_b
         )
-        SELECT e.id_a, e.id_b, e.est_jaccard, x.jaccard,
-               ROUND(ABS(e.est_jaccard - x.jaccard), 6) AS abs_err,
-               ROUND(ABS(e.est_jaccard - x.jaccard), 6)
+        SELECT e.id_a, e.id_b, e.est_jaccard,
+               COALESCE(x.jaccard, 0.0) AS jaccard,
+               ROUND(ABS(e.est_jaccard - COALESCE(x.jaccard, 0.0)), 6)
+                 AS abs_err,
+               ROUND(ABS(e.est_jaccard - COALESCE(x.jaccard, 0.0)), 6)
                  <= {dedup.MINHASH_EST_BOUND} AS within_bound
-        FROM est e JOIN exact x
+        FROM est e LEFT JOIN exact x
           ON e.id_a = x.id_a AND e.id_b = x.id_b
         """
     )

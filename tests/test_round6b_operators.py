@@ -258,3 +258,71 @@ def test_part_cooccurrence_counts_distinct_per_basket(spark):
     got = {(r["item_a"], r["item_b"]): r["n_orders"] for r in rows}
     assert got == {(10, 20): 2, (10, 30): 1}
     assert rows[0]["rank"] == 1 and rows[0]["n_orders"] == 2
+
+
+def _planted_graph(spark):
+    # two chains, a 4-cycle, a star, and cross links — shapes where a
+    # wrong fixed point would differ between algorithms
+    edges = (
+        [(i, i + 1) for i in range(1, 6)]          # chain 1..6
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]  # cycle
+        + [(20, 21), (20, 22), (20, 23)]            # star
+        + [(6, 20)]                                 # chain joins star
+    )
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_cc_local_union_find_matches_distributed_minlabel(spark, monkeypatch):
+    """The union-find gate must be a pure FAST PATH: forcing the gate
+    to 0 routes the identical input through the distributed
+    label-propagation loop, and the labels must match row-for-row —
+    this is the automated coverage of the at-scale CC path now that
+    every test-scale graph sits under the gate."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    edges = _planted_graph(spark)
+    local = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    )
+    monkeypatch.setattr(dedup, "CC_LOCAL_SOLVE_EDGES", 0)
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges).collect()
+    )
+    auto = sorted(
+        (r["node"], r["component"])
+        for r in dedup.connected_components(edges, algorithm="auto").collect()
+    )
+    assert local == dist == auto
+    labels = dict(local)
+    # chain 1..6 + star 20..23 joined via (6, 20): one component
+    # rooted at 1; the 4-cycle stays its own component rooted at 10
+    assert labels[1] == labels[6] == labels[21] == labels[23] == 1
+    assert labels[10] == labels[13] == 10
+
+
+def test_lloyd_local_matches_distributed(spark, monkeypatch):
+    """Same contract for k-means: the driver local solve and the
+    distributed partial-sums loop must produce the identical
+    trajectory (round count, shift, cluster fingerprints) on the same
+    input — covered by forcing the element gate to 0."""
+    from inf2106_map_reduce_spark.functions import vector
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        df, info = vector.kmeans_lloyd_converged(
+            emb, k=4, tol=1e-4, max_iter=8
+        )
+        fp = sorted(tuple(r) for r in df.collect())
+        return fp, info["rounds"], round(info["shift"], 9)
+
+    local = run()
+    monkeypatch.setattr(vector, "LLOYD_LOCAL_SOLVE_ELEMENTS", 0)
+    dist = run()
+    assert local == dist
