@@ -341,6 +341,7 @@ def ewma_volume(
     ts_col: str = "ts",
     alpha: float = EWMA_ALPHA,
     taps: int = EWMA_TAPS,
+    calendar: bool = False,
 ) -> DataFrame:
     """Truncated exponentially-weighted moving average of daily event
     volume per type, with a spike flag — the smoother behind
@@ -381,6 +382,30 @@ def ewma_volume(
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if calendar:
+        # densify onto each type's calendar day spine (zero-filled)
+        # BEFORE the lag chain, so row offset j == calendar day j and
+        # the weights decay through empty days — the gapfill_hourly
+        # spine technique composed with the smoother
+        spine = (
+            daily.groupBy("event_type")
+            .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+            .select(
+                "event_type",
+                F.explode(
+                    F.sequence(
+                        F.col("_d0"),
+                        F.col("_d1"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("day"),
+            )
+        )
+        daily = spine.join(daily, ["event_type", "day"], "left").select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
     w = Window.partitionBy("event_type").orderBy("day")
     num = None
     den = None
@@ -407,8 +432,18 @@ def ewma_volume(
 
 def events_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: truncated-EWMA daily volume smoother + spike
-    flags over events."""
+    flags over events (observed-day lag semantics)."""
     return ewma_volume(load_table(spark, sf_dir, "events"))
+
+
+def events_ewma_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the CALENDAR-decay EWMA variant — the daily
+    series is densified onto each type's zero-filled day spine before
+    the lag chain, so the weights decay through empty calendar days
+    and a spike after a quiet gap is compared against a properly
+    decayed trend (the failure mode of the observed-day form on gappy
+    series)."""
+    return ewma_volume(load_table(spark, sf_dir, "events"), calendar=True)
 
 
 #: Linear multi-touch lookback: clicks within 7 days before a purchase

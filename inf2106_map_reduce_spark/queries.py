@@ -662,11 +662,13 @@ def _kmeans_converged_oracle(n_rounds: int) -> str:
     )
 
 
-def _ewma_oracle() -> str:
+def _ewma_oracle(calendar: bool = False) -> str:
     """Oracle for the truncated-EWMA volume smoother: the SAME
     left-to-right weighted lag chain the engine builds, with the
     weight doubles embedded via repr() so both engines multiply by
-    bit-identical literals."""
+    bit-identical literals. ``calendar=True`` densifies the daily
+    series onto a generate_series day spine first (zero fill), exactly
+    mirroring the engine's calendar-decay variant."""
     taps, alpha = timeseries.EWMA_TAPS, timeseries.EWMA_ALPHA
     num = " + ".join(
         (
@@ -685,11 +687,24 @@ def _ewma_oracle() -> str:
         )
         for j in range(taps)
     )
+    dense = """,
+    bounds AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+               FROM raw GROUP BY event_type),
+    spine AS (SELECT event_type,
+                     unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+    daily AS (
+      SELECT s.event_type, s.day,
+             CAST(COALESCE(r.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN raw r
+        ON r.event_type = s.event_type AND r.day = s.day
+    )""" if calendar else """,
+    daily AS (SELECT * FROM raw)"""
     return f"""
-    WITH daily AS (
+    WITH raw AS (
       SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
       FROM events GROUP BY 1, 2
-    ),
+    ){dense},
     sc AS (
       SELECT event_type, day, n, ROUND(({num}) / ({den}), 6) AS ewma
       FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
@@ -4375,6 +4390,13 @@ REGISTRY.update(
             "customer -> gzip CSV -> schema read-back -> per-segment "
             "aggregate (compressed-codec connector lane)",
             ("source",),
+        ),
+        "events_ewma_calendar": QuerySpec(
+            timeseries.events_ewma_calendar,
+            _ewma_oracle(calendar=True),
+            "calendar-decay EWMA: zero-filled day spine composed with "
+            "the weighted lag chain (gap-correct trend)",
+            ("timeseries",),
         ),
         "orders_winsorized_stats": QuerySpec(
             relational.orders_winsorized_stats,

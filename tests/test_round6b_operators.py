@@ -326,3 +326,40 @@ def test_lloyd_local_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(vector, "LLOYD_LOCAL_SOLVE_ELEMENTS", 0)
     dist = run()
     assert local == dist
+
+
+def test_ewma_calendar_decays_through_gaps(spark):
+    import datetime
+
+    from inf2106_map_reduce_spark.operators.timeseries import ewma_volume
+
+    # 10 events on Jan 1, then 10 on Jan 10 — an 8-day gap
+    rows = [(i, "view", datetime.datetime(2024, 1, 1, 0, i)) for i in range(10)]
+    rows += [
+        (100 + i, "view", datetime.datetime(2024, 1, 10, 0, i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    obs = {
+        r["day"].day: r["ewma"]
+        for r in ewma_volume(df, taps=7).collect()
+    }
+    cal = {
+        r["day"].day: (r["ewma"], r["n"])
+        for r in ewma_volume(df, calendar=True, taps=7).collect()
+    }
+    # observed-day form treats Jan 10 as adjacent to Jan 1:
+    # (10 + 0.7*10) / 1.7 = 10
+    assert obs[10] == 10.0
+    # calendar form: Jan 1's weight at lag 9 is beyond the 7 taps, so
+    # Jan 10's ewma = 10 / sum of 7 unit weights' worth... the window
+    # sees lags 1..6 = zero-filled days: (10) / (1 + .7 + ... + .7^6)
+    wsum = sum(0.7**j for j in range(7))
+    assert abs(cal[10][0] - round(10 / wsum, 6)) < 1e-9
+    # spine rows exist with n = 0 for the gap days, and they carry
+    # the DECAYED trend (Jan 1's 10 events at lag 4), not zero
+    wsum5 = sum(0.7**j for j in range(5))
+    assert cal[5][1] == 0
+    assert abs(cal[5][0] - round(0.7**4 * 10 / wsum5, 6)) < 1e-9
