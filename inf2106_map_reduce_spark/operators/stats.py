@@ -170,13 +170,20 @@ def welch_ttest(
         F.sum(F.when(in_b, v).otherwise(F.lit(0.0))).alias("sb"),
         F.sum(F.when(in_b, v * v).otherwise(F.lit(0.0))).alias("qb"),
     )
-    mean_a = F.col("sa") / F.col("na")
-    mean_b = F.col("sb") / F.col("nb")
-    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
-        F.col("na") - 1
+    # 3VL-safe degenerate guards: a group with n <= 1 has no sample
+    # variance (NULL, not a 0/0 NaN), which nulls t/df downstream —
+    # the same contract as grouped_ols' zero-variance guard
+    mean_a = F.when(F.col("na") > 0, F.col("sa") / F.col("na"))
+    mean_b = F.when(F.col("nb") > 0, F.col("sb") / F.col("nb"))
+    var_a = F.when(
+        F.col("na") > 1,
+        (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1),
     )
-    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
-        F.col("nb") - 1
+    var_b = F.when(
+        F.col("nb") > 1,
+        (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1),
     )
     se2_a = var_a / F.col("na")
     se2_b = var_b / F.col("nb")

@@ -363,3 +363,21 @@ def test_ewma_calendar_decays_through_gaps(spark):
     wsum5 = sum(0.7**j for j in range(5))
     assert cal[5][1] == 0
     assert abs(cal[5][0] - round(0.7**4 * 10 / wsum5, 6)) < 1e-9
+
+
+def test_welch_ttest_singleton_group_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 5.0)], "g string, v double"
+    )
+    r = welch_ttest(df, "v", "g", "A", "B").collect()[0]
+    assert r["n_b"] == 1 and r["mean_b"] == 5.0
+    assert r["var_b"] is None and r["t_stat"] is None
+    assert r["welch_df"] is None
+
+
+def test_golden_record_no_matches_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd", "N1", 1.0), (2, "wxyz", "N1", 2.0)],
+        "id long, name string, blk string, bal double",
+    )
+    assert golden_record(df, "id", "name", ["blk"], "bal").count() == 0
