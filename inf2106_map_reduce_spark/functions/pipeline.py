@@ -1444,3 +1444,56 @@ def bigram_logprob(
 def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: corpus-model bigram log-prob score per doc."""
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the END-TO-END corpus build — the manifest a
+    training run consumes, produced by composing four pipeline stages
+    in one query: (1) Gopher-style quality gate, (2) near-dup removal
+    (only each cluster's canonical doc survives, from the shared
+    candidate-graph stages), (3) benchmark decontamination (any shared
+    5-gram with the held-out slice disqualifies; the slice itself is
+    excluded — it IS the benchmark), (4) deterministic content-hash
+    train/val/test split. One row per surviving doc: identity, source
+    metadata, token count, split.
+
+    This is the flagship composition proof: every stage is an
+    independently oracle-verified operator, and the composed output is
+    hash-checked against the composed SQL — a user running the
+    reference's "whole pipeline" runs exactly this.
+
+    Scale: the pieces keep their individual shapes (narrow quality
+    pass; candidate-bounded dedup from the session stages; broadcast
+    decontamination join; hash-bucket split) — composition adds only
+    doc_id-keyed semi/anti joins, all on the same key."""
+    from inf2106_map_reduce_spark.functions.dedup import (
+        _registry_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = quality_filter(d).filter("keep").select("doc_id", "n_words")
+    losers = (
+        _registry_components(spark, sf_dir)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    contaminated = benchmark_contamination(d).select("doc_id")
+    bench_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    split = train_val_test_split(d)
+    return (
+        d.filter(bench_bucket >= 5)
+        .select("doc_id", "lang", "source")
+        .join(kept, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "source", "n_words", "split")
+    )

@@ -751,6 +751,58 @@ def _rp_oracle() -> str:
     """
 
 
+def _training_manifest_oracle() -> str:
+    """The composed corpus-build oracle: quality gate + near-dup
+    losers (recursive CC reach) + 5-gram decontamination + content-
+    hash split, each fragment identical to its standalone entry's
+    oracle (docs_quality_filter / dedup_clusters / docs_contamination
+    / docs_split), composed with doc_id semi/anti predicates."""
+    return (
+        _CC_CTES
+        + f""",
+    losers AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) != id
+    ),
+    qual AS (
+      SELECT doc_id, n_words FROM (
+        SELECT doc_id,
+               len({_WORDS}) AS n_words,
+               ROUND(CAST(len(list_filter({_WORDS},
+                     w -> list_contains({_STOPLIST}, lower(w)))) AS DOUBLE)
+                     / greatest(len({_WORDS}), 1), 6) AS swr,
+               ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                     'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS pr
+        FROM documents)
+      WHERE n_words >= 15 AND swr <= 0.6 AND pr <= 0.2
+    ),
+    csh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 100 AS b,
+             unnest(list_distinct(
+               [array_to_string(words[i:i+4], ' ')
+                FOR i IN range(1, len(words) - 3)])) AS shingle
+      FROM (SELECT doc_id, {_WORDS_LC} AS words FROM documents)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM csh WHERE b < 5),
+    cont AS (SELECT DISTINCT s.doc_id FROM csh s JOIN bench USING (shingle)
+             WHERE s.b >= 5)
+    SELECT d.doc_id, d.lang, d.source, q.n_words,
+           CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 4)) AS BIGINT)
+                     % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(d.text), 1, 4)) AS BIGINT)
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN qual q USING (doc_id)
+    WHERE CAST(('0x' || substr(md5('bench:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 100 >= 5
+      AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+      AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        """
+    )
+
+
 def _minhash_estimate_oracle() -> str:
     """Estimator-audit oracle: the same 64-component seeded signature
     construction as the engine (16 md5 digests x 4 8-hex-char lanes),
@@ -4390,6 +4442,13 @@ REGISTRY.update(
             "customer -> gzip CSV -> schema read-back -> per-segment "
             "aggregate (compressed-codec connector lane)",
             ("source",),
+        ),
+        "docs_training_manifest": QuerySpec(
+            pipeline.docs_training_manifest,
+            _training_manifest_oracle(),
+            "end-to-end corpus build: quality gate + near-dup survivor "
+            "+ decontamination + split composed into one manifest",
+            ("pipeline", "dedup", "text"),
         ),
         "events_ewma_calendar": QuerySpec(
             timeseries.events_ewma_calendar,
