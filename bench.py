@@ -84,6 +84,8 @@ HEADLINE = (
     "streaming_tumbling_hourly",
     "streaming_click_attribution",
     "doc_word_count",
+    # the end-to-end composed corpus build (round 6 flagship)
+    "docs_training_manifest",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup
