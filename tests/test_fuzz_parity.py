@@ -291,3 +291,99 @@ def test_random_window_specs_match_duckdb(spark, sf_smoke):
             raise AssertionError(
                 f"window fuzz case {i} diverged: part={pkey!r} order={okey} fn={fn}\n{e}"
             ) from e
+
+
+# ---------------------------------------------------------------------------
+# Null-heavy dimension: 3VL composition over deterministically-nulled
+# columns — IS [NOT] NULL filters, null-safe equality, null-skipping
+# and null-counting aggregates, and NULL group keys.
+# ---------------------------------------------------------------------------
+
+_NULLED_SRC_SQL = (
+    "(SELECT o_orderkey, o_orderpriority, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v, "
+    "CASE WHEN o_custkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS s "
+    "FROM orders) t"
+)
+
+NULL_GROUPS = {
+    "o_orderpriority": "o_orderpriority",
+    "s": "s",  # nullable group key: NULLs form their own group
+}
+
+NULL_AGGS = {
+    "n_rows": (lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+    "n_v": (lambda: F.count("v").alias("n_v"), "COUNT(v) AS n_v"),
+    "n_s_distinct": (
+        lambda: F.count_distinct(F.col("s")).alias("n_s_distinct"),
+        "COUNT(DISTINCT s) AS n_s_distinct",
+    ),
+    "min_v": (
+        lambda: F.round(F.min("v"), 2).alias("min_v"),
+        "ROUND(MIN(v), 2) AS min_v",
+    ),
+    "n_null_v": (
+        lambda: F.sum(F.col("v").isNull().cast("bigint")).alias("n_null_v"),
+        "CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_null_v",
+    ),
+}
+
+NULL_FILTERS = [
+    (lambda: F.col("v").isNull(), "v IS NULL"),
+    (lambda: F.col("v").isNotNull(), "v IS NOT NULL"),
+    (
+        lambda: F.col("s").eqNullSafe(F.lit("F")),
+        "s IS NOT DISTINCT FROM 'F'",
+    ),
+    (
+        lambda: F.coalesce(F.col("v"), F.lit(0.0)) > 150000.0,
+        "COALESCE(v, 0.0) > 150000.0",
+    ),
+    # plain 3VL comparison: NULL rows silently drop
+    (lambda: F.col("s") == "O", "s = 'O'"),
+]
+
+
+def test_random_null_semantics_specs_match_duckdb(spark, sf_smoke):
+    con = duckdb_connection(sf_smoke)
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_totalprice")
+        ).alias("v"),
+        F.when(
+            F.col("o_custkey") % 3 != 0, F.col("o_orderstatus")
+        ).alias("s"),
+    )
+    rng = random.Random(777)
+    for i in range(25):
+        groups = rng.sample(sorted(NULL_GROUPS), rng.randint(0, 2))
+        aggs = rng.sample(sorted(NULL_AGGS), rng.randint(1, 3))
+        filters = rng.sample(range(len(NULL_FILTERS)), rng.randint(0, 2))
+        df = o
+        conds = []
+        for fi in filters:
+            df = df.filter(NULL_FILTERS[fi][0]())
+            conds.append(NULL_FILTERS[fi][1])
+        agg_cols = [NULL_AGGS[a][0]() for a in aggs]
+        if groups:
+            df = df.groupBy(*groups).agg(*agg_cols)
+        else:
+            df = df.agg(*agg_cols)
+        sel = [f"{NULL_GROUPS[g]} AS {g}" for g in groups] + [
+            NULL_AGGS[a][1] for a in aggs
+        ]
+        sql = "SELECT " + ", ".join(sel) + f" FROM {_NULLED_SRC_SQL}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        if groups:
+            sql += " GROUP BY " + ", ".join(NULL_GROUPS[g] for g in groups)
+        try:
+            assert_matches_oracle(df, con, sql)
+        except AssertionError as e:
+            raise AssertionError(
+                f"null-fuzz case {i} diverged: groups={groups} aggs={aggs} "
+                f"filters={[NULL_FILTERS[f][1] for f in filters]}\n{e}"
+            ) from e
