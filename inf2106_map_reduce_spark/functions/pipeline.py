@@ -66,6 +66,26 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def content_bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic hash bucket in [0, 100): the first 8 md5-hex
+    chars of ``salt || value`` as a bigint, mod 100 — THE shared
+    bucketing idiom of every content-keyed sampler/slice in this
+    module (deterministic/stratified sampling, the benchmark slice,
+    the manifest's bench exclusion). One definition so a salt or
+    width change cannot silently diverge between a slice and its
+    consumers."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str = "doc_id", percent: int = 10, salt: str = "split:"
 ) -> DataFrame:
@@ -74,11 +94,7 @@ def deterministic_sample(
     stable across runs, partitionings, and retries — the property a
     train/eval split must have. Different ``salt`` → independent
     splits."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint") % 100
+    bucket = content_bucket(F.col(id_col), salt)
     return df.withColumn("_bucket", bucket).filter(F.col("_bucket") < percent).drop(
         "_bucket"
     )
@@ -98,11 +114,7 @@ def stratified_sample(
     language-rebalancing step of a corpus mixture — downsample the
     dominant language, keep the rest — with the same retry/partition
     stability as :func:`deterministic_sample`."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint") % 100
+    bucket = content_bucket(F.col(id_col), salt)
     cut = F.lit(default_percent)
     for stratum, pct in sorted(fractions.items()):
         cut = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(cut)
@@ -173,11 +185,17 @@ def _words(text_col: str = "text", lowered: bool = True) -> Column:
     return F.filter(F.split(base, r"\s+"), lambda w: w != "")
 
 
+#: Percent of the corpus carved off as the self-contained benchmark
+#: slice (benchmark=None callers); the manifest's bench exclusion uses
+#: the SAME constant so the slice and its consumers cannot drift.
+BENCHMARK_PERCENT = 5
+
+
 def benchmark_contamination(
     df: DataFrame,
     benchmark: DataFrame | None = None,
     n: int = 5,
-    benchmark_percent: int = 5,
+    benchmark_percent: int = BENCHMARK_PERCENT,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -216,13 +234,7 @@ def benchmark_contamination(
     if benchmark is None:
         # filter BEFORE shingling: each branch only shingles its own
         # slice (the benchmark branch touches 5% of docs, not 100%)
-        bucket = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("bench:"), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint") % 100
+        bucket = content_bucket(F.col(id_col), "bench:")
         bench_docs = df.filter(bucket < benchmark_percent)
         corpus_docs = df.filter(bucket >= benchmark_percent)
     else:
@@ -1478,22 +1490,22 @@ def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     contaminated = benchmark_contamination(d).select("doc_id")
-    bench_bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint") % 100
-    split = train_val_test_split(d)
+    # the split is a PER-ROW expression of the text hash — computed
+    # inline on the surviving rows (the oracle does the same), never
+    # via a corpus-scale join against a second documents scan
+    split_bucket = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 4), 16, 10
+    ).cast("int") % 100
+    split = (
+        F.when(split_bucket < 80, F.lit("train"))
+        .when(split_bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
     return (
-        d.filter(bench_bucket >= 5)
-        .select("doc_id", "lang", "source")
+        d.filter(content_bucket(F.col("doc_id"), "bench:") >= BENCHMARK_PERCENT)
+        .select("doc_id", "lang", "source", split.alias("split"))
         .join(kept, "doc_id")
         .join(losers, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-        .join(split, "doc_id")
         .select("doc_id", "lang", "source", "n_words", "split")
     )

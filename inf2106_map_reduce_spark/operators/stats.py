@@ -160,8 +160,12 @@ def welch_ttest(
     the aggregate, so no second scan and no join.
     """
     v = F.col(value_col)
-    in_a = F.col(group_col) == group_a
-    in_b = F.col(group_col) == group_b
+    # NULL samples are skipped ENTIRELY (standard stats semantics):
+    # the group-size counts must use the same null-excluding predicate
+    # as the moment sums, or a null-valued row inflates n while
+    # contributing nothing to the sums and silently biases mean/var
+    in_a = (F.col(group_col) == group_a) & v.isNotNull()
+    in_b = (F.col(group_col) == group_b) & v.isNotNull()
     m = df.filter(in_a | in_b).agg(
         F.sum(in_a.cast("double")).alias("na"),
         F.sum(F.when(in_a, v).otherwise(F.lit(0.0))).alias("sa"),

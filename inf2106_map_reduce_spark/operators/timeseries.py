@@ -357,9 +357,10 @@ def ewma_volume(
     formula; across a gap the weights apply to the nearest observed
     days rather than decaying through empty calendar days — i.e. the
     smoother treats the series as a sequence of observations, the
-    standard trading-days convention. A calendar-decay variant would
-    compose this operator with :func:`gapfill_hourly`'s zero-filled
-    day spine first. The weight sum renormalizes at series edges
+    standard trading-days convention. ``calendar=True`` is the
+    calendar-decay form: it densifies onto a zero-filled day spine
+    first (registered as ``events_ewma_calendar``), so the weights
+    decay through the gaps. The weight sum renormalizes at series edges
     (first rows have fewer lags), so early days aren't biased toward
     zero.
 

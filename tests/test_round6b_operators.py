@@ -381,3 +381,15 @@ def test_golden_record_no_matches_is_empty(spark):
         "id long, name string, blk string, bal double",
     )
     assert golden_record(df, "id", "name", ["blk"], "bal").count() == 0
+
+
+def test_welch_ttest_skips_null_samples_entirely(spark):
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", None), ("A", 20.0), ("B", 1.0), ("B", 2.0)],
+        "g string, v double",
+    )
+    r = welch_ttest(df, "v", "g", "A", "B").collect()[0]
+    # the NULL row is excluded from n AND the moments — mean is the
+    # null-skipping 15.0, not a biased 10.0 over an inflated count
+    assert r["n_a"] == 2 and r["mean_a"] == 15.0
+    assert r["var_a"] == 50.0
