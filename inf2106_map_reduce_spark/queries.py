@@ -4707,13 +4707,18 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # were driver-green in r05 and their semantics changes are
     # oracle-pinned locally; orders_activity_islands (new) and
     # orders_rfm_segments land in THIS round's rotation fill segment
-    # (offset 102) anyway; events_transition_matrix /
-    # events_retention_cohorts / events_volume_anomalies defer to the
-    # r07 priority block, as do the round-6b additions
-    # (customer_golden_records, lineitem_price_ols,
-    # lineitem_corr_matrix, segment_balance_ttest,
-    # source_csv_gzip_roundtrip, docs_neardup_bfs) — all six are
-    # locally oracle-checked every round by tests/test_oracle_parity.
+    # (offset 102) anyway. DEFERRED TO THE R07 PRIORITY BLOCK (all
+    # locally oracle-checked every round by tests/test_oracle_parity
+    # and green in the full vanilla-ANSI driver-sim):
+    # events_transition_matrix, events_retention_cohorts,
+    # events_volume_anomalies, customer_golden_records,
+    # lineitem_price_ols, lineitem_corr_matrix, segment_balance_ttest,
+    # source_csv_gzip_roundtrip, docs_neardup_bfs,
+    # docs_curriculum_order, vocab_bpe_train, events_sequence_patterns,
+    # scalar_try_battery, window_distribution_battery,
+    # streaming_click_attribution_outer, orders_part_cooccurrence,
+    # dedup_minhash_estimate, orders_winsorized_stats,
+    # events_ewma_calendar, docs_training_manifest.
 )
 
 
