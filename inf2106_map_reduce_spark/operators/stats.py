@@ -246,3 +246,48 @@ def segment_balance_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_a="BUILDING",
         group_b="MACHINERY",
     )
+
+
+def grouped_mode(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break (highest count, then smallest value) plus its count and
+    share — the categorical companion to the moment aggregates.
+    Engines disagree on native ``mode()`` tie-breaking, so the modal
+    pick is expressed explicitly: value-count aggregate → per-group
+    rank → keep rank 1. Two shuffles ((group, value) counts, then the
+    group window over the distinct-value table — value-cardinality
+    sized, not row-sized)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy(*group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("n"), F.asc(value_col)
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_tot", F.sum("n").over(total))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("modal_value"),
+            F.col("n").alias("modal_count"),
+            F.round(F.col("n") / F.col("_tot"), 6).alias("modal_share"),
+        )
+    )
+
+
+def orders_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: modal order priority per status, with count and
+    share."""
+    return grouped_mode(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        ["o_orderstatus"],
+    )

@@ -4443,6 +4443,29 @@ REGISTRY.update(
             "aggregate (compressed-codec connector lane)",
             ("source",),
         ),
+        "orders_modal_priority": QuerySpec(
+            stats.orders_modal_priority,
+            """
+            WITH c AS (
+              SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority) AS rn,
+                     SUM(n) OVER (PARTITION BY o_orderstatus) AS tot
+              FROM c
+            )
+            SELECT o_orderstatus, o_orderpriority AS modal_value,
+                   n AS modal_count, ROUND(n / CAST(tot AS DOUBLE), 6)
+                     AS modal_share
+            FROM r WHERE rn = 1
+            """,
+            "grouped MODE with deterministic tie-break (count desc, "
+            "value asc) plus count and share",
+            ("stats", "agg"),
+        ),
         "docs_training_manifest": QuerySpec(
             pipeline.docs_training_manifest,
             _training_manifest_oracle(),

@@ -393,3 +393,16 @@ def test_welch_ttest_skips_null_samples_entirely(spark):
     # null-skipping 15.0, not a biased 10.0 over an inflated count
     assert r["n_a"] == 2 and r["mean_a"] == 15.0
     assert r["var_a"] == 50.0
+
+
+def test_grouped_mode_tie_breaks_to_smallest_value(spark):
+    from inf2106_map_reduce_spark.operators.stats import grouped_mode
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "grp string, v string",
+    )
+    r = grouped_mode(df, "v", ["grp"]).collect()[0]
+    assert r["modal_value"] == "a"  # tie with 'b' at 2 -> smallest wins
+    assert r["modal_count"] == 2
+    assert r["modal_share"] == 0.4
