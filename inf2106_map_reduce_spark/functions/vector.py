@@ -764,6 +764,16 @@ def _lloyd_iterate_local(
     trajectories verify this bit-for-bit in tests)."""
     import math
 
+    # Empty-input short-circuit: the size gate routes a 0-row input
+    # here (limit-probe count 0 <= cap), where np.stack([]) would
+    # raise — return the same empty assignment the distributed loop
+    # would produce: no rows, centroids unchanged, zero rounds.
+    if not head:
+        assigned = spark.createDataFrame(
+            [], schema="vec_id bigint, emb array<double>, cid int"
+        )
+        return assigned, [list(c) for c in cents], 0, None
+
     ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
     x = np.stack(
         [np.asarray(r["emb"], dtype=np.float64) for r in head]

@@ -1774,8 +1774,15 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.to_date("o_orderdate") > F.lit("2001-12-31"))
             ).cast("long")
         ).alias("date_bad"),
+        # 3VL: a NULL status must COUNT as a domain violation — bare
+        # ~isin(...) is NULL (not true) for NULL input and would let a
+        # null status silently pass, unlike the price/date checks
+        # above which OR in isNull explicitly
         F.sum(
-            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+            (
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P")
+            ).cast("long")
         ).alias("status_bad"),
     ).localCheckpoint(eager=True)
     fk_orphans = (

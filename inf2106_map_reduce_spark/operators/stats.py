@@ -32,13 +32,21 @@ from inf2106_map_reduce_spark.tables import load_table
 
 
 def _moments(x: Column, y: Column) -> list[Column]:
+    # Pairwise-complete observations ONLY: n and every sum share one
+    # null-excluding predicate. Counting all rows while the sums skip
+    # NULLs would silently bias slope/intercept/r² whenever x or y is
+    # nullable (n would include rows excluded from every sum) — the
+    # same class of defect welch_ttest guards against with its
+    # v.isNotNull() conjunct. The oracles mirror this with
+    # COUNT(CASE WHEN both THEN 1 END) / SUM(CASE WHEN both ...).
+    both = x.isNotNull() & y.isNotNull()
     return [
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.count(F.when(both, 1)).cast("double").alias("n"),
+        F.sum(F.when(both, x)).alias("sx"),
+        F.sum(F.when(both, y)).alias("sy"),
+        F.sum(F.when(both, x * x)).alias("sxx"),
+        F.sum(F.when(both, y * y)).alias("syy"),
+        F.sum(F.when(both, x * y)).alias("sxy"),
     ]
 
 
@@ -56,7 +64,10 @@ def grouped_ols(
     slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
     (Σy − slope·Σx)/n, r² = slope² · var(x)/var(y). Groups with zero
     x-variance emit NULL slope/intercept/r2 rather than dividing by
-    zero (3VL-safe: the CASE guards below).
+    zero (3VL-safe: the CASE guards below). Rows where x or y is NULL
+    are excluded from EVERY moment including ``n_rows``
+    (pairwise-complete, see :func:`_moments`); a group with no
+    complete pair emits n_rows=0 and NULL statistics.
 
     Scale: one shuffle keyed on the group columns, six doubles per
     group after the map-side partial — the aggregate state is O(1)
@@ -92,38 +103,50 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     — the feature-redundancy screen a training pipeline runs before
     model fitting.
 
-    Plan: ONE aggregation computes every needed moment (k sums, k
-    sums-of-squares, k·(k−1)/2 cross sums) in a single pass — the
-    row explodes into k² correlations only AFTER reduction to one
-    row, so the per-pair work is driver-free column arithmetic on a
-    1-row DataFrame, never a second scan. Compare per-pair
+    Plan: ONE aggregation computes every needed moment in a single
+    pass — the row explodes into k² correlations only AFTER reduction
+    to one row, so the per-pair work is driver-free column arithmetic
+    on a 1-row DataFrame, never a second scan. Compare per-pair
     ``F.corr`` aggregates: k²/2 scans of the fact table.
 
-    Scale: aggregate state is O(k²) doubles total (not per row), one
-    partial+final agg, no shuffle beyond the single global reduce.
+    Null semantics: PAIRWISE-COMPLETE — each pair (x, y) carries its
+    own n and its own sums, all guarded by the same
+    ``x IS NOT NULL AND y IS NOT NULL`` predicate (the R
+    ``use="pairwise.complete.obs"`` contract). Sharing one global n
+    across pairs would bias every correlation touching a nullable
+    column; sharing per-column sums would mix each column's null mask
+    into other pairs' moments.
+
+    Scale: aggregate state is O(k²) doubles total (6 per pair, not
+    per row), one partial+final agg, no shuffle beyond the single
+    global reduce.
     """
-    aggs: list[Column] = [F.count(F.lit(1)).cast("double").alias("n")]
-    for i, c in enumerate(cols):
-        aggs.append(F.sum(F.col(c)).alias(f"s{i}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q{i}"))
+    aggs: list[Column] = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            aggs.append(
-                F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"p{i}_{j}")
+            x, y = F.col(cols[i]), F.col(cols[j])
+            both = x.isNotNull() & y.isNotNull()
+            t = f"{i}_{j}"
+            aggs.extend(
+                [
+                    F.count(F.when(both, 1)).cast("double").alias(f"n{t}"),
+                    F.sum(F.when(both, x)).alias(f"sx{t}"),
+                    F.sum(F.when(both, y)).alias(f"sy{t}"),
+                    F.sum(F.when(both, x * x)).alias(f"qx{t}"),
+                    F.sum(F.when(both, y * y)).alias(f"qy{t}"),
+                    F.sum(F.when(both, x * y)).alias(f"p{t}"),
+                ]
             )
     m = df.agg(*aggs)
     pairs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            num = F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(
-                f"s{j}"
-            )
+            t = f"{i}_{j}"
+            n, sx, sy = F.col(f"n{t}"), F.col(f"sx{t}"), F.col(f"sy{t}")
+            num = n * F.col(f"p{t}") - sx * sy
             den = F.sqrt(
-                (F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
-                * (
-                    F.col("n") * F.col(f"q{j}")
-                    - F.col(f"s{j}") * F.col(f"s{j}")
-                )
+                (n * F.col(f"qx{t}") - sx * sx)
+                * (n * F.col(f"qy{t}") - sy * sy)
             )
             pairs.append(
                 m.select(
@@ -260,15 +283,27 @@ def grouped_mode(
     pick is expressed explicitly: value-count aggregate → per-group
     rank → keep rank 1. Two shuffles ((group, value) counts, then the
     group window over the distinct-value table — value-cardinality
-    sized, not row-sized)."""
+    sized, not row-sized).
+
+    Null semantics (conventional MODE, matching SQL aggregate
+    null-skipping): NULL values are NOT modal candidates — they are
+    filtered before counting, so ``modal_share``'s denominator is the
+    group's NON-NULL row count and a group whose values are all NULL
+    emits no row. Without the filter, Spark's ASC (NULLS FIRST) vs
+    DuckDB's default (NULLS LAST) tie-break would also diverge on any
+    nullable value column. The tie-break still uses asc_nulls_last as
+    a structural belt: the ordering stays engine-portable even if a
+    caller re-composes this window over nullable values."""
     from pyspark.sql import Window
 
-    counts = df.groupBy(*group_cols, value_col).agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     total = Window.partitionBy(*group_cols)
     w = Window.partitionBy(*group_cols).orderBy(
-        F.desc("n"), F.asc(value_col)
+        F.desc("n"), F.asc_nulls_last(value_col)
     )
     return (
         counts.withColumn("_rn", F.row_number().over(w))

@@ -912,10 +912,19 @@ def _bpe_train_oracle() -> str:
 _OLS_ORACLE = """
 WITH m AS (
   SELECT l_returnflag,
-         CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
-         SUM(l_quantity * l_quantity) AS sxx,
-         SUM(l_extendedprice * l_extendedprice) AS syy,
+         -- pairwise-complete: n and every sum share one
+         -- null-excluding predicate, mirroring stats._moments
+         CAST(COUNT(CASE WHEN l_quantity IS NOT NULL
+                          AND l_extendedprice IS NOT NULL THEN 1 END)
+              AS DOUBLE) AS n,
+         SUM(CASE WHEN l_extendedprice IS NOT NULL
+                  THEN l_quantity END) AS sx,
+         SUM(CASE WHEN l_quantity IS NOT NULL
+                  THEN l_extendedprice END) AS sy,
+         SUM(CASE WHEN l_extendedprice IS NOT NULL
+                  THEN l_quantity * l_quantity END) AS sxx,
+         SUM(CASE WHEN l_quantity IS NOT NULL
+                  THEN l_extendedprice * l_extendedprice END) AS syy,
          SUM(l_quantity * l_extendedprice) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
@@ -934,23 +943,34 @@ FROM m ORDER BY l_returnflag
 
 
 def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
-    """Pearson-matrix oracle: the same single moment aggregation the
-    engine runs (k sums, k squared sums, k(k-1)/2 cross sums) and the
-    same explicit formula per pair, one UNION ALL branch per pair."""
-    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n"]
-    for i, c in enumerate(cols):
-        aggs.append(f"SUM({c}) AS s{i}")
-        aggs.append(f"SUM({c} * {c}) AS q{i}")
+    """Pearson-matrix oracle: the same single PAIRWISE-COMPLETE moment
+    aggregation the engine runs (per pair: its own n plus 5 sums, all
+    guarded by ``x IS NOT NULL AND y IS NOT NULL``) and the same
+    explicit formula per pair, one UNION ALL branch per pair."""
+    aggs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            aggs.append(f"SUM({cols[i]} * {cols[j]}) AS p{i}_{j}")
+            x, y, t = cols[i], cols[j], f"{i}_{j}"
+            both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+            aggs.extend(
+                [
+                    f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE)"
+                    f" AS n{t}",
+                    f"SUM(CASE WHEN {both} THEN {x} END) AS sx{t}",
+                    f"SUM(CASE WHEN {both} THEN {y} END) AS sy{t}",
+                    f"SUM(CASE WHEN {both} THEN {x} * {x} END) AS qx{t}",
+                    f"SUM(CASE WHEN {both} THEN {y} * {y} END) AS qy{t}",
+                    f"SUM(CASE WHEN {both} THEN {x} * {y} END) AS p{t}",
+                ]
+            )
     branches = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            num = f"(n * p{i}_{j} - s{i} * s{j})"
+            t = f"{i}_{j}"
+            num = f"(n{t} * p{t} - sx{t} * sy{t})"
             den = (
-                f"sqrt((n * q{i} - s{i} * s{i})"
-                f" * (n * q{j} - s{j} * s{j}))"
+                f"sqrt((n{t} * qx{t} - sx{t} * sx{t})"
+                f" * (n{t} * qy{t} - sy{t} * sy{t}))"
             )
             branches.append(
                 f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
@@ -979,7 +999,12 @@ WITH m AS (
     SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * c_acctbal
              ELSE 0 END) AS qb
   FROM customer
+  -- null-skipping Welch: NULL samples are excluded from the COUNTS as
+  -- well as the sums (same predicate as the engine's
+  -- `(group match) AND v.isNotNull()` conjunct) — counting them would
+  -- compute the biased statistic the engine deliberately removed
   WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    AND c_acctbal IS NOT NULL
 ),
 s AS (
   SELECT na, nb, sa / na AS ma, sb / nb AS mb,
@@ -4281,7 +4306,10 @@ REGISTRY.update(
                                OR CAST(o_orderdate AS DATE) < DATE '1995-01-01'
                                OR CAST(o_orderdate AS DATE) > DATE '2001-12-31'
                           THEN 1 ELSE 0 END) AS BIGINT) AS date_bad,
-                CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                -- NULL status IS a domain violation (bare NOT IN is
+                -- NULL for NULL input under 3VL and would under-count)
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                               OR o_orderstatus NOT IN ('O', 'F', 'P')
                           THEN 1 ELSE 0 END) AS BIGINT) AS status_bad
               FROM orders
             ),
@@ -4447,8 +4475,12 @@ REGISTRY.update(
             stats.orders_modal_priority,
             """
             WITH c AS (
+              -- conventional MODE: NULL values are not modal
+              -- candidates and don't count toward the share
+              -- denominator (mirrors stats.grouped_mode's pre-filter)
               SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-              FROM orders GROUP BY 1, 2
+              FROM orders WHERE o_orderpriority IS NOT NULL
+              GROUP BY 1, 2
             ),
             r AS (
               SELECT *,
