@@ -107,14 +107,17 @@ def _run_available_now(
     with_watermark: bool = True,
     state_keys=None,
     state_key_id: tuple | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a windowed transform as a REAL stream over the parquet
-    events table (Trigger.AvailableNow → foreachBatch parquet sink,
-    complete mode) and return the result read back from the sink. No
-    driver-side materialization: each micro-batch's full result is
-    written distributed to parquet (overwrite — complete mode re-emits
-    the whole table). The same code ships against kafka/file sources
-    in production."""
+    events table (Trigger.AvailableNow → foreachBatch parquet sink)
+    and return the result read back from the sink. No driver-side
+    materialization: each micro-batch's result is written distributed
+    to parquet — complete mode overwrites (the whole table is re-emitted
+    per batch), append mode appends (each batch contributes only its
+    newly-FINALIZED rows, so the sink union across batches is the
+    query result). The same code ships against kafka/file sources in
+    production."""
     raw_schema = raw_events_schema(spark, sf_dir)
     # the streaming file source wants a directory; glob-filter to the
     # events file within the sf dir
@@ -133,11 +136,12 @@ def _run_available_now(
         if state_key_id
         else None
     )
+    write_mode = "overwrite" if output_mode == "complete" else "append"
     with scoped_state_partitions(
         spark,
         n=state_partitions_for(state_keys, cache_key=cache_key),
         out=out,
-        output_mode="complete",
+        output_mode=output_mode,
     ):
         q = (
             # repartition(1): the result is a windowed aggregate
@@ -147,10 +151,10 @@ def _run_available_now(
             # scale, drop it and let the sink partition.
             out.writeStream.foreachBatch(
                 lambda df, _epoch: df.repartition(1)
-                .write.mode("overwrite")
+                .write.mode(write_mode)
                 .parquet(sink)
             )
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
             .trigger(availableNow=True)
             .start()
