@@ -865,6 +865,16 @@ def _lloyd_iterate(
     rounds run, last shift)."""
     import math
 
+    # A fully-empty input seeds NO centroids at all (the wrappers'
+    # `vec_id < k` collect returns zero rows), so `cents[0]` below
+    # would IndexError before the 0-row local-solve path could catch
+    # it — return the same empty assignment that path produces.
+    if not cents:
+        assigned = e.sparkSession.createDataFrame(
+            [], schema="vec_id bigint, emb array<double>, cid int"
+        )
+        return assigned, [], 0, None
+
     # Small-input fast path, probed in two steps: a bounded COUNT
     # first (one JVM long to the driver), then a full collect only
     # when the input actually fits the element gate — the at-scale

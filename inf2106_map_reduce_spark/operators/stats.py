@@ -121,6 +121,10 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     per row), one partial+final agg, no shuffle beyond the single
     global reduce.
     """
+    if len(cols) < 2:
+        raise ValueError(
+            f"corr_matrix needs at least two columns, got {cols!r}"
+        )
     aggs: list[Column] = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):

@@ -4684,96 +4684,45 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 17 (not 40) leaves a 33-slot priority block while keeping the
-# window's rotation segment >= the stride — consecutive rounds' cycle
-# segments still overlap, so full coverage within ceil(n/17) rounds.
-ROTATION_STRIDE = 17
+# 29 (raised from 17 in r08 when the priority block shrank 33 -> 20):
+# the fill segment is WINDOW - |priority| = 30 >= STRIDE, so
+# consecutive rounds' cycle segments still overlap and full coverage
+# holds within ceil(203/29) = 7 rounds — under the <= 8-round horizon
+# the rotation test pins.
+ROTATION_STRIDE = 29
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # round 6 new: convergence-driven k-means (19-round unrolled oracle
-    # + pinned round count)
-    "kmeans_converged",
-    # round 6 new: LSH/IVF recall audit vs brute force (pinned >=0.8)
-    "ann_recall_audit",
-    # round 6: recall retuning changed both index parameter sets
-    # (ANN_LSH_TABLES 8->16, ANN_IVF_PROBE 4->10)
-    "ann_lsh",
-    "ann_ivf",
-    # round 6 new: Misra-Gries heavy hitters with envelope audit
-    "sketch_heavy_hitters",
-    # round 6 new: SemDeDup cluster-blocked semantic dedup
-    "dedup_semantic",
-    # round 6 new: retrieval family (BM25, hybrid RRF) + PII scrub
-    "docs_bm25_topk",
-    "docs_hybrid_rrf",
-    "docs_pii_scrub",
-    # round 6 new: exact-substring duplicate-span dedup
-    "dedup_substring_spans",
-    # round 6 new: LSH-dense hybrid retrieval variant
-    "docs_hybrid_rrf_lsh",
-    # round 6 new: PageRank over the near-dup graph
-    "docs_pagerank_neardup",
-    # round 6 new: BPE merge-candidate counting
-    "vocab_bpe_pairs",
-    # round 6 new: triangle counting on the near-dup graph
-    "docs_neardup_triangles",
-    # round 6 new: per-source KL distribution-drift audit
-    "docs_source_drift",
-    # round 6 new: Bloom-filter membership with FP-rate envelope audit
-    "sketch_bloom_membership",
-    # round 6 new: mergeable binned-histogram median rollup
-    "sketch_quantile_rollup",
-    # round 6 new: per-language Pareto-frontier (skyline) selection
-    "docs_pareto_frontier",
-    # round 6 new: 2-core of the near-dup graph (pinned peel rounds)
-    "docs_kcore_neardup",
-    # round 6 new: cross-source duplicate-overlap matrix
-    "dedup_source_overlap",
-    # round 6 new: per-doc unigram entropy
-    "docs_entropy",
-    # round 6 new: asymmetric containment + direction verdict
-    "dedup_containment",
-    # round 6 new: XML roundtrip via the Spark 4 native source
-    "source_xml_roundtrip",
-    # round 6 new: hard-negative mining (cosine topk minus near-dups)
-    "ann_hard_negatives",
-    # round 6 new: per-language adaptive quality gate
-    "docs_adaptive_quality",
-    # round 6 new: DSIR importance-resampling scores
-    "docs_dsir_scores",
-    # round 6 new: truncated-EWMA volume smoother + spike flags
-    "events_ewma_volume",
-    # round 6 new: linear multi-touch click attribution
-    "events_multitouch_attribution",
-    # round 6 new: bigram-LM perplexity-filter scores
-    "docs_bigram_logprob",
-    # round 6 new: data-quality expectation suite over orders
-    "dq_expectations_orders",
-    # round 6 new: blocked Levenshtein entity resolution
-    "customer_fuzzy_pairs",
-    # round 6 new: HLL inclusion-exclusion segment overlap
-    "sketch_distinct_overlap",
-    # round 6 new: JL random projection with norm-preservation audit
-    "embedding_random_projection",
-    # Not re-listed (the 33-slot cap is the rotation-coverage bound):
-    # kmeans_clusters / docs_embedding_coverage / docs_unigram_logprob
-    # were driver-green in r05 and their semantics changes are
-    # oracle-pinned locally; orders_activity_islands (new) and
-    # orders_rfm_segments land in THIS round's rotation fill segment
-    # (offset 102) anyway. DEFERRED TO THE R07 PRIORITY BLOCK (all
-    # locally oracle-checked every round by tests/test_oracle_parity
-    # and green in the full vanilla-ANSI driver-sim):
-    # events_transition_matrix, events_retention_cohorts,
-    # events_volume_anomalies, customer_golden_records,
-    # lineitem_price_ols, lineitem_corr_matrix, segment_balance_ttest,
-    # source_csv_gzip_roundtrip, docs_neardup_bfs,
-    # docs_curriculum_order, vocab_bpe_train, events_sequence_patterns,
-    # scalar_try_battery, window_distribution_battery,
-    # streaming_click_attribution_outer, orders_part_cooccurrence,
-    # dedup_minhash_estimate, orders_winsorized_stats,
-    # events_ewma_calendar, docs_training_manifest.
+    # Round-8 block: the entries never driver-checked in any prior
+    # round (the r06-verdict deferral recorded at the bottom of the
+    # r07 block), led by the composed corpus-build flagship. All are
+    # locally oracle-green every pytest run (test_oracle_parity.py,
+    # vanilla + ANSI variants); this block routes them into the
+    # driver's CORRECTNESS_r08 sample for the hard signal.
+    "docs_training_manifest",
+    "vocab_bpe_train",
+    "streaming_click_attribution_outer",
+    "customer_golden_records",
+    "docs_neardup_bfs",
+    "docs_curriculum_order",
+    "dedup_minhash_estimate",
+    "events_transition_matrix",
+    "events_retention_cohorts",
+    "events_volume_anomalies",
+    "events_sequence_patterns",
+    "events_ewma_calendar",
+    "lineitem_price_ols",
+    "lineitem_corr_matrix",
+    "segment_balance_ttest",
+    "scalar_try_battery",
+    "window_distribution_battery",
+    "source_csv_gzip_roundtrip",
+    # Previously deferred alongside the 18 but already driver-green in
+    # an earlier rotation fill; re-listed for the perf/semantics work
+    # this round touches:
+    "orders_part_cooccurrence",
+    "orders_winsorized_stats",
 )
 
 

@@ -20,6 +20,9 @@ def _window(round_no: int) -> set[str]:
 def test_full_coverage_within_bounded_rounds():
     n = len(q.REGISTRY)
     horizon = math.ceil(n / q.ROTATION_STRIDE)
+    # staleness bound: no entry waits more than 8 rounds for a
+    # driver check at the current registry size (r06/r07 verdicts)
+    assert horizon <= 8, (n, q.ROTATION_STRIDE, horizon)
     # any consecutive span of `horizon` rounds covers every entry,
     # wherever it starts
     for start in (1, 2, 5, 7, 23):
