@@ -1074,6 +1074,25 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+#: Append-mode finalization contract, encoded exactly: a window is
+#: emitted iff its END is <= the final watermark, and Spark tracks the
+#: event-time watermark in MILLISECONDS (EventTimeWatermarkExec floors
+#: the max observed event time to ms before subtracting the delay) —
+#: hence the date_trunc('milliseconds', ...) on the max. Windows still
+#: open when the stream drains (the trailing partial hour) are
+#: withheld, exactly as a live deployment withholds them.
+_TUMBLING_APPEND_SQL = """
+WITH wm AS (
+  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+  FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+GROUP BY 1, 2
+"""
+
 
 REGISTRY: dict[str, QuerySpec] = {
     # -- aggregation ------------------------------------------------------
@@ -2174,6 +2193,13 @@ REGISTRY: dict[str, QuerySpec] = {
         stream_windows.streaming_tumbling_hourly,
         _TUMBLING_SQL,
         "tumbling window agg via Structured Streaming AvailableNow",
+        ("events", "streaming"),
+    ),
+    "streaming_tumbling_append": QuerySpec(
+        stream_windows.streaming_tumbling_append,
+        _TUMBLING_APPEND_SQL,
+        "APPEND-mode watermarked window agg — only finalized windows "
+        "emit, once, into an idempotent epoch-partitioned sink",
         ("events", "streaming"),
     ),
     "streaming_dedup_keys": QuerySpec(
@@ -4718,6 +4744,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "scalar_try_battery",
     "window_distribution_battery",
     "source_csv_gzip_roundtrip",
+    # Round 8 new: append-mode watermarked window aggregation with the
+    # finalization contract oracle-encoded
+    "streaming_tumbling_append",
     # Previously deferred alongside the 18 but already driver-green in
     # an earlier rotation fill; re-listed for the perf/semantics work
     # this round touches:

@@ -100,6 +100,30 @@ def multires_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def _batch_writer(sink: str, output_mode: str):
+    """foreachBatch sink function, IDEMPOTENT under micro-batch retry
+    (foreachBatch is at-least-once): complete mode overwrites the sink
+    root (each batch re-emits the whole result table, so a retry
+    replaces it wholesale); append mode routes each epoch's finalized
+    rows into their own ``epoch=<id>`` partition directory and
+    OVERWRITES it, so a retried batch replaces its own prior output
+    instead of duplicating rows. Exactly-once by idempotence — the
+    standard foreachBatch dedup recipe for non-transactional sinks."""
+    if output_mode == "complete":
+
+        def write_batch(df, _epoch):
+            df.repartition(1).write.mode("overwrite").parquet(sink)
+
+    else:
+
+        def write_batch(df, epoch):
+            df.repartition(1).write.mode("overwrite").parquet(
+                f"{sink}/epoch={epoch}"
+            )
+
+    return write_batch
+
+
 def _run_available_now(
     spark: SparkSession,
     sf_dir: str,
@@ -114,9 +138,12 @@ def _run_available_now(
     and return the result read back from the sink. No driver-side
     materialization: each micro-batch's result is written distributed
     to parquet — complete mode overwrites (the whole table is re-emitted
-    per batch), append mode appends (each batch contributes only its
-    newly-FINALIZED rows, so the sink union across batches is the
-    query result). The same code ships against kafka/file sources in
+    per batch); append mode writes each batch's newly-FINALIZED rows
+    into its own ``epoch=<id>`` partition directory with per-partition
+    overwrite, so the sink union across epochs is the query result AND
+    a retried micro-batch (foreachBatch is at-least-once) replaces its
+    own partition instead of duplicating rows — exactly-once by
+    idempotence. The same code ships against kafka/file sources in
     production."""
     raw_schema = raw_events_schema(spark, sf_dir)
     # the streaming file source wants a directory; glob-filter to the
@@ -136,7 +163,7 @@ def _run_available_now(
         if state_key_id
         else None
     )
-    write_mode = "overwrite" if output_mode == "complete" else "append"
+    _write_batch = _batch_writer(sink, output_mode)
     with scoped_state_partitions(
         spark,
         n=state_partitions_for(state_keys, cache_key=cache_key),
@@ -149,18 +176,18 @@ def _run_available_now(
             # task+commit costs, and unlike coalesce(1) the shuffle
             # boundary keeps the upstream aggregation parallel. At
             # scale, drop it and let the sink partition.
-            out.writeStream.foreachBatch(
-                lambda df, _epoch: df.repartition(1)
-                .write.mode(write_mode)
-                .parquet(sink)
-            )
+            out.writeStream.foreachBatch(_write_batch)
             .outputMode(output_mode)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink)
+    read_back = spark.read.parquet(sink)
+    if output_mode != "complete":
+        # the epoch partition column is sink plumbing, not query output
+        read_back = read_back.drop("epoch")
+    return read_back
 
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +203,42 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("h"), "event_type"
         ),
         state_key_id=(sf_dir, "events", "hour", "event_type"),
+    )
+
+
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the SAME tumbling-window aggregation in APPEND
+    output mode — each window is emitted EXACTLY ONCE, when the
+    watermark passes its end (complete mode re-emits the whole result
+    table every batch, which no 100 TB sink can absorb; append is the
+    production output mode for watermarked window aggs). Under the
+    AvailableNow drain the data batch emits nothing (the watermark is
+    still at its initial value while batch 1 runs), and the trailing
+    no-data batch — forced ON for this shape by
+    :func:`runtime.needs_no_data_batch` — advances the watermark to
+    max(ts) − 1 h and flushes every finalized window.
+
+    Emission contract (oracle-encoded): a window is final iff
+    ``window_end <= max(ts) − watermark_delay`` with the watermark
+    truncated to MILLISECONDS (Spark tracks event-time watermarks in
+    ms; `EventTimeWatermarkExec` floors to ms before the state-eviction
+    compare). Windows still open when the stream drains — the last
+    partial hour — are withheld, exactly as a live deployment would
+    withhold them until more data arrives.
+
+    Idempotence: each epoch's finalized rows land in their own
+    ``epoch=<id>`` sink partition via per-partition overwrite, so a
+    retried micro-batch replaces rather than duplicates (foreachBatch
+    is at-least-once)."""
+    return _run_available_now(
+        spark,
+        sf_dir,
+        tumbling_hourly,
+        state_keys=load_table(spark, sf_dir, "events").select(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ),
+        state_key_id=(sf_dir, "events", "hour", "event_type"),
+        output_mode="append",
     )
 
 

@@ -224,3 +224,44 @@ def test_no_data_batch_forced_for_outer_stream_stream_join(spark, sf_oracle):
     inner = click_purchase_pairs(clicks, purchases, how="inner")
     assert needs_no_data_batch(outer, "append") is True
     assert needs_no_data_batch(inner, "append") is False
+
+
+def test_streaming_append_emits_only_finalized_windows(spark, sf_smoke):
+    """Append mode = the batch result MINUS windows the final watermark
+    (ms-truncated max ts − 1 h) has not passed, each emitted exactly
+    once across epochs."""
+    batch = W.batch_tumbling_hourly(spark, sf_smoke)
+    appended = W.streaming_tumbling_append(spark, sf_smoke)
+    cols = ["window_start", "event_type", "n", "total_value"]
+
+    mx = load_table(spark, sf_smoke, "events").agg(F.max("ts")).collect()[0][0]
+    wm = mx.replace(microsecond=mx.microsecond // 1000 * 1000)
+    import datetime as dt
+
+    finalized = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(wm - dt.timedelta(hours=1))
+    )
+    assert _rows(appended, cols) == _rows(finalized, cols)
+    # strictly fewer rows than batch: the trailing open window is withheld
+    assert appended.count() < batch.count()
+    # exactly-once: no (window, type) key appears twice across epochs
+    keys = _rows(appended, ["window_start", "event_type"])
+    assert len(keys) == len(set(keys))
+
+
+def test_append_epoch_writer_is_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch through the
+    append-mode writer must REPLACE that epoch's rows, not duplicate
+    them — and other epochs' output must survive."""
+    sink = str(tmp_path / "sink")
+    write = W._batch_writer(sink, "append")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df2 = spark.createDataFrame([(3, "c")], "k int, v string")
+    write(df1, 0)
+    write(df2, 1)
+    write(df1, 0)  # retried epoch 0
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
