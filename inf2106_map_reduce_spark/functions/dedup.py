@@ -799,6 +799,8 @@ def build_registry_stage_cache(spark: SparkSession, sf_dir: str) -> dict[str, in
         "lsh_candidates": _registry_candidates(spark, sf_dir).count(),
         "jaccard_edges": _registry_edges(spark, sf_dir).count(),
         "components_minlabel": _registry_components(spark, sf_dir).count(),
+        "simhash32_sigs": _registry_simhash32(spark, sf_dir).count(),
+        "simhash64_sigs": _registry_simhash64(spark, sf_dir).count(),
     }
 
 
@@ -861,14 +863,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _registry_edges(spark, sf_dir)
 
 
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature per document. (A checkpointed shared
-    word-hash stage across the three SimHash entries was measured and
-    REJECTED: materializing the ~word-count-sized (id, hi, lo) table
-    cost more than the three parallel explode+md5 recomputes it
-    saved — the hash is cheap JVM codegen; the checkpoint is I/O.)"""
+def _registry_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed 32-bit SimHash SIGNATURE stage — shared by the
+    signature entry and the banded-pairs entry. Caching the signature
+    table (one bigint per doc) is cheap where caching the WORD-hash
+    table was measured too expensive (r05/r06 — word-count-sized I/O
+    vs the parallel explode+md5 recompute): the expensive upstream
+    runs exactly once per session, and the checkpoint materializes
+    only doc-count rows."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d)
+    return _doc_stage(spark, sf_dir, "simhash32_sigs", lambda: simhash(d))
+
+
+def _registry_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed 64-bit SimHash signature stage. Beyond the
+    amortization argument of :func:`_registry_simhash32`, this also
+    removes the band self-join's double execution of the signature
+    aggregation structurally: both join branches read the
+    materialized stage instead of relying on exchange reuse."""
+    d = load_table(spark, sf_dir, "documents")
+    return _doc_stage(spark, sf_dir, "simhash64_sigs", lambda: simhash64(d))
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document (shared session stage)."""
+    return _registry_simhash32(spark, sf_dir)
 
 
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,13 +1125,17 @@ def simhash64(
     engine). Same plan shape as the 32-bit version: one explode + one
     grouped aggregation, no UDF.
 
-    Two rewrites were measured and REJECTED at sf0.1 (r05): packing
-    the 64 bit-sums into 32 two-lane bigints (no gain — cost is the
-    per-word explode+md5, not aggregation buffers) and pre-aggregating
-    (doc, word) counts before hashing (1.6 -> 1.8 s — the extra
-    shuffle outweighs the md5 dedup even at this corpus's ~12x word
-    duplication). The current single explode + single agg is the
-    measured optimum of the three shapes.
+    Rewrites measured at sf0.1: packing the 64 bit-sums into 32
+    two-lane bigints (REJECTED r05 — no gain); pre-aggregating
+    (doc, word) counts before hashing (REJECTED r05 — the extra
+    shuffle outweighs the md5 dedup); computing the bit-sum partials
+    in a vectorized numpy ``mapInPandas`` pass (REJECTED r08 — the
+    Arrow round trip alone measured ~7 s against this word table,
+    3× the entire SQL aggregation; the JVM agg was never the cost).
+    The single explode + single agg remains the measured optimum —
+    the r08 win is upstream, in :func:`simhash64_candidate_pairs`,
+    which now checkpoints the doc-count-sized signature table so the
+    band self-join stops running this stage twice.
     """
     exploded = word_hash_table(df, id_col, text_col)
     def _src(j: int):
@@ -1157,16 +1180,18 @@ def simhash64_candidate_pairs(
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: SimHash near-dup pairs at Hamming <= 3."""
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(d)
+    """Registry query: SimHash near-dup pairs at Hamming <= 3, banded
+    over the shared 32-bit signature stage."""
+    sigs = _registry_simhash32(spark, sf_dir)
+    return _hamming_banded_pairs(sigs, "simhash32", 4, 3, "doc_id")
 
 
 def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: 64-bit SimHash near-dup pairs at Hamming <= 3
-    (8x8-bit pigeonhole bands)."""
-    d = load_table(spark, sf_dir, "documents")
-    return simhash64_candidate_pairs(d)
+    (8x8-bit pigeonhole bands), banded over the shared 64-bit
+    signature stage."""
+    sigs = _registry_simhash64(spark, sf_dir)
+    return _hamming_banded_pairs(sigs, "simhash64", 8, 3, "doc_id")
 
 
 def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
