@@ -344,3 +344,52 @@ def test_pareto_prune_precedes_group_exchange(spark, sf_oracle):
     # formatted explain prints operators top-down (output first), so
     # the upstream prune appears AFTER the downstream group op
     assert map_pos > grp_pos
+
+
+def test_pagerank_final_plan_is_constant_depth(spark, sf_oracle):
+    """Round checkpoints must truncate lineage: the returned plan joins
+    the LAST round's checkpointed ranks to the checkpointed degree
+    table — 2 keyed shuffles, no parquet rescan, no cartesian. A plan
+    that grew with rounds (join+agg per round stacked in one lineage)
+    would re-run the whole trajectory on every action at scale."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    df = dedup.docs_pagerank_neardup(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert data_shuffle_count(df) <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed round inputs
+    assert "FileScan" not in plan, plan  # no corpus rescan downstream
+
+
+def test_kcore_final_plan_is_constant_depth(spark, sf_oracle):
+    """Same checkpoint discipline for the peel loop: the surviving
+    edge set is checkpointed each round, so the returned degree count
+    is ONE keyed shuffle over a checkpointed edge table."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    df = dedup.docs_kcore_neardup(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert data_shuffle_count(df) <= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+
+
+def test_training_manifest_broadcasts_all_filters(spark, sf_oracle):
+    """The composed corpus build must keep each stage's shape: the
+    dedup-loser and contamination anti-joins and the quality semi-join
+    are all doc_id-keyed BROADCASTS against the corpus scan (their
+    build sides are candidate/benchmark-sized, never corpus-sized), so
+    the whole manifest adds at most 2 keyed shuffles on top of the
+    session stages. PLANS.md 'docs_training_manifest' pins the full
+    tree; this guards its load-bearing properties."""
+    from inf2106_map_reduce_spark.functions import pipeline
+
+    df = pipeline.docs_training_manifest(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert data_shuffle_count(df) <= 2, plan
+    assert "CartesianProduct" not in plan
