@@ -41,3 +41,68 @@ def test_all_streaming_queries_are_warmed():
     # streaming entry missing from WARMUP gets billed ~1-2 s of setup
     streaming = {n for n in REGISTRY if n.startswith("streaming_")}
     assert streaming <= set(bench.WARMUP)
+
+
+# -- calibration-normalized regression gate ---------------------------------
+#
+# BASELINE.md r06: identical code measured 74.5 s vs 139-348 s across
+# host-weather windows, so raw s/q cannot gate anything. bench.py
+# emits calibration_sec (median of 5 fixed range-sum runs — moves with
+# the host, never with this repo's code); the gate divides by it.
+
+#: r07 reference point: calibration 0.107 s on the host where the
+#: 203-entry tree measured 0.752 s/q (within 1.05x of the r01 anchor).
+CALIBRATION_ANCHOR = 0.107
+HARD_GATE_S_PER_Q = 1.43  # 2x the 0.713 r01 anchor (BASELINE.md)
+TARGET_S_PER_Q = 0.80
+
+
+def _latest_driver_bench():
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for path in reversed(arts):
+        try:
+            with open(path) as f:
+                wrapper = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench.py's one-line JSON inside `tail`
+        tail = wrapper.get("tail") or ""
+        m = re.search(r'\{"metric".*\}', tail)
+        if not m:
+            continue
+        payload = json.loads(m.group(0))
+        if payload.get("calibration_sec") and payload.get("n_queries"):
+            return path, payload
+    return None, None
+
+
+def test_normalized_bench_gate():
+    import pytest
+
+    path, payload = _latest_driver_bench()
+    if payload is None:
+        pytest.skip("no driver bench artifact with calibration yet")
+    raw_spq = payload["value"] / payload["n_queries"]
+    # weather-adjust to the r07 reference host: a 2x-slower host halves
+    # the denominator's meaning, so scale by anchor/actual
+    adjusted_spq = raw_spq * (CALIBRATION_ANCHOR / payload["calibration_sec"])
+    assert adjusted_spq <= HARD_GATE_S_PER_Q, (
+        f"{path}: adjusted {adjusted_spq:.3f} s/q breaches the hard gate "
+        f"(raw {raw_spq:.3f}, calibration {payload['calibration_sec']})"
+    )
+    # the 0.80 target is directional, not a hard invariant — surface it
+    # without failing the suite
+    if adjusted_spq > TARGET_S_PER_Q:
+        import sys
+
+        print(
+            f"[bench-gate] {path}: adjusted {adjusted_spq:.3f} s/q above "
+            f"the {TARGET_S_PER_Q} target (raw {raw_spq:.3f})",
+            file=sys.stderr,
+        )
