@@ -50,6 +50,7 @@ WARMUP = (
     "streaming_enriched_segments",
     "streaming_session_windows",
     "streaming_sliding_windows",
+    "streaming_neardup_ingest",
     "streaming_tumbling_append",
     "streaming_tumbling_hourly",
     "streaming_user_stats_stateful",

@@ -111,6 +111,58 @@ def minhash_signatures(
     return projected.groupBy(id_col).agg(*mins)
 
 
+def minhash_band_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Per-ROW LSH band signatures as COLUMNS (``band_0..band_{B-1}``)
+    — the narrow, STATELESS form of the MinHash pipeline, built for
+    Structured Streaming: the batch form (explode shingles → grouped
+    min) is a stateful aggregation a stream cannot chain before a
+    join, so here each signature component is computed per row with
+    array expressions (``array_min(transform(shingles, ...))``) over
+    the SAME quartered-md5 construction as
+    :func:`minhash_signatures` — identical band values, zero shuffle,
+    zero state.
+
+    A doc with fewer words than one shingle has an empty shingle
+    array; ``array_min`` over it is NULL, the band md5 of a NULL
+    concat is NULL, and NULL never equi-joins — such docs can never
+    band-collide, in both engines."""
+    assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4"
+    sh = word_shingles(text_col)
+
+    # constants are bound via factory closures, NOT lambda default
+    # args: F.transform calls a 2-arity lambda as (element, index), so
+    # `lambda s, j=j:` silently receives the array INDEX for j
+    def _digests(j: int) -> Column:
+        prefix = F.lit(f"{j}:")
+        return F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
+
+    def _min_slice(dig: Column, k: int) -> Column:
+        start = 1 + 8 * k
+        return F.array_min(
+            F.transform(dig, lambda d: F.substring(d, start, 8))
+        )
+
+    mh: dict[int, Column] = {}
+    for j in range(n_hashes // 4):
+        # one digest array per j; the 4 slice-mins below share it via
+        # codegen subexpression elimination
+        dig = _digests(j)
+        for k in range(4):
+            mh[4 * j + k] = _min_slice(dig, k)
+    bands = [
+        F.md5(
+            F.concat(*[mh[b * band_rows + r] for r in range(band_rows)])
+        ).alias(f"band_{b}")
+        for b in range(n_hashes // band_rows)
+    ]
+    return df.select("*", *bands)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

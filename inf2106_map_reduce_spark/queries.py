@@ -42,6 +42,7 @@ from inf2106_map_reduce_spark.operators import (
     timeseries,
 )
 from inf2106_map_reduce_spark.sources import roundtrip
+from inf2106_map_reduce_spark.streaming import ingest as stream_ingest
 from inf2106_map_reduce_spark.streaming import joins as stream_joins
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
@@ -97,6 +98,62 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
    AND a.doc_id < b.doc_id
 )
+"""
+
+def _slice_bands_cte(prefix: str, where: str) -> str:
+    """Shingle→signature→band CTE chain over a doc_id slice — the
+    per-slice form of _CANDIDATES_SQL's chain, shared by the streaming
+    incremental-ingest oracle (snapshot slice vs incoming slice)."""
+    return f"""
+{prefix}_sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+  )) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words
+        FROM documents WHERE {where})
+),
+{prefix}_sig AS (SELECT doc_id, {_MINS}
+        FROM (SELECT doc_id, {_DIGESTS} FROM {prefix}_sh) GROUP BY doc_id),
+{prefix}_bands AS (
+  SELECT doc_id, b.band_idx, {_BAND_CASE} AS band_sig
+  FROM {prefix}_sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
+)"""
+
+
+#: Streaming incremental near-dup ingest: snapshot slice = doc_id%10<3
+#: (the incremental_ingest_dedup convention); the rest arrive on the
+#: stream with a deterministic ingest clock (one doc per minute from
+#: 2024-01-01T00:00). A doc is rejected iff ANY of its 4 LSH bands
+#: matches a snapshot band; survivors collapse per (1 h ingest window,
+#: exact content key) with min-doc_id-survives — and only windows the
+#: final watermark (max incoming ingest_ts − 1 h) has passed are
+#: emitted, the append-mode finalization contract.
+_NEARDUP_INGEST_SQL = f"""
+WITH {_slice_bands_cte("snap", "doc_id % 10 < 3")},
+{_slice_bands_cte("inc", "doc_id % 10 >= 3")},
+inc AS (
+  SELECT doc_id, text,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id * 60) * INTERVAL 1 SECOND AS ingest_ts
+  FROM documents WHERE doc_id % 10 >= 3
+),
+matched AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc_bands i
+  JOIN (SELECT DISTINCT band_idx, band_sig FROM snap_bands) s
+    USING (band_idx, band_sig)
+),
+accepted AS (
+  SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+),
+wm AS (SELECT max(ingest_ts) - INTERVAL 1 HOUR AS w FROM inc)
+SELECT date_trunc('hour', ingest_ts) AS window_start,
+       md5({_NORM}) AS content_key,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies
+FROM accepted
+WHERE date_trunc('hour', ingest_ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+GROUP BY 1, 2
 """
 
 # Shared near-dup edge chain (candidates -> exact Jaccard >= 0.5
@@ -2201,6 +2258,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "APPEND-mode watermarked window agg — only finalized windows "
         "emit, once, into an idempotent epoch-partitioned sink",
         ("events", "streaming"),
+    ),
+    "streaming_neardup_ingest": QuerySpec(
+        stream_ingest.streaming_neardup_ingest,
+        _NEARDUP_INGEST_SQL,
+        "streaming incremental near-dup dedup: narrow per-row MinHash "
+        "bands, broadcast anti-joins vs the snapshot band sets, "
+        "watermarked append-mode windowed collapse",
+        ("documents", "streaming", "dedup"),
     ),
     "streaming_dedup_keys": QuerySpec(
         stream_stateful.streaming_dedup_keys,
@@ -4747,10 +4812,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: append-mode watermarked window aggregation with the
     # finalization contract oracle-encoded
     "streaming_tumbling_append",
+    # Round 8 new: streaming incremental near-dup ingest (narrow
+    # MinHash bands + broadcast anti-screen + watermarked collapse)
+    "streaming_neardup_ingest",
     # Previously deferred alongside the 18 but already driver-green in
-    # an earlier rotation fill; re-listed for the perf/semantics work
-    # this round touches:
-    "orders_part_cooccurrence",
+    # an earlier rotation fill; re-listed for the winsorized-stats
+    # semantics this round touches (orders_part_cooccurrence, from the
+    # same deferral, was driver-green r06 and lands via rotation):
     "orders_winsorized_stats",
 )
 

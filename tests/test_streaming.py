@@ -265,3 +265,84 @@ def test_append_epoch_writer_is_retry_idempotent(spark, tmp_path):
         (r["k"], r["v"]) for r in spark.read.parquet(sink).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_narrow_bands_match_batch_construction(spark, sf_smoke):
+    """minhash_band_cols (the per-row stateless streaming form) must
+    produce bit-identical band signatures to the batch explode+agg
+    construction — the property that lets the stream's screen join
+    against a batch-built snapshot band table."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    d = load_table(spark, sf_smoke, "documents")
+    sigs = dedup.minhash_signatures(d)
+    n_bands = dedup.N_HASHES // dedup.BAND_ROWS
+    batch = {
+        r["doc_id"]: tuple(r[f"band_{b}"] for b in range(n_bands))
+        for r in sigs.select(
+            "doc_id",
+            *[
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"mh{b * dedup.BAND_ROWS + r}")
+                            for r in range(dedup.BAND_ROWS)
+                        ]
+                    )
+                ).alias(f"band_{b}")
+                for b in range(n_bands)
+            ],
+        ).collect()
+    }
+    narrow = {
+        r["doc_id"]: tuple(r[f"band_{b}"] for b in range(n_bands))
+        for r in dedup.minhash_band_cols(d)
+        .select("doc_id", *[f"band_{b}" for b in range(n_bands)])
+        .collect()
+    }
+    assert batch == {k: v for k, v in narrow.items() if k in batch}
+    # docs absent from the batch agg have no shingles -> all-NULL bands
+    for k in set(narrow) - set(batch):
+        assert all(v is None for v in narrow[k])
+
+
+def test_neardup_screen_semantics(spark):
+    """The 4 anti-joins compose to 'reject iff ANY band matches the
+    snapshot'; shingle-less docs (NULL bands) always pass."""
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.streaming import ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # snapshot member
+            (2, base),  # exact copy arriving in the stream -> reject
+            (3, "completely different text about spark engines at scale ok"),
+            (4, "hi"),  # shorter than one shingle -> NULL bands -> accept
+        ],
+        "doc_id bigint, text string",
+    )
+    snap = docs.filter("doc_id = 1")
+    stream_side = dedup.minhash_band_cols(docs.filter("doc_id > 1"))
+    sigs = dedup.minhash_signatures(snap)
+    n_bands = dedup.N_HASHES // dedup.BAND_ROWS
+    band_sets = [
+        sigs.select(
+            F.md5(
+                F.concat(
+                    *[
+                        F.col(f"mh{b * dedup.BAND_ROWS + r}")
+                        for r in range(dedup.BAND_ROWS)
+                    ]
+                )
+            ).alias(f"band_{b}")
+        ).distinct()
+        for b in range(n_bands)
+    ]
+    kept = sorted(
+        r["doc_id"]
+        for r in ingest.neardup_screen(stream_side, band_sets)
+        .select("doc_id")
+        .collect()
+    )
+    assert kept == [3, 4]
