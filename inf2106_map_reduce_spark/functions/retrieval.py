@@ -212,3 +212,126 @@ def docs_hybrid_rrf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         dense_topk=vector_fns.lsh_ann_topk,
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off weights as SEPARATE literals (not ``1 - lam``):
+#: Python's ``1 - 0.7`` is 0.30000000000000004 while a SQL literal
+#: ``0.3`` parses to 0.299999999999999988…, so deriving mu would break
+#: hash parity with the oracle. Both engines get the exact same two
+#: doubles.
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+MMR_CANDIDATES = 16
+MMR_K = 6
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_candidates: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+    mu: float = MMR_MU,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: greedily select ``k``
+    documents from the exact-cosine top-``n_candidates`` for a query,
+    trading relevance against redundancy —
+    ``mmr(d) = lam * rel(d) - mu * max_{s in S} sim(d, s)``, ties by
+    vec_id. The diversity-aware context/selection pass a training-data
+    or RAG pipeline runs AFTER retrieval: near-identical passages stop
+    crowding out coverage (Carbonell & Goldstein 1998; the reference
+    engine has no retrieval surface at all — its tokenizer contract in
+    mapreduce/src/MapServant.java stops at word counting — so this is
+    superset API like the rest of this module).
+
+    Spark shape: the greedy loop is UNROLLED into ``k`` tiny
+    DataFrame steps over two bounded, eagerly-checkpointed inputs —
+    the ``n_candidates``-row relevance list and its directed pairwise
+    cosine matrix (``n²`` bounded by the candidate contract, never by
+    corpus size). Each step anti-joins the picked set, takes the max
+    pairwise sim to it per survivor, and picks the arg-max via
+    TakeOrdered(1); the running selection is re-checkpointed per step
+    so the plan stays linear in ``k`` (the PageRank/k-core checkpoint
+    discipline). For a query FLEET, the same unrolled loop holds with
+    every step keyed by query_id (row_number-over-window arg-max
+    instead of limit(1)): k passes over candidate-bounded data,
+    embarrassingly parallel across queries.
+
+    Determinism: rel and sim are rounded-6 cosines (the
+    ``cosine_batch`` fold is bit-identical to the oracle's
+    ``list_sum``); each mmr score is ``ROUND(lam*rel - mu*mx, 6)``
+    with the identical literal doubles, so the greedy trajectory —
+    not just the final set — hash-matches the oracle's unrolled CTE
+    chain.
+    """
+    cand = (
+        vector_fns.brute_force_topk(
+            embeddings, query_ids=(query_vec_id,), k=n_candidates
+        )
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", F.col("cos_sim").alias("rel"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = cand.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    sim = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                vector_fns.cosine_batch(F.col("emb_a"), F.col("emb_b")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rels = cand.select("vec_id", "rel")
+    selected = (
+        rels.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            "rel",
+            F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        picked = selected.select(F.col("vec_id").alias("id_b"))
+        mx = (
+            sim.join(F.broadcast(picked), "id_b")
+            .groupBy("id_a")
+            .agg(F.max("sim").alias("mx"))
+        )
+        step = (
+            rels.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(mx, F.col("vec_id") == F.col("id_a"))
+            .select(
+                "vec_id",
+                "rel",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("mx"), 6
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(t).alias("sel_rank"), "vec_id", "rel", "mmr")
+        )
+        selected = selected.union(step).localCheckpoint(eager=True)
+    return selected.select(
+        "sel_rank",
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )
+
+
+def docs_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: MMR-diverse 6-of-16 selection for the stored
+    query vector 0."""
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"))

@@ -390,6 +390,76 @@ def _hybrid_rrf_oracle(dense_cte: str) -> str:
     """
 
 
+def _mmr_oracle(
+    qid: int | None = None,
+    n: int | None = None,
+    k: int | None = None,
+) -> str:
+    """Oracle for the MMR diversity re-rank: the greedy selection is
+    UNROLLED into k chained CTEs — step t scores every unpicked
+    candidate as ROUND(lam*rel - mu*max_sim_to_{sel1..sel(t-1)}, 6)
+    and arg-maxes with the vec_id tie-break, exactly the trajectory
+    the Spark unrolled loop walks. lam/mu are the same two literal
+    doubles on both engines (0.7 / 0.3 — NOT derived as 1-lam, which
+    differs in the last bit)."""
+    qid = retrieval.HYBRID_QUERY_VEC_ID if qid is None else qid
+    n = retrieval.MMR_CANDIDATES if n is None else n
+    k = retrieval.MMR_K if k is None else k
+    lam, mu = retrieval.MMR_LAMBDA, retrieval.MMR_MU
+    cos_qe = (
+        f"ROUND({_dot_sql('q.q_emb', 'e.embedding')}"
+        f" / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})"
+        f" * sqrt({_dot_sql('e.embedding', 'e.embedding')})), 6)"
+    )
+    cos_ab = (
+        f"ROUND({_dot_sql('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6)"
+    )
+    steps = [
+        f"""sel1 AS (
+      SELECT 1 AS sel_rank, vec_id, rel, ROUND({lam} * rel, 6) AS mmr
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, t)
+        )
+        steps.append(
+            f"""sel{t} AS (
+      SELECT {t} AS sel_rank, vec_id, rel, mmr FROM (
+        SELECT c.vec_id, c.rel,
+               ROUND({lam} * c.rel - {mu} * MAX(s.sim), 6) AS mmr
+        FROM cand c JOIN sim s ON s.id_a = c.vec_id
+        WHERE s.id_b IN ({prev}) AND c.vec_id NOT IN ({prev})
+        GROUP BY c.vec_id, c.rel
+      ) ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {qid}),
+    cand AS (
+      SELECT e.vec_id, {cos_qe} AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != {qid}
+      ORDER BY rel DESC, e.vec_id LIMIT {n}
+    ),
+    sim AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b, {cos_ab} AS sim
+      FROM cand ca JOIN cand cb ON ca.vec_id != cb.vec_id
+      JOIN embeddings a ON a.vec_id = ca.vec_id
+      JOIN embeddings b ON b.vec_id = cb.vec_id
+    ),
+    {', '.join(steps)}
+    SELECT sel_rank, vec_id, rel AS relevance, mmr AS mmr_score
+    FROM ({union})
+    """
+
+
 def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
     """Oracle for the LSH-blocked near-dup path: the sign-LSH
     hyperplanes are seeded driver-side constants
@@ -3112,6 +3182,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "(scale-path variant of docs_hybrid_rrf)",
         ("retrieval", "text", "vector"),
     ),
+    "docs_mmr_rerank": QuerySpec(
+        retrieval.docs_mmr_rerank,
+        _mmr_oracle(),  # greedy unrolled into k chained arg-max CTEs —
+        # the full selection TRAJECTORY (rank, score per step) is
+        # hash-checked, not just the final set
+        "MMR diversity re-rank: greedy 6-of-16 selection trading "
+        "relevance vs max-similarity-to-selected (lam=0.7)",
+        ("retrieval", "vector"),
+    ),
     "docs_pii_scrub": QuerySpec(
         pipeline.docs_pii_scrub,
         f"""
@@ -4775,12 +4854,13 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 29 (raised from 17 in r08 when the priority block shrank 33 -> 20):
-# the fill segment is WINDOW - |priority| = 30 >= STRIDE, so
-# consecutive rounds' cycle segments still overlap and full coverage
-# holds within ceil(203/29) = 7 rounds — under the <= 8-round horizon
-# the rotation test pins.
-ROTATION_STRIDE = 29
+# 26 (was 29 earlier in r08; lowered when the round's NEW entries grew
+# the priority block to 24): the fill segment is
+# WINDOW - |priority| = 26 >= STRIDE, so consecutive rounds' cycle
+# segments still overlap and full coverage holds within
+# ceil(206/26) = 8 rounds — at the <= 8-round horizon the rotation
+# test pins.
+ROTATION_STRIDE = 26
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -4820,6 +4900,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # semantics this round touches (orders_part_cooccurrence, from the
     # same deferral, was driver-green r06 and lands via rotation):
     "orders_winsorized_stats",
+    # Round 8 new: MMR diversity re-rank (greedy trajectory
+    # hash-checked against the unrolled arg-max CTE chain)
+    "docs_mmr_rerank",
 )
 
 

@@ -209,3 +209,102 @@ def test_hybrid_rrf_lsh_is_plan_local_substitution(spark, sf_oracle):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError, match="non-empty"):
         retrieval.bm25_scores(_docs(spark, [(0, "a")]), ())
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-rank
+# ---------------------------------------------------------------------------
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_demotes_near_duplicate_of_selected(spark):
+    # q = x-axis; a and a2 are near-identical vectors (sim ~1), b is
+    # equally relevant but orthogonal to them off-query (sim(a,b)~0.5).
+    # Pure top-3 by relevance is (a, a2, b); after picking a, a2 pays
+    # the full mu redundancy penalty while b pays half, so MMR must
+    # interleave the diverse doc: (a, b, a2).
+    df = _embs(
+        spark,
+        [
+            (0, (1.0, 0.0, 0.0)),       # the query vector
+            (1, (0.71, 0.704, 0.0)),    # a  — most relevant
+            (2, (0.70, 0.714, 0.0)),    # a2 — near-dup of a
+            (3, (0.70, 0.0, 0.714)),    # b  — diverse
+        ],
+    )
+    out = retrieval.mmr_rerank(
+        df, query_vec_id=0, n_candidates=3, k=3
+    ).orderBy("sel_rank")
+    picks = [r.vec_id for r in out.collect()]
+    assert picks == [1, 3, 2]
+
+
+def test_mmr_trajectory_matches_reference_greedy(spark, sf_oracle):
+    # Recompute the greedy trajectory in plain Python from the SAME
+    # rounded-6 rel/sim inputs and require identical picks AND scores.
+    from inf2106_map_reduce_spark.functions import vector as V
+    from inf2106_map_reduce_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = retrieval.mmr_rerank(emb).orderBy("sel_rank").collect()
+
+    cand = V.brute_force_topk(
+        emb, query_ids=(0,), k=retrieval.MMR_CANDIDATES
+    ).collect()
+    rel = {r.vec_id: r.cos_sim for r in cand}
+    rows = (
+        emb.filter(F.col("vec_id").isin(*rel.keys()))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def cos(u, v):
+        d = na = nb = 0.0
+        for x, y in zip(u, v):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    lam, mu = retrieval.MMR_LAMBDA, retrieval.MMR_MU
+    selected: list[int] = []
+    expect = []
+    for t in range(1, retrieval.MMR_K + 1):
+        best = None
+        for i in sorted(set(rel) - set(selected)):
+            mx = max((cos(vecs[i], vecs[j]) for j in selected), default=None)
+            score = (
+                round(lam * rel[i], 6)
+                if mx is None
+                else round(lam * rel[i] - mu * mx, 6)
+            )
+            if best is None or score > best[1]:
+                best = (i, score)
+        selected.append(best[0])
+        expect.append((t, best[0], best[1]))
+    got = [(r.sel_rank, r.vec_id, r.mmr_score) for r in out]
+    assert got == expect
+
+
+def test_mmr_first_pick_is_top_relevance_and_ranks_are_dense(spark, sf_oracle):
+    from inf2106_map_reduce_spark.tables import load_table
+
+    out = (
+        retrieval.mmr_rerank(load_table(spark, sf_oracle, "embeddings"))
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r.sel_rank for r in out] == list(range(1, retrieval.MMR_K + 1))
+    assert len({r.vec_id for r in out}) == retrieval.MMR_K
+    # step 1 is the pure-relevance arg-max, and its mmr is lam*rel
+    assert out[0].mmr_score == round(
+        retrieval.MMR_LAMBDA * out[0].relevance, 6
+    )
+    assert out[0].relevance == max(r.relevance for r in out)
