@@ -239,8 +239,153 @@ def welch_ttest(
 
 
 # ---------------------------------------------------------------------------
+# Logistic regression (distributed full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+#: Fixed-step full-batch GD hyperparameters for the registry entry.
+#: lr is an exact power of two so ``lr * grad`` is an EXACT double op
+#: (no extra rounding surface between the engines).
+LOGREG_STEPS = 3
+LOGREG_LR = 0.5
+
+
+def logreg_train(
+    df: DataFrame,
+    features: list[tuple[str, Column]],
+    label: Column,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Binary logistic regression trained by ``steps`` rounds of
+    full-batch gradient descent — the supervised counterpart of the
+    k-means trajectory: a driver-held parameter vector refined by one
+    distributed aggregation pass per round. Completes the modeling
+    family (OLS fits a line, this fits a classifier) the reference's
+    word-count MapReduce cannot express at all.
+
+    Per round: ``p = sigmoid(w·x)`` is a literal-weight expression
+    (whole-stage codegen, no UDF), the gradient is the MEAN of
+    ``(p - y)·x_j`` — one partial+final aggregate of ``1 + |features|``
+    doubles, the classic map-side-combine shape — and the update
+    ``w_j ← round(w_j − lr·round(mean_j, 9), 9)`` happens IN-PLAN
+    (Spark ``F.round`` is HALF_UP like the oracle's ``ROUND``) before
+    the (1+|features|)-double row is fetched to the driver. The fetch
+    is the k-means precedent: O(model), never O(data).
+
+    Scale: ``steps`` scans of a narrow projected frame (persist it for
+    the iteration at real scale), each reducing to one tree-aggregated
+    gradient row. At 100 TB this is exactly how full-batch GD/L-BFGS
+    outer loops are run on Spark.
+
+    Determinism contract: gradients are MEANS rounded to 9 (cross-
+    engine partial-sum jitter on a mean of n doubles is ~sqrt(n)·eps ≈
+    1e-13 at sf1 — >3 orders inside the half-bucket); weights re-round
+    to 9 after each exact ``lr`` multiply; the final metrics pass uses
+    the rounded weights as literals, so accuracy's ``z >= 0`` decision
+    boundary is the identical fixed-structure double expression on
+    both engines. ``exp``/``ln`` may differ by 1 ulp between libms —
+    per-row effects are ~1e-16 and mean out far below every rounding
+    bucket.
+
+    Returns one row per coefficient: ``(coef, weight)`` plus the
+    training-set ``n_rows``, ``accuracy`` (threshold 0.5) and mean
+    ``log_loss`` repeated on each row (the shape a model registry
+    stores; the repeat keeps the result a single flat frame).
+    """
+    base = df.select(
+        *[expr.cast("double").alias(name) for name, expr in features],
+        label.cast("double").alias("y"),
+    )
+    names = [name for name, _ in features]
+    w = [0.0] * (1 + len(names))
+
+    def z_col() -> Column:
+        z = F.lit(w[0])
+        for j, name in enumerate(names):
+            z = z + F.lit(w[j + 1]) * F.col(name)
+        return z
+
+    for _ in range(steps):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
+        n = F.count(F.lit(1))
+        updates = [
+            F.round(
+                F.lit(w[0])
+                - F.lit(lr) * F.round(F.sum(p - F.col("y")) / n, 9),
+                9,
+            ).alias("b0")
+        ]
+        for j, name in enumerate(names):
+            updates.append(
+                F.round(
+                    F.lit(w[j + 1])
+                    - F.lit(lr)
+                    * F.round(
+                        F.sum((p - F.col("y")) * F.col(name)) / n, 9
+                    ),
+                    9,
+                ).alias(f"b{j + 1}")
+            )
+        row = base.agg(*updates).first()
+        if row is None or row[0] is None:
+            # empty training set: no gradient information — emit the
+            # empty frame rather than iterating on NULL weights (the
+            # k-means empty-input contract)
+            return base.sparkSession.createDataFrame(
+                [],
+                "coef string, weight double, n_rows bigint, "
+                "accuracy double, log_loss double",
+            )
+        w = [row[i] for i in range(len(w))]
+
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col()))
+    pred = F.when(z_col() >= 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    loss = -(
+        F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+    )
+    metrics = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum((pred == F.col("y")).cast("double"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+        F.round(F.sum(loss) / F.count(F.lit(1)), 6).alias("log_loss"),
+    )
+    coefs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("coef"), F.lit(wj).alias("weight")
+            )
+            for c, wj in zip(["bias"] + names, w)
+        ]
+    )
+    return metrics.select(
+        F.explode(coefs).alias("c"), "n_rows", "accuracy", "log_loss"
+    ).select("c.coef", "c.weight", "n_rows", "accuracy", "log_loss")
+
+
+# ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
+
+
+def lineitem_logreg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: logistic regression predicting
+    ``l_returnflag = 'R'`` from scaled quantity / discount / extended
+    price (3 full-batch GD steps, lr=0.5). Feature scalings are fixed
+    constants — data-independent, so the whole trajectory is
+    reproducible without a standardization pre-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return logreg_train(
+        li,
+        features=[
+            ("x_qty", F.col("l_quantity") / 50),
+            ("x_disc", F.col("l_discount")),
+            ("x_price", F.col("l_extendedprice") / 100000),
+        ],
+        label=(F.col("l_returnflag") == "R").cast("int"),
+    )
 
 
 def lineitem_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -460,6 +460,80 @@ def _mmr_oracle(
     """
 
 
+def _logreg_oracle() -> str:
+    """Oracle for the logistic-regression trainer: the GD trajectory
+    is UNROLLED into one CTE per step, each re-deriving the weights
+    as ROUND(w - lr*ROUND(mean_gradient, 9), 9) from the previous
+    step's 1-row CTE — the exact arithmetic stats.logreg_train runs
+    in-plan (Spark F.round and DuckDB ROUND are both half-away-from-
+    zero; lr=0.5 multiplies exactly). Metrics come from a final pass
+    over base x s{steps}, so the decision boundary ``z >= 0`` is the
+    identical fixed-structure double expression on both engines."""
+    steps = stats.LOGREG_STEPS
+    lr = stats.LOGREG_LR
+    feats = ["x_qty", "x_disc", "x_price"]
+
+    def z(w: str) -> str:
+        terms = "".join(
+            f" + {w}.b{j + 1}*{f}" for j, f in enumerate(feats)
+        )
+        return f"({w}.b0{terms})"
+
+    def p(w: str) -> str:
+        return f"(1.0/(1.0 + exp(-{z(w)})))"
+
+    step_ctes = [
+        "s0 AS (SELECT "
+        + ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS b{j}" for j in range(len(feats) + 1)
+        )
+        + ")"
+    ]
+    for t in range(1, steps + 1):
+        prev = f"s{t - 1}"
+        cols = [
+            f"ROUND(MIN(w.b0) - {lr} * ROUND(SUM({p('w')} - y)"
+            f"/COUNT(*), 9), 9) AS b0"
+        ]
+        for j, f in enumerate(feats):
+            cols.append(
+                f"ROUND(MIN(w.b{j + 1}) - {lr}"
+                f" * ROUND(SUM(({p('w')} - y) * {f})/COUNT(*), 9), 9)"
+                f" AS b{j + 1}"
+            )
+        step_ctes.append(
+            f"s{t} AS (SELECT {', '.join(cols)}"
+            f" FROM base CROSS JOIN {prev} w)"
+        )
+    wf = f"s{steps}"
+    pred = f"(CASE WHEN {z('w')} >= 0 THEN 1.0 ELSE 0.0 END)"
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS coef, (SELECT b{j} FROM {wf}) AS weight,"
+        f" n_rows, accuracy, log_loss FROM m"
+        for j, name in enumerate(["bias"] + feats)
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_quantity/50 AS x_qty,
+             l_discount AS x_disc,
+             l_extendedprice/100000 AS x_price,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    ),
+    {', '.join(step_ctes)},
+    m AS (
+      SELECT COUNT(*) AS n_rows,
+             ROUND(SUM(CASE WHEN {pred} = y THEN 1.0 ELSE 0.0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+             ROUND(SUM(-(y * ln({p('w')})
+                         + (1.0 - y) * ln(1.0 - {p('w')})))
+                   / COUNT(*), 6) AS log_loss
+      FROM base CROSS JOIN {wf} w
+    )
+    {rows}
+    """
+
+
 def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
     """Oracle for the LSH-blocked near-dup path: the sign-LSH
     hyperplanes are seeded driver-side constants
@@ -4617,6 +4691,15 @@ REGISTRY.update(
             "(explicit moment formulas, one aggregation pass)",
             ("stats", "agg"),
         ),
+        "lineitem_logreg_returns": QuerySpec(
+            stats.lineitem_logreg_returns,
+            _logreg_oracle(),  # GD trajectory unrolled: one CTE per
+            # step re-derives ROUND(w - lr*ROUND(mean_grad, 9), 9)
+            "logistic regression of returnflag='R' on scaled "
+            "quantity/discount/price: 3 full-batch GD steps, "
+            "weights + accuracy + log-loss hash-checked",
+            ("stats", "iterative"),
+        ),
         "lineitem_corr_matrix": QuerySpec(
             stats.lineitem_corr_matrix,
             _corr_matrix_oracle(
@@ -4903,6 +4986,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: MMR diversity re-rank (greedy trajectory
     # hash-checked against the unrolled arg-max CTE chain)
     "docs_mmr_rerank",
+    # Round 8 new: logistic-regression trainer (GD trajectory
+    # hash-checked against the step-unrolled CTE chain)
+    "lineitem_logreg_returns",
 )
 
 

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.functions import vector
 from inf2106_map_reduce_spark.operators import stats
@@ -62,3 +63,47 @@ def test_corr_matrix_degenerate_arity_raises(spark, cols):
     df = spark.createDataFrame([(1.0, 2.0)], schema="a double, b double")
     with pytest.raises(ValueError, match="at least two columns"):
         stats.corr_matrix(df, cols)
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression trainer (round 8 new family)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_empty_input_returns_empty_frame(spark):
+    from inf2106_map_reduce_spark.operators import stats
+
+    empty = spark.createDataFrame([], "v double, y int")
+    out = stats.logreg_train(
+        empty, features=[("x", F.col("v"))], label=F.col("y")
+    )
+    assert out.count() == 0
+    assert out.columns == ["coef", "weight", "n_rows", "accuracy", "log_loss"]
+
+
+def test_logreg_learns_separable_data(spark):
+    # y = 1 iff x > 0 on a symmetric separable set: GD from w=0 must
+    # move the feature weight positive and beat the null model's
+    # ln(2) log-loss; the bias stays ~0 by symmetry.
+    from inf2106_map_reduce_spark.operators import stats
+
+    rows = [(float(v), 1 if v > 0 else 0) for v in range(-20, 21) if v != 0]
+    df = spark.createDataFrame(rows, "v double, y int")
+    out = stats.logreg_train(
+        df, features=[("x", F.col("v") / 20)], label=F.col("y"), steps=8
+    )
+    got = {r.coef: r for r in out.collect()}
+    assert set(got) == {"bias", "x"}
+    assert got["x"].weight > 0.5
+    assert abs(got["bias"].weight) < 1e-6
+    assert got["x"].log_loss < 0.6931
+    assert got["x"].accuracy == 1.0
+    assert got["x"].n_rows == 40
+
+
+def test_logreg_trajectory_is_deterministic(spark, sf_oracle):
+    from inf2106_map_reduce_spark.operators import stats
+
+    a = stats.lineitem_logreg_returns(spark, sf_oracle).collect()
+    b = stats.lineitem_logreg_returns(spark, sf_oracle).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
