@@ -669,3 +669,118 @@ def sketch_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: Depth (independent hash rows) and width (counters per row). Width
+#: is a power of two; the classic guarantee is
+#: err <= (e / width) * N with prob 1 - e^-depth per probe — the
+#: audit below uses the looser deterministic-to-compute 2N/width line
+#: (identically evaluated on both engines; a probe past it is
+#: REPORTED, not hidden).
+CM_DEPTH = 4
+CM_WIDTH = 1 << 10
+
+
+def cm_buckets(key: Column) -> Column:
+    """Array of ``CM_DEPTH`` counter indices for a key: seeded md5,
+    first 8 hex chars as an integer, mod ``CM_WIDTH`` — the
+    engine-neutral hash family shared with :func:`bloom_positions` /
+    the MinHash signatures, under distinct ``cm{d}:`` seeds so the
+    families never alias each other."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cm{d}:"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CM_WIDTH
+            for d in range(CM_DEPTH)
+        ]
+    )
+
+
+def countmin_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    build_col: str,
+    probe_col: str,
+) -> DataFrame:
+    """Count-min sketch built over ``build_col`` occurrences, probed
+    with every distinct ``probe_col`` key, audited in-plan against the
+    exact frequencies — the point-frequency member of the sketch
+    family (HLL answers distinct-count, Misra-Gries heavy hitters,
+    Bloom membership; CM answers "how often is k?" in O(depth*width)
+    mergeable state).
+
+    Scale: the build is one map-side-combined groupBy into at most
+    ``depth * width`` cells (the sketch IS the aggregate state — at
+    100 TB the counters merge like any partial agg; cells, not rows,
+    cross the network). The probe side broadcasts the finished
+    sketch — a few KB — so estimation is a narrow pass over the probe
+    keys. Keys absent from the build audit pure collision noise
+    (est > 0 there is the sketch's one-sided error, visibly
+    reported).
+
+    Guarantees checked per probe key: ``est >= exact`` always
+    (``overestimate_ok`` — a FALSE anywhere means the operator is
+    broken, and the driver hash would go red), and
+    ``est - exact <= 2N/width`` (``within_bound``) as the reported
+    error envelope.
+    """
+    keys = build.select(F.col(build_col).cast("string").alias("k"))
+    pos = keys.select(
+        "k", F.posexplode(cm_buckets(F.col("k"))).alias("d", "b")
+    )
+    sketch = pos.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = keys.agg(F.count(F.lit(1)).alias("n"))
+    probe_keys = (
+        probe.select(F.col(probe_col).cast("string").alias("k")).distinct()
+    )
+    pp = probe_keys.select(
+        "k", F.posexplode(cm_buckets(F.col("k"))).alias("d", "b")
+    )
+    est = (
+        pp.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy("k")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_cnt")
+        )
+    )
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        est.join(exact, "k", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("k").cast("bigint").alias("key"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("exact_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") >= F.coalesce(F.col("c"), F.lit(0))).alias(
+                "overestimate_ok"
+            ),
+            (
+                (F.col("est_cnt") - F.coalesce(F.col("c"), F.lit(0)))
+                <= F.lit(2.0) * F.col("n") / F.lit(CM_WIDTH)
+            ).alias("within_bound"),
+        )
+    )
+
+
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: count-min sketch of order counts per custkey,
+    probed with every customer (including the order-less ones, whose
+    nonzero estimates expose raw collision noise)."""
+    return countmin_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

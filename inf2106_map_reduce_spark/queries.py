@@ -1898,6 +1898,47 @@ REGISTRY: dict[str, QuerySpec] = {
         "status grain, envelope-audited",
         ("agg", "sketch"),
     ),
+    "sketch_countmin_freq": QuerySpec(
+        sketches.sketch_countmin_freq,
+        # mirrors functions.sketches.countmin_audit hash for hash:
+        # seeded md5 ('cm{d}:' prefixes) -> first 8 hex -> int mod
+        # 2^10, est = min over depth rows, one-sided error +
+        # 2N/width envelope both recomputed identically
+        f"""
+        WITH seeds(d) AS (VALUES (0), (1), (2), (3)),
+        bk AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        pos AS (
+          SELECT d, ('0x' || substr(md5('cm' || d || ':' || k), 1, 8))::BIGINT
+                 % {sketches.CM_WIDTH} AS b
+          FROM bk CROSS JOIN seeds
+        ),
+        sk AS (SELECT d, b, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+        pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        pp AS (
+          SELECT k, d,
+                 ('0x' || substr(md5('cm' || d || ':' || k), 1, 8))::BIGINT
+                 % {sketches.CM_WIDTH} AS b
+          FROM pk CROSS JOIN seeds
+        ),
+        est AS (
+          SELECT pp.k, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_cnt
+          FROM pp LEFT JOIN sk USING (d, b) GROUP BY pp.k
+        ),
+        exact AS (SELECT k, COUNT(*) AS c FROM bk GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS n FROM bk)
+        SELECT CAST(est.k AS BIGINT) AS key,
+               CAST(COALESCE(exact.c, 0) AS BIGINT) AS exact_cnt,
+               est.est_cnt,
+               est.est_cnt >= COALESCE(exact.c, 0) AS overestimate_ok,
+               (est.est_cnt - COALESCE(exact.c, 0))
+                 <= 2.0 * nt.n / {sketches.CM_WIDTH} AS within_bound
+        FROM est LEFT JOIN exact ON exact.k = est.k CROSS JOIN nt
+        """,
+        "count-min sketch of order frequency per custkey probed with "
+        "every customer: min-over-depth estimates, one-sided error "
+        "and 2N/width envelope exactly audited",
+        ("agg", "sketch"),
+    ),
     "sketch_bloom_membership": QuerySpec(
         sketches.sketch_bloom_membership,
         # mirrors functions.sketches.bloom_membership_audit hash for
@@ -4989,6 +5030,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: logistic-regression trainer (GD trajectory
     # hash-checked against the step-unrolled CTE chain)
     "lineitem_logreg_returns",
+    # Round 8 new: count-min point-frequency sketch with the exact
+    # one-sided-error audit
+    "sketch_countmin_freq",
 )
 
 

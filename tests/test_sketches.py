@@ -259,3 +259,37 @@ def test_binned_median_merge_equals_direct_histogram(spark):
     merged = sk.binned_median_rollup(df, "g", F.col("shard"), "v").collect()
     direct = sk.binned_median_rollup(df, "g", F.lit(0), "v").collect()
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_never_underestimates_and_exact_on_real_keys(spark, sf_oracle):
+    out = sketches.sketch_countmin_freq(spark, sf_oracle).collect()
+    assert len(out) > 0
+    assert all(r.overestimate_ok for r in out)
+    # at test SF the key cardinality is far below width*depth capacity,
+    # so the documented 2N/width envelope must hold everywhere
+    assert all(r.within_bound for r in out)
+
+
+def test_countmin_absent_key_reports_collision_noise_only(spark):
+    build = spark.createDataFrame(
+        [(i % 7,) for i in range(700)], "k bigint"
+    )
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "k bigint")
+    out = sketches.countmin_audit(build, probe, "k", "k").collect()
+    by_key = {r.key: r for r in out}
+    # present keys: est >= exact = 100
+    for k in range(7):
+        assert by_key[k].exact_cnt == 100
+        assert by_key[k].est_cnt >= 100
+    # absent keys: exact 0, estimate is only what hash collisions
+    # contribute — bounded by the largest real counter
+    absents = [r for r in out if r.exact_cnt == 0]
+    assert len(absents) == 2000 - 7
+    assert all(0 <= r.est_cnt <= 100 for r in absents)
+    # with 7 keys in 4x1024 counters, most probes collide with nothing
+    assert sum(1 for r in absents if r.est_cnt == 0) > len(absents) * 0.9
