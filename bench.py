@@ -36,6 +36,13 @@ from inf2106_map_reduce_spark.session import get_spark
 WARMUP = (
     "q1_pricing_summary",
     "media_features",
+    # scalar-pandas_udf lane (distinct worker path from
+    # media_features' mapInPandas) + the BM25 mega-expression
+    # codegen: without these the first LSH/BM25 consumer in rotation
+    # order absorbs ~4 s of first-touch (measured on
+    # docs_hybrid_rrf_lsh: 5.7 s cold vs 1.6 s warm)
+    "udf_arrow_norms",
+    "docs_bm25_topk",
     # every streaming query warms ITS OWN plan: unlike batch (where
     # q1's codegen warm-up covers most of the family), each
     # Structured Streaming query pays ~0.6-1.5 s of per-plan

@@ -69,8 +69,12 @@ def snapshot_band_sets(
     )
     sigs = minhash_signatures(snap)
     n_bands = N_HASHES // BAND_ROWS
-    return [
-        sigs.select(
+    # one doc-count-sized frame of all band md5s, eagerly materialized:
+    # without it each band set's distinct() re-runs the whole
+    # shingle->signature aggregation (4x the build for one broadcast
+    # each — measured at ~half this entry's wall time)
+    bands = sigs.select(
+        *[
             F.md5(
                 F.concat(
                     *[
@@ -79,8 +83,11 @@ def snapshot_band_sets(
                     ]
                 )
             ).alias(f"band_{b}")
-        ).distinct()
-        for b in range(n_bands)
+            for b in range(n_bands)
+        ]
+    ).localCheckpoint(eager=True)
+    return [
+        bands.select(f"band_{b}").distinct() for b in range(n_bands)
     ]
 
 
