@@ -393,3 +393,56 @@ def test_training_manifest_broadcasts_all_filters(spark, sf_oracle):
     assert "SortMergeJoin" not in plan, plan
     assert data_shuffle_count(df) <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_final_plan_is_constant_depth(spark, sf_oracle):
+    """The unrolled greedy loop must not stack lineage: each step's
+    selection is re-checkpointed (the PageRank discipline), so the
+    returned plan is a union over checkpointed k-row steps — no
+    corpus rescan, no cartesian, nothing that grows with k."""
+    from inf2106_map_reduce_spark.functions import retrieval
+    from inf2106_map_reduce_spark.tables import load_table
+
+    df = retrieval.mmr_rerank(load_table(spark, sf_oracle, "embeddings"))
+    plan = explain_str(df, "simple")
+    assert "FileScan" not in plan, plan  # inputs are checkpointed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert data_shuffle_count(df) == 0, plan
+
+
+def test_logreg_step_is_single_pruned_aggregate(spark, sf_oracle):
+    """Each GD step (and the final metrics pass) is ONE partial+final
+    aggregate over a projection pruned to exactly the model columns —
+    the scan must not read lineitem's other 12 columns, and nothing
+    may shuffle except the 1-row aggregate exchange."""
+    from inf2106_map_reduce_spark.operators import stats
+
+    df = stats.lineitem_logreg_returns(spark, sf_oracle)
+    cols = scan_columns(df)
+    assert cols, "no parquet scan found"
+    read = set().union(*cols)
+    assert read == {
+        "l_quantity", "l_discount", "l_extendedprice", "l_returnflag",
+    }, f"scan reads extra columns: {read}"
+    plan = explain_str(df, "simple")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # partial agg per partition, then the one-ROW final exchange —
+    # nothing data-sized crosses the network
+    assert data_shuffle_count(df) <= 1, plan
+    assert "Exchange SinglePartition" in plan, plan
+
+
+def test_countmin_probe_is_broadcast_join(spark, sf_oracle):
+    """The finished sketch (<= depth*width cells) must BROADCAST to
+    the probe pass; only the counter build, the per-key min, and the
+    exact-count audit may shuffle. A shuffled sketch join would ship
+    the probe keys instead of the few-KB counter grid."""
+    from inf2106_map_reduce_spark.functions import sketches
+
+    df = sketches.sketch_countmin_freq(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert data_shuffle_count(df) <= 4, plan
