@@ -313,6 +313,53 @@ def simhash(
     return agg.select(F.col(id_col), sig.alias("simhash32"))
 
 
+def simhash_signatures_both(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BOTH SimHash widths from ONE explode + ONE grouped aggregation.
+
+    The 32-bit signature's bit-j source (``shiftright(hi, j)``) is
+    exactly the 64-bit signature's bit-(j+32) source, so the two
+    widths share their ``hi`` bit sums completely: 64 conditional
+    sums (32 per md5 half) — the same aggregate count as
+    :func:`simhash64` alone — yield both signatures, and the
+    word-count-sized explode+md5+shuffle runs once instead of twice.
+    Signatures are bit-identical to :func:`simhash` /
+    :func:`simhash64` (equality unit-pinned; the banded-pair oracles
+    hash-check them independently)."""
+    exploded = word_hash_table(df, id_col, text_col)
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(half), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"{half}{j}")
+        for half in ("hi", "lo")
+        for j in range(32)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    sig32 = reduce(
+        lambda acc, j: acc
+        + F.when(
+            F.col(f"hi{j}") > 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0).cast("bigint"),
+    )
+    sig64 = reduce(
+        lambda acc, j: acc
+        + F.when(
+            F.col(f"lo{j}" if j < 32 else f"hi{j - 32}") > 0,
+            F.lit(2**j if j < 63 else -(2**63)).cast("bigint"),
+        ).otherwise(F.lit(0)),
+        range(64),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select(
+        F.col(id_col), sig32.alias("simhash32"), sig64.alias("simhash64")
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -851,6 +898,8 @@ def build_registry_stage_cache(spark: SparkSession, sf_dir: str) -> dict[str, in
         "lsh_candidates": _registry_candidates(spark, sf_dir).count(),
         "jaccard_edges": _registry_edges(spark, sf_dir).count(),
         "components_minlabel": _registry_components(spark, sf_dir).count(),
+        # one shared stage serves both widths; both counts are scans
+        # of the same materialized frame after the first builds it
         "simhash32_sigs": _registry_simhash32(spark, sf_dir).count(),
         "simhash64_sigs": _registry_simhash64(spark, sf_dir).count(),
     }
@@ -915,26 +964,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _registry_edges(spark, sf_dir)
 
 
-def _registry_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed 32-bit SimHash SIGNATURE stage — shared by the
-    signature entry and the banded-pairs entry. Caching the signature
-    table (one bigint per doc) is cheap where caching the WORD-hash
-    table was measured too expensive (r05/r06 — word-count-sized I/O
-    vs the parallel explode+md5 recompute): the expensive upstream
-    runs exactly once per session, and the checkpoint materializes
-    only doc-count rows."""
+def _registry_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed BOTH-width SimHash signature stage (one bigint per
+    width per doc, via :func:`simhash_signatures_both` — one shared
+    explode+md5+shuffle for the two widths). Caching the signature
+    table is cheap where caching the WORD-hash table was measured too
+    expensive (r05/r06 — word-count-sized I/O vs the parallel
+    explode+md5 recompute): the expensive upstream runs exactly once
+    per session, and the checkpoint materializes only doc-count rows.
+    It also removes the 64-bit band self-join's double execution of
+    the signature aggregation structurally: both join branches read
+    the materialized stage instead of relying on exchange reuse."""
     d = load_table(spark, sf_dir, "documents")
-    return _doc_stage(spark, sf_dir, "simhash32_sigs", lambda: simhash(d))
+    return _doc_stage(
+        spark, sf_dir, "simhash_both", lambda: simhash_signatures_both(d)
+    )
+
+
+def _registry_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit projection of the shared both-width signature stage."""
+    return _registry_simhash_both(spark, sf_dir).select(
+        "doc_id", "simhash32"
+    )
 
 
 def _registry_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed 64-bit SimHash signature stage. Beyond the
-    amortization argument of :func:`_registry_simhash32`, this also
-    removes the band self-join's double execution of the signature
-    aggregation structurally: both join branches read the
-    materialized stage instead of relying on exchange reuse."""
-    d = load_table(spark, sf_dir, "documents")
-    return _doc_stage(spark, sf_dir, "simhash64_sigs", lambda: simhash64(d))
+    """64-bit projection of the shared both-width signature stage."""
+    return _registry_simhash_both(spark, sf_dir).select(
+        "doc_id", "simhash64"
+    )
 
 
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,3 +107,20 @@ def test_logreg_trajectory_is_deterministic(spark, sf_oracle):
     a = stats.lineitem_logreg_returns(spark, sf_oracle).collect()
     b = stats.lineitem_logreg_returns(spark, sf_oracle).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_both_matches_single_width_forms(spark, sf_oracle):
+    # the fused both-width aggregation must be bit-identical to the
+    # standalone simhash/simhash64 it replaces in the session stage
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    both = {
+        r.doc_id: (r.simhash32, r.simhash64)
+        for r in dedup.simhash_signatures_both(d).collect()
+    }
+    s32 = {r.doc_id: r.simhash32 for r in dedup.simhash(d).collect()}
+    s64 = {r.doc_id: r.simhash64 for r in dedup.simhash64(d).collect()}
+    assert {k: v[0] for k, v in both.items()} == s32
+    assert {k: v[1] for k, v in both.items()} == s64
