@@ -60,6 +60,7 @@ WARMUP = (
     "streaming_neardup_ingest",
     "streaming_tumbling_append",
     "streaming_tumbling_hourly",
+    "streaming_window_distinct",
     "streaming_user_stats_stateful",
     "bucketed_orders_lineitem_join",
     "dpp_partitioned_fact_join",
@@ -95,6 +96,10 @@ HEADLINE = (
     "doc_word_count",
     # the end-to-end composed corpus build (round 6 flagship)
     "docs_training_manifest",
+    # round-8 new families
+    "docs_mmr_rerank",
+    "lineitem_logreg_returns",
+    "sketch_countmin_freq",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

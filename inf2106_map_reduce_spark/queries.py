@@ -2444,6 +2444,24 @@ REGISTRY: dict[str, QuerySpec] = {
         "emit, once, into an idempotent epoch-partitioned sink",
         ("events", "streaming"),
     ),
+    "streaming_window_distinct": QuerySpec(
+        stream_windows.streaming_window_distinct,
+        # exact keys/counts + literal-TRUE envelope verdict (the
+        # sketch_rollup_orders audit pattern lifted to streaming
+        # state): the stream maintains per-window HLL++ sketches —
+        # exact COUNT(DISTINCT) is unsupported in streaming aggs —
+        # and the estimate is enveloped against the batch-exact count
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_distinct_users,
+               TRUE AS distinct_within_bound
+        FROM events GROUP BY 1, 2
+        """,
+        "streaming windowed distinct users via per-window HLL++ "
+        "state, envelope-audited against the batch-exact counts",
+        ("events", "streaming", "sketch"),
+    ),
     "streaming_neardup_ingest": QuerySpec(
         stream_ingest.streaming_neardup_ingest,
         _NEARDUP_INGEST_SQL,
@@ -4978,13 +4996,13 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 26 (was 29 earlier in r08; lowered when the round's NEW entries grew
-# the priority block to 24): the fill segment is
-# WINDOW - |priority| = 26 >= STRIDE, so consecutive rounds' cycle
-# segments still overlap and full coverage holds within
-# ceil(206/26) = 8 rounds — at the <= 8-round horizon the rotation
-# test pins.
-ROTATION_STRIDE = 26
+# 27 (re-raised late in r08 when the registry hit 209): the <= 8-round
+# horizon needs ceil(209/S) <= 8 -> S >= 27, which caps the priority
+# block at WINDOW - S = 23. The round-8 block fits by EXCLUDING the
+# two candidates the round-8 fill segment covers structurally
+# (customer_golden_records, dedup_minhash_estimate — asserted below),
+# so every round-8 name is still driver-checked this round.
+ROTATION_STRIDE = 27
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -4998,10 +5016,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_training_manifest",
     "vocab_bpe_train",
     "streaming_click_attribution_outer",
-    "customer_golden_records",
+    # customer_golden_records and dedup_minhash_estimate are OMITTED:
+    # both land in the round-8 FILL segment (offset 8*27 mod 209 —
+    # asserted below), so they are driver-checked this round without
+    # spending priority slots the <=8-round horizon no longer allows
     "docs_neardup_bfs",
     "docs_curriculum_order",
-    "dedup_minhash_estimate",
     "events_transition_matrix",
     "events_retention_cohorts",
     "events_volume_anomalies",
@@ -5033,7 +5053,16 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: count-min point-frequency sketch with the exact
     # one-sided-error audit
     "sketch_countmin_freq",
+    # Round 8 new: streaming windowed HLL++ distinct (streaming x
+    # sketch), envelope-audited vs batch-exact counts
+    "streaming_window_distinct",
 )
+
+#: Round-8 deferral names EXCLUDED from the priority block because the
+#: round-8 fill segment covers them structurally —
+#: tests/test_registry_rotation.py asserts they are in the round-8
+#: window, so their first-ever driver check still happens this round.
+_ROUND8_FILL_COVERED = ("customer_golden_records", "dedup_minhash_estimate")
 
 
 def current_round() -> int:

@@ -104,3 +104,12 @@ def test_oracle_for_renders_sf_matched_kcore_unroll():
 
     with pytest.raises(KeyError):
         q.oracle_for("docs_kcore_neardup", "/root/testdata/sf9.9")
+
+
+def test_round8_fill_covers_the_excluded_deferral_names():
+    # the two never-driver-checked names dropped from the round-8
+    # priority block (horizon cap) must land in the round-8 WINDOW via
+    # the fill segment, or their first-ever driver check silently slips
+    window = _window(8)
+    for name in q._ROUND8_FILL_COVERED:
+        assert name in window, name
