@@ -313,6 +313,76 @@ def simhash(
     return agg.select(F.col(id_col), sig.alias("simhash32"))
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT sub-quadratic Jaccard similarity self-join via prefix
+    filtering (AllPairs, Bayardo et al. 2007, WWW — public method):
+    order every document's shingles by a global rare-first total order
+    (df asc, shingle asc), index only each doc's PREFIX — the first
+    ``|x| - ceil(J*|x|) + 1`` tokens — and generate candidates from
+    prefix-prefix token collisions. Completeness theorem: any pair
+    with Jaccard >= J has overlap >= ceil(J*|x|) (and >= ceil(J*|y|)),
+    so the globally-smallest common token must sit inside BOTH
+    prefixes — no qualifying pair is missed. This is the LSH-free
+    exactness path: where the MinHash banding accepts a recall < 1 for
+    speed, prefix filtering prunes candidates with zero recall loss.
+
+    Scale: document frequencies are one groupBy over the shingle
+    stage; per-doc ordering is a PARTITION-local window (never a
+    global rank — the total order is (df, shingle) itself, which needs
+    no materialized global row number); the candidate join is an
+    equi-join on prefix tokens, whose postings are short by
+    construction (rare-first ordering puts each doc's LOWEST-df
+    tokens in its prefix). A hot prefix token (a mid-frequency
+    shingle shared by many short docs) is ordinary equi-join skew —
+    AQE skew-join splits it like any other key. Verification reuses
+    :func:`ngram_jaccard_pairs` on the candidate set.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        id_col,
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("m"),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+    ).select(id_col, "shingle")
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df,
+        pairs=cand,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        shingles=sh,
+    )
+
+
 def simhash_signatures_both(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -962,6 +1032,17 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over LSH candidates, thresholded at 0.5."""
     return _registry_edges(spark, sf_dir)
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the EXACT similarity self-join (prefix
+    filtering) at Jaccard >= 0.5 over the shared shingle stage — the
+    zero-recall-loss alternative to the LSH banding, oracle-checked
+    against the full common-shingle ground truth."""
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, threshold=0.5, shingles=_registry_shingles(spark, sf_dir)
+    )
 
 
 def _registry_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3540,6 +3540,34 @@ REGISTRY: dict[str, QuerySpec] = {
         "exact n-gram Jaccard over LSH candidates",
         ("dedup",),
     ),
+    "dedup_prefix_jaccard": QuerySpec(
+        dedup.dedup_prefix_jaccard,
+        # GROUND-TRUTH oracle (all pairs sharing any shingle): the
+        # prefix filter's completeness theorem says the engine loses
+        # no qualifying pair, so it must hash-match the full
+        # common-shingle join — unlike the LSH entries, whose oracles
+        # mirror the banding
+        f"""
+        WITH {_SHINGLES_CTE.strip().lstrip()},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh sa JOIN sh sb
+            ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(c.n_common / (za.sz + zb.sz - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+        WHERE c.n_common / (za.sz + zb.sz - c.n_common) >= 0.5
+        """,
+        "EXACT prefix-filtered similarity self-join at Jaccard >= 0.5 "
+        "(AllPairs — zero recall loss, checked against the full "
+        "common-shingle ground truth)",
+        ("dedup", "pipeline"),
+    ),
     "dedup_clusters": QuerySpec(
         dedup.dedup_cluster_assignments,
         _CC_CTES
@@ -5039,11 +5067,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: streaming incremental near-dup ingest (narrow
     # MinHash bands + broadcast anti-screen + watermarked collapse)
     "streaming_neardup_ingest",
-    # Previously deferred alongside the 18 but already driver-green in
-    # an earlier rotation fill; re-listed for the winsorized-stats
-    # semantics this round touches (orders_part_cooccurrence, from the
-    # same deferral, was driver-green r06 and lands via rotation):
-    "orders_winsorized_stats",
+    # (orders_winsorized_stats, from the same deferral, was
+    # driver-green r06; its r07 semantics touch-up is locally green
+    # and it re-enters via rotation — the horizon cap goes to the
+    # never-checked and new entries first)
+    # Round 8 new: prefix-filtered EXACT similarity self-join
+    # (AllPairs), hash-checked against full common-shingle truth
+    "dedup_prefix_jaccard",
     # Round 8 new: MMR diversity re-rank (greedy trajectory
     # hash-checked against the unrolled arg-max CTE chain)
     "docs_mmr_rerank",

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.functions import dedup
+from inf2106_map_reduce_spark.tables import load_table
 
 VOCAB = (
     "spark table scan filter join merge sort window batch stream value key "
@@ -744,3 +745,61 @@ def test_containment_direction_cases(spark):
     assert got[(1, 2)] == "mutual"
     assert got[(1, 3)] == "a_in_b"  # 1's shingles all inside 3
     assert got[(1, 4)] == "partial"
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact similarity join (AllPairs)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_jaccard_equals_ground_truth(spark, sf_oracle):
+    # completeness: the prefix-filtered join must reproduce the FULL
+    # common-shingle join's qualifying pairs exactly (zero recall loss)
+    d = load_table(spark, sf_oracle, "documents")
+    sh = dedup.shingle_table(d).localCheckpoint(eager=True)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            d, threshold=0.5, shingles=sh
+        ).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    all_pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            d, pairs=all_pairs, threshold=0.5, shingles=sh
+        ).collect()
+    }
+    assert got == truth
+    assert len(got) > 0
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_oracle):
+    # the point of the prefix: strictly fewer candidate pairs than the
+    # full common-shingle join generates
+    d = load_table(spark, sf_oracle, "documents")
+    sh = dedup.shingle_table(d).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.lit(0.5) * F.col("m")) + 1
+    )
+    n_prefix = prefix.count()
+    n_all = sh.count()
+    # J=0.5 keeps roughly half each doc's tokens in the prefix
+    assert n_prefix < n_all * 0.6

@@ -446,3 +446,20 @@ def test_countmin_probe_is_broadcast_join(spark, sf_oracle):
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in plan, plan
     assert data_shuffle_count(df) <= 4, plan
+
+
+def test_prefix_jaccard_no_global_sort_no_cartesian(spark, sf_oracle):
+    """The AllPairs join must stay sub-quadratic in PLAN shape: the
+    global token order is (df, shingle) evaluated inside per-doc
+    window sorts — never a global rank (no SinglePartition sort
+    exchange) — and candidates come from a shingle equi-join, never a
+    cartesian/nested-loop."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    df = dedup.dedup_prefix_jaccard(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window sorts are hashpartitioned by doc_id; a rangepartitioned
+    # global sort would mean a materialized global rank
+    assert "rangepartitioning" not in plan.lower(), plan
