@@ -1620,6 +1620,81 @@ def docs_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
 
 
+#: Fixed synchronous label-propagation rounds: communities on the
+#: shallow near-dup graph stabilize in 2-3 rounds; a fixed count keeps
+#: the trajectory SQL-unrollable (the convergence-driven form would
+#: stop data-dependently and the oracle could not mirror it).
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, Phys. Rev. E — public method) over an undirected edge
+    list: labels start as node ids; each round every node adopts the
+    MODE of its neighbors' labels (ties → smallest label). The
+    community member of the graph family — distinct from connected
+    components (min-label/star, which merge everything reachable):
+    LPA splits a component along its dense sub-neighborhoods, the
+    "which docs form a tight paraphrase cluster inside this giant
+    near-dup component" curation question.
+
+    Determinism: the update is pure integer arithmetic with a total
+    tie order (count DESC, label ASC), so the whole trajectory — not a
+    fixed point — is exactly SQL-mirrorable, unlike classic
+    random-order asynchronous LPA.
+
+    Scale: one edge-keyed shuffle + one grouped arg-max per round;
+    labels are re-checkpointed per round (the PageRank lineage
+    discipline — constant-depth plans). Symmetric edges mean every
+    node has >= 1 neighbor, so the mode always exists.
+    """
+    pairs = (
+        edges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, labels.node == sym.v)
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )
+
+
+def docs_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 3-round synchronous LPA communities over the
+    shared near-dup Jaccard>=0.5 edge stage."""
+    return label_propagation(
+        _registry_edges(spark, sf_dir).select("id_a", "id_b")
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over an
     undirected edge list ``(id_a, id_b)`` — the duplicate-neighborhood

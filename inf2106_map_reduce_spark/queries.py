@@ -237,6 +237,35 @@ def _pagerank_ctes() -> str:
     return "".join(parts)
 
 
+def _labelprop_ctes() -> str:
+    """Unrolled synchronous label propagation over the near-dup edge
+    set — mirrors functions.dedup.label_propagation round for round:
+    mode of neighbor labels, ties broken by smallest label. Pure
+    integer arithmetic, so the trajectory hash-matches exactly."""
+    from inf2106_map_reduce_spark.functions.dedup import LPA_ROUNDS
+
+    parts = [
+        _CANDIDATES_SQL + _EDGES_BODY,
+        """,
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)""",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.u AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                 ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN l{i - 1} l ON l.node = e.v
+        GROUP BY e.u, l.label
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT node AS doc_id, label AS community FROM l{LPA_ROUNDS}
+    """)
+    return "".join(parts)
+
+
 def _k_core_oracle(rounds: int) -> str:
     """Unrolled simultaneous-peel 2-core over the near-dup edge set —
     mirrors functions.dedup.k_core round for round; ``rounds`` is a
@@ -3411,6 +3440,15 @@ REGISTRY: dict[str, QuerySpec] = {
         _pagerank_ctes(),
         "3-round PageRank document-importance over the near-dup "
         "Jaccard>=0.5 similarity graph (non-isolated nodes)",
+        ("dedup", "graph", "iterative"),
+    ),
+    "docs_communities_labelprop": QuerySpec(
+        dedup.docs_communities_labelprop,
+        _labelprop_ctes(),  # trajectory unrolled: one CTE per round,
+        # mode-of-neighbors with (count DESC, label ASC) tie order
+        "3-round synchronous label-propagation communities over the "
+        "near-dup similarity graph (mode of neighbor labels, "
+        "deterministic tie-break)",
         ("dedup", "graph", "iterative"),
     ),
     "docs_neardup_triangles": QuerySpec(

@@ -803,3 +803,24 @@ def test_prefix_filter_prunes_candidates(spark, sf_oracle):
     n_all = sh.count()
     # J=0.5 keeps roughly half each doc's tokens in the prefix
     assert n_prefix < n_all * 0.6
+
+
+def test_label_propagation_splits_barbell_where_cc_merges(spark):
+    # two triangles joined by one bridge edge: connected components
+    # merge everything; LPA's mode update must split along the dense
+    # neighborhoods — {1,2,3} and {4,5,6} (trajectory hand-traced with
+    # the (count DESC, label ASC) tie order)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.doc_id: r.community
+        for r in dedup.label_propagation(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    cc = {
+        r.node: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert len(set(cc.values())) == 1  # CC sees one blob
