@@ -100,6 +100,7 @@ HEADLINE = (
     "docs_mmr_rerank",
     "lineitem_logreg_returns",
     "sketch_countmin_freq",
+    "dedup_prefix_jaccard",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup
