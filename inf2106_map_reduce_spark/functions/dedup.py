@@ -1117,6 +1117,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 2,
     threshold: float = 0.3,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): cluster the embedding space
@@ -1142,21 +1143,27 @@ def semantic_dedup(
     """
     from inf2106_map_reduce_spark.functions import vector
 
-    e = embeddings.select("vec_id", F.col("embedding").alias("emb"))
-    cents = [
-        [float(x) for x in r["c"]]
-        for r in e.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select(
-            F.transform(
-                F.transform(F.col("emb"), lambda x: x.cast("double")),
-                lambda x: F.round(x, 9),
-            ).alias("c")
-        )
-        .collect()
-    ]
-    assigned, _, _, _ = vector._lloyd_iterate(e, cents, n_rounds=n_iter)
-    a = assigned.localCheckpoint(eager=True)  # referenced three times
+    if assigned is None:
+        e = embeddings.select("vec_id", F.col("embedding").alias("emb"))
+        cents = [
+            [float(x) for x in r["c"]]
+            for r in e.filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select(
+                F.transform(
+                    F.transform(F.col("emb"), lambda x: x.cast("double")),
+                    lambda x: F.round(x, 9),
+                ).alias("c")
+            )
+            .collect()
+        ]
+        assigned, _, _, _ = vector._lloyd_iterate(e, cents, n_rounds=n_iter)
+        # referenced three times below
+        a = assigned.localCheckpoint(eager=True)
+    else:
+        # pre-computed (and already checkpointed) session assignment
+        # stage — the registry path, shared with kmeans_clusters
+        a = assigned
     nb = a.select(
         F.col("vec_id").alias("nb_id"),
         F.col("cid").alias("nb_cid"),
@@ -1187,8 +1194,16 @@ def semantic_dedup(
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: SemDeDup over the embeddings table (k=8, 2
-    Lloyd rounds, cosine >= 0.3 within cluster)."""
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    Lloyd rounds, cosine >= 0.3 within cluster). The Lloyd assignment
+    comes from the shared session stage (identical deterministic
+    trajectory to kmeans_clusters — computed once, consumed by
+    both)."""
+    from inf2106_map_reduce_spark.functions import vector
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        assigned=vector.registry_lloyd_assignment(spark, sf_dir),
+    )
 
 
 def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:

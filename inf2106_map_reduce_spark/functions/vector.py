@@ -993,9 +993,50 @@ def kmeans_lloyd_converged(
     return _finish_lloyd(e, assigned), {"rounds": rounds, "shift": shift}
 
 
+#: Session-scoped cache of the default (k=8, 2-round) Lloyd
+#: ASSIGNMENT — the same (applicationId, sf_dir)-keyed stage idiom as
+#: dedup._doc_stage: kmeans_clusters and the SemDeDup entry run the
+#: IDENTICAL deterministic trajectory (same rounded-9 seeds, same
+#: fused rounds), so the assignment is computed once per session and
+#: each consumer pays only its own derivation.
+_LLOYD_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def registry_lloyd_assignment(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Checkpointed (vec_id, emb, cid) assignment of the registry's
+    default Lloyd trajectory over the embeddings table."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, n_iter)
+    df = _LLOYD_ASSIGN_CACHE.get(key)
+    if df is None:
+        e = _cached_lloyd_input(
+            load_table(spark, sf_dir, "embeddings"), "embedding"
+        )
+        cents = [
+            [float(x) for x in r["c"]]
+            for r in e.filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select(
+                F.transform(
+                    _dbl(F.col("emb")), lambda x: F.round(x, 9)
+                ).alias("c")
+            )
+            .collect()
+        ]
+        assigned, _, _, _ = _lloyd_iterate(e, cents, n_rounds=n_iter)
+        df = assigned.localCheckpoint(eager=True)
+        e.unpersist()
+        _LLOYD_ASSIGN_CACHE[key] = df
+    return df
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: 2 Lloyd iterations, k=8, on embeddings."""
-    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+    """Registry query: 2 Lloyd iterations, k=8, on embeddings —
+    fingerprints over the shared session assignment stage."""
+    return _cluster_fingerprints(
+        registry_lloyd_assignment(spark, sf_dir)
+    )
 
 
 #: Convergence parameters of the driver-checked ``kmeans_converged``
