@@ -489,34 +489,47 @@ def _mmr_oracle(
     """
 
 
-def _logreg_oracle() -> str:
-    """Oracle for the logistic-regression trainer: the GD trajectory
-    is UNROLLED into one CTE per step, each re-deriving the weights
-    as ROUND(w - lr*ROUND(mean_gradient, 9), 9) from the previous
-    step's 1-row CTE — the exact arithmetic stats.logreg_train runs
-    in-plan (Spark F.round and DuckDB ROUND are both half-away-from-
-    zero; lr=0.5 multiplies exactly). Metrics come from a final pass
-    over base x s{steps}, so the decision boundary ``z >= 0`` is the
-    identical fixed-structure double expression on both engines."""
+_LOGREG_FEATS = ["x_qty", "x_disc", "x_price"]
+
+
+def _logreg_z(w: str) -> str:
+    terms = "".join(
+        f" + {w}.b{j + 1}*{f}" for j, f in enumerate(_LOGREG_FEATS)
+    )
+    return f"({w}.b0{terms})"
+
+
+def _logreg_p(w: str) -> str:
+    return f"(1.0/(1.0 + exp(-{_logreg_z(w)})))"
+
+
+def _logreg_traj_ctes() -> tuple[str, str]:
+    """Shared trajectory SQL for the logreg trainer AND its evaluation
+    oracles (AUC, calibration): the GD trajectory is UNROLLED into one
+    CTE per step, each re-deriving the weights as
+    ROUND(w - lr*ROUND(mean_gradient, 9), 9) from the previous step's
+    1-row CTE — the exact arithmetic stats.logreg_weights runs in-plan
+    (Spark F.round and DuckDB ROUND are both half-away-from-zero;
+    lr=0.5 multiplies exactly). Returns (joined CTE string beginning
+    with ``base``, final step CTE name)."""
     steps = stats.LOGREG_STEPS
     lr = stats.LOGREG_LR
-    feats = ["x_qty", "x_disc", "x_price"]
-
-    def z(w: str) -> str:
-        terms = "".join(
-            f" + {w}.b{j + 1}*{f}" for j, f in enumerate(feats)
-        )
-        return f"({w}.b0{terms})"
-
-    def p(w: str) -> str:
-        return f"(1.0/(1.0 + exp(-{z(w)})))"
+    feats = _LOGREG_FEATS
+    p = _logreg_p
 
     step_ctes = [
+        """base AS (
+      SELECT l_quantity/50 AS x_qty,
+             l_discount AS x_disc,
+             l_extendedprice/100000 AS x_price,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    )""",
         "s0 AS (SELECT "
         + ", ".join(
             f"CAST(0.0 AS DOUBLE) AS b{j}" for j in range(len(feats) + 1)
         )
-        + ")"
+        + ")",
     ]
     for t in range(1, steps + 1):
         prev = f"s{t - 1}"
@@ -534,22 +547,25 @@ def _logreg_oracle() -> str:
             f"s{t} AS (SELECT {', '.join(cols)}"
             f" FROM base CROSS JOIN {prev} w)"
         )
-    wf = f"s{steps}"
-    pred = f"(CASE WHEN {z('w')} >= 0 THEN 1.0 ELSE 0.0 END)"
+    return ", ".join(step_ctes), f"s{steps}"
+
+
+def _logreg_oracle() -> str:
+    """Oracle for the logistic-regression trainer: unrolled trajectory
+    (see _logreg_traj_ctes) + a metrics pass over base x s{steps}, so
+    the decision boundary ``z >= 0`` is the identical fixed-structure
+    double expression on both engines."""
+    feats = _LOGREG_FEATS
+    ctes, wf = _logreg_traj_ctes()
+    p = _logreg_p
+    pred = f"(CASE WHEN {_logreg_z('w')} >= 0 THEN 1.0 ELSE 0.0 END)"
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS coef, (SELECT b{j} FROM {wf}) AS weight,"
         f" n_rows, accuracy, log_loss FROM m"
         for j, name in enumerate(["bias"] + feats)
     )
     return f"""
-    WITH base AS (
-      SELECT l_quantity/50 AS x_qty,
-             l_discount AS x_disc,
-             l_extendedprice/100000 AS x_price,
-             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
-      FROM lineitem
-    ),
-    {', '.join(step_ctes)},
+    WITH {ctes},
     m AS (
       SELECT COUNT(*) AS n_rows,
              ROUND(SUM(CASE WHEN {pred} = y THEN 1.0 ELSE 0.0 END)
@@ -560,6 +576,78 @@ def _logreg_oracle() -> str:
       FROM base CROSS JOIN {wf} w
     )
     {rows}
+    """
+
+
+def _logreg_scored_cte() -> str:
+    """``scored AS (...)`` CTE: the round-9 sigmoid score + label, the
+    shared input of the AUC and calibration oracles. Mirrors
+    stats.logreg_score term for term."""
+    ctes, wf = _logreg_traj_ctes()
+    return (
+        f"{ctes}, scored AS (SELECT ROUND({_logreg_p('w')}, 9) AS p, y"
+        f" FROM base CROSS JOIN {wf} w)"
+    )
+
+
+def _logreg_auc_oracle(n_bins: int = stats.ROC_BINS) -> str:
+    """Oracle for the binned-ROC evaluator: same trajectory, same
+    round-9 score, same fixed binning, same cumulative-histogram rank
+    arithmetic as stats.roc_auc_binned — every AUC/KS term is a
+    ratio/product of exact integer-valued doubles, so the comparison
+    is exact, not tolerance-based."""
+    return f"""
+    WITH {_logreg_scored_cte()},
+    hist AS (
+      SELECT LEAST(CAST(FLOOR(p * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS n_b,
+             SUM(y) AS pos_b
+      FROM scored GROUP BY 1
+    ),
+    pb AS (
+      SELECT n_b, pos_b, n_b - pos_b AS neg_b,
+             SUM(pos_b) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             SUM(n_b - pos_b) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_neg,
+             SUM(pos_b) OVER () AS tot_pos,
+             SUM(n_b - pos_b) OVER () AS tot_neg
+      FROM hist
+    ),
+    a AS (
+      SELECT CAST(COALESCE(SUM(n_b), 0.0) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(pos_b), 0.0) AS BIGINT) AS n_pos,
+             CAST(COALESCE(SUM(neg_b), 0.0) AS BIGINT) AS n_neg,
+             SUM(pos_b * ((cum_neg - neg_b) + 0.5 * neg_b)) AS u,
+             MAX(CASE WHEN tot_pos > 0 AND tot_neg > 0 THEN
+                   ABS(cum_pos / tot_pos - cum_neg / tot_neg) END) AS ks
+      FROM pb
+    )
+    SELECT n_rows, n_pos, n_neg, {n_bins} AS n_bins,
+           CASE WHEN CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) > 0
+                THEN ROUND(u / (CAST(n_pos AS DOUBLE)
+                                * CAST(n_neg AS DOUBLE)), 6) END AS auc,
+           CASE WHEN CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) > 0
+                THEN ROUND(u / (CAST(n_pos AS DOUBLE)
+                                * CAST(n_neg AS DOUBLE)) * 2 - 1, 6)
+           END AS gini,
+           ROUND(ks, 6) AS ks
+    FROM a
+    """
+
+
+def _logreg_calibration_oracle(n_bins: int = stats.CALIBRATION_BINS) -> str:
+    """Oracle for the reliability table: fixed uniform score bins over
+    the shared round-9 score."""
+    return f"""
+    WITH {_logreg_scored_cte()}
+    SELECT LEAST(CAST(FLOOR(p * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(p) / COUNT(*), 6) AS mean_score,
+           ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
+    FROM scored GROUP BY 1 ORDER BY bin
     """
 
 
@@ -4825,6 +4913,74 @@ REGISTRY.update(
             "weights + accuracy + log-loss hash-checked",
             ("stats", "iterative"),
         ),
+        "lineitem_logreg_auc": QuerySpec(
+            stats.lineitem_logreg_auc,
+            _logreg_auc_oracle(),  # shared trajectory CTEs + identical
+            # fixed-bin cumulative-histogram rank arithmetic
+            "binned-ROC evaluation of the trained logreg model: "
+            "AUC / Gini / KS from a 1024-bin score histogram "
+            "(the bounded-histogram shape — no global rank over rows)",
+            ("stats", "pipeline"),
+        ),
+        "lineitem_logreg_calibration": QuerySpec(
+            stats.lineitem_logreg_calibration,
+            _logreg_calibration_oracle(),
+            "10-bin reliability table of the trained logreg model: "
+            "mean predicted probability vs empirical positive rate",
+            ("stats", "pipeline"),
+        ),
+        "lineitem_chi2_flags": QuerySpec(
+            stats.lineitem_chi2_flags,
+            """
+            WITH cells AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(COUNT(*) AS BIGINT) AS observed
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_linestatus IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            ext AS (
+              SELECT l_returnflag, l_linestatus, observed,
+                     CAST(SUM(observed) OVER (PARTITION BY l_returnflag)
+                          AS DOUBLE)
+                     * CAST(SUM(observed) OVER (PARTITION BY l_linestatus)
+                            AS DOUBLE)
+                     / CAST(SUM(observed) OVER () AS DOUBLE) AS e,
+                     CAST(SUM(observed) OVER () AS BIGINT) AS n_rows
+              FROM cells
+            ),
+            dims AS (
+              SELECT CAST(COUNT(DISTINCT l_returnflag) AS INT) AS r,
+                     CAST(COUNT(DISTINCT l_linestatus) AS INT) AS s
+              FROM cells
+            ),
+            c AS (
+              SELECT *,
+                     ROUND((observed - e) * (observed - e) / e, 9)
+                       AS contrib9
+              FROM ext
+            ),
+            t AS (SELECT SUM(contrib9) AS chi2_raw FROM c)
+            SELECT c.l_returnflag, c.l_linestatus, c.observed,
+                   ROUND(c.e, 6) AS expected,
+                   ROUND(c.contrib9, 6) AS contrib,
+                   ROUND(t.chi2_raw, 6) AS chi2,
+                   (d.r - 1) * (d.s - 1) AS dof,
+                   CASE WHEN LEAST(d.r - 1, d.s - 1) > 0 THEN
+                     ROUND(SQRT(t.chi2_raw
+                                / (CAST(c.n_rows AS DOUBLE)
+                                   * LEAST(d.r - 1, d.s - 1))), 6) END
+                     AS cramers_v,
+                   c.n_rows
+            FROM c CROSS JOIN dims d CROSS JOIN t
+            ORDER BY 1, 2
+            """,
+            "chi-square independence test (returnflag x linestatus) "
+            "with per-cell contributions, dof and Cramer's V — one "
+            "data scan, all totals derived on the cell frame",
+            ("stats", "agg"),
+        ),
         "lineitem_corr_matrix": QuerySpec(
             stats.lineitem_corr_matrix,
             _corr_matrix_oracle(
@@ -5062,12 +5218,15 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 27 (re-raised late in r08 when the registry hit 209): the <= 8-round
-# horizon needs ceil(209/S) <= 8 -> S >= 27, which caps the priority
-# block at WINDOW - S = 23. The round-8 block fits by EXCLUDING the
-# two candidates the round-8 fill segment covers structurally
-# (customer_golden_records, dedup_minhash_estimate — asserted below),
-# so every round-8 name is still driver-checked this round.
+# 27 (re-raised late in r08 when the registry passed 209; now 214):
+# the <= 8-round horizon needs ceil(N/S) <= 8 -> S >= 27 up to N=216,
+# which caps the priority block at WINDOW - S = 23. The round-8 block
+# fits by EXCLUDING the two candidates the round-8 fill segment covers
+# structurally (customer_golden_records, dedup_minhash_estimate —
+# asserted below), so every round-8 name is still driver-checked this
+# round. N=214 is a round-8 HARD CAP: a 215th entry shifts the fill
+# offset enough to evict dedup_minhash_estimate from the window (see
+# _ROUND9_DEFERRED), and N>216 forces S=28, shrinking the cap to 22.
 ROTATION_STRIDE = 27
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -5124,6 +5283,20 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round 8 new: streaming windowed HLL++ distinct (streaming x
     # sketch), envelope-audited vs batch-exact counts
     "streaming_window_distinct",
+)
+
+#: Round-9 priority candidates: entries added late in round 8 AFTER
+#: the priority block filled to its WINDOW−STRIDE cap. Their names
+#: were chosen to sort after dedup_minhash_estimate so the round-8
+#: fill segment still covers both _ROUND8_FILL_COVERED names (any
+#: name sorting earlier, or a 4th addition of any name, would have
+#: pushed dedup_minhash_estimate out of its first-ever driver check).
+#: Locally oracle-green (vanilla + ANSI); swap these into
+#: _ROUND_PRIORITY at the top of round 9.
+_ROUND9_DEFERRED = (
+    "lineitem_logreg_auc",
+    "lineitem_logreg_calibration",
+    "lineitem_chi2_flags",
 )
 
 #: Round-8 deferral names EXCLUDED from the priority block because the
