@@ -101,6 +101,9 @@ HEADLINE = (
     "lineitem_logreg_returns",
     "sketch_countmin_freq",
     "dedup_prefix_jaccard",
+    # model evaluation (late round 8): trainer-trajectory reuse +
+    # fixed-bin histogram reduce
+    "lineitem_logreg_auc",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

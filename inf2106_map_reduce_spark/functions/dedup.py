@@ -340,8 +340,11 @@ def prefix_filter_jaccard_pairs(
     construction (rare-first ordering puts each doc's LOWEST-df
     tokens in its prefix). A hot prefix token (a mid-frequency
     shingle shared by many short docs) is ordinary equi-join skew —
-    AQE skew-join splits it like any other key. Verification reuses
-    :func:`ngram_jaccard_pairs` on the candidate set.
+    AQE skew-join splits it like any other key. Candidates are pruned
+    by the PPJoin length + positional filters (see inline comment)
+    before verification, which computes the common-token count with
+    two id equi-joins against the shingle stage and derives Jaccard
+    from the sizes the candidates already carry.
     """
     sh = (
         shingles
@@ -359,28 +362,78 @@ def prefix_filter_jaccard_pairs(
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
-    ).select(id_col, "shingle")
+    )
+    # PPJoin-style candidate pruning (Xiao et al. 2008, WWW — public
+    # method), both filters riding the equi-join row for free:
+    # - length filter: J >= t forces t·|x| <= |y| (and symmetrically),
+    #   so wildly different sizes can't qualify;
+    # - positional filter: for a common token at (pos_a, pos_b),
+    #   overlap <= min(pos_a−1, pos_b−1) + min(m_a−pos_a, m_b−pos_b)
+    #   + 1 (common tokens split around the collision in BOTH orders);
+    #   a qualifying pair needs overlap >= ceil(t/(1+t)·(m_a+m_b)).
+    # Both bounds hold at EVERY collision of a qualifying pair, so
+    # filtering per collision row loses nothing (zero recall loss);
+    # the 1e-9 slack only ever loosens a float boundary. Fewer
+    # candidates means the verify joins carry proportionally less —
+    # and AQE can flip them to broadcast when the surviving pair list
+    # is small.
+    tt = float(threshold)
+    alpha = F.ceil(
+        F.lit(tt / (1.0 + tt)) * (F.col("pa.m") + F.col("pb.m"))
+        - F.lit(1e-9)
+    )
+    ubound = (
+        F.least(F.col("pa.pos") - 1, F.col("pb.pos") - 1)
+        + F.least(
+            F.col("pa.m") - F.col("pa.pos"),
+            F.col("pb.m") - F.col("pb.pos"),
+        )
+        + 1
+    )
     cand = (
         prefix.alias("pa")
         .join(
             prefix.alias("pb"),
             (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            & (F.col("pb.m") >= F.lit(tt) * F.col("pa.m") - F.lit(1e-9))
+            & (F.col("pa.m") >= F.lit(tt) * F.col("pb.m") - F.lit(1e-9))
+            & (ubound >= alpha),
         )
         .select(
             F.col(f"pa.{id_col}").alias("id_a"),
             F.col(f"pb.{id_col}").alias("id_b"),
+            F.col("pa.m").alias("m_a"),
+            F.col("pb.m").alias("m_b"),
         )
         .distinct()
     )
-    return ngram_jaccard_pairs(
-        df,
-        pairs=cand,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=threshold,
-        shingles=sh,
+    # lean verification: candidates already carry both set sizes, so
+    # only the common-token count needs the shingle table (two id
+    # equi-joins + one pair groupBy) — the two per-doc size joins
+    # ngram_jaccard_pairs would add are redundant here
+    a, b = sh.alias("sa"), sh.alias("sb")
+    common = (
+        cand.alias("p")
+        .join(a, F.col("p.id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            b,
+            (F.col("p.id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("p.id_a", "p.id_b", "p.m_a", "p.m_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    out = common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common")
+            / (F.col("m_a") + F.col("m_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures_both(
