@@ -8,10 +8,10 @@ the existing corpus snapshot, and (b) collapsed against exact copies
 arriving close to it in the stream. At 100 TB the snapshot's BAND
 table (4 × distinct 16-byte signatures) is orders of magnitude smaller
 than the corpus — it broadcasts; the stream side computes its own
-signatures with narrow per-row expressions (``minhash_band_cols`` —
-zero state, zero shuffle), so the screen is 4 stateless broadcast
-anti-joins and the only stateful operator is the final watermarked
-windowed collapse.
+signatures per row (``minhash_band_cols_arrow`` — Arrow-batched,
+bit-identical to the JVM expression form, zero state, zero shuffle),
+so the screen is 4 stateless broadcast anti-joins and the only
+stateful operator is the final watermarked windowed collapse.
 
 Reference parity: extends mapreduce's R3 reduce semantics
 (reference ``MasterServant.java`` shuffle→reduce) to the streaming
@@ -31,8 +31,8 @@ from inf2106_map_reduce_spark.functions.dedup import (
     BAND_ROWS,
     N_HASHES,
     _norm_text,
-    minhash_band_cols,
-    minhash_signatures,
+    _registry_minhash_sigs,
+    minhash_band_cols_arrow,
 )
 from inf2106_map_reduce_spark.streaming.runtime import (
     scoped_state_partitions,
@@ -58,21 +58,19 @@ def snapshot_band_sets(
     spark: SparkSession, sf_dir: str
 ) -> list[DataFrame]:
     """The snapshot's per-band distinct signature sets — one small
-    DataFrame per LSH band, built ONCE batch-side with the aggregated
-    signature construction (identical band values to the stream's
-    narrow form; tests pin the equality). Each set broadcasts to the
+    DataFrame per LSH band, derived from the session's shared 64-hash
+    signature stage (``dedup._registry_minhash_sigs``) filtered to the
+    snapshot slice: a doc's signature depends only on its own
+    shingles, so the slice's rows are bit-identical to signing the
+    snapshot alone (identical band values to the stream's narrow
+    per-row form; tests pin the equality). Each set broadcasts to the
     stream's anti-join: band signatures are 16-byte md5s over distinct
     (band, min-signature) combinations, so the build side stays tiny
     relative to the corpus at any scale."""
-    snap = load_table(spark, sf_dir, "documents").filter(
+    sigs = _registry_minhash_sigs(spark, sf_dir).filter(
         F.col("doc_id") % SNAPSHOT_MOD < SNAPSHOT_LT
     )
-    sigs = minhash_signatures(snap)
     n_bands = N_HASHES // BAND_ROWS
-    # one doc-count-sized frame of all band md5s, eagerly materialized:
-    # without it each band set's distinct() re-runs the whole
-    # shingle->signature aggregation (4x the build for one broadcast
-    # each — measured at ~half this entry's wall time)
     bands = sigs.select(
         *[
             F.md5(
@@ -85,7 +83,7 @@ def snapshot_band_sets(
             ).alias(f"band_{b}")
             for b in range(n_bands)
         ]
-    ).localCheckpoint(eager=True)
+    )
     return [
         bands.select(f"band_{b}").distinct() for b in range(n_bands)
     ]
@@ -139,7 +137,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("ingest_ts", "1 hour")
     )
-    accepted = neardup_screen(minhash_band_cols(stream), band_sets)
+    accepted = neardup_screen(minhash_band_cols_arrow(stream), band_sets)
     out = (
         accepted.groupBy(
             F.window("ingest_ts", "1 hour").alias("w"),

@@ -306,6 +306,41 @@ def test_narrow_bands_match_batch_construction(spark, sf_smoke):
         assert all(v is None for v in narrow[k])
 
 
+def test_arrow_bands_match_jvm_form(spark, sf_smoke):
+    """minhash_band_cols_arrow (the streaming hot path) must be
+    bit-identical to the JVM expression form on real corpus text AND
+    on the edge rows the corpus never exercises (NULL text, empty,
+    whitespace-only, shorter than one shingle, mixed whitespace
+    runs)."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    d = load_table(spark, sf_smoke, "documents")
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "   \t \n "),
+            (100004, "two words"),
+            (100005, "  Tabs\tand\nNEWLINES   collapse  to one   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = d.select("doc_id", "text").unionAll(edge)
+    n_bands = dedup.N_HASHES // dedup.BAND_ROWS
+    cols = ["doc_id"] + [f"band_{b}" for b in range(n_bands)]
+    jvm = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in dedup.minhash_band_cols(both).select(*cols).collect()
+    }
+    arrow = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in dedup.minhash_band_cols_arrow(both)
+        .select(*cols)
+        .collect()
+    }
+    assert jvm == arrow
+
+
 def test_neardup_screen_semantics(spark):
     """The 4 anti-joins compose to 'reject iff ANY band matches the
     snapshot'; shingle-less docs (NULL bands) always pass."""
