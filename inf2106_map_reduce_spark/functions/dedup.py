@@ -419,31 +419,37 @@ def prefix_filter_jaccard_pairs(
     exactness path: where the MinHash banding accepts a recall < 1 for
     speed, prefix filtering prunes candidates with zero recall loss.
 
-    Scale: document frequencies are one groupBy over the shingle
-    stage; per-doc ordering is a PARTITION-local window (never a
-    global rank — the total order is (df, shingle) itself, which needs
-    no materialized global row number); the candidate join is an
-    equi-join on prefix tokens, whose postings are short by
-    construction (rare-first ordering puts each doc's LOWEST-df
-    tokens in its prefix). A hot prefix token (a mid-frequency
-    shingle shared by many short docs) is ordinary equi-join skew —
-    AQE skew-join splits it like any other key. Candidates are pruned
-    by the PPJoin length + positional filters (see inline comment)
-    before verification, which computes the common-token count with
-    two id equi-joins against the shingle stage and derives Jaccard
-    from the sizes the candidates already carry.
+    Scale: document frequencies come from a count window over the
+    shingle partition — ONE shuffle of the shingle stage where the
+    groupBy+join form it replaced shuffled it twice (hot shingles are
+    the same skew either way → AQE skew-join); per-doc ordering is a
+    PARTITION-local window (never a global rank — the total order is
+    (df, shingle) itself, which needs no materialized global row
+    number); the candidate join is an equi-join on prefix tokens,
+    whose postings are short by construction (rare-first ordering
+    puts each doc's LOWEST-df tokens in its prefix). Candidates are
+    pruned by the PPJoin length + positional filters (see inline
+    comment) before verification, which first semi-restricts the
+    shingle stage to docs that actually appear in a surviving pair —
+    verify cost scales with CANDIDATE doc mass, not corpus size —
+    then computes the common-token count with two id equi-joins and
+    derives Jaccard from the sizes the candidates already carry.
     """
     sh = (
         shingles
         if shingles is not None
         else shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
     )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "shingle")
-    ranked = sh.join(dfreq, "shingle").select(
+    ranked = sh.select(
         id_col,
         "shingle",
-        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("shingle")).alias("df"),
+    ).select(
+        id_col,
+        "shingle",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("df", "shingle"))
+        .alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("m"),
     )
     prefix = ranked.filter(
@@ -498,8 +504,17 @@ def prefix_filter_jaccard_pairs(
     # lean verification: candidates already carry both set sizes, so
     # only the common-token count needs the shingle table (two id
     # equi-joins + one pair groupBy) — the two per-doc size joins
-    # ngram_jaccard_pairs would add are redundant here
-    a, b = sh.alias("sa"), sh.alias("sb")
+    # ngram_jaccard_pairs would add are redundant here. The semi-join
+    # first drops every non-candidate doc's shingles, so the verify
+    # joins carry candidate-doc mass only (no broadcast hint: the id
+    # list grows with candidate volume, AQE picks the strategy).
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, id_col, "left_semi")
+    a, b = shc.alias("sa"), shc.alias("sb")
     common = (
         cand.alias("p")
         .join(a, F.col("p.id_a") == F.col(f"sa.{id_col}"))
