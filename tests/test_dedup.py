@@ -824,3 +824,33 @@ def test_label_propagation_splits_barbell_where_cc_merges(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert len(set(cc.values())) == 1  # CC sees one blob
+
+
+def test_minhash_hash_i_independent_of_n_hashes(spark, sf_oracle):
+    """The structural claim the shared 64-hash signature stage rests
+    on: hash i is the i%4-th md5 slice of digest i//4, never a
+    function of how many hashes were requested — so the first 12
+    columns of the 64-hash frame ARE the production 12-hash
+    signature, and candidates built from the shared stage equal
+    candidates built directly."""
+    d = load_table(spark, sf_oracle, "documents")
+    sh = dedup.shingle_table(d).localCheckpoint(eager=True)
+    wide = dedup.minhash_signatures(
+        d, n_hashes=dedup.MINHASH_EST_HASHES, shingles=sh
+    )
+    narrow = dedup.minhash_signatures(
+        d, n_hashes=dedup.N_HASHES, shingles=sh
+    )
+    cols = ["doc_id"] + [f"mh{i}" for i in range(dedup.N_HASHES)]
+    assert {tuple(r) for r in wide.select(*cols).collect()} == {
+        tuple(r) for r in narrow.select(*cols).collect()
+    }
+    via_stage = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(d, signatures=wide).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(d, shingles=sh).collect()
+    }
+    assert via_stage == direct and via_stage
