@@ -247,6 +247,55 @@ def main() -> None:
         )
         return bfs_hops_from_roots(edges, roots)
 
+    # --- round-8 additions: AllPairs prefix join, logreg GD, count-min
+    from inf2106_map_reduce_spark.functions.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from inf2106_map_reduce_spark.functions.sketches import countmin_audit
+    from inf2106_map_reduce_spark.operators.stats import (
+        _lineitem_features,
+        logreg_train,
+    )
+
+    def prefix_docs(scale: int) -> DataFrame:
+        # suffix every WORD with a copy tag: intra-copy pair structure
+        # is preserved exactly (both sides of a near-dup get the same
+        # transformation, Jaccard unchanged) while cross-copy shingle
+        # sets become disjoint — replicated entities must stay distinct
+        # or the qualifying-pair count (and the verify work) grows
+        # k²-fold by construction instead of linearly with the data
+        base = load_table(spark, sf, "documents").select("doc_id", "text")
+        copies = []
+        for i in range(scale):
+            c = base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+            )
+            if i:
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1z{i}"),
+                )
+            copies.append(c)
+        return reduce(DataFrame.unionAll, copies).localCheckpoint(eager=True)
+
+    pd1, pdk = prefix_docs(1), prefix_docs(k)
+
+    def prefix_join(d):
+        return prefix_filter_jaccard_pairs(d, threshold=0.5)
+
+    def logreg(li):
+        # 3 GD steps, one mean-gradient aggregate per step — the
+        # iterative-trainer shape; features are fixed-constant scalings
+        return logreg_train(
+            li,
+            features=_lineitem_features(),
+            label=(F.col("l_returnflag") == "R").cast("int"),
+            steps=3,
+        )
+
+    def countmin(build, probe):
+        return countmin_audit(build, probe, "o_custkey", "c_custkey")
+
     shapes = [
         ("scan+agg (q1 shape)", lambda s: q1(li1) if s == 1 else q1(lik)),
         ("fact-fact join+agg", lambda s: join_agg(li1, o1) if s == 1 else join_agg(lik, ok)),
@@ -287,6 +336,18 @@ def main() -> None:
             lambda s: fuzzy(fc1) if s == 1 else fuzzy(fck),
         ),
         ("BFS hops (frontier joins)", lambda s: bfs(e1) if s == 1 else bfs(ek)),
+        (
+            "AllPairs prefix join (exact Jaccard)",
+            lambda s: prefix_join(pd1) if s == 1 else prefix_join(pdk),
+        ),
+        (
+            "logreg GD (3 steps, mean-gradient agg)",
+            lambda s: logreg(li1) if s == 1 else logreg(lik),
+        ),
+        (
+            "count-min build+probe",
+            lambda s: countmin(o1, c1) if s == 1 else countmin(ok, ck),
+        ),
     ]
     print(f"scale-up probe: 1x vs {k}x rows of sf0.1 (warm, localCheckpoint inputs)")
     for name, mk in shapes:
