@@ -429,11 +429,16 @@ def prefix_filter_jaccard_pairs(
     whose postings are short by construction (rare-first ordering
     puts each doc's LOWEST-df tokens in its prefix). Candidates are
     pruned by the PPJoin length + positional filters (see inline
-    comment) before verification, which first semi-restricts the
-    shingle stage to docs that actually appear in a surviving pair —
-    verify cost scales with CANDIDATE doc mass, not corpus size —
-    then computes the common-token count with two id equi-joins and
-    derives Jaccard from the sizes the candidates already carry.
+    comment) before verification, which computes the common-token
+    count with two id equi-joins against the shingle stage and
+    derives Jaccard from the sizes the candidates already carry —
+    the pruned pair list is small, so AQE broadcasts it and the
+    shingle stage is scanned, never shuffled, by the verify. (A
+    candidate-doc semi-restriction before the verify was tried r08
+    and REVERTED: it re-plans the candidate subtree into a second
+    adaptive branch, measured ~3.5 s slower cold at sf0.1, and at
+    scale the broadcast-candidate verify already avoids shuffling
+    the shingle table.)
     """
     sh = (
         shingles
@@ -500,26 +505,16 @@ def prefix_filter_jaccard_pairs(
             F.col("pb.m").alias("m_b"),
         )
         .distinct()
-        # NOT checkpointed despite the verify reading the pair list
-        # twice (candidate-doc semi restriction + join probe side):
-        # Spark dedupes the repeated subtree via ReusedExchange, and
-        # an eager localCheckpoint measured ~13% SLOWER at sf0.1
-        # (median 5.11 s vs 4.50 s over 5 warm runs)
+        # NOT checkpointed: an eager localCheckpoint of the pair list
+        # measured ~13% SLOWER at sf0.1 (median 5.11 s vs 4.50 s over
+        # 5 warm runs) — the synchronous materialization costs more
+        # than the plan reuse saves
     )
     # lean verification: candidates already carry both set sizes, so
     # only the common-token count needs the shingle table (two id
     # equi-joins + one pair groupBy) — the two per-doc size joins
-    # ngram_jaccard_pairs would add are redundant here. The semi-join
-    # first drops every non-candidate doc's shingles, so the verify
-    # joins carry candidate-doc mass only (no broadcast hint: the id
-    # list grows with candidate volume, AQE picks the strategy).
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b")))
-        .distinct()
-    )
-    shc = sh.join(cand_ids, id_col, "left_semi")
-    a, b = shc.alias("sa"), shc.alias("sb")
+    # ngram_jaccard_pairs would add are redundant here
+    a, b = sh.alias("sa"), sh.alias("sb")
     common = (
         cand.alias("p")
         .join(a, F.col("p.id_a") == F.col(f"sa.{id_col}"))
