@@ -5218,33 +5218,53 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 27 (re-raised late in r08 when the registry passed 209; now 214):
-# the <= 8-round horizon needs ceil(N/S) <= 8 -> S >= 27 up to N=216,
-# which caps the priority block at WINDOW - S = 23. The round-8 block
-# fits by EXCLUDING the two candidates the round-8 fill segment covers
-# structurally (customer_golden_records, dedup_minhash_estimate —
-# asserted below), so every round-8 name is still driver-checked this
-# round. N=214 is a round-8 HARD CAP: a 215th entry shifts the fill
-# offset enough to evict dedup_minhash_estimate from the window (see
-# _ROUND9_DEFERRED), and N>216 forces S=28, shrinking the cap to 22.
+# 27 (re-raised late in r08 when the registry passed 209): the
+# <= 8-round horizon needs ceil(N/S) <= 8 -> S >= 27 up to N=216,
+# which caps the priority block at WINDOW - S = 23. Round-9 math:
+# the registry entered round 9 at 214 with every entry driver-checked
+# at least once (CORRECTNESS_r08 closed the round-8 window cap), so
+# there is NO fill-segment coverage constraint this round — the only
+# budget is the horizon cap. Entry budget for round 9: up to N=216
+# keeps S=27 (new-entry cap 23 - |carried block|); N in 217..224
+# forces S=28 (horizon ceil(224/28)=8 still holds, priority cap 22).
+# Past 224 the window or the staleness bound must change — decide
+# explicitly, don't drift.
 ROTATION_STRIDE = 27
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # Round-8 block: the entries never driver-checked in any prior
-    # round (the r06-verdict deferral recorded at the bottom of the
-    # r07 block), led by the composed corpus-build flagship. All are
-    # locally oracle-green every pytest run (test_oracle_parity.py,
-    # vanilla + ANSI variants); this block routes them into the
-    # driver's CORRECTNESS_r08 sample for the hard signal.
+    # Round-9 block, part 1: the 4 entries never driver-checked in any
+    # prior round — the 3 _ROUND9_DEFERRED model-eval names (held back
+    # by the round-8 214-entry window cap) plus the round-8
+    # label-propagation entry the same cap excluded. Landing their
+    # CORRECTNESS_r09 rows closes cumulative driver coverage to
+    # 100% of the registry (round-8 verdict item #1).
+    "lineitem_logreg_auc",
+    "lineitem_logreg_calibration",
+    "lineitem_chi2_flags",
+    "docs_communities_labelprop",
+    # Round-9 block, part 2: entries NEW this round (appended below as
+    # they land; budget decided against the rotation math in the
+    # ROTATION_STRIDE comment BEFORE adding registry entries).
+)
+
+#: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round
+#: 9 exactly as planned (kept as a named record for the horizon test).
+_ROUND9_DEFERRED = (
+    "lineitem_logreg_auc",
+    "lineitem_logreg_calibration",
+    "lineitem_chi2_flags",
+)
+
+#: The round-8 priority block (driver-checked 50/50 green in
+#: CORRECTNESS_r08 — every name below has its hard row), kept as a
+#: record so the staleness audit in test_registry_rotation.py can
+#: reason about when each cohort was last driver-verified.
+_ROUND8_PRIORITY = (
     "docs_training_manifest",
     "vocab_bpe_train",
     "streaming_click_attribution_outer",
-    # customer_golden_records and dedup_minhash_estimate are OMITTED:
-    # both land in the round-8 FILL segment (offset 8*27 mod 209 —
-    # asserted below), so they are driver-checked this round without
-    # spending priority slots the <=8-round horizon no longer allows
     "docs_neardup_bfs",
     "docs_curriculum_order",
     "events_transition_matrix",
@@ -5258,45 +5278,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "scalar_try_battery",
     "window_distribution_battery",
     "source_csv_gzip_roundtrip",
-    # Round 8 new: append-mode watermarked window aggregation with the
-    # finalization contract oracle-encoded
     "streaming_tumbling_append",
-    # Round 8 new: streaming incremental near-dup ingest (narrow
-    # MinHash bands + broadcast anti-screen + watermarked collapse)
     "streaming_neardup_ingest",
-    # (orders_winsorized_stats, from the same deferral, was
-    # driver-green r06; its r07 semantics touch-up is locally green
-    # and it re-enters via rotation — the horizon cap goes to the
-    # never-checked and new entries first)
-    # Round 8 new: prefix-filtered EXACT similarity self-join
-    # (AllPairs), hash-checked against full common-shingle truth
     "dedup_prefix_jaccard",
-    # Round 8 new: MMR diversity re-rank (greedy trajectory
-    # hash-checked against the unrolled arg-max CTE chain)
     "docs_mmr_rerank",
-    # Round 8 new: logistic-regression trainer (GD trajectory
-    # hash-checked against the step-unrolled CTE chain)
     "lineitem_logreg_returns",
-    # Round 8 new: count-min point-frequency sketch with the exact
-    # one-sided-error audit
     "sketch_countmin_freq",
-    # Round 8 new: streaming windowed HLL++ distinct (streaming x
-    # sketch), envelope-audited vs batch-exact counts
     "streaming_window_distinct",
-)
-
-#: Round-9 priority candidates: entries added late in round 8 AFTER
-#: the priority block filled to its WINDOW−STRIDE cap. Their names
-#: were chosen to sort after dedup_minhash_estimate so the round-8
-#: fill segment still covers both _ROUND8_FILL_COVERED names (any
-#: name sorting earlier, or a 4th addition of any name, would have
-#: pushed dedup_minhash_estimate out of its first-ever driver check).
-#: Locally oracle-green (vanilla + ANSI); swap these into
-#: _ROUND_PRIORITY at the top of round 9.
-_ROUND9_DEFERRED = (
-    "lineitem_logreg_auc",
-    "lineitem_logreg_calibration",
-    "lineitem_chi2_flags",
 )
 
 #: Round-8 deferral names EXCLUDED from the priority block because the

@@ -106,10 +106,26 @@ def test_oracle_for_renders_sf_matched_kcore_unroll():
         q.oracle_for("docs_kcore_neardup", "/root/testdata/sf9.9")
 
 
-def test_round8_fill_covers_the_excluded_deferral_names():
-    # the two never-driver-checked names dropped from the round-8
-    # priority block (horizon cap) must land in the round-8 WINDOW via
-    # the fill segment, or their first-ever driver check silently slips
-    window = _window(8)
+def test_round8_fill_covered_names_have_hard_driver_rows():
+    # In round 8 these two names were dropped from the priority block
+    # (horizon cap) on the structural claim that the round-8 FILL
+    # segment covered them. The claim is now settled by the hard
+    # artifact: CORRECTNESS_r08.json must carry a fully-green row for
+    # each. (Recomputing _window(8) would be wrong post-swap — the
+    # live _ROUND_PRIORITY is the round-9 block.)
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r08.json")) as f:
+        r08 = json.load(f)
     for name in q._ROUND8_FILL_COVERED:
-        assert name in window, name
+        row = r08[name]
+        assert row["hash_match"] and row["err"] is None, (name, row)
+
+
+def test_round9_priority_leads_with_all_never_checked_names():
+    # round-9 verdict item #1: the 4 entries with no CORRECTNESS row in
+    # any of rounds 1-8 must head the round-9 driver window
+    never_checked = set(q._ROUND9_DEFERRED) | {"docs_communities_labelprop"}
+    assert never_checked <= set(q._ROUND_PRIORITY[:4])
+    assert never_checked <= _window(9)
