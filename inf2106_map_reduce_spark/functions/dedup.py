@@ -200,7 +200,13 @@ def minhash_band_cols_arrow(
     def bands_of(text: str | None) -> tuple:
         if text is None:
             return (None,) * n_bands
-        words = ws.sub(" ", text.strip().lower()).split(" ")
+        # strip(" ") — SPACES ONLY — replicates Spark `trim` exactly
+        # (_norm_text). Python's bare strip() also removes \t/\n/\r,
+        # which the JVM form instead collapses into a leading/trailing
+        # separator, yielding an EMPTY first/last word; the two forms
+        # must stay bit-identical or the streaming band screen
+        # (streaming/ingest.py) diverges from the snapshot band sets.
+        words = ws.sub(" ", text.strip(" ").lower()).split(" ")
         if len(words) < n_words:
             return (None,) * n_bands
         shingles = {
@@ -334,20 +340,23 @@ def ngram_jaccard_pairs(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    # threshold on the UNROUNDED ratio (the oracle's WHERE clause);
+    # round(·, 6) only for output — filtering on the rounded value
+    # would keep a pair with true J in [threshold − 5e-7, threshold)
+    # that the ground truth excludes (round-9 ADVICE item)
+    jac = F.col("n_common") / (
+        F.col("za.sz") + F.col("zb.sz") - F.col("n_common")
+    )
+    return (
         common.join(sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}"))
         .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .filter(jac >= threshold)
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("za.sz") + F.col("zb.sz") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold)
 
 
 def word_hash_table(
@@ -526,16 +535,19 @@ def prefix_filter_jaccard_pairs(
         .groupBy("p.id_a", "p.id_b", "p.m_a", "p.m_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = common.select(
+    # UNROUNDED threshold filter, rounded output — matches the
+    # ground-truth oracle's convention exactly (round-9 ADVICE item;
+    # the completeness theorem only guarantees candidates AT/ABOVE
+    # threshold, so a rounded filter could also keep a sub-threshold
+    # pair the oracle drops whenever it survived candidate generation)
+    jac = F.col("n_common") / (
+        F.col("m_a") + F.col("m_b") - F.col("n_common")
+    )
+    return common.filter(jac >= threshold).select(
         "id_a",
         "id_b",
-        F.round(
-            F.col("n_common")
-            / (F.col("m_a") + F.col("m_b") - F.col("n_common")),
-            6,
-        ).alias("jaccard"),
+        F.round(jac, 6).alias("jaccard"),
     )
-    return out.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures_both(

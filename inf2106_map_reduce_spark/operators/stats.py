@@ -553,6 +553,20 @@ def logreg_score(base: DataFrame, w: list[float]) -> DataFrame:
     return base.select(p.alias("p"), F.col("y"))
 
 
+def _score_bin(n_bins: int) -> Column:
+    """Histogram bin of score column ``p``: two-sided clamp into
+    ``[0, n_bins-1]``. The scored contract is p ∈ [0, 1] (p = 1.0
+    folds into the top bin), but a caller handing the generic (p, y)
+    API an out-of-range score must not silently corrupt the cumulative
+    histogram with a negative or overflowing bin id — out-of-range
+    mass lands in the edge bins instead (round-9 ADVICE item; pinned
+    by test_bin_clamps_out_of_range_scores)."""
+    return F.greatest(
+        F.lit(0),
+        F.least(F.floor(F.col("p") * n_bins).cast("int"), F.lit(n_bins - 1)),
+    )
+
+
 def roc_auc_binned(scored: DataFrame, n_bins: int = ROC_BINS) -> DataFrame:
     """Binned ROC summary of a ``(p, y)`` scored frame: one row with
     ``(n_rows, n_pos, n_neg, n_bins, auc, gini, ks)``.
@@ -574,9 +588,7 @@ def roc_auc_binned(scored: DataFrame, n_bins: int = ROC_BINS) -> DataFrame:
     class, empty) yield NULL auc/gini/ks rather than a division error.
     """
     binned = scored.select(
-        F.least(
-            F.floor(F.col("p") * n_bins).cast("int"), F.lit(n_bins - 1)
-        ).alias("bin"),
+        _score_bin(n_bins).alias("bin"),
         "y",
     )
     hist = binned.groupBy("bin").agg(
@@ -649,9 +661,7 @@ def calibration_table(
     ~n·eps, >6 orders inside the round-6 bucket); ``frac_positive`` is
     a ratio of exact counts."""
     binned = scored.select(
-        F.least(
-            F.floor(F.col("p") * n_bins).cast("int"), F.lit(n_bins - 1)
-        ).alias("bin"),
+        _score_bin(n_bins).alias("bin"),
         "p",
         "y",
     )
@@ -692,12 +702,59 @@ def chi_square_independence(
     Determinism: observed/expected are exact integer-valued doubles
     (products < 2^53); each cell contribution is rounded to 9 before
     the ≤ R·S-term sum, whose order jitter is ulp-level against the
-    round-6 emitted statistics."""
+    round-6 emitted statistics.
+
+    Zero cells: Pearson's statistic sums over ALL R×S cells — an
+    absent (a, b) combination still contributes (0−e)²/e = e, so the
+    full cross product of observed row/column categories is
+    materialized (cross join of the two ≤R/≤S distinct frames, left
+    join back, observed coalesced to 0) before expected/contrib. A
+    groupBy alone silently drops those cells and understates chi² and
+    Cramér's V whenever a combo is structurally absent (round-9
+    ADVICE item; pinned by test_chi2_structural_zero_cell)."""
     a, b = F.col(col_a), F.col(col_b)
-    cells = (
+    observed = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    # R×S scaffold WITHOUT a second data scan: collapse the cell frame
+    # (≤ R·S rows) to ONE row carrying the category sets plus an
+    # observed-count map, then explode the full cross product and look
+    # each cell up in the map. A distinct×distinct cross join + join
+    # back reads the source 3× (the distinct exchanges differ, so
+    # ReusedExchange never fires); this form is one linear branch —
+    # the groupBy above stays the only scan (pinned by
+    # test_chi2_single_scan_pushdown_and_pruning). The one-row state
+    # is O(R·S) — category-cardinality, same envelope as the
+    # single-partition window below. try_element_at, not element_at:
+    # the missing keys are exactly the zero cells, and ANSI mode makes
+    # element_at throw on them.
+    one = observed.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.struct(a.alias("a"), b.alias("b")).alias("key"),
+                    F.col("observed").alias("value"),
+                )
+            )
+        ).alias("_m"),
+        F.collect_set(col_a).alias("_as"),
+        F.collect_set(col_b).alias("_bs"),
+    )
+    cells = (
+        one.select(F.explode("_as").alias(col_a), "_bs", "_m")
+        .select(col_a, F.explode("_bs").alias(col_b), "_m")
+        .select(
+            col_a,
+            col_b,
+            F.coalesce(
+                F.try_element_at(
+                    "_m", F.struct(a.alias("a"), b.alias("b"))
+                ),
+                F.lit(0).cast("long"),
+            ).alias("observed"),
+        )
     )
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)

@@ -599,7 +599,8 @@ def _logreg_auc_oracle(n_bins: int = stats.ROC_BINS) -> str:
     return f"""
     WITH {_logreg_scored_cte()},
     hist AS (
-      SELECT LEAST(CAST(FLOOR(p * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+      SELECT GREATEST(0, LEAST(CAST(FLOOR(p * {n_bins}) AS INT),
+                                {n_bins - 1})) AS bin,
              CAST(COUNT(*) AS DOUBLE) AS n_b,
              SUM(y) AS pos_b
       FROM scored GROUP BY 1
@@ -643,7 +644,8 @@ def _logreg_calibration_oracle(n_bins: int = stats.CALIBRATION_BINS) -> str:
     the shared round-9 score."""
     return f"""
     WITH {_logreg_scored_cte()}
-    SELECT LEAST(CAST(FLOOR(p * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+    SELECT GREATEST(0, LEAST(CAST(FLOOR(p * {n_bins}) AS INT),
+                              {n_bins - 1})) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            ROUND(SUM(p) / COUNT(*), 6) AS mean_score,
            ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
@@ -4932,13 +4934,25 @@ REGISTRY.update(
         "lineitem_chi2_flags": QuerySpec(
             stats.lineitem_chi2_flags,
             """
-            WITH cells AS (
+            WITH obs AS (
               SELECT l_returnflag, l_linestatus,
                      CAST(COUNT(*) AS BIGINT) AS observed
               FROM lineitem
               WHERE l_returnflag IS NOT NULL
                 AND l_linestatus IS NOT NULL
               GROUP BY 1, 2
+            ),
+            -- full R x S scaffold: absent combos still contribute
+            -- (0-e)^2/e = e to Pearson's statistic (mirrors the
+            -- engine's zero-cell materialization)
+            cells AS (
+              SELECT r.l_returnflag, c.l_linestatus,
+                     CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed
+              FROM (SELECT DISTINCT l_returnflag FROM obs) r
+              CROSS JOIN (SELECT DISTINCT l_linestatus FROM obs) c
+              LEFT JOIN obs o
+                ON o.l_returnflag = r.l_returnflag
+               AND o.l_linestatus = c.l_linestatus
             ),
             ext AS (
               SELECT l_returnflag, l_linestatus, observed,

@@ -854,3 +854,26 @@ def test_minhash_hash_i_independent_of_n_hashes(spark, sf_oracle):
         for r in dedup.lsh_candidate_pairs(d, shingles=sh).collect()
     }
     assert via_stage == direct and via_stage
+
+
+def test_jaccard_threshold_filters_on_unrounded_ratio(spark):
+    # True J = 1/3 exactly. The double 1/3 ≈ 0.33333333333333331, so
+    # a filter on ROUND(j, 6) = 0.333333 drops this genuinely
+    # qualifying pair at threshold=1/3 while the oracle's unrounded
+    # WHERE keeps it — the engine must threshold the raw ratio and
+    # round only for output (round-9 ADVICE item).
+    from inf2106_map_reduce_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string"
+    )
+    thr = 1 / 3
+
+    got = dedup.prefix_filter_jaccard_pairs(docs, threshold=thr).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    assert got[0].jaccard == 0.333333  # rounded for OUTPUT only
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    got2 = dedup.ngram_jaccard_pairs(docs, pairs=pairs, threshold=thr).collect()
+    assert [(r.id_a, r.id_b) for r in got2] == [(1, 2)]
+    assert got2[0].jaccard == 0.333333

@@ -115,6 +115,22 @@ def test_calibration_clamps_boundary_score(spark):
     assert bins[9].n_rows == 2 and bins[9].frac_positive == 1.0
 
 
+def test_bin_clamps_out_of_range_scores(spark):
+    # scores outside [0, 1] must fold into the EDGE bins, not produce
+    # negative / overflowing bin ids that silently distort the
+    # cumulative histogram (round-9 ADVICE item)
+    rows = stats.calibration_table(
+        _scored(spark, [(-0.3, 0.0), (1.7, 1.0), (0.55, 1.0)])
+    ).collect()
+    assert {r.bin for r in rows} == {0, 5, 9}
+    # same clamp on the AUC path: the out-of-range pair is perfectly
+    # separated via the edge bins, so AUC stays well-defined and exact
+    out = stats.roc_auc_binned(
+        _scored(spark, [(-0.3, 0.0), (1.7, 1.0)])
+    ).first()
+    assert out.auc == 1.0 and out.n_rows == 2
+
+
 def test_chi2_constant_column_degenerate(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("b", "x"), ("a", "x")], "u string, v string"
@@ -142,6 +158,26 @@ def test_chi2_known_2x2(spark):
     assert abs(r.chi2 - 6.666667) < 1e-6
     # V = sqrt(chi2 / n) for 2x2
     assert abs(r.cramers_v - (6.6666666667 / 60) ** 0.5) < 1e-6
+
+
+def test_chi2_structural_zero_cell(spark):
+    # (b, y) never co-occurs: the zero cell must be MATERIALIZED and
+    # contribute (0-e)^2/e = e = 2.5, or chi2 is understated
+    # (4.166667 instead of 6.666667 — round-9 ADVICE item).
+    # Totals: row a=10, b=10; col x=15, y=5; n=20.
+    data = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10
+    df = spark.createDataFrame(data, "u string, v string")
+    rows = stats.chi_square_independence(df, "u", "v").collect()
+    assert len(rows) == 4, "zero cell must appear as a row"
+    by_cell = {(r.u, r.v): r for r in rows}
+    zero = by_cell[("b", "y")]
+    assert zero.observed == 0
+    assert abs(zero.expected - 2.5) < 1e-9
+    assert abs(zero.contrib - 2.5) < 1e-9
+    r = rows[0]
+    assert abs(r.chi2 - 6.666667) < 1e-6
+    assert r.dof == 1
+    assert abs(r.cramers_v - (6.6666666667 / 20) ** 0.5) < 1e-6
 
 
 def test_chi2_null_categories_excluded(spark):

@@ -322,6 +322,13 @@ def test_arrow_bands_match_jvm_form(spark, sf_smoke):
             (100003, "   \t \n "),
             (100004, "two words"),
             (100005, "  Tabs\tand\nNEWLINES   collapse  to one   "),
+            # leading/trailing NON-SPACE whitespace: Spark `trim`
+            # keeps it, so the collapsed text gains an empty first or
+            # last word — the Arrow form must reproduce that, not
+            # Python-strip it away (round-9 ADVICE item)
+            (100006, "\tfoo bar baz qux quux corge grault"),
+            (100007, "foo bar baz qux quux corge grault\n"),
+            (100008, "\t mixed lead and trail tab newline words here \n "),
         ],
         "doc_id bigint, text string",
     )
