@@ -411,6 +411,23 @@ def test_mmr_final_plan_is_constant_depth(spark, sf_oracle):
     assert data_shuffle_count(df) == 0, plan
 
 
+def test_labelprop_final_plan_is_constant_depth(spark, sf_oracle):
+    """LPA's per-round checkpoint discipline (claimed in the
+    label_propagation docstring) pinned like PageRank/k-core/MMR: the
+    returned frame is a projection of the LAST round's checkpointed
+    label table — zero shuffles, no corpus rescan, nothing that grows
+    with the round count."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    df = dedup.docs_communities_labelprop(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed round input
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert data_shuffle_count(df) == 0, plan
+
+
 def test_logreg_step_is_single_pruned_aggregate(spark, sf_oracle):
     """Each GD step (and the final metrics pass) is ONE partial+final
     aggregate over a projection pruned to exactly the model columns —
