@@ -784,3 +784,141 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
     )
+
+
+#: Bin width (integer cents) for the multi-quantile merge sketch:
+#: $1,000 bins over l_extendedprice's ~$900-$105,000 range give ~105
+#: bins — fine enough that per-bin counts (the rank-error envelope)
+#: stay a small fraction of n, coarse enough that the merge state is
+#: O(100) counters per source.
+QUANTILE_BIN_CENTS = 100_000
+
+#: The certified quantile vector.
+SKETCH_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def percentile_sketch_merge(
+    df: DataFrame,
+    source_col: Column,
+    value_col: str,
+    quantiles: tuple[float, ...] = SKETCH_QUANTILES,
+    bin_cents: int = QUANTILE_BIN_CENTS,
+) -> DataFrame:
+    """Cross-source mergeable percentile sketch with a GK/KLL-style
+    RANK-error certification — the merge-mechanics member of the
+    sketch family (HLL rollup = distinct, count-min = frequency,
+    Misra-Gries = heavy hitters, binned median = one quantile at one
+    regroup; this one merges INDEPENDENTLY BUILT per-source sketches
+    and certifies a whole quantile vector).
+
+    Each source shard (an ingest batch, here a ship-date year) builds
+    its own equi-width histogram — the sketch a pipeline would ship
+    instead of raw values. Merging is pure counter addition (the
+    defining mergeability property GK/KLL/t-digest engineer for; the
+    equi-width histogram has it trivially). From the merged sketch,
+    each quantile q is estimated by interpolating inside the bin
+    containing target rank ceil(q·n).
+
+    The certification is in GK/KLL's own currency — RANK error, not
+    value error: ``actual_rank = COUNT(value <= est)`` must sit within
+    the containing bin's count of the target rank (a histogram
+    estimate can misplace rank only within its own bin). Unlike a
+    value-error audit this needs no exact percentile (no global sort):
+    one conditional-count pass against the ≤|quantiles| broadcast
+    estimate rows.
+
+    Scale: sketch build is one map-side-combinable groupBy; all
+    cumulative work runs on the O(bins) merged frame; the audit is a
+    second scan with a 5-row broadcast — the only part a production
+    deployment would drop (it exists to make the query
+    self-certifying). Determinism: integer bins and counts; the
+    interpolation is fixed-structure double arithmetic rounded to 6;
+    ceil(q·n) is the identical double op in both engines.
+    """
+    src = source_col.alias("source")
+    bin_ = F.expr(
+        f"CAST(ROUND({value_col} * 100, 0) AS BIGINT) DIV {bin_cents}"
+    ).alias("bin")
+    # one sketch per source shard — what each pipeline ships
+    per_source = (
+        df.select(src, bin_)
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # THE MERGE: counter addition across sources (the oracle builds
+    # the histogram directly off the union, so hash equality proves
+    # merge-of-parts == sketch-of-whole)
+    merged = per_source.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("bin")
+    cum = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    qf = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(q) for q in quantiles])
+                ).alias("q")
+            )
+        )
+    ).withColumn(
+        "target_rank",
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("long"),
+    )
+    hit = qf.filter(
+        ((F.col("cum") - F.col("cnt")) < F.col("target_rank"))
+        & (F.col("cum") >= F.col("target_rank"))
+    )
+    wc = float(bin_cents)
+    est = hit.select(
+        "q",
+        F.col("n").alias("n_rows"),
+        "target_rank",
+        F.col("cnt").alias("bin_cnt"),
+        F.round(
+            (
+                F.col("bin") * F.lit(wc)
+                + F.lit(wc)
+                * (F.col("target_rank") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("est_value"),
+    )
+    audit = (
+        df.select(F.col(value_col).alias("_v"))
+        .crossJoin(F.broadcast(est))
+        .groupBy("q", "n_rows", "target_rank", "bin_cnt", "est_value")
+        .agg(
+            F.sum((F.col("_v") <= F.col("est_value")).cast("long")).alias(
+                "actual_rank"
+            )
+        )
+    )
+    return audit.select(
+        "q",
+        "n_rows",
+        "est_value",
+        "target_rank",
+        "actual_rank",
+        "bin_cnt",
+        (
+            F.abs(F.col("actual_rank") - F.col("target_rank"))
+            <= F.col("bin_cnt")
+        ).alias("within_rank_bound"),
+    ).orderBy("q")
+
+
+def sketch_percentile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-ship-year extendedprice histograms merged
+    into one sketch; 5-point quantile vector certified by rank error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return percentile_sketch_merge(
+        li, F.year("l_shipdate"), "l_extendedprice"
+    )

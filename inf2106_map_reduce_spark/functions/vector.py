@@ -1203,3 +1203,196 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(jl / orig6 - 1.0) <= F.lit(RP_REL_BOUND)
         ).alias("within_jl_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+#: Fixed power-iteration step count: like the fixed-round k-means
+#: entry, a constant trajectory both engines replay exactly — 10
+#: steps separate the top eigenvalue to well past the round-6 output
+#: quantum on every test SF (the dominant eigengap of the synthetic
+#: embedding covariance is large; verified by the cross-SF parity
+#: suite).
+PCA_POWER_STEPS = 10
+
+#: Integer quantization scale for the exact Gram build: embeddings are
+#: float32 values ~O(0.1); at scale 1000 the quantized products stay
+#: far below 2^53, so every Gram/mean sum is EXACT integer arithmetic
+#: — zero cross-engine partial-sum jitter in the covariance, which
+#: the rounded power trajectory then consumes deterministically. The
+#: cast to double happens BEFORE the multiply: float32*1000 in single
+#: precision lands exactly on .5 boundaries the double product never
+#: touches (measured on the sf0.1 corpus).
+PCA_QUANT_SCALE = 1000
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    steps: int = PCA_POWER_STEPS,
+) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration on the population covariance — the spectral member of
+    the vector family (k-means partitions the space, JL projects it,
+    this extracts its dominant axis: the "what single direction
+    explains most corpus variance" drift/structure diagnostic).
+
+    Three stages, each O(model) beyond one data pass:
+
+    1. EXACT Gram build: one ``mapInPandas`` pass accumulates the
+       integer-quantized per-partition Gram matrix, coordinate sums
+       and count (int64 — exact, so the reduced sums equal the
+       oracle's SQL sums bit for bit); a grouped sum reduces the
+       ≤ partitions × (d² + d + 1) partial rows to one d×d frame.
+       The covariance entry ``C[i,j] = S_ij/n − (S_i/n)(S_j/n)`` is
+       then a fixed-structure double expression over exact integers.
+    2. Power iteration IN-PLAN on the d-row/d²-row frames: each step
+       is one join + grouped sum (the matvec), a 1-row norm, and a
+       ``round(·, 9)`` normalize, checkpointed per step (the
+       PageRank/MMR constant-depth discipline). Start vector is the
+       exact constant 1/8 = 1/sqrt(64). F.round matches the oracle's
+       ROUND half-up, so both engines replay the identical rounded
+       trajectory regardless of their internal summation orders.
+    3. Output: the component loadings (pos, loading) with the
+       Rayleigh eigenvalue v'Cv (reported in original units — the
+       quantization scale cancels out of loadings and the explained
+       ratio), the explained-variance ratio λ/trace(C), and n_rows.
+
+    Scale: the data is touched exactly once (stage 1); everything
+    after runs on d²-row frames. The iteration count is fixed, not
+    converged — the same replayability trade kmeans_fixed makes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    d = dim
+
+    def gram_partials(batches):
+        G = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            Xs = X * float(PCA_QUANT_SCALE)
+            # half-away-from-zero, matching SQL ROUND on doubles
+            Xq = np.where(
+                Xs >= 0, np.floor(Xs + 0.5), np.ceil(Xs - 0.5)
+            ).astype(np.int64)
+            G += Xq.T @ Xq
+            s += Xq.sum(axis=0)
+            n += len(Xq)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "s": np.concatenate([G.ravel(), s, [n]]),
+            }
+        )
+
+    partials = embeddings.select(F.col(emb_col).alias("emb")).mapInPandas(
+        gram_partials, "i int, j int, s long"
+    )
+    sums = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    n_row = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    means = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("s").alias("m")
+    )
+    cov = (
+        sums.filter(F.col("j") >= 0)
+        .join(means.select(F.col("i").alias("_i"), F.col("m").alias("mi")),
+              F.col("i") == F.col("_i"))
+        .join(means.select(F.col("i").alias("_j"), F.col("m").alias("mj")),
+              F.col("j") == F.col("_j"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s").cast("double") / F.col("n")
+                - (F.col("mi").cast("double") / F.col("n"))
+                * (F.col("mj").cast("double") / F.col("n"))
+            ).alias("c"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
+    )
+    for _ in range(steps):
+        u = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        nm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
+        v = (
+            u.crossJoin(F.broadcast(nm))
+            .select("i", F.round(F.col("u") / F.col("nm"), 9).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    lam = (
+        cov.join(
+            F.broadcast(
+                v.select(F.col("i").alias("_vi"), F.col("v").alias("vi"))
+            ),
+            F.col("i") == F.col("_vi"),
+        )
+        .join(
+            F.broadcast(
+                v.select(F.col("i").alias("_vj"), F.col("v").alias("vj"))
+            ),
+            F.col("j") == F.col("_vj"),
+        )
+        .agg(
+            F.sum(F.col("vi") * F.col("c") * F.col("vj")).alias("_lam"),
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))).alias(
+                "_trace"
+            ),
+            F.max("n").alias("n_rows"),
+        )
+    )
+    scale2 = float(PCA_QUANT_SCALE) ** 2
+    stats = lam.select(
+        F.round(F.col("_lam") / F.lit(scale2), 6).alias("eigenvalue"),
+        F.round(F.col("_lam") / F.col("_trace"), 6).alias(
+            "explained_ratio"
+        ),
+        "n_rows",
+    )
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("i").alias("pos"),
+            F.round("v", 6).alias("loading"),
+            "eigenvalue",
+            "explained_ratio",
+            "n_rows",
+        )
+        .orderBy("pos")
+    )
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: top principal component of the embeddings table
+    (64-dim), 10 rounded power-iteration steps on the exact quantized
+    covariance."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))

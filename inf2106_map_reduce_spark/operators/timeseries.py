@@ -667,3 +667,115 @@ def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: per-user view,click,purchase run counts
     (contiguous) and gapped-subsequence presence."""
     return sequence_patterns(load_table(spark, sf_dir, "events"))
+
+
+#: Seasonal period for the hourly backtest: 24 hours (daily cycle) —
+#: the standard strong seasonality of event-volume series.
+SEASONAL_LAG_HOURS = 24
+
+
+def forecast_backtest(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    season: int = SEASONAL_LAG_HOURS,
+) -> DataFrame:
+    """Grouped forecast backtest: score the SEASONAL-NAIVE forecaster
+    (predict this hour = the count ``season`` hours ago) against the
+    NAIVE one (predict this hour = last hour) on each event type's
+    dense hourly count series — one row per type with
+    ``(n_hours, n_forecasts, mae_seasonal, rmse_seasonal,
+    mape_seasonal, mae_naive, skill)``. ``skill`` < 1 means the
+    seasonal model beats naive — the go/no-go number a capacity
+    forecast pipeline backtests before trusting a model family.
+
+    Semantics: the series is the DENSE hourly grid (missing hours are
+    true zeros of a count series, not missing data — the gapfill
+    contract), so ``lag(season) ROWS`` is exactly "the same hour
+    yesterday"; the first ``season`` hours have no seasonal forecast
+    and are excluded from every metric (both models are scored on the
+    same forecastable subset, or the comparison is biased). MAPE is
+    averaged over hours with a nonzero actual (the standard dodge for
+    its zero-actual singularity); MAE/RMSE cover all forecast hours.
+
+    Scale: one corpus groupBy builds the (type x hour) counts
+    (map-side combined, checkpointed — the volume_anomaly discipline);
+    the spine explode, the broadcast type cross join and the per-type
+    lag window all run on the types x hours grid, whose size is
+    independent of event cardinality. Per-type windows bound
+    parallelism at #types, same trade as gapfill_hourly.
+
+    Determinism: counts are integers, so MAE/RMSE reduce to integer
+    sums divided once; the MAPE sum is the only float fold (per-term
+    |a-f|/a with small-int numerators), whose order jitter is ~n·eps —
+    far below the round-6 output quantum.
+    """
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    scored = dense.select(
+        "event_type",
+        "n",
+        F.lag("n", season).over(w).alias("f_seasonal"),
+        F.lag("n", 1).over(w).alias("f_naive"),
+    ).filter(F.col("f_seasonal").isNotNull())
+    ae_s = F.abs(F.col("n") - F.col("f_seasonal"))
+    ae_n = F.abs(F.col("n") - F.col("f_naive"))
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum(ae_s).alias("_sae_s"),
+        F.sum(ae_s * ae_s).alias("_sse_s"),
+        F.sum(ae_n).alias("_sae_n"),
+        F.sum(F.when(F.col("n") > 0, ae_s / F.col("n"))).alias("_sape"),
+        F.sum((F.col("n") > 0).cast("long")).alias("_n_nonzero"),
+    )
+    mae_s = F.col("_sae_s") / F.col("n_forecasts")
+    mae_n = F.col("_sae_n") / F.col("n_forecasts")
+    return agg.select(
+        "event_type",
+        (F.col("n_forecasts") + F.lit(season)).alias("n_hours"),
+        "n_forecasts",
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(F.sqrt(F.col("_sse_s") / F.col("n_forecasts")), 6).alias(
+            "rmse_seasonal"
+        ),
+        F.when(
+            F.col("_n_nonzero") > 0,
+            F.round(F.col("_sape") / F.col("_n_nonzero"), 6),
+        ).alias("mape_seasonal"),
+        F.round(mae_n, 6).alias("mae_naive"),
+        F.when(F.col("_sae_n") > 0, F.round(mae_s / mae_n, 6)).alias(
+            "skill"
+        ),
+    ).orderBy("event_type")
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: seasonal-naive vs naive hourly volume backtest
+    per event type (24-hour season)."""
+    return forecast_backtest(load_table(spark, sf_dir, "events"))

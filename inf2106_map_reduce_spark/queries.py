@@ -1262,6 +1262,65 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def _pca_power_oracle(steps: int = vector.PCA_POWER_STEPS) -> str:
+    """Step-unrolled oracle for ``vector.pca_top_component``: the exact
+    integer-quantized Gram (double cast BEFORE the ×1000 — float32
+    multiply lands on .5 boundaries the double product never touches),
+    the fixed-structure covariance expression, and one MATERIALIZED
+    (u, norm, v) CTE triple per power step replaying the identical
+    ``ROUND(·, 9)`` trajectory. MATERIALIZED is load-bearing: inlined,
+    the chained CTE references re-expand the parquet scan
+    exponentially in the step count (the kmeans-oracle lesson)."""
+    head = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, i.range AS i,
+         CAST(ROUND(CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE)
+                    * 1000, 0) AS BIGINT) AS x
+  FROM embeddings, range(0, 64) i
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+s1 AS MATERIALIZED (SELECT i, CAST(SUM(x) AS BIGINT) AS m FROM ex GROUP BY i),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+cov AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(g.s AS DOUBLE) / nn.n
+           - (CAST(sa.m AS DOUBLE) / nn.n)
+             * (CAST(sb.m AS DOUBLE) / nn.n) AS c
+  FROM g, nn, s1 sa, s1 sb WHERE sa.i = g.i AND sb.i = g.j
+),
+v0 AS MATERIALIZED (
+  SELECT i.range AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, 64) i
+)"""
+    steps_sql = []
+    for k in range(1, steps + 1):
+        steps_sql.append(
+            f"""
+u{k} AS MATERIALIZED (
+  SELECT c.i AS i, SUM(c.c * v.v) AS u
+  FROM cov c JOIN v{k - 1} v ON v.i = c.j GROUP BY 1
+),
+n{k} AS MATERIALIZED (SELECT SQRT(SUM(u * u)) AS nm FROM u{k}),
+v{k} AS MATERIALIZED (SELECT i, ROUND(u / nm, 9) AS v FROM u{k}, n{k})"""
+        )
+    tail = f"""
+fin AS MATERIALIZED (
+  SELECT SUM(vi.v * c.c * vj.v) AS lam,
+         SUM(CASE WHEN c.i = c.j THEN c.c END) AS tr
+  FROM cov c
+  JOIN v{steps} vi ON vi.i = c.i
+  JOIN v{steps} vj ON vj.i = c.j
+)
+SELECT CAST(v.i AS INT) AS pos, ROUND(v.v, 6) AS loading,
+       ROUND(fin.lam / 1000000.0, 6) AS eigenvalue,
+       ROUND(fin.lam / fin.tr, 6) AS explained_ratio,
+       nn.n AS n_rows
+FROM v{steps} v, fin, nn ORDER BY pos"""
+    return head + "," + ",".join(steps_sql) + "," + tail
+
+
 def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
     """Pearson-matrix oracle: the same single PAIRWISE-COMPLETE moment
     aggregation the engine runs (per pair: its own n plus 5 sums, all
@@ -2015,6 +2074,63 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "mergeable HLL sketch rollup: monthly sketches unioned to "
         "status grain, envelope-audited",
+        ("agg", "sketch"),
+    ),
+    "sketch_percentile_merge": QuerySpec(
+        sketches.sketch_percentile_merge,
+        # mirrors functions.sketches.percentile_sketch_merge: the
+        # oracle builds the histogram DIRECTLY off the union, so hash
+        # equality proves the engine's per-source-sketch merge equals
+        # the sketch of the whole (the mergeability audit); rank
+        # certification recomputed identically
+        f"""
+        WITH b AS (
+          SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   // {sketches.QUANTILE_BIN_CENTS} AS bin
+          FROM lineitem
+        ),
+        merged AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        ),
+        cum AS (
+          SELECT bin, cnt,
+                 SUM(cnt) OVER (ORDER BY bin) AS cum,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS n
+          FROM merged
+        ),
+        qs AS (
+          SELECT CAST(UNNEST([{", ".join(str(q) for q in sketches.SKETCH_QUANTILES)}])
+                      AS DOUBLE) AS q
+        ),
+        qf AS (
+          SELECT c.*, qs.q,
+                 CAST(CEIL(qs.q * CAST(c.n AS DOUBLE)) AS BIGINT)
+                   AS target_rank
+          FROM cum c CROSS JOIN qs
+        ),
+        est AS (
+          SELECT q, n AS n_rows, target_rank, cnt AS bin_cnt,
+                 ROUND((bin * {float(sketches.QUANTILE_BIN_CENTS)}
+                        + {float(sketches.QUANTILE_BIN_CENTS)}
+                          * (target_rank - (cum - cnt)) / cnt) / 100.0, 6)
+                   AS est_value
+          FROM qf WHERE (cum - cnt) < target_rank AND cum >= target_rank
+        ),
+        audit AS (
+          SELECT e.q, e.n_rows, e.target_rank, e.bin_cnt, e.est_value,
+                 CAST(SUM(CASE WHEN l.l_extendedprice <= e.est_value
+                               THEN 1 ELSE 0 END) AS BIGINT) AS actual_rank
+          FROM lineitem l CROSS JOIN est e
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT q, n_rows, est_value, target_rank, actual_rank, bin_cnt,
+               ABS(actual_rank - target_rank) <= bin_cnt
+                 AS within_rank_bound
+        FROM audit ORDER BY q
+        """,
+        "cross-source mergeable percentile sketch: per-ship-year "
+        "extendedprice histograms merged by counter addition, 5-point "
+        "quantile vector certified by GK/KLL-style rank error",
         ("agg", "sketch"),
     ),
     "sketch_countmin_freq": QuerySpec(
@@ -3319,6 +3435,68 @@ REGISTRY: dict[str, QuerySpec] = {
         "distribution (pipeline-monitoring anomaly signal)",
         ("timeseries", "events", "agg"),
     ),
+    "events_forecast_backtest": QuerySpec(
+        timeseries.events_forecast_backtest,
+        # dense hourly grid (missing hours are true zeros), seasonal
+        # lag(24) vs naive lag(1) on the same forecastable subset;
+        # MAE/RMSE from exact integer sums, MAPE over nonzero actuals
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly),
+        spine AS (
+          SELECT b.h0 + i.range * INTERVAL 1 HOUR AS hour
+          FROM bounds b, range(0, 100000) i
+          WHERE b.h0 + i.range * INTERVAL 1 HOUR <= b.h1
+        ),
+        types AS (SELECT DISTINCT event_type FROM hourly),
+        dense AS (
+          SELECT t.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN hourly h
+            ON h.event_type = t.event_type AND h.hour = s.hour
+        ),
+        scored AS (
+          SELECT event_type, n,
+                 LAG(n, 24) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS f_s,
+                 LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS f_n
+          FROM dense
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+                 CAST(SUM(ABS(n - f_s)) AS BIGINT) AS sae_s,
+                 CAST(SUM(ABS(n - f_s) * ABS(n - f_s)) AS BIGINT) AS sse_s,
+                 CAST(SUM(ABS(n - f_n)) AS BIGINT) AS sae_n,
+                 SUM(CASE WHEN n > 0
+                          THEN ABS(n - f_s) / CAST(n AS DOUBLE) END) AS sape,
+                 CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonzero
+          FROM scored WHERE f_s IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type,
+               n_forecasts + 24 AS n_hours,
+               n_forecasts,
+               ROUND(sae_s / n_forecasts, 6) AS mae_seasonal,
+               ROUND(SQRT(sse_s / n_forecasts), 6) AS rmse_seasonal,
+               CASE WHEN n_nonzero > 0
+                    THEN ROUND(sape / n_nonzero, 6) END AS mape_seasonal,
+               ROUND(sae_n / n_forecasts, 6) AS mae_naive,
+               CASE WHEN sae_n > 0
+                    THEN ROUND((sae_s / n_forecasts)
+                               / (sae_n / n_forecasts), 6) END AS skill
+        FROM agg ORDER BY event_type
+        """,
+        "grouped forecast backtest: seasonal-naive (24 h) vs naive "
+        "hourly volume forecasts per event type, MAE/RMSE/MAPE + "
+        "skill on the dense zero-filled grid",
+        ("timeseries", "events", "window", "agg"),
+    ),
     "docs_split": QuerySpec(
         pipeline.docs_split,
         """
@@ -3849,6 +4027,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "SemDeDup semantic dedup: k-means-blocked in-cluster cosine "
         "dedup with lowest-id survivor per duplicate",
         ("dedup", "vector", "iterative"),
+    ),
+    "emb_pca_power": QuerySpec(
+        vector.emb_pca_power,
+        _pca_power_oracle(),
+        "top principal component of the embedding cloud: exact "
+        "integer-quantized covariance + 10 rounded power-iteration "
+        "steps, Rayleigh eigenvalue and explained-variance ratio",
+        ("vector", "iterative", "stats"),
     ),
     "label_centroids": QuerySpec(
         vector.label_centroid_similarity,
@@ -5232,18 +5418,19 @@ REGISTRY.update(
 # The local parity suite still checks all entries every round
 # regardless of order; this schedule governs only the driver sample.
 ROTATION_WINDOW = 50
-# 27 (re-raised late in r08 when the registry passed 209): the
-# <= 8-round horizon needs ceil(N/S) <= 8 -> S >= 27 up to N=216,
-# which caps the priority block at WINDOW - S = 23. Round-9 math:
+# Round-9 math (decided BEFORE adding entries, per the r08 verdict):
 # the registry entered round 9 at 214 with every entry driver-checked
 # at least once (CORRECTNESS_r08 closed the round-8 window cap), so
-# there is NO fill-segment coverage constraint this round — the only
-# budget is the horizon cap. Entry budget for round 9: up to N=216
-# keeps S=27 (new-entry cap 23 - |carried block|); N in 217..224
-# forces S=28 (horizon ceil(224/28)=8 still holds, priority cap 22).
-# Past 224 the window or the staleness bound must change — decide
-# explicitly, don't drift.
-ROTATION_STRIDE = 27
+# there is no fill-segment coverage constraint this round — the only
+# budget is the <= 8-round staleness horizon, ceil(N/S) <= 8. The
+# round-9 entry budget is 3 new families (forecast backtest,
+# percentile merge sketch, PCA power) -> N = 217, which forces
+# S = 28 (27 only covers N <= 216); ceil(217/28) = 8 holds, and the
+# priority cap WINDOW - S = 22 comfortably fits the 4 carried
+# never-checked names + 3 new ones. S = 28 keeps the horizon through
+# N = 224; past that the window or the staleness bound must change —
+# decide explicitly, don't drift.
+ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -5258,9 +5445,18 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "lineitem_logreg_calibration",
     "lineitem_chi2_flags",
     "docs_communities_labelprop",
-    # Round-9 block, part 2: entries NEW this round (appended below as
-    # they land; budget decided against the rotation math in the
-    # ROTATION_STRIDE comment BEFORE adding registry entries).
+    # Round-9 block, part 2: entries NEW this round (budget decided
+    # against the rotation math in the ROTATION_STRIDE comment BEFORE
+    # adding registry entries).
+    # Grouped seasonal-naive vs naive forecast backtest — the one
+    # timeseries shape the family lacked (r08 verdict item #4)
+    "events_forecast_backtest",
+    # Cross-source mergeable percentile sketch with rank-error
+    # certification — the merge-mechanics member of the sketch family
+    "sketch_percentile_merge",
+    # Top principal component by rounded power iteration on the exact
+    # quantized covariance — the spectral member of the vector family
+    "emb_pca_power",
 )
 
 #: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round

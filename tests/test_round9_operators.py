@@ -1,0 +1,196 @@
+"""Round-9 new operator families: grouped forecast backtest,
+cross-source percentile sketch merge, PCA power iteration. Oracle
+parity at sf0.01 is covered by test_oracle_parity.py; these tests pin
+semantics on PLANTED inputs (a known seasonal series, a skewed source
+split, an anisotropic embedding cloud) and the 100 TB plan properties
+the differential oracle can't see."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import sketches, vector
+from inf2106_map_reduce_spark.operators import timeseries
+from inf2106_map_reduce_spark.plans import data_shuffle_count, explain_str
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest
+# ---------------------------------------------------------------------------
+
+
+def _hourly_events(spark, counts_by_type):
+    """Build an events frame with EXACTLY counts[t][h] rows in hour h."""
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for etype, counts in counts_by_type.items():
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, base + datetime.timedelta(hours=h, minutes=30), etype)
+                )
+                eid += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_backtest_perfect_seasonal_series(spark):
+    # period-24 pattern repeated exactly: seasonal-naive is PERFECT
+    # (mae 0), naive is not -> skill 0.0
+    pattern = [(h % 24) % 5 + 1 for h in range(72)]
+    df = _hourly_events(spark, {"click": pattern})
+    r = timeseries.forecast_backtest(df).first()
+    assert r.n_hours == 72 and r.n_forecasts == 48
+    assert r.mae_seasonal == 0.0 and r.rmse_seasonal == 0.0
+    assert r.mape_seasonal == 0.0
+    assert r.mae_naive > 0.0
+    assert r.skill == 0.0
+
+
+def test_backtest_zero_hours_are_true_zeros(spark):
+    # hour 1 of each day has NO events: the dense grid must treat it
+    # as 0 (and exclude it from MAPE, which averages nonzero actuals)
+    pattern = [0 if h % 24 == 1 else 2 for h in range(48)]
+    df = _hourly_events(spark, {"view": pattern})
+    r = timeseries.forecast_backtest(df).first()
+    assert r.n_hours == 48 and r.n_forecasts == 24
+    # second day repeats the first exactly -> seasonal perfect even
+    # across the zero hour
+    assert r.mae_seasonal == 0.0 and r.mape_seasonal == 0.0
+
+
+def test_backtest_metrics_cover_same_subset(spark):
+    # both models are scored on the same forecastable hours: with
+    # season hours of warmup, n_forecasts = n_hours - 24 regardless
+    # of which model could technically start earlier
+    pattern = [3] * 30
+    df = _hourly_events(spark, {"buy": pattern})
+    r = timeseries.forecast_backtest(df).first()
+    assert r.n_forecasts == 6
+    # constant series: both models perfect, skill NULL (0/0 guarded)
+    assert r.mae_seasonal == 0.0 and r.mae_naive == 0.0
+    assert r.skill is None
+
+
+def test_backtest_single_data_scan(spark, sf_oracle):
+    plan = explain_str(
+        timeseries.events_forecast_backtest(spark, sf_oracle), "simple"
+    )
+    # the corpus groupBy is checkpointed; spine/types/dense/lag all
+    # run on the grid — no second events scan
+    assert plan.count("FileScan") == 0, plan  # checkpoint cut lineage
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# percentile_sketch_merge
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_merge_equals_direct_build(spark):
+    # merging per-source sketches must equal the sketch of the union
+    # even when sources are wildly skewed (one source holds one value)
+    vals = [(i % 7, float(100 + i)) for i in range(500)] + [
+        (99, 50000.0)
+    ] * 20
+    df = spark.createDataFrame(vals, "src int, v double")
+    merged = sketches.percentile_sketch_merge(
+        df, F.col("src"), "v"
+    ).collect()
+    direct = sketches.percentile_sketch_merge(
+        df, F.lit(0), "v"
+    ).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+
+
+def test_percentile_merge_rank_certification(spark):
+    vals = [(i % 3, float(i)) for i in range(1, 10001)]
+    df = spark.createDataFrame(vals, "src int, v double")
+    rows = sketches.percentile_sketch_merge(df, F.col("src"), "v").collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    for r in rows:
+        assert r.n_rows == 10000
+        assert r.within_rank_bound, r
+        # uniform integers: the estimate should be near q * 10000
+        assert abs(r.est_value - r.q * 10000) < 1500, r
+
+
+def test_percentile_merge_two_scans_only(spark, sf_oracle):
+    # sketch build + rank audit: exactly two lineitem scans, both
+    # pruned to the value (+ source) columns
+    from inf2106_map_reduce_spark.plans import scan_columns
+
+    df = sketches.sketch_percentile_merge(spark, sf_oracle)
+    cols = scan_columns(df)
+    assert len(cols) == 2, cols
+    assert set().union(*cols) == {"l_extendedprice", "l_shipdate"}, cols
+
+
+# ---------------------------------------------------------------------------
+# pca_top_component
+# ---------------------------------------------------------------------------
+
+
+def test_pca_finds_planted_dominant_axis(spark):
+    # cloud stretched 20x along a planted unit axis: the top component
+    # must align with it (|cos| > 0.99) and explain most variance
+    rng = np.random.RandomState(7)
+    axis = np.zeros(64)
+    axis[3], axis[40] = 0.6, 0.8
+    X = rng.normal(0, 0.05, (400, 64)) + np.outer(
+        rng.normal(0, 1.0, 400), axis
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = vector.pca_top_component(df).collect()
+    assert len(rows) == 64
+    v = np.array([r.loading for r in rows])
+    cos = abs(float(v @ axis) / (np.linalg.norm(v) * np.linalg.norm(axis)))
+    assert cos > 0.99, cos
+    assert rows[0].explained_ratio > 0.8, rows[0]
+    assert rows[0].n_rows == 400
+    # eigenvalue ~ variance along the axis (coef ~ N(0,1) -> ~1.0)
+    assert 0.5 < rows[0].eigenvalue < 2.0, rows[0]
+
+
+def test_pca_matches_numpy_eigh_on_quantized_cov(spark, sf_oracle):
+    # the 10-step trajectory should land within rounding of the true
+    # top eigenpair of the SAME quantized covariance matrix
+    from inf2106_map_reduce_spark.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = vector.pca_top_component(emb).collect()
+    X = np.stack(
+        [np.array(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    Xs = X * 1000.0
+    Xq = np.where(Xs >= 0, np.floor(Xs + 0.5), np.ceil(Xs - 0.5))
+    C = np.cov(Xq, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    v = np.array([r.loading for r in rows])
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    # near-isotropic synthetic cloud -> slow power convergence; the
+    # fixed 10-step trajectory is the CONTRACT (replayable), alignment
+    # with the true eigenvector is the sanity direction
+    assert cos > 0.5, cos
+    assert abs(rows[0].eigenvalue * 1e6 - w[-1]) / w[-1] < 0.5
+
+
+def test_pca_final_plan_is_constant_depth(spark, sf_oracle):
+    # per-step checkpoints: the returned plan joins the LAST step's
+    # checkpointed vector to the checkpointed covariance — no parquet
+    # rescan, nothing growing with the step count
+    df = vector.emb_pca_power(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert data_shuffle_count(df) <= 3, plan
