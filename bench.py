@@ -104,6 +104,10 @@ HEADLINE = (
     # model evaluation (late round 8): trainer-trajectory reuse +
     # fixed-bin histogram reduce
     "lineitem_logreg_auc",
+    # round-9 new families
+    "events_forecast_backtest",
+    "sketch_percentile_merge",
+    "emb_pca_power",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

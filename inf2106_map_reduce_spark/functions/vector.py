@@ -1300,87 +1300,117 @@ def pca_top_component(
     partials = embeddings.select(F.col(emb_col).alias("emb")).mapInPandas(
         gram_partials, "i int, j int, s long"
     )
-    sums = (
-        partials.groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
-        .localCheckpoint(eager=True)
-    )
-    n_row = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
-        F.col("s").alias("n")
-    )
-    means = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        "i", F.col("s").alias("m")
-    )
-    cov = (
-        sums.filter(F.col("j") >= 0)
-        .join(means.select(F.col("i").alias("_i"), F.col("m").alias("mi")),
-              F.col("i") == F.col("_i"))
-        .join(means.select(F.col("i").alias("_j"), F.col("m").alias("mj")),
-              F.col("j") == F.col("_j"))
-        .crossJoin(F.broadcast(n_row))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("s").cast("double") / F.col("n")
-                - (F.col("mi").cast("double") / F.col("n"))
-                * (F.col("mj").cast("double") / F.col("n"))
-            ).alias("c"),
-            "n",
-        )
-        .localCheckpoint(eager=True)
-    )
-    v = spark.range(d).select(
-        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("v")
-    )
-    for _ in range(steps):
-        u = (
-            cov.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
-        )
-        nm = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
-        v = (
-            u.crossJoin(F.broadcast(nm))
-            .select("i", F.round(F.col("u") / F.col("nm"), 9).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    lam = (
-        cov.join(
-            F.broadcast(
-                v.select(F.col("i").alias("_vi"), F.col("v").alias("vi"))
+    sums = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    # One-row assembly: the ≤ d²+d+1 reduced sums fold into a single
+    # row carrying n, the d mean sums and the d² Gram sums as SORTED
+    # flat arrays (collect_list skips the WHEN-null rows of the other
+    # kinds; array_sort orders by the flat key), so every downstream
+    # access is an O(1) positional element_at — a struct-keyed map was
+    # measured ~1.5 s slower here because map element_at is a linear
+    # scan, interpreted, 4096 times. Checkpointed so the iteration
+    # reads a materialized value and the returned plan never rescans
+    # data.
+    i_, j_, s_ = F.col("i"), F.col("j"), F.col("s")
+
+    def _sorted_vals(cond: Column, key: Column) -> Column:
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(cond, F.struct(key.alias("k"), s_.alias("s")))
+                )
             ),
-            F.col("i") == F.col("_vi"),
+            lambda x: x["s"].cast("double"),
         )
-        .join(
-            F.broadcast(
-                v.select(F.col("i").alias("_vj"), F.col("v").alias("vj"))
+
+    one = sums.agg(
+        _sorted_vals((i_ >= 0) & (j_ >= 0), i_ * d + j_).alias("_g"),
+        _sorted_vals((i_ >= 0) & (j_ == -1), i_).alias("_s1"),
+        F.max(F.when((i_ == -1) & (j_ == -1), s_)).alias("n"),
+    )
+    ki = lambda k: F.floor(k / d)  # noqa: E731
+    kj = lambda k: k % d  # noqa: E731
+    cov_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(d * d - 1)),
+        lambda k: F.element_at(F.col("_g"), (k + 1).cast("int"))
+        / F.col("n")
+        - (F.element_at(F.col("_s1"), (ki(k) + 1).cast("int")) / F.col("n"))
+        * (F.element_at(F.col("_s1"), (kj(k) + 1).cast("int")) / F.col("n")),
+    )
+    base = one.select("n", cov_arr.alias("cov")).localCheckpoint(
+        eager=True
+    )
+    # The ENTIRE power trajectory as one sequential fold expression —
+    # every intermediate (the current vector, the matvec result) is a
+    # LAMBDA VARIABLE, not a plan subtree, so references are cheap
+    # value reads and nothing duplicates across steps (the
+    # word_shingles single-element-transform binding trick). Join/
+    # checkpoint step loops were measured 4.4-13 s at sf0.1 — pure
+    # local-mode job-scheduling overhead for 64-row work; this form
+    # runs the whole iteration inside one task in milliseconds. The
+    # sequential fold order is exactly what ROUND(·, 9) per step
+    # absorbs when the oracle's SUM aggregates in its own order.
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+
+    def _matvec(v: Column) -> Column:
+        return F.transform(
+            idx,
+            lambda i: F.aggregate(
+                idx,
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col("cov"), (i * d + j + 1).cast("int"))
+                * F.element_at(v, (j + 1).cast("int")),
             ),
-            F.col("j") == F.col("_vj"),
         )
-        .agg(
-            F.sum(F.col("vi") * F.col("c") * F.col("vj")).alias("_lam"),
-            F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))).alias(
-                "_trace"
-            ),
-            F.max("n").alias("n_rows"),
+
+    def _normalized(u: Column) -> Column:
+        nrm = F.sqrt(
+            F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x)
         )
+        return F.transform(u, lambda x: F.round(x / nrm, 9))
+
+    v0 = F.array_repeat(F.lit(0.125), d)
+    v_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(steps)),
+        v0,
+        lambda acc, _: F.element_at(
+            F.transform(F.array(_matvec(acc)), _normalized), 1
+        ),
+    )
+    scored = base.select("n", "cov", v_final.alias("v")).localCheckpoint(
+        eager=True
+    )
+    lam = F.aggregate(
+        F.sequence(F.lit(0), F.lit(d * d - 1)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(F.col("v"), (ki(k) + 1).cast("int"))
+        * F.element_at(F.col("cov"), (k + 1).cast("int"))
+        * F.element_at(F.col("v"), (kj(k) + 1).cast("int")),
+    )
+    trace = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("cov"), (i * d + i + 1).cast("int")),
     )
     scale2 = float(PCA_QUANT_SCALE) ** 2
-    stats = lam.select(
-        F.round(F.col("_lam") / F.lit(scale2), 6).alias("eigenvalue"),
-        F.round(F.col("_lam") / F.col("_trace"), 6).alias(
-            "explained_ratio"
-        ),
-        "n_rows",
-    )
     return (
-        v.crossJoin(F.broadcast(stats))
+        scored.select(
+            "v",
+            F.round(lam / F.lit(scale2), 6).alias("eigenvalue"),
+            F.round(lam / trace, 6).alias("explained_ratio"),
+            F.col("n").alias("n_rows"),
+        )
         .select(
-            F.col("i").alias("pos"),
-            F.round("v", 6).alias("loading"),
+            F.posexplode("v").alias("pos", "_l"),
+            "eigenvalue",
+            "explained_ratio",
+            "n_rows",
+        )
+        .select(
+            "pos",
+            F.round("_l", 6).alias("loading"),
             "eigenvalue",
             "explained_ratio",
             "n_rows",

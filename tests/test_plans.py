@@ -141,14 +141,30 @@ def test_range_sorted_scan_pushes_date_filter(spark, sf_oracle):
 
 
 def test_default_embedding_cosine_is_bucket_join_bounded(spark, sf_oracle):
-    """The registry near-dup default must be the LSH-blocked path: an
-    equi-join on (tbl, bucket), never a cross join / all-pairs plan."""
+    """Both sides of the size gate keep their shape: at test SF the
+    registry default takes the single-batch fast path (one coalesced
+    MapInPandas, no join at all); above the gate (forced with
+    small_n_cap=0) it must be the LSH-blocked (tbl, bucket) equi-join
+    — never a cross join / all-pairs plan on either side."""
     from inf2106_map_reduce_spark.functions import dedup
     from inf2106_map_reduce_spark.plans import explain_str
+    from inf2106_map_reduce_spark.tables import load_table
 
-    plan = explain_str(dedup.dedup_embedding_cosine(spark, sf_oracle), "simple")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "bucket" in plan
+    fast = explain_str(
+        dedup.dedup_embedding_cosine(spark, sf_oracle), "simple"
+    )
+    assert "MapInPandas" in fast, fast
+    assert "CartesianProduct" not in fast
+    assert "BroadcastNestedLoopJoin" not in fast
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    dist = explain_str(
+        dedup.embedding_cosine_pairs(e, threshold=0.3, small_n_cap=0),
+        "simple",
+    )
+    assert "CartesianProduct" not in dist
+    assert "BroadcastNestedLoopJoin" not in dist
+    assert "bucket" in dist
 
 
 def test_zorder_scan_pushes_both_dimensions(spark, sf_oracle):

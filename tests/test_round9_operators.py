@@ -194,3 +194,80 @@ def test_pca_final_plan_is_constant_depth(spark, sf_oracle):
     assert "FileScan" not in plan, plan
     assert "CartesianProduct" not in plan
     assert data_shuffle_count(df) <= 3, plan
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential checks vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def test_backtest_matches_python_reference_on_random_series(spark):
+    # random sparse hourly series (gaps included) -> the operator must
+    # equal a direct Python computation of the same definitions
+    import math
+    import random
+
+    rng = random.Random(93)
+    counts = {
+        t: [rng.choice([0, 0, 1, 2, 5]) for _ in range(60)]
+        for t in ("a", "b")
+    }
+    df = _hourly_events(spark, counts)
+    got = {r.event_type: r for r in timeseries.forecast_backtest(df).collect()}
+    for t, series in counts.items():
+        fc = [
+            (series[h], series[h - 24], series[h - 1])
+            for h in range(24, 60)
+        ]
+        n = len(fc)
+        sae_s = sum(abs(a - f) for a, f, _ in fc)
+        sse_s = sum((a - f) ** 2 for a, f, _ in fc)
+        sae_n = sum(abs(a - f) for a, _, f in fc)
+        nz = [(a, f) for a, f, _ in fc if a > 0]
+        r = got[t]
+        assert r.n_hours == 60 and r.n_forecasts == n
+        assert r.mae_seasonal == round(sae_s / n, 6)
+        assert r.rmse_seasonal == round(math.sqrt(sse_s / n), 6)
+        assert r.mape_seasonal == round(
+            sum(abs(a - f) / a for a, f in nz) / len(nz), 6
+        )
+        assert r.mae_naive == round(sae_n / n, 6)
+        if sae_n > 0:
+            assert r.skill == round((sae_s / n) / (sae_n / n), 6)
+
+
+def test_percentile_merge_matches_python_reference_on_random_values(spark):
+    import math
+    import random
+
+    rng = random.Random(17)
+    vals = [round(rng.uniform(10.0, 5000.0), 2) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(i % 5, v) for i, v in enumerate(vals)], "src int, v double"
+    )
+    W = sketches.QUANTILE_BIN_CENTS
+    rows = sketches.percentile_sketch_merge(df, F.col("src"), "v").collect()
+    # python reference: same integer-cents bins, same interpolation
+    from collections import Counter
+
+    bins = Counter(int(round(v * 100)) // W for v in vals)
+    n = len(vals)
+    svals = sorted(vals)
+    for r in rows:
+        target = math.ceil(r.q * float(n))
+        cum = 0
+        for b in sorted(bins):
+            prev, cum = cum, cum + bins[b]
+            if cum >= target and prev < target:
+                est = round(
+                    (b * float(W) + float(W) * (target - prev) / bins[b])
+                    / 100.0,
+                    6,
+                )
+                assert r.est_value == est, (r.q, r.est_value, est)
+                assert r.bin_cnt == bins[b]
+                break
+        actual = sum(1 for v in svals if v <= r.est_value)
+        assert r.actual_rank == actual
+        assert r.target_rank == target
+        assert r.within_rank_bound == (abs(actual - target) <= r.bin_cnt)

@@ -408,6 +408,102 @@ def main() -> None:
         f"  streaming dedup drain: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
         f"(ideal <= {k}x; state partitions data-derived per run)"
     )
+
+    # --- streaming near-dup ingest (bands + anti-screen + window) ----
+    # the composed streaming x dedup shape: per-row Arrow bands, 4
+    # broadcast anti-joins vs a FIXED snapshot (the build side must
+    # not grow with the stream), then the watermarked APPEND collapse
+    # whose state keys = (hour window, content key) of the accepted
+    # slice. Reported per scale: drain wall AND the data-derived state
+    # partition count (the state-size-vs-keys axis).
+    from inf2106_map_reduce_spark.functions.dedup import (
+        _norm_text,
+        minhash_band_cols_arrow,
+    )
+    from inf2106_map_reduce_spark.functions.dedup import BAND_ROWS, N_HASHES
+    from inf2106_map_reduce_spark.streaming import ingest as ing
+
+    d1 = load_table(spark, sf, "documents").select("doc_id", "text")
+    dk = replicate(d1, k, ["doc_id"])  # +i*1e8 keeps doc_id % 10 class
+    n_bands = N_HASHES // BAND_ROWS
+    snap = d1.filter(F.col("doc_id") % ing.SNAPSHOT_MOD < ing.SNAPSHOT_LT)
+    band_sets = [
+        minhash_band_cols_arrow(snap)
+        .select(f"band_{b}")
+        .distinct()
+        .localCheckpoint(eager=True)
+        for b in range(n_bands)
+    ]
+    doc_srcs = {}
+    for tag, df in (("1x", d1), (f"{k}x", dk)):
+        path = tempfile.mkdtemp(prefix=f"probe_docs_{tag}_")
+        df.filter(
+            F.col("doc_id") % ing.SNAPSHOT_MOD >= ing.SNAPSHOT_LT
+        ).write.mode("overwrite").parquet(path)
+        doc_srcs[tag] = path
+
+    def ingest_drain(path: str) -> tuple[float, int]:
+        batch = spark.read.parquet(path)
+        n_parts = state_partitions_for(
+            batch.select(
+                (F.col("doc_id") * ing.INGEST_STEP_SEC / 3600)
+                .cast("int")
+                .alias("h"),
+                F.md5(_norm_text("text")).alias("k"),
+            )
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(path)
+            .withColumn(
+                "ingest_ts",
+                F.timestamp_seconds(
+                    F.lit(ing.INGEST_EPOCH)
+                    + F.col("doc_id") * ing.INGEST_STEP_SEC
+                ),
+            )
+            .withWatermark("ingest_ts", "1 hour")
+        )
+        accepted = ing.neardup_screen(
+            minhash_band_cols_arrow(stream), band_sets
+        )
+        out = (
+            accepted.groupBy(
+                F.window("ingest_ts", "1 hour").alias("w"),
+                F.md5(_norm_text("text")).alias("content_key"),
+            )
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select(F.col("w.start").alias("ws"), "content_key", "doc_id")
+        )
+        t0 = time.perf_counter()
+        with scoped_state_partitions(
+            spark, n=n_parts, out=out, output_mode="append"
+        ):
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _e: df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="probe_ing_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return time.perf_counter() - t0, n_parts
+
+    ingest_drain(doc_srcs["1x"])  # warm this plan family too
+    i1, p1 = min(ingest_drain(doc_srcs["1x"]) for _ in range(2))
+    ik, pk = min(ingest_drain(doc_srcs[f"{k}x"]) for _ in range(2))
+    print(
+        f"  streaming neardup ingest: {i1:.3f}s -> {ik:.3f}s  ratio "
+        f"{ik / i1:.1f}x (ideal <= {k}x; state partitions {p1} -> {pk}, "
+        f"snapshot screen side FIXED)"
+    )
     spark.stop()
 
 
