@@ -2001,6 +2001,114 @@ def docs_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """Newman modularity of a community partition over an undirected
+    edge list — the quality audit of :func:`label_propagation` (Newman
+    & Girvan 2004, Phys. Rev. E — public method): per community ``c``,
+    ``Q_c = e_c/m − (d_c/2m)²`` (internal-edge fraction minus the
+    random-graph expectation of it), summed to the partition score
+    ``Q``. High Q = the near-dup graph has real dense sub-structure
+    worth splitting; Q ≈ 0 = the LPA split is noise and min-label
+    components were already the right grain — exactly the go/no-go a
+    curation pipeline needs before trusting community-level decisions.
+    One row per community: ``(community, n_nodes, internal_edges,
+    degree_sum, contribution, modularity)`` with the partition Q
+    repeated (the flat-frame convention).
+
+    ``labels`` defaults to the 3-round LPA partition of the same
+    edges (recomputed — the trajectory is deterministic, so the
+    labels bit-match the labelprop entry's).
+
+    Scale: edge-keyed degree/internal-edge aggregations plus
+    broadcast-scale label joins; the per-community frame (≤ #labels
+    rows) carries the only non-keyed window (the single-partition Q
+    sum — community-cardinality sized, never row sized).
+
+    Determinism: m, degrees, internal counts are exact integers; each
+    contribution is the identical fixed-structure double expression on
+    both engines; the ≤ #communities-term Q sum's order jitter is
+    ~1e-14 against the round-6 output."""
+    pairs = (
+        edges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if labels is None:
+        labels = label_propagation(pairs)
+    lab = labels.select(
+        F.col("doc_id").alias("node"), F.col("community").alias("label")
+    )
+    sym = pairs.select(F.col("id_a").alias("u")).union(
+        pairs.select(F.col("id_b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    m_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    internal = (
+        pairs.join(
+            F.broadcast(lab.select(F.col("node").alias("id_a"), "label")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("node").alias("id_b"), F.col("label").alias("_lb")
+                )
+            ),
+            "id_b",
+        )
+        .filter(F.col("label") == F.col("_lb"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    dsum = (
+        lab.join(deg, lab.node == deg.u)
+        .groupBy("label")
+        .agg(
+            F.sum("k").cast("long").alias("degree_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    half = F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m"))
+    per = (
+        dsum.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m_))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0).cast("long")).alias(
+                "internal_edges"
+            ),
+            "degree_sum",
+            (
+                F.coalesce("internal_edges", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("m")
+                - half * half
+            ).alias("_contrib"),
+        )
+    )
+    q = F.sum("_contrib").over(Window.partitionBy())
+    return per.select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        F.round("_contrib", 6).alias("contribution"),
+        F.round(q, 6).alias("modularity"),
+    ).orderBy("community")
+
+
+def docs_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: Newman modularity of the 3-round LPA partition
+    over the shared near-dup edge stage."""
+    return modularity(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over an
     undirected edge list ``(id_a, id_b)`` — the duplicate-neighborhood

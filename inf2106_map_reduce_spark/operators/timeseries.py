@@ -674,6 +674,43 @@ def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEASONAL_LAG_HOURS = 24
 
 
+def _dense_hourly_counts(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Dense (event_type, hour, n) count grid — the shared spine of
+    the forecast backtest and the autocorrelation audit: missing hours
+    are true zeros of a count series (the gapfill contract). One
+    corpus groupBy (checkpointed); the spine explode and broadcast
+    type cross join run on the types × hours grid only."""
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
 def forecast_backtest(
     events: DataFrame,
     type_col: str = "event_type",
@@ -710,33 +747,7 @@ def forecast_backtest(
     |a-f|/a with small-int numerators), whose order jitter is ~n·eps —
     far below the round-6 output quantum.
     """
-    hourly = (
-        events.select(
-            F.col(type_col).alias("event_type"),
-            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    bounds = hourly.agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        )
-    )
-    types = hourly.select("event_type").distinct()
-    dense = (
-        spine.crossJoin(F.broadcast(types))
-        .join(hourly, ["event_type", "hour"], "left")
-        .select(
-            "event_type",
-            "hour",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
+    dense = _dense_hourly_counts(events, type_col, ts_col)
     w = Window.partitionBy("event_type").orderBy("hour")
     scored = dense.select(
         "event_type",
@@ -779,3 +790,108 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: seasonal-naive vs naive hourly volume backtest
     per event type (24-hour season)."""
     return forecast_backtest(load_table(spark, sf_dir, "events"))
+
+
+#: ACF lags: short-range (1-3) plus the daily season — the lag-24
+#: peak is the quantitative evidence behind forecast_backtest's
+#: 24-hour seasonal choice.
+ACF_LAGS = (1, 2, 3, 24)
+
+
+def hourly_acf(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: tuple[int, ...] = ACF_LAGS,
+) -> DataFrame:
+    """Autocorrelation of each event type's dense hourly count series
+    at fixed lags — the season-detection primitive behind the
+    seasonal-naive backtest (a daily cycle shows up as an ACF peak at
+    lag 24; white-noise volume decays immediately). Standard sample
+    ACF: ``r_l = Σ_{t>l}(x_t − x̄)(x_{t−l} − x̄) / Σ_t(x_t − x̄)²``
+    with the mean and denominator over the FULL series. One row per
+    (event_type, lag).
+
+    Determinism: the estimator is expanded into INTEGER moments —
+    ``Σ x_t·x_{t−l}``, ``Σ x_t``, ``Σ x_{t−l}`` over the overlap and
+    ``Σ x``, ``Σ x²``, ``n`` over the series, all exact int64 sums —
+    so ``r_l`` is a fixed-structure double expression with ZERO
+    cross-engine summation jitter (the same trick the chi-square and
+    OLS entries use). Scale: the single corpus groupBy comes from the
+    shared dense-grid stage; the lag window and the moment aggregate
+    run on the types × hours grid.
+    """
+    dense = _dense_hourly_counts(events, type_col, ts_col)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = dense.select(
+        "event_type",
+        "n",
+        *[F.lag("n", lag).over(w).alias(f"_l{lag}") for lag in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+    ]
+    for lag in lags:
+        x, y = F.col("n"), F.col(f"_l{lag}")
+        aggs.extend(
+            [
+                F.sum(F.when(y.isNotNull(), x * y))
+                .cast("long")
+                .alias(f"_sxy{lag}"),
+                F.sum(F.when(y.isNotNull(), x))
+                .cast("long")
+                .alias(f"_sx{lag}"),
+                F.sum(F.when(y.isNotNull(), y))
+                .cast("long")
+                .alias(f"_sy{lag}"),
+                F.sum(y.isNotNull().cast("long"))
+                .cast("long")
+                .alias(f"_np{lag}"),
+            ]
+        )
+    mom = lagged.groupBy("event_type").agg(*aggs)
+    mean = F.col("_s1").cast("double") / F.col("n_hours")
+    den = F.col("_s2").cast("double") - F.col("n_hours") * mean * mean
+    per_lag = [
+        F.struct(
+            F.lit(lag).alias("lag"),
+            F.when(
+                den > 0,
+                F.round(
+                    (
+                        F.col(f"_sxy{lag}").cast("double")
+                        - mean * F.col(f"_sx{lag}")
+                        - mean * F.col(f"_sy{lag}")
+                        + F.col(f"_np{lag}") * mean * mean
+                    )
+                    / den,
+                    6,
+                ),
+            ).alias("acf"),
+        )
+        for lag in lags
+    ]
+    return (
+        mom.select(
+            "event_type",
+            "n_hours",
+            F.round(mean, 6).alias("mean_n"),
+            F.explode(F.array(*per_lag)).alias("_e"),
+        )
+        .select(
+            "event_type",
+            F.col("_e.lag").alias("lag"),
+            F.col("_e.acf").alias("acf"),
+            "n_hours",
+            "mean_n",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: hourly-count autocorrelation per event type at
+    lags 1, 2, 3 and 24 (the daily-season evidence)."""
+    return hourly_acf(load_table(spark, sf_dir, "events"))

@@ -266,6 +266,54 @@ def _labelprop_ctes() -> str:
     return "".join(parts)
 
 
+def _modularity_oracle() -> str:
+    """Newman modularity of the unrolled LPA partition — mirrors
+    functions.dedup.modularity term for term on top of the labelprop
+    trajectory CTEs: exact integer m / degrees / internal counts, the
+    identical e_c/m − (d_c/2m)² expression, and the single-partition
+    Q window over the community frame."""
+    from inf2106_map_reduce_spark.functions.dedup import LPA_ROUNDS
+
+    lpa = _labelprop_ctes()
+    ctes = lpa[: lpa.rindex("SELECT node AS doc_id")]
+    return (
+        ctes
+        + f""",
+    lab AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM jac),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY u
+    ),
+    internal AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS internal_edges
+      FROM jac j
+      JOIN lab la ON la.node = j.id_a
+      JOIN lab lb ON lb.node = j.id_b AND lb.label = la.label
+      GROUP BY 1
+    ),
+    dsum AS (
+      SELECT l.label, CAST(SUM(d.k) AS BIGINT) AS degree_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM lab l JOIN deg d ON d.u = l.node GROUP BY 1
+    ),
+    per AS (
+      SELECT d.label AS community, d.n_nodes,
+             CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+               AS internal_edges,
+             d.degree_sum,
+             CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / m.m
+               - (CAST(d.degree_sum AS DOUBLE) / (2 * m.m))
+                 * (CAST(d.degree_sum AS DOUBLE) / (2 * m.m)) AS contrib
+      FROM dsum d LEFT JOIN internal i ON i.label = d.label, m_ m
+    )
+    SELECT community, n_nodes, internal_edges, degree_sum,
+           ROUND(contrib, 6) AS contribution,
+           ROUND(SUM(contrib) OVER (), 6) AS modularity
+    FROM per ORDER BY community
+    """
+    )
+
+
 def _k_core_oracle(rounds: int) -> str:
     """Unrolled simultaneous-peel 2-core over the near-dup edge set —
     mirrors functions.dedup.k_core round for round; ``rounds`` is a
@@ -3497,6 +3545,79 @@ REGISTRY: dict[str, QuerySpec] = {
         "skill on the dense zero-filled grid",
         ("timeseries", "events", "window", "agg"),
     ),
+    "events_acf_hourly": QuerySpec(
+        timeseries.events_acf_hourly,
+        # integer-moment ACF over the same dense grid: every sum is
+        # exact int64, r_l is one fixed-structure double expression
+        f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly),
+        spine AS (
+          SELECT b.h0 + i.range * INTERVAL 1 HOUR AS hour
+          FROM bounds b, range(0, 100000) i
+          WHERE b.h0 + i.range * INTERVAL 1 HOUR <= b.h1
+        ),
+        types AS (SELECT DISTINCT event_type FROM hourly),
+        dense AS (
+          SELECT t.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN hourly h
+            ON h.event_type = t.event_type AND h.hour = s.hour
+        ),
+        lagged AS (
+          SELECT event_type, n,
+                 {", ".join(
+                     f"LAG(n, {lag}) OVER (PARTITION BY event_type "
+                     f"ORDER BY hour) AS l{lag}"
+                     for lag in timeseries.ACF_LAGS
+                 )}
+          FROM dense
+        ),
+        mom AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_hours,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2,
+                 {", ".join(
+                     f"CAST(SUM(CASE WHEN l{lag} IS NOT NULL "
+                     f"THEN n * l{lag} END) AS BIGINT) AS sxy{lag}, "
+                     f"CAST(SUM(CASE WHEN l{lag} IS NOT NULL "
+                     f"THEN n END) AS BIGINT) AS sx{lag}, "
+                     f"CAST(SUM(CASE WHEN l{lag} IS NOT NULL "
+                     f"THEN l{lag} END) AS BIGINT) AS sy{lag}, "
+                     f"CAST(SUM(CASE WHEN l{lag} IS NOT NULL "
+                     f"THEN 1 ELSE 0 END) AS BIGINT) AS np{lag}"
+                     for lag in timeseries.ACF_LAGS
+                 )}
+          FROM lagged GROUP BY 1
+        )
+        SELECT event_type, lag, acf, n_hours,
+               ROUND(CAST(s1 AS DOUBLE) / n_hours, 6) AS mean_n
+        FROM mom, LATERAL (VALUES {", ".join(
+            f"({lag}, CASE WHEN CAST(s2 AS DOUBLE)"
+            f" - n_hours * (CAST(s1 AS DOUBLE) / n_hours)"
+            f" * (CAST(s1 AS DOUBLE) / n_hours) > 0 THEN"
+            f" ROUND((CAST(sxy{lag} AS DOUBLE)"
+            f" - (CAST(s1 AS DOUBLE) / n_hours) * sx{lag}"
+            f" - (CAST(s1 AS DOUBLE) / n_hours) * sy{lag}"
+            f" + np{lag} * (CAST(s1 AS DOUBLE) / n_hours)"
+            f" * (CAST(s1 AS DOUBLE) / n_hours))"
+            f" / (CAST(s2 AS DOUBLE)"
+            f" - n_hours * (CAST(s1 AS DOUBLE) / n_hours)"
+            f" * (CAST(s1 AS DOUBLE) / n_hours)), 6) END)"
+            for lag in timeseries.ACF_LAGS
+        )}) AS v(lag, acf)
+        ORDER BY event_type, lag
+        """,
+        "hourly-count autocorrelation per event type at lags "
+        "1/2/3/24 from exact integer moments (the daily-season "
+        "evidence behind the seasonal-naive backtest)",
+        ("timeseries", "events", "stats", "agg"),
+    ),
     "docs_split": QuerySpec(
         pipeline.docs_split,
         """
@@ -3718,6 +3839,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "near-dup similarity graph (mode of neighbor labels, "
         "deterministic tie-break)",
         ("dedup", "graph", "iterative"),
+    ),
+    "docs_communities_modularity": QuerySpec(
+        dedup.docs_communities_modularity,
+        _modularity_oracle(),
+        "Newman modularity of the LPA partition over the near-dup "
+        "graph: per-community internal-edge fraction vs the "
+        "random-graph expectation, partition Q repeated per row — "
+        "the community-quality go/no-go audit",
+        ("dedup", "graph", "agg"),
     ),
     "docs_neardup_triangles": QuerySpec(
         dedup.docs_neardup_triangles,
@@ -5423,13 +5553,13 @@ ROTATION_WINDOW = 50
 # at least once (CORRECTNESS_r08 closed the round-8 window cap), so
 # there is no fill-segment coverage constraint this round — the only
 # budget is the <= 8-round staleness horizon, ceil(N/S) <= 8. The
-# round-9 entry budget is 3 new families (forecast backtest,
-# percentile merge sketch, PCA power) -> N = 217, which forces
-# S = 28 (27 only covers N <= 216); ceil(217/28) = 8 holds, and the
-# priority cap WINDOW - S = 22 comfortably fits the 4 carried
-# never-checked names + 3 new ones. S = 28 keeps the horizon through
-# N = 224; past that the window or the staleness bound must change —
-# decide explicitly, don't drift.
+# round-9 entry budget is 5 new families (forecast backtest,
+# percentile merge sketch, PCA power, LPA modularity, hourly ACF)
+# -> N = 219, which forces S = 28 (27 only covers N <= 216);
+# ceil(219/28) = 8 holds, and the priority cap WINDOW - S = 22
+# comfortably fits the 4 carried never-checked names + 5 new ones.
+# S = 28 keeps the horizon through N = 224; past that the window or
+# the staleness bound must change — decide explicitly, don't drift.
 ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -5457,6 +5587,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Top principal component by rounded power iteration on the exact
     # quantized covariance — the spectral member of the vector family
     "emb_pca_power",
+    # Newman modularity of the LPA partition — the community-quality
+    # audit the graph family lacked
+    "docs_communities_modularity",
+    # Integer-moment hourly autocorrelation — the season-detection
+    # evidence behind the backtest's 24-hour choice
+    "events_acf_hourly",
 )
 
 #: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round

@@ -271,3 +271,115 @@ def test_percentile_merge_matches_python_reference_on_random_values(spark):
         assert r.actual_rank == actual
         assert r.target_rank == target
         assert r.within_rank_bound == (abs(actual - target) <= r.bin_cnt)
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_planted_cliques(spark):
+    # two 4-cliques joined by one bridge edge, labels = the cliques:
+    # m = 13; per clique e_c = 6, d_c = 13 -> Q = 2*(6/13 - (13/26)^2)
+    from inf2106_map_reduce_spark.functions import dedup
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(4, 5)], "id_a bigint, id_b bigint"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i < 5 else 5) for i in range(1, 9)],
+        "doc_id bigint, community bigint",
+    )
+    rows = dedup.modularity(edges, labels=labels).collect()
+    assert len(rows) == 2
+    expected_q = round(2 * (6 / 13 - (13 / 26) ** 2), 6)
+    for r in rows:
+        assert r.n_nodes == 4
+        assert r.internal_edges == 6
+        assert r.degree_sum == 13
+        assert r.modularity == expected_q
+        assert r.contribution == round(6 / 13 - (13 / 26) ** 2, 6)
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: e_c = m, d_c = 2m -> Q = 1 - 1 = 0
+    from inf2106_map_reduce_spark.functions import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "id_a bigint, id_b bigint"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3)], "doc_id bigint, community bigint"
+    )
+    r = dedup.modularity(edges, labels=labels).first()
+    assert r.modularity == 0.0 and r.contribution == 0.0
+
+
+def test_modularity_default_labels_are_lpa(spark):
+    # with labels omitted the partition must be the deterministic LPA
+    # trajectory over the same canonicalized edges
+    from inf2106_map_reduce_spark.functions import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    lpa = {
+        (r.doc_id, r.community)
+        for r in dedup.label_propagation(edges).collect()
+    }
+    got = dedup.modularity(edges).collect()
+    assert {r.community for r in got} == {c for _, c in lpa}
+
+
+# ---------------------------------------------------------------------------
+# hourly ACF
+# ---------------------------------------------------------------------------
+
+
+def test_acf_constant_series_is_null(spark):
+    # zero variance -> denominator 0 -> acf NULL at every lag
+    df = _hourly_events(spark, {"a": [3] * 30})
+    rows = timeseries.hourly_acf(df).collect()
+    assert len(rows) == len(timeseries.ACF_LAGS)
+    assert all(r.acf is None for r in rows)
+    assert all(r.mean_n == 3.0 for r in rows)
+
+
+def test_acf_alternating_series(spark):
+    # x = 2,0,2,0,...,2 : lag-1 perfectly anti-correlated, lag-2
+    # perfectly correlated (up to the finite-sample edge terms).
+    # NB the grid spans min..max OBSERVED hour, so the series starts
+    # and ends on the nonzero phase by construction (h even -> 2).
+    df = _hourly_events(spark, {"a": [2 * ((h + 1) % 2) for h in range(49)]})
+    rows = {r.lag: r.acf for r in timeseries.hourly_acf(df).collect()}
+    assert rows[1] < -0.9
+    assert rows[2] > 0.9
+    # standard BIASED estimator: the lag-24 numerator has only
+    # n - 24 = 25 of the 49 denominator terms, so a perfect even-lag
+    # correlation reads ~25/49 ≈ 0.51, not 1.0 — that damping is the
+    # estimator's defining property, assert it lands there
+    assert 0.45 < rows[24] < 0.6
+
+
+def test_acf_matches_python_reference_on_random_series(spark):
+    import random
+
+    rng = random.Random(41)
+    series = [rng.choice([0, 1, 2, 5]) for _ in range(80)]
+    # the dense grid spans min..max OBSERVED hour — anchor both ends
+    # so the Python reference sees the same series the engine does
+    series[0], series[-1] = 3, 3
+    df = _hourly_events(spark, {"a": series})
+    got = {r.lag: r.acf for r in timeseries.hourly_acf(df).collect()}
+    n = len(series)
+    mean = sum(series) / n
+    den = sum((x - mean) ** 2 for x in series)
+    for lag in timeseries.ACF_LAGS:
+        num = sum(
+            (series[t] - mean) * (series[t - lag] - mean)
+            for t in range(lag, n)
+        )
+        assert abs(got[lag] - num / den) < 1e-6, lag
