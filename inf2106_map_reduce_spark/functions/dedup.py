@@ -1993,12 +1993,25 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     )
 
 
+def _registry_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-round LPA partition over the shared edge stage, computed
+    ONCE per session (the `_doc_stage` idiom) — consumed by both the
+    labelprop entry and its modularity audit, which would otherwise
+    replay the identical deterministic trajectory."""
+    return _doc_stage(
+        spark,
+        sf_dir,
+        "lpa_labels",
+        lambda: label_propagation(
+            _registry_edges(spark, sf_dir).select("id_a", "id_b")
+        ),
+    )
+
+
 def docs_communities_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: 3-round synchronous LPA communities over the
     shared near-dup Jaccard>=0.5 edge stage."""
-    return label_propagation(
-        _registry_edges(spark, sf_dir).select("id_a", "id_b")
-    )
+    return _registry_lpa_labels(spark, sf_dir)
 
 
 def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
@@ -2105,8 +2118,12 @@ def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
 
 def docs_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: Newman modularity of the 3-round LPA partition
-    over the shared near-dup edge stage."""
-    return modularity(_registry_edges(spark, sf_dir).select("id_a", "id_b"))
+    over the shared near-dup edge stage (labels from the shared
+    session LPA stage — one trajectory serves both entries)."""
+    return modularity(
+        _registry_edges(spark, sf_dir).select("id_a", "id_b"),
+        labels=_registry_lpa_labels(spark, sf_dir),
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -379,6 +379,63 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         srcs[tag] = path
 
+    # --- round-9 shapes ----------------------------------------------
+    # forecast/ACF: replicated events multiply the per-hour counts but
+    # the dense grid (types x hours) is FIXED — the claim under test is
+    # that everything after the one corpus groupBy is grid-sized.
+    # percentile sketch: the histogram state is O(bins) regardless of
+    # rows; the audit pass is the linear part. PCA: the Gram pass is
+    # the only data-sized work; the fold trajectory is O(d²).
+    from inf2106_map_reduce_spark.functions.sketches import (
+        percentile_sketch_merge,
+    )
+    from inf2106_map_reduce_spark.functions.vector import pca_top_component
+    from inf2106_map_reduce_spark.operators.timeseries import (
+        forecast_backtest,
+        hourly_acf,
+    )
+
+    ev1c = ev1.localCheckpoint(eager=True)
+    evkc = evk.localCheckpoint(eager=True)
+    emb1 = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    embk = replicate(emb1, k, ["vec_id"]).localCheckpoint(eager=True)
+    shapes9 = [
+        (
+            "forecast backtest (counts scale, grid fixed)",
+            lambda s: forecast_backtest(ev1c)
+            if s == 1
+            else forecast_backtest(evkc),
+        ),
+        (
+            "hourly ACF (integer moments, shared grid)",
+            lambda s: hourly_acf(ev1c) if s == 1 else hourly_acf(evkc),
+        ),
+        (
+            "percentile sketch merge + rank audit",
+            lambda s: percentile_sketch_merge(
+                li1, F.year("l_shipdate"), "l_extendedprice"
+            )
+            if s == 1
+            else percentile_sketch_merge(
+                lik, F.year("l_shipdate"), "l_extendedprice"
+            ),
+        ),
+        (
+            "PCA power (Gram pass + fold trajectory)",
+            lambda s: pca_top_component(emb1)
+            if s == 1
+            else pca_top_component(embk),
+        ),
+    ]
+    for name, mk in shapes9:
+        timed(lambda: mk(1))
+        t1 = min(timed(lambda: mk(1)) for _ in range(3))
+        tk = min(timed(lambda: mk(k)) for _ in range(3))
+        print(
+            f"  {name}: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
+            f"(ideal <= {k}x; sublinear = fixed cost amortized)"
+        )
+
     def stream_drain(path: str) -> float:
         batch = spark.read.parquet(path)
         n_parts = state_partitions_for(batch.select("user_id", "event_type"))
