@@ -1426,3 +1426,93 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inf2106_map_reduce_spark.tables import load_table
 
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor JOIN (every query vector -> top-1 snapshot neighbor)
+# ---------------------------------------------------------------------------
+
+#: Snapshot split for the NN join: same doc-id convention as the
+#: streaming ingest snapshot (id % 10 < 3 = the indexed/snapshot side,
+#: the rest = the query side).
+NN_SNAPSHOT_MOD = 10
+NN_SNAPSHOT_LT = 3
+
+
+def ann_nn_join(
+    embeddings: DataFrame,
+    snapshot_cond: Column | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest-neighbor JOIN: every QUERY-side vector is
+    matched to its best SNAPSHOT-side neighbor among the sign-LSH
+    candidates (vectors sharing any bucket in any of the 8 tables) —
+    the retrieval-index primitive behind RAG corpus attribution and
+    contrastive-pair mining, distinct from the fixed-query-set ANN
+    entries: here the query side IS the corpus, so a broadcast of the
+    queries is impossible and the join must be bucket-blocked.
+
+    One row per query vector with at least one candidate:
+    ``(vec_id, nn_id, cos_sim)`` — the top candidate by (rounded
+    cosine DESC, nn_id ASC), a total order both engines replay.
+    Vectors sharing no bucket with the snapshot are absent (the
+    honest LSH-recall contract the ANN entries audit).
+
+    Scale: ONE bucketize pass over the corpus (at 100 TB these are
+    stored columns written at ingest — bucketize's contract), split
+    into sides by filter; the candidate join is (tbl, bucket)
+    equi-join — Σ |Q_b|·|S_b| work, never |Q|·|S| — and the argmax is
+    a window over the candidate-sized frame keyed by query id. The
+    checkpoint materializes the bucket rows once so the self-join
+    does not run the bucketizer twice."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(emb_col).alias("emb")
+    )
+    if snapshot_cond is None:
+        snapshot_cond = (
+            F.col("vid") % NN_SNAPSHOT_MOD < NN_SNAPSHOT_LT
+        )
+    bucketed = bucketize(base, emb_col="emb").localCheckpoint(eager=True)
+    q = bucketed.filter(~snapshot_cond).select(
+        F.col("vid").alias("qid"), "tbl", "bucket"
+    )
+    s = bucketed.filter(snapshot_cond).select(
+        F.col("vid").alias("nid"), "tbl", "bucket"
+    )
+    cand = q.join(s, ["tbl", "bucket"]).select("qid", "nid").distinct()
+    qe = base.select(F.col("vid").alias("qid"), F.col("emb").alias("q_emb"))
+    ne = base.select(F.col("vid").alias("nid"), F.col("emb").alias("n_emb"))
+    scored = (
+        cand.join(qe, "qid")
+        .join(ne, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine_batch(F.col("q_emb"), F.col("n_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("nn_id"),
+            "cos_sim",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def emb_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: LSH-blocked nearest-neighbor join of the
+    non-snapshot vectors (vec_id % 10 >= 3) against the snapshot
+    side (vec_id % 10 < 3)."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    return ann_nn_join(load_table(spark, sf_dir, "embeddings"))

@@ -701,17 +701,13 @@ def _logreg_calibration_oracle(n_bins: int = stats.CALIBRATION_BINS) -> str:
     """
 
 
-def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
-    """Oracle for the LSH-blocked near-dup path: the sign-LSH
-    hyperplanes are seeded driver-side constants
-    (vector.random_hyperplanes), so the SAME planes are embedded here
-    as DuckDB list literals — the bucket assignment, candidate join,
-    and fold-cosine all mirror the Spark plan term for term, making an
-    approximate algorithm exactly hash-checkable. Both engines round
-    the projection to 9 decimals before the strict sign test (> 0), so
-    bucket assignment is summation-order-proof: numpy's pairwise/SIMD
-    sum and DuckDB's sequential fold agree exactly after rounding.
-    """
+def _lsh_buckets_cte() -> str:
+    """The (vec_id, embedding, tbl, bucket) multi-table sign-LSH
+    assignment as a UNION-ALL SQL body — the seeded hyperplanes
+    (vector.lsh_planes defaults) embedded as DuckDB list literals.
+    Shared by the cosine-pair, ANN and nearest-neighbor-join oracles;
+    both engines round the projection to 9 before the strict sign
+    test, so bucket bits are summation-order-proof."""
     from inf2106_map_reduce_spark.functions.vector import random_hyperplanes
 
     per_table = []
@@ -728,7 +724,21 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
             f"SELECT vec_id, embedding, {t} AS tbl,"
             f" ({' + '.join(bits)}) AS bucket FROM embeddings"
         )
-    buck = " UNION ALL ".join(per_table)
+    return " UNION ALL ".join(per_table)
+
+
+def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
+    """Oracle for the LSH-blocked near-dup path: the sign-LSH
+    hyperplanes are seeded driver-side constants
+    (vector.random_hyperplanes), so the SAME planes are embedded here
+    as DuckDB list literals — the bucket assignment, candidate join,
+    and fold-cosine all mirror the Spark plan term for term, making an
+    approximate algorithm exactly hash-checkable. Both engines round
+    the projection to 9 decimals before the strict sign test (> 0), so
+    bucket assignment is summation-order-proof: numpy's pairwise/SIMD
+    sum and DuckDB's sequential fold agree exactly after rounding.
+    """
+    buck = _lsh_buckets_cte()
     cos = _dot_sql("a.embedding", "b.embedding")
     na = _dot_sql("a.embedding", "a.embedding")
     nb = _dot_sql("b.embedding", "b.embedding")
@@ -746,6 +756,44 @@ def _lsh_cosine_oracle(threshold: float = 0.3) -> str:
       JOIN embeddings a ON id_a = a.vec_id
       JOIN embeddings b ON id_b = b.vec_id
     ) WHERE cos_sim >= {threshold}
+    """
+
+
+def _ann_nn_join_oracle() -> str:
+    """Oracle for the LSH-blocked nearest-neighbor JOIN: shared bucket
+    CTE (same hyperplane literals), the query/snapshot split mirrored
+    in the candidate join's WHERE, fold-cosine scoring, and the
+    (rounded cosine DESC, nn_id ASC) argmax as a ROW_NUMBER."""
+    from inf2106_map_reduce_spark.functions.vector import (
+        NN_SNAPSHOT_LT,
+        NN_SNAPSHOT_MOD,
+    )
+
+    cos = _dot_sql("a.embedding", "b.embedding")
+    na = _dot_sql("a.embedding", "a.embedding")
+    nb = _dot_sql("b.embedding", "b.embedding")
+    return f"""
+    WITH buck AS ({_lsh_buckets_cte()}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+      FROM buck l JOIN buck r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket
+      WHERE l.vec_id % {NN_SNAPSHOT_MOD} >= {NN_SNAPSHOT_LT}
+        AND r.vec_id % {NN_SNAPSHOT_MOD} < {NN_SNAPSHOT_LT}
+    ),
+    scored AS (
+      SELECT qid, nid,
+             ROUND({cos} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+      FROM cand
+      JOIN embeddings a ON qid = a.vec_id
+      JOIN embeddings b ON nid = b.vec_id
+    )
+    SELECT vec_id, nn_id, cos_sim FROM (
+      SELECT qid AS vec_id, nid AS nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn = 1 ORDER BY vec_id
     """
 
 
@@ -4059,6 +4107,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "brute-force cosine top-k",
         ("vector",),
     ),
+    "emb_nn_join": QuerySpec(
+        vector.emb_nn_join,
+        _ann_nn_join_oracle(),
+        "LSH-blocked nearest-neighbor JOIN: every non-snapshot vector "
+        "matched to its best snapshot neighbor among bucket "
+        "candidates (the corpus-as-queries retrieval primitive — "
+        "bucket-blocked, never |Q|x|S|)",
+        ("vector", "join"),
+    ),
     "ann_lsh": QuerySpec(
         vector.ann_lsh,
         _ann_lsh_oracle(),  # seeded hyperplanes embedded as SQL
@@ -5553,13 +5610,14 @@ ROTATION_WINDOW = 50
 # at least once (CORRECTNESS_r08 closed the round-8 window cap), so
 # there is no fill-segment coverage constraint this round — the only
 # budget is the <= 8-round staleness horizon, ceil(N/S) <= 8. The
-# round-9 entry budget is 5 new families (forecast backtest,
-# percentile merge sketch, PCA power, LPA modularity, hourly ACF)
-# -> N = 219, which forces S = 28 (27 only covers N <= 216);
-# ceil(219/28) = 8 holds, and the priority cap WINDOW - S = 22
-# comfortably fits the 4 carried never-checked names + 5 new ones.
-# S = 28 keeps the horizon through N = 224; past that the window or
-# the staleness bound must change — decide explicitly, don't drift.
+# round-9 entry budget is 6 new families (forecast backtest,
+# percentile merge sketch, PCA power, LPA modularity, hourly ACF,
+# NN join) -> N = 220, which forces S = 28 (27 only covers N <= 216);
+# ceil(220/28) = 8 holds, and the priority cap WINDOW - S = 22
+# comfortably fits the 4 carried never-checked names + 6 new ones.
+# S = 28 keeps the horizon through N = 224 (4 free round-10 slots);
+# past that the window or the staleness bound must change — decide
+# explicitly, don't drift.
 ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -5593,6 +5651,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Integer-moment hourly autocorrelation — the season-detection
     # evidence behind the backtest's 24-hour choice
     "events_acf_hourly",
+    # LSH-blocked nearest-neighbor JOIN (corpus-as-queries retrieval —
+    # the ANN family's join form)
+    "emb_nn_join",
 )
 
 #: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round

@@ -383,3 +383,40 @@ def test_acf_matches_python_reference_on_random_series(spark):
             for t in range(lag, n)
         )
         assert abs(got[lag] - num / den) < 1e-6, lag
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor join
+# ---------------------------------------------------------------------------
+
+
+def test_nn_join_finds_planted_identical_vector(spark):
+    # query 17 is an exact copy of snapshot vector 2: identical sign
+    # projections guarantee full bucket collision, so the join must
+    # return it with cosine 1.0
+    rng = np.random.RandomState(3)
+    X = rng.normal(0, 1, (40, 64))
+    X[17] = X[2]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in vector.ann_nn_join(df).collect()}
+    assert 17 in got
+    assert got[17].nn_id == 2 and got[17].cos_sim == 1.0
+    # snapshot side must never appear as a query
+    assert all(v % 10 >= 3 for v in got)
+    # neighbors must all come from the snapshot side
+    assert all(r.nn_id % 10 < 3 for r in got.values())
+
+
+def test_nn_join_plan_is_bucket_blocked(spark, sf_oracle):
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    df = vector.emb_nn_join(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan, plan
+    # one bucketize pass: the checkpoint is the only bucket source
+    assert "Scan ExistingRDD" in plan, plan
