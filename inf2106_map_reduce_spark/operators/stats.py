@@ -881,3 +881,171 @@ def lineitem_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(
         load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicate count: 40 makes the 95% CI an EXACT
+#: order-statistic definition — trim exactly one replicate mean from
+#: each side (0.025 · 40 = 1), so ci_lo/ci_hi are the 2nd and 39th
+#: order statistics of the replicate means, an integer-rank rule both
+#: engines replay without percentile-interpolation ambiguity.
+BOOTSTRAP_REPLICAS = 40
+
+#: Poisson(1) inverse-CDF thresholds (cumulative pmf at k = 0..4):
+#: the Poisson bootstrap (Chamandy et al. 2012, "Estimating
+#: Uncertainty for Massive Data Streams" — public method) replaces
+#: multinomial resampling with independent per-row Poisson(1)
+#: multiplicities, making each replicate a single weighted pass —
+#: no data movement, embarrassingly parallel, the only bootstrap
+#: that works at 100 TB. Weights capped at 5 (residual mass 6e-4).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _poisson_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform in [0, 1)."""
+    w: Column = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = BOOTSTRAP_REPLICAS,
+) -> DataFrame:
+    """Per-group 95% bootstrap confidence interval for the MEAN of
+    ``value_col`` — the uncertainty-quantification member of the
+    stats family (OLS/t-test/chi-square give parametric inference;
+    this gives the distribution-free interval a data pipeline quotes
+    when normality is not worth defending). One row per group:
+    ``(group, n_rows, mean_value, ci_lo, ci_hi)``.
+
+    Method: Poisson bootstrap — replicate ``b`` weights row ``i`` by
+    ``Poisson(1)`` drawn via inverse CDF from the md5-uniform of
+    ``(key, b)``, so the resample is DETERMINISTIC and identical in
+    both engines (the docs_split hash idiom). Replicate means are
+    weighted means; the CI trims exactly one replicate from each side
+    (exact order statistics at B = 40).
+
+    Scale: the explode is ×B on a two-column projection — one
+    map-side-combinable groupBy of ``groups × B`` partial states; the
+    order-statistic window runs on the B-row-per-group replicate
+    frame. Value sums use the integer-cents trick, so every replicate
+    mean is a ratio of exact integers — zero cross-engine jitter.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    # Pre-spread the narrow (group, cents, key) projection across the
+    # session's shuffle width BEFORE the ×B explode: the replicate
+    # blow-up multiplies per-partition work 40-fold, so a source whose
+    # parquet footprint reads as one or two partitions (true for the
+    # fact table at every test SF — small files under
+    # maxPartitionBytes) would otherwise run the whole md5+weight pass
+    # on one core (measured 10 s → 1.5 s warm at sf0.1). The shuffle
+    # itself carries only the 3-column projection.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rep = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            cents.alias("_c"),
+            F.col(key_col).alias("_k"),
+        )
+        .repartition(n_parts)
+        .select(
+            "grp",
+            "_c",
+            "_k",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_replicas - 1))
+            ).alias("b"),
+        )
+        .withColumnRenamed("_k", key_col)
+        .withColumn("_w", _poisson_weight(u))
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_c")).cast("long").alias("_wc"),
+            F.sum("_w").cast("long").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .select(
+            "grp",
+            (
+                F.col("_wc").cast("double")
+                / F.col("_wn")
+                / F.lit(100.0)
+            ).alias("_m"),
+        )
+    )
+    w_rank = Window.partitionBy("grp").orderBy("_m")
+    ranked = rep.select(
+        "grp",
+        "_m",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("_nb"),
+    )
+    ci = (
+        ranked.filter(
+            (F.col("_rn") == 2) | (F.col("_rn") == F.col("_nb") - 1)
+        )
+        .groupBy("grp")
+        .agg(
+            F.round(F.min("_m"), 6).alias("ci_lo"),
+            F.round(F.max("_m"), 6).alias("ci_hi"),
+        )
+    )
+    point = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0, 6)
+        .alias("mean_value"),
+    )
+    return (
+        point.join(ci, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy(group_col)
+    )
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 95% Poisson-bootstrap CI of mean order value
+    per order priority (40 deterministic replicates)."""
+    return bootstrap_mean_ci(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+    )

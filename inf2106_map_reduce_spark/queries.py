@@ -1417,6 +1417,62 @@ FROM v{steps} v, fin, nn ORDER BY pos"""
     return head + "," + ",".join(steps_sql) + "," + tail
 
 
+def _bootstrap_ci_oracle() -> str:
+    """Oracle for the Poisson-bootstrap CI: identical md5-uniform,
+    identical Poisson(1) inverse-CDF thresholds (rendered from the
+    SAME constants as the engine), exact integer-cents replicate
+    means, and the exact order-statistic trim at B = 40. Replicate
+    ROW_NUMBER ties are harmless: tied means have equal VALUES, so
+    whichever tied row takes rank 2 / B−1 yields the same bound."""
+    cdf = stats._POISSON1_CDF
+    b = stats.BOOTSTRAP_REPLICAS
+    cases = " ".join(
+        f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(len(cdf))
+    )
+    return f"""
+    WITH rep AS (
+      SELECT o_orderpriority AS grp, b.range AS b,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                       || ':' || CAST(b.range AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM orders, range(0, {b}) b
+    ),
+    wtd AS (
+      SELECT grp, b, c, CASE {cases} ELSE {len(cdf)} END AS w FROM rep
+    ),
+    means AS (
+      SELECT grp, b, CAST(SUM(w * c) AS BIGINT) AS wc,
+             CAST(SUM(w) AS BIGINT) AS wn
+      FROM wtd GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT grp, CAST(wc AS DOUBLE) / wn / 100.0 AS mean_b
+      FROM means WHERE wn > 0
+    ),
+    ranked AS (
+      SELECT grp, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS nb
+      FROM m
+    ),
+    ci AS (
+      SELECT grp, ROUND(MIN(mean_b), 6) AS ci_lo,
+             ROUND(MAX(mean_b), 6) AS ci_hi
+      FROM ranked WHERE rn = 2 OR rn = nb - 1 GROUP BY grp
+    ),
+    point AS (
+      SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_value
+      FROM orders GROUP BY 1
+    )
+    SELECT p.grp AS o_orderpriority, n_rows, mean_value, ci_lo, ci_hi
+    FROM point p JOIN ci USING (grp) ORDER BY 1
+    """
+
+
 def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
     """Pearson-matrix oracle: the same single PAIRWISE-COMPLETE moment
     aggregation the engine runs (per pair: its own n plus 5 sums, all
@@ -5378,7 +5434,16 @@ REGISTRY.update(
             "measures from one moment aggregation",
             ("stats", "agg"),
         ),
-        "segment_balance_ttest": QuerySpec(
+        "orders_bootstrap_ci": QuerySpec(
+        stats.orders_bootstrap_ci,
+        _bootstrap_ci_oracle(),
+        "95% Poisson-bootstrap CI of mean order value per priority "
+        "(40 deterministic md5-seeded replicates, exact "
+        "order-statistic trim — one-pass distribution-free "
+        "uncertainty at any scale)",
+        ("stats", "agg"),
+    ),
+    "segment_balance_ttest": QuerySpec(
             stats.segment_balance_ttest,
             _TTEST_ORACLE,
             "Welch two-sample t-test of account balance, BUILDING vs "
@@ -5610,14 +5675,14 @@ ROTATION_WINDOW = 50
 # at least once (CORRECTNESS_r08 closed the round-8 window cap), so
 # there is no fill-segment coverage constraint this round — the only
 # budget is the <= 8-round staleness horizon, ceil(N/S) <= 8. The
-# round-9 entry budget is 6 new families (forecast backtest,
+# round-9 entry budget is 7 new families (forecast backtest,
 # percentile merge sketch, PCA power, LPA modularity, hourly ACF,
-# NN join) -> N = 220, which forces S = 28 (27 only covers N <= 216);
-# ceil(220/28) = 8 holds, and the priority cap WINDOW - S = 22
-# comfortably fits the 4 carried never-checked names + 6 new ones.
-# S = 28 keeps the horizon through N = 224 (4 free round-10 slots);
-# past that the window or the staleness bound must change — decide
-# explicitly, don't drift.
+# NN join, bootstrap CI) -> N = 221, which forces S = 28 (27 only
+# covers N <= 216); ceil(221/28) = 8 holds, and the priority cap
+# WINDOW - S = 22 comfortably fits the 4 carried never-checked names
+# + 7 new ones. S = 28 keeps the horizon through N = 224 (3 free
+# round-10 slots); past that the window or the staleness bound must
+# change — decide explicitly, don't drift.
 ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -5654,6 +5719,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # LSH-blocked nearest-neighbor JOIN (corpus-as-queries retrieval —
     # the ANN family's join form)
     "emb_nn_join",
+    # Poisson-bootstrap CI — distribution-free uncertainty in one
+    # weighted pass (the stats family's resampling member)
+    "orders_bootstrap_ci",
 )
 
 #: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round

@@ -420,3 +420,70 @@ def test_nn_join_plan_is_bucket_blocked(spark, sf_oracle):
     assert "bucket" in plan, plan
     # one bucketize pass: the checkpoint is the only bucket source
     assert "Scan ExistingRDD" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from inf2106_map_reduce_spark.operators import stats
+
+    rows = [(i, "g", 100.0 + (i % 21)) for i in range(2100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    r = stats.bootstrap_mean_ci(df, "grp", "v", "id").first()
+    assert r.n_rows == 2100
+    assert r.mean_value == 110.0  # 100 full cycles of 100..120
+    # CI must bracket the point estimate and be sane for n=2100
+    # (sd ~ 6 -> se ~ 0.13 -> 95% half-width ~ 0.26)
+    assert r.ci_lo < 110.0 < r.ci_hi
+    assert 0.05 < r.ci_hi - r.ci_lo < 2.0, (r.ci_lo, r.ci_hi)
+
+
+def test_bootstrap_ci_is_deterministic(spark):
+    from inf2106_map_reduce_spark.operators import stats
+
+    rows = [(i, "a" if i % 2 else "b", float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    a = [tuple(r) for r in stats.bootstrap_mean_ci(df, "grp", "v", "id").collect()]
+    b = [tuple(r) for r in stats.bootstrap_mean_ci(df, "grp", "v", "id").collect()]
+    assert a == b and len(a) == 2
+
+
+def test_poisson_weights_match_pmf(spark):
+    # the md5-uniform -> inverse-CDF draw must reproduce Poisson(1)
+    # frequencies: ~36.8% zeros, ~36.8% ones over many draws
+    from inf2106_map_reduce_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(5000)], "id bigint, grp string, v double"
+    )
+    rep = stats.bootstrap_mean_ci(df, "grp", "v", "id", n_replicas=4)
+    rep.collect()  # just exercises the path; now check the raw draw
+    from pyspark.sql import functions as F2
+
+    u = (
+        F2.conv(
+            F2.substring(
+                F2.md5(F2.concat(F2.col("id").cast("string"), F2.lit(":0"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F2.lit(4294967296.0)
+    )
+    w = stats._poisson_weight(u)
+    counts = {
+        r.w: r.n
+        for r in df.select(w.alias("w"))
+        .groupBy("w")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    assert abs(counts[0] / n - 0.3679) < 0.03
+    assert abs(counts[1] / n - 0.3679) < 0.03
+    assert counts.get(5, 0) / n < 0.005
