@@ -19,9 +19,10 @@ narrow map — no shuffle.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.tables import load_table
@@ -255,3 +256,150 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: frame sampling + thumbnail fingerprints over the
     synthetic media payloads (1→N mapInPandas)."""
     return sample_frames(documents_as_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicates over media payloads
+# ---------------------------------------------------------------------------
+
+#: aHash thumbnail size: the first 64 payload bytes stand in for the
+#: 8x8 grayscale thumbnail a real image pipeline would downsample to
+#: (the decode/resize step is the stubbed part of the multimodal
+#: contract; the hashing, banding and verification are the real
+#: Spark-side machinery).
+PHASH_BYTES = 64
+
+#: Banding: 8 bands x 8 bits over the 64-bit hash — exact recall for
+#: Hamming <= 7 (a pair differing in fewer bits than bands must agree
+#: on one band), comfortably above the accept threshold.
+PHASH_MAX_HAMMING = 6
+
+
+def perceptual_hash_pairs(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual near-duplicate pairs over
+    binary media payloads — the multimodal×dedup composition: re-posts
+    and thumbnails of the same image differ in a few pixels, so exact
+    content hashing misses them while the 64-bit average hash (bit i =
+    "pixel" i brighter than the thumbnail mean) lands within a few
+    Hamming bits. Public method (the classic pHash/aHash family).
+
+    "Pixels" are the first :data:`PHASH_BYTES` payload bytes (the
+    synthetic-media convention: the decode/downsample stage is
+    stubbed, the hash/banding/verify plumbing is real and would apply
+    unchanged to a real 8×8 luma thumbnail column). Items shorter than
+    one thumbnail are excluded.
+
+    Determinism: the mean test is INTEGER arithmetic — ``byte·64 >
+    Σbytes`` avoids the rational mean entirely — and the hash is kept
+    as two 32-bit halves (the simhash64 convention: bit 63 would
+    overflow a signed bigint). Everything is JVM codegen (ascii/
+    substring/bit ops — no UDF, no explode over bytes).
+
+    Scale: one narrow pass computes both halves per item; candidates
+    come from an 8-band equi-join on (band_idx, band_val) — bucketed,
+    never all-pairs — and verification is two ``bit_count(xor)`` on
+    the halves the candidate rows already carry. Same shape as the
+    SimHash text path, exact recall for Hamming <= 7.
+    """
+    # "Pixel" bytes materialized ONCE as an array column (checkpoint —
+    # item-count × 64 ints, tiny), then every hash term reads the
+    # array and the thumbnail total as LAMBDA-BOUND values via the
+    # single-element-transform binding trick. The flat form (64
+    # bit-test expressions each repeating a 64-term byte sum) builds a
+    # ~4096-node tree whose optimize/execute cost measured 7-11 s at
+    # sf0.1; this form is ~200 array ops per row and runs in the
+    # noise.
+    n = PHASH_BYTES
+    hb = n // 2
+    px = F.transform(
+        F.sequence(F.lit(1), F.lit(n)),
+        lambda i: F.ascii(F.substring(F.col(payload_col), i, F.lit(1))),
+    )
+    pixels = (
+        media.filter(F.length(payload_col) >= n)
+        .select(F.col(id_col), px.alias("px"))
+        .localCheckpoint(eager=True)
+    )
+    total = F.aggregate(
+        F.col("px"), F.lit(0), lambda acc, x: acc + x
+    )
+
+    def half(offset: int, tot: Column) -> Column:
+        # bit j of this half = 1 iff byte·64 > total (integer-exact);
+        # 2^j via pow(2.0, j) — exact in doubles through j = 31
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(hb - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(F.col("px"), (j + 1 + offset).cast("int"))
+                * F.lit(n)
+                > tot,
+                F.pow(F.lit(2.0), j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+
+    sigs = pixels.select(
+        id_col,
+        F.element_at(
+            F.transform(
+                F.array(total),
+                lambda tot: F.struct(
+                    half(0, tot).alias("lo"), half(hb, tot).alias("hi")
+                ),
+            ),
+            1,
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.lo").alias("lo"), F.col("_s.hi").alias("hi"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("lo" if b < 4 else "hi"), 8 * (b % 4))
+                .bitwiseAND(F.lit(255))
+                .alias("band_val"),
+            )
+            for b in range(8)
+        ]
+    )
+    exploded = sigs.select(
+        id_col, "lo", "hi", F.explode(bands).alias("band")
+    ).select(id_col, "lo", "hi", "band.band_idx", "band.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.lo").alias("la"),
+            F.col("a.hi").alias("ha"),
+            F.col("b.lo").alias("lb"),
+            F.col("b.hi").alias("hb"),
+        )
+        .distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: aHash perceptual near-dup pairs over the
+    synthetic media payloads (documents-as-media convention)."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    return perceptual_hash_pairs(load_table(spark, sf_dir, "documents"))

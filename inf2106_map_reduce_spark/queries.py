@@ -1417,6 +1417,63 @@ FROM v{steps} v, fin, nn ORDER BY pos"""
     return head + "," + ",".join(steps_sql) + "," + tail
 
 
+def _phash_oracle() -> str:
+    """Oracle for the perceptual-hash near-dup pairs: the 64
+    byte/"pixel" reads, the integer-exact mean test (byte·64 > Σ), the
+    two 32-bit halves, the 8×8-bit banding and the bit_count(xor)
+    verification all mirrored term for term in DuckDB."""
+    from inf2106_map_reduce_spark.functions.multimodal import (
+        PHASH_BYTES,
+        PHASH_MAX_HAMMING,
+    )
+
+    n = PHASH_BYTES
+    px = ", ".join(
+        f"ascii(substr(text, {i + 1}, 1)) AS p{i}" for i in range(n)
+    )
+    total = " + ".join(f"p{i}" for i in range(n))
+    lo = " + ".join(
+        f"(CASE WHEN p{j} * {n} > total THEN {2 ** j} ELSE 0 END)"
+        for j in range(n // 2)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN p{j + n // 2} * {n} > total THEN {2 ** j} ELSE 0 END)"
+        for j in range(n // 2)
+    )
+    return f"""
+    WITH px AS (
+      SELECT doc_id, {px}
+      FROM documents WHERE length(text) >= {n}
+    ),
+    t AS (SELECT *, {total} AS total FROM px),
+    s AS (
+      SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, lo, hi, CAST(i.range AS INT) AS band_idx,
+             CASE WHEN i.range < 4 THEN (lo >> CAST(8 * i.range AS INT)) & 255
+                  ELSE (hi >> CAST(8 * (i.range - 4) AS INT)) & 255
+             END AS band_val
+      FROM s, range(0, 8) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+                  AS BIGINT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {PHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """
+
+
 def _bootstrap_ci_oracle() -> str:
     """Oracle for the Poisson-bootstrap CI: identical md5-uniform,
     identical Poisson(1) inverse-CDF thresholds (rendered from the
@@ -4296,6 +4353,15 @@ REGISTRY: dict[str, QuerySpec] = {
         ("vector",),
     ),
     # -- multimodal ------------------------------------------------------------------
+    "media_phash_neardup": QuerySpec(
+        multimodal.media_phash_neardup,
+        _phash_oracle(),
+        "perceptual-hash (aHash) near-dup pairs over media payloads: "
+        "64-bit average hash as two 32-bit halves, 8-band bucketed "
+        "candidates, bit_count(xor) Hamming verify — the "
+        "multimodal x dedup composition, pure codegen",
+        ("multimodal", "dedup"),
+    ),
     "media_metadata_stats": QuerySpec(
         multimodal.media_metadata_stats,
         """
@@ -5675,14 +5741,14 @@ ROTATION_WINDOW = 50
 # at least once (CORRECTNESS_r08 closed the round-8 window cap), so
 # there is no fill-segment coverage constraint this round — the only
 # budget is the <= 8-round staleness horizon, ceil(N/S) <= 8. The
-# round-9 entry budget is 7 new families (forecast backtest,
+# round-9 entry budget is 8 new families (forecast backtest,
 # percentile merge sketch, PCA power, LPA modularity, hourly ACF,
-# NN join, bootstrap CI) -> N = 221, which forces S = 28 (27 only
-# covers N <= 216); ceil(221/28) = 8 holds, and the priority cap
-# WINDOW - S = 22 comfortably fits the 4 carried never-checked names
-# + 7 new ones. S = 28 keeps the horizon through N = 224 (3 free
-# round-10 slots); past that the window or the staleness bound must
-# change — decide explicitly, don't drift.
+# NN join, bootstrap CI, perceptual-hash media dedup) -> N = 222,
+# which forces S = 28 (27 only covers N <= 216); ceil(222/28) = 8
+# holds, and the priority cap WINDOW - S = 22 comfortably fits the 4
+# carried never-checked names + 8 new ones. S = 28 keeps the horizon
+# through N = 224 (2 free round-10 slots); past that the window or
+# the staleness bound must change — decide explicitly, don't drift.
 ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -5722,6 +5788,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Poisson-bootstrap CI — distribution-free uncertainty in one
     # weighted pass (the stats family's resampling member)
     "orders_bootstrap_ci",
+    # Perceptual-hash (aHash) media near-dup — the multimodal x dedup
+    # composition
+    "media_phash_neardup",
 )
 
 #: Round-8 deferral, swapped into _ROUND_PRIORITY at the top of round

@@ -487,3 +487,58 @@ def test_poisson_weights_match_pmf(spark):
     assert abs(counts[0] / n - 0.3679) < 0.03
     assert abs(counts[1] / n - 0.3679) < 0.03
     assert counts.get(5, 0) / n < 0.005
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_phash_planted_near_identical_payloads(spark):
+    from inf2106_map_reduce_spark.functions import multimodal
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(80))
+    flipped = base[:10] + chr(ord(base[10]) + 1) + base[11:]
+    docs = spark.createDataFrame(
+        [
+            (1, base),          # original "image"
+            (2, base),          # exact re-post -> hamming 0
+            (3, flipped),       # one byte nudged -> tiny hamming
+            (4, base[::-1]),    # scrambled -> far
+            (5, "short"),       # below one thumbnail -> excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           multimodal.perceptual_hash_pairs(docs).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 2
+    assert all(5 not in p for p in got)
+
+
+def test_phash_banding_recall_guarantee(spark):
+    # exact recall for hamming <= 7: ANY pair within the accept
+    # threshold (6) must be found regardless of which bits differ —
+    # flip 3 bytes far apart so multiple bands are touched
+    from inf2106_map_reduce_spark.functions import multimodal
+
+    base = "".join(chr(48 + (i * 11) % 64) for i in range(64))
+    mod = list(base)
+    for pos in (2, 30, 60):
+        mod[pos] = chr(ord(base[pos]) + 2)
+    docs = spark.createDataFrame(
+        [(1, base), (2, "".join(mod))], "doc_id bigint, text string"
+    )
+    rows = multimodal.perceptual_hash_pairs(docs).collect()
+    if rows:  # found iff hamming <= 6; either way no crash and exact
+        assert rows[0].hamming <= 6
+    # brute check: hashes differ in <= 6 bits -> must be found
+    import itertools
+
+    def ahash(s):
+        p = [ord(c) for c in s[:64]]
+        t = sum(p)
+        return sum((1 << j) for j in range(64) if p[j] * 64 > t)
+
+    hd = bin(ahash(base) ^ ahash("".join(mod))).count("1")
+    assert (len(rows) == 1) == (hd <= 6), (hd, rows)
