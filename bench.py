@@ -108,6 +108,9 @@ HEADLINE = (
     "events_forecast_backtest",
     "sketch_percentile_merge",
     "emb_pca_power",
+    "emb_nn_join",
+    "orders_bootstrap_ci",
+    "media_phash_neardup",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup
