@@ -2032,15 +2032,24 @@ def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
     edges (recomputed — the trajectory is deterministic, so the
     labels bit-match the labelprop entry's).
 
-    Scale: edge-keyed degree/internal-edge aggregations plus
-    broadcast-scale label joins; the per-community frame (≤ #labels
-    rows) carries the only non-keyed window (the single-partition Q
-    sum — community-cardinality sized, never row sized).
+    Scale: every label join is a plain id-keyed equi-join — the label
+    frame is one row PER NODE of the near-dup graph, which grows with
+    the corpus, so it must never be hint-forced to broadcast (the
+    round-9 version did; at 100 TB that is an executor/driver OOM —
+    the inverse of the forgot-to-broadcast anti-pattern; AQE still
+    broadcasts it when genuinely small, so test-SF plans are
+    unchanged). The only broadcast/crossJoin frames are the two 1-row
+    aggregates ``m`` and ``Q`` (the pagerank scalar idiom), and the
+    partition Q is that 1-row aggregate over the localCheckpointed
+    per-community frame — no single-partition window anywhere, so no
+    one-task serial stage when the graph has millions of communities.
 
     Determinism: m, degrees, internal counts are exact integers; each
     contribution is the identical fixed-structure double expression on
-    both engines; the ≤ #communities-term Q sum's order jitter is
-    ~1e-14 against the round-6 output."""
+    both engines; the ≤ #communities-term Q sum's partial-merge order
+    jitter is ~1e-14, invisible at the round-6 output quantum (equal
+    oracle hash before/after the round-10 aggregate rewrite,
+    verified by the full parity suite)."""
     pairs = (
         edges.select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -2062,14 +2071,12 @@ def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
     m_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
     internal = (
         pairs.join(
-            F.broadcast(lab.select(F.col("node").alias("id_a"), "label")),
+            lab.select(F.col("node").alias("id_a"), "label"),
             "id_a",
         )
         .join(
-            F.broadcast(
-                lab.select(
-                    F.col("node").alias("id_b"), F.col("label").alias("_lb")
-                )
+            lab.select(
+                F.col("node").alias("id_b"), F.col("label").alias("_lb")
             ),
             "id_b",
         )
@@ -2104,16 +2111,27 @@ def modularity(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
                 - half * half
             ).alias("_contrib"),
         )
+        # Materialized once so the 1-row Q aggregate below does not
+        # re-run the edge joins (the bounded frame is ≤ #communities
+        # rows — the same class as the checkpointed ``pairs`` above).
+        .localCheckpoint(eager=True)
     )
-    q = F.sum("_contrib").over(Window.partitionBy())
-    return per.select(
-        "community",
-        "n_nodes",
-        "internal_edges",
-        "degree_sum",
-        F.round("_contrib", 6).alias("contribution"),
-        F.round(q, 6).alias("modularity"),
-    ).orderBy("community")
+    # Partition Q as a 1-row aggregate broadcast back (the ``m_``
+    # idiom above) — NOT a Window.partitionBy() sum, which is a
+    # single-task serial stage over the whole per-community frame.
+    q_ = per.agg(F.sum("_contrib").alias("_q"))
+    return (
+        per.crossJoin(F.broadcast(q_))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round("_contrib", 6).alias("contribution"),
+            F.round("_q", 6).alias("modularity"),
+        )
+        .orderBy("community")
+    )
 
 
 def docs_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:

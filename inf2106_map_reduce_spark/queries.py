@@ -5749,6 +5749,22 @@ ROTATION_WINDOW = 50
 # carried never-checked names + 8 new ones. S = 28 keeps the horizon
 # through N = 224 (2 free round-10 slots); past that the window or
 # the staleness bound must change — decide explicitly, don't drift.
+#
+# Round-10 math (decided BEFORE adding entries, per the verdict):
+# the registry entered round 10 at 222 with cumulative driver
+# coverage 100% (CORRECTNESS_r09 closed the last 4 never-checked
+# names). The round-10 budget is exactly the 2 free slots the r09
+# verdict reserved — spent on the two genuine-gap candidates it
+# named: applyInPandasWithState EVENT-TIME TIMEOUT session eviction
+# (streaming_session_timeout) and the runtime row-level BLOOM-filter
+# pruned join (bloom_runtime_join). N = 224 = the exact S = 28 cap:
+# ceil(224/28) = 8 still holds, priority block (3 names: the 2 new
+# + the plan-rewritten modularity re-verify) <= WINDOW - S = 22.
+# ROUND 11 HAS ZERO FREE SLOTS: any growth there must first raise S
+# to 29 (covers N <= 232, window fill 50 - |priority| >= 29 needs
+# priority <= 21) or widen the window / relax the 8-round horizon —
+# re-derive, don't drift (test_registry_rotation.py will fail loudly
+# at N = 225 under S = 28 regardless).
 ROTATION_STRIDE = 28
 
 #: Entries added or semantically changed in the CURRENT round. Keep

@@ -496,3 +496,38 @@ def test_prefix_jaccard_no_global_sort_no_cartesian(spark, sf_oracle):
     # window sorts are hashpartitioned by doc_id; a rangepartitioned
     # global sort would mean a materialized global rank
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_modularity_no_forced_label_broadcast_no_window(spark):
+    """r09 verdict item #1: (1) the per-node label frame (one row per
+    node of the near-dup graph — grows with the corpus) must never be
+    hint-forced to broadcast into the edge joins; at 100 TB that is an
+    executor/driver OOM. (2) The partition Q must be a 1-row aggregate
+    broadcast back (the ``m_`` scalar idiom), never a
+    ``Window.partitionBy()`` single-task sum over the per-community
+    frame. The eager localCheckpoints make the inner join subtree
+    invisible in the final plan, so the hint absence is pinned at
+    source level; the window absence and the single scalar-Q hint are
+    pinned on the final plan."""
+    import inspect
+
+    from inf2106_map_reduce_spark.functions import dedup
+
+    src = inspect.getsource(dedup.modularity)
+    assert "F.broadcast(lab" not in src, "label frame must not be hinted"
+    assert ".over(" not in src, "Q must be a 1-row aggregate, not a window"
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id bigint, community bigint",
+    )
+    df = dedup.modularity(edges, labels=labels)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan, plan
+    # the only hint surviving to the final frame is the broadcast of
+    # the 1-row Q aggregate over the checkpointed per-community frame
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
