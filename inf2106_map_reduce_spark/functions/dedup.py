@@ -682,9 +682,18 @@ def embedding_cosine_pairs(
     n_blocks: int = 8,
     bucket_row_budget: int = 4096,
     small_n_cap: int = COSINE_SINGLE_BATCH_CAP,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     every pair with cosine >= threshold, id_a < id_b.
+
+    ``n_rows``: caller-known row count. The small-n fast-path gate
+    otherwise runs a bounded ``limit(cap+1).count()`` probe EAGERLY at
+    DataFrame-construction time (one extra scan of the un-checkpointed
+    upstream lineage, even for explain/plan-only uses — r10 ADVICE
+    item). Hot paths and plan-inspection tooling that already know the
+    cardinality pass it to skip the probe; ``None`` keeps the
+    established bounded-count idiom.
 
     Two physical strategies behind one semantic:
 
@@ -727,9 +736,10 @@ def embedding_cosine_pairs(
         # distributed path by test_cosine_fast_path_matches_distributed.
         # The bounded-count probe is the CC/k-means idiom; at scale it
         # returns cap+1 and the bucketed path below runs untouched.
-        if (
-            small_n_cap
-            and base.limit(small_n_cap + 1).count() <= small_n_cap
+        if small_n_cap and (
+            n_rows <= small_n_cap
+            if n_rows is not None
+            else base.limit(small_n_cap + 1).count() <= small_n_cap
         ):
             return _lsh_cosine_single_batch(base, threshold)
         # Score INSIDE each (table, bucket) group: one normalized

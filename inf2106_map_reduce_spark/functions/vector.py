@@ -1210,11 +1210,15 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Fixed power-iteration step count: like the fixed-round k-means
-#: entry, a constant trajectory both engines replay exactly — 10
-#: steps separate the top eigenvalue to well past the round-6 output
-#: quantum on every test SF (the dominant eigengap of the synthetic
-#: embedding covariance is large; verified by the cross-SF parity
-#: suite).
+#: entry, a constant trajectory both engines replay exactly. The
+#: CONTRACT is the replayable 10-step trajectory (cross-engine parity
+#: bit-matches at every test SF), NOT a converged eigenpair: on a
+#: near-isotropic cloud 10 steps may stop well short of the top
+#: eigenvector (test_pca_matches_numpy_eigh_on_quantized_cov asserts
+#: only |cos| > 0.5 / 50% eigenvalue tolerance for exactly this
+#: reason). A deployment that needs converged components raises the
+#: step count — every step is one cheap fold over the d×d Gram, so
+#: the data is still touched once regardless.
 PCA_POWER_STEPS = 10
 
 #: Integer quantization scale for the exact Gram build: embeddings are
@@ -1459,6 +1463,10 @@ def ann_nn_join(
     Vectors sharing no bucket with the snapshot are absent (the
     honest LSH-recall contract the ANN entries audit).
 
+    ``snapshot_cond`` is written against the CALLER's columns (e.g.
+    ``F.col("vec_id") % 10 < 3`` for the default ``id_col``) — it is
+    evaluated before any internal rename.
+
     Scale: ONE bucketize pass over the corpus (at 100 TB these are
     stored columns written at ingest — bucketize's contract), split
     into sides by filter; the candidate join is (tbl, bucket)
@@ -1466,18 +1474,26 @@ def ann_nn_join(
     a window over the candidate-sized frame keyed by query id. The
     checkpoint materializes the bucket rows once so the self-join
     does not run the bucketizer twice."""
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(emb_col).alias("emb")
-    )
     if snapshot_cond is None:
         snapshot_cond = (
-            F.col("vid") % NN_SNAPSHOT_MOD < NN_SNAPSHOT_LT
+            F.col(id_col) % NN_SNAPSHOT_MOD < NN_SNAPSHOT_LT
         )
+    # Evaluate the caller's condition against the CALLER's columns —
+    # before the internal rename — and carry it as a flag (r10 ADVICE
+    # item: a condition written against ``id_col``, e.g.
+    # ``F.col("vec_id") % 10 < 3``, previously hit an
+    # AnalysisException because the frame had already renamed
+    # ``vec_id`` to ``vid``).
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+        snapshot_cond.alias("is_snap"),
+    )
     bucketed = bucketize(base, emb_col="emb").localCheckpoint(eager=True)
-    q = bucketed.filter(~snapshot_cond).select(
+    q = bucketed.filter(~F.col("is_snap")).select(
         F.col("vid").alias("qid"), "tbl", "bucket"
     )
-    s = bucketed.filter(snapshot_cond).select(
+    s = bucketed.filter(F.col("is_snap")).select(
         F.col("vid").alias("nid"), "tbl", "bucket"
     )
     cand = q.join(s, ["tbl", "bucket"]).select("qid", "nid").distinct()

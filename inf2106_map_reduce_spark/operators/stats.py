@@ -910,6 +910,17 @@ _POISSON1_CDF = (
 )
 
 
+def _shuffle_width(spark: SparkSession) -> int:
+    """The session's shuffle width as an int. The conf is not
+    guaranteed numeric: AQE-managed platforms report "auto" (r10
+    ADVICE item) — fall back to the cluster's default parallelism
+    rather than raising before the query even builds."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _poisson_weight(u: Column) -> Column:
     """Inverse-CDF Poisson(1) draw from a uniform in [0, 1)."""
     w: Column = F.lit(len(_POISSON1_CDF))
@@ -972,7 +983,7 @@ def bootstrap_mean_ci(
     # maxPartitionBytes) would otherwise run the whole md5+weight pass
     # on one core (measured 10 s → 1.5 s warm at sf0.1). The shuffle
     # itself carries only the 3-column projection.
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _shuffle_width(df.sparkSession)
     rep = (
         df.select(
             F.col(group_col).alias("grp"),
