@@ -2930,6 +2930,40 @@ REGISTRY: dict[str, QuerySpec] = {
         "custom stateful operator via applyInPandasWithState",
         ("events", "streaming", "custom"),
     ),
+    # Emitted = sessions CLOSED before stream end: every non-final
+    # session of a user (its next event is > gap later, so the gap
+    # fold closes it when that event's batch arrives), plus the final
+    # session iff the final watermark (ms-floored max ts − 1 h)
+    # STRICTLY passed its timeout (end + gap, ms-floored) — the strict
+    # < is Spark's pinned event-time-timeout boundary
+    # (test_session_timeout_boundary).
+    "streaming_session_timeout": QuerySpec(
+        stream_stateful.streaming_session_timeout,
+        f"""
+        WITH {_SESSION_CTES},
+        per2 AS (
+          SELECT user_id, session_id,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY session_id DESC) AS rdesc
+          FROM sess GROUP BY user_id, session_id
+        ),
+        wm AS (
+          SELECT epoch_us(MAX(ts)) // 1000 - 3600000 AS wm_ms FROM events
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM per2, wm
+        WHERE rdesc > 1
+           OR (epoch_us(session_end) + {stream_stateful.SESSION_GAP_US})
+                // 1000 < wm_ms
+        """,
+        "session-gap eviction via applyInPandasWithState EVENT-TIME "
+        "timeout over a multi-micro-batch span stream — emits exactly "
+        "the sessions closed (by gap or watermark timeout) before the "
+        "stream ended",
+        ("events", "streaming", "custom", "window"),
+    ),
     # -- source connectors ---------------------------------------------------
     "source_csv_roundtrip": QuerySpec(
         roundtrip.source_csv_roundtrip,
@@ -2967,6 +3001,14 @@ REGISTRY: dict[str, QuerySpec] = {
         roundtrip.DPP_ORACLE,
         "dynamic partition pruning: filtered dim prunes the partitioned fact scan",
         ("source", "pruning", "join"),
+    ),
+    "bloom_runtime_join": QuerySpec(
+        roundtrip.bloom_runtime_join,
+        roundtrip.BLOOM_RUNTIME_JOIN_ORACLE,
+        "runtime row-level Bloom-filter pruning: filtered dim's keys "
+        "probe the fact rows before the join shuffle (the shuffle-join "
+        "complement of DPP)",
+        ("pruning", "join"),
     ),
     "batch_sliding_windows": QuerySpec(
         stream_windows.batch_sliding,
@@ -5770,6 +5812,26 @@ ROTATION_STRIDE = 28
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
+    # Round-10 block — nothing is carried (all 222 prior entries have
+    # driver rows since r09), so the block is exactly the two new
+    # budgeted families plus the one plan-rewritten entry:
+    # applyInPandasWithState EVENT-TIME TIMEOUT session eviction —
+    # the one stateful-streaming feature without an oracle-encoded
+    # entry (r09 verdict item #5a)
+    "streaming_session_timeout",
+    # runtime row-level Bloom-filter pruned join — the last built-in
+    # pruning mechanism without a pinned entry (r09 verdict item #5b)
+    "bloom_runtime_join",
+    # re-verify after the r10 scale-hygiene plan rewrite (no forced
+    # label broadcast, 1-row-aggregate Q — r09 verdict item #1); the
+    # oracle hash is unchanged, the driver row proves it
+    "docs_communities_modularity",
+)
+
+#: The round-9 priority block (driver-checked 50/50 green in
+#: CORRECTNESS_r09 — every name below has its hard row), kept as a
+#: record so the staleness audit can reason about cohort ages.
+_ROUND9_PRIORITY: tuple[str, ...] = (
     # Round-9 block, part 1: the 4 entries never driver-checked in any
     # prior round — the 3 _ROUND9_DEFERRED model-eval names (held back
     # by the round-8 214-entry window cap) plus the round-8

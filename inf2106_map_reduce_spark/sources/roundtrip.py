@@ -190,6 +190,94 @@ GROUP BY 1
 """
 
 
+#: Scoped confs that surface Spark's runtime row-level Bloom-filter
+#: pruning (``InjectRuntimeFilter``) at test SFs. The rule only fires
+#: when the join is probably a SHUFFLE join and the application-side
+#: scan clears a size threshold — exactly the 100 TB shape (neither
+#: fact nor filtered dim broadcast-able, 10 GB+ scans), and exactly
+#: what a local[32]/sf0.1 session never looks like. So the entry
+#: plans itself under thresholds that emulate the at-scale decision
+#: (broadcast off, scan threshold 0), freezes that physical plan into
+#: the returned Dataset, and restores the session confs — no other
+#: query's plan is touched.
+BLOOM_JOIN_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
+    """Force physical planning of ``df`` under temporarily-set session
+    confs, then restore them. A Dataset's ``QueryExecution`` phases
+    are lazy vals — touching ``executedPlan`` inside the scope freezes
+    the optimized plan (verified: the runtime-filter subquery persists
+    after restore), so later actions on the SAME DataFrame replay it
+    while every other query plans under the session's real confs."""
+    spark = df.sparkSession
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+def bloom_runtime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level Bloom-filter pruned join — the last built-in
+    Spark pruning mechanism without a pinned entry (static partition
+    pruning and DPP live above): the optimizer plants a
+    ``BloomFilterAggregate`` over the FILTERED dim's join keys and a
+    ``might_contain`` probe on the fact scan, so fact rows whose
+    order key cannot match are dropped BEFORE the join shuffle.
+
+    Scale: this is the shuffle-join complement of DPP — when the fact
+    is not partitioned by the join key (so DPP can't prune files) and
+    the dim side is too big to broadcast, the Bloom probe is the only
+    mechanism that cuts shuffle volume by the dim filter's
+    selectivity (~20% here: one of five order priorities). The probe
+    is semantics-preserving (no false negatives), so results are
+    bit-identical with or without it — the oracle doesn't care, the
+    plan pin does. Thresholds are scoped per the
+    :data:`BLOOM_JOIN_CONFS` note; the frozen plan is the at-scale
+    plan."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return plan_with_confs(joined, BLOOM_JOIN_CONFS)
+
+
+BLOOM_RUNTIME_JOIN_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def layout_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioned, sorted write layout: lineitem is
     ``repartitionByRange(l_shipdate).sortWithinPartitions(l_shipdate)``

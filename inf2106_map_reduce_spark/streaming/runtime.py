@@ -116,20 +116,24 @@ NO_DATA_BATCHES = os.environ.get("SPARK_GRAFT_NO_DATA_BATCHES", "false")
 
 def needs_no_data_batch(out, output_mode: str) -> bool:
     """True when skipping the trailing no-data micro-batch would DROP
-    output. Two shapes qualify (both inspected from the ANALYZED
+    output. Three shapes qualify (all inspected from the ANALYZED
     streaming plan so the policy tracks the query shape, not a
     comment): an append-mode watermarked AGGREGATION (final windows
     emit only when the watermark passes them; streaming dedup's
-    Aggregate-free cousin is fine — Deduplicate emits on arrival), and
-    an OUTER stream-stream join (null-extended unmatched rows emit
-    only when the watermark proves no future match can arrive — i.e.
-    in the trailing batch under an AvailableNow drain)."""
+    Aggregate-free cousin is fine — Deduplicate emits on arrival), an
+    OUTER stream-stream join (null-extended unmatched rows emit only
+    when the watermark proves no future match can arrive — i.e. in
+    the trailing batch under an AvailableNow drain), and a stateful
+    operator with an EVENT-TIME TIMEOUT (pending timeouts fire on
+    watermark advancement; end-of-stream evictions happen exactly in
+    the trailing batch — r10's session-timeout entry lost every
+    still-pending eviction without it, 9399 vs 9528 rows at sf0.01)."""
     if output_mode != "append" or out is None:
         return False
     plan = out._jdf.queryExecution().analyzed().toString()
     if "EventTimeWatermark" not in plan:
         return False
-    if "Aggregate" in plan:
+    if "Aggregate" in plan or "EventTimeTimeout" in plan:
         return True
     import re as _re
 

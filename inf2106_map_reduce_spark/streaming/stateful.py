@@ -30,13 +30,19 @@ anomaly flags).
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from inf2106_map_reduce_spark.session import WORK_ROOT
 
 from inf2106_map_reduce_spark.streaming.runtime import (
     scoped_state_partitions,
@@ -156,4 +162,190 @@ def streaming_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         mode="update",
         state_keys=load_table(spark, sf_dir, "events").select("user_id"),
         state_key_id=(sf_dir, "events", "user_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-gap eviction via event-time TIMEOUT — the one stateful-
+# streaming feature the registry lacked an oracle-encoded entry for.
+# ---------------------------------------------------------------------------
+
+#: Session gap: 30 minutes in µs — the engine-wide session convention
+#: (``_SESSION_CTES``/session_window entries). A gap STRICTLY greater
+#: than this starts a new session; matches the oracle's ``> 1800000000``.
+SESSION_GAP_US = 1_800_000_000
+
+#: Number of time-ordered span files the static events snapshot is
+#: staged into. Multiple files + ``maxFilesPerTrigger=1`` turn the
+#: snapshot into a genuine multi-micro-batch stream, so the watermark
+#: ADVANCES between batches and event-time timeouts actually fire
+#: mid-stream — a single-batch AvailableNow drain would only exercise
+#: the terminal no-data batch. A real deployment reads an actual
+#: stream; the span staging is the harness device that recreates its
+#: batch structure from a snapshot (one narrow 2-column projection,
+#: written once, _STAGED-guarded like the roundtrip stages).
+SESSION_SPAN_FILES = 3
+
+
+def _session_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events(user_id, ts) as SESSION_SPAN_FILES parquet files
+    covering consecutive equal time spans, with strictly increasing
+    mtimes (the file-stream source processes files oldest-first, so
+    batch order == event-time order and nothing arrives late: span
+    width ≫ watermark delay ≫ 0)."""
+    base = os.path.join(
+        WORK_ROOT,
+        "streaming",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events_spans",
+    )
+    done = os.path.join(base, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        step = (hi - lo) // SESSION_SPAN_FILES + 1
+        for i in range(SESSION_SPAN_FILES):
+            b0, b1 = lo + i * step, lo + (i + 1) * step
+            tmp = tempfile.mkdtemp(prefix="span_")
+            (
+                ev.filter(
+                    (F.unix_micros("ts") >= b0) & (F.unix_micros("ts") < b1)
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(base, f"{i:02d}.parquet")
+            shutil.copyfile(part, dst)
+            # fixed, strictly increasing mtimes pin the batch order
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+            shutil.rmtree(tmp)
+        open(done, "w").close()
+    return base
+
+
+def _session_timeout_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer with event-time-timeout eviction.
+
+    State = the OPEN session (start_us, end_us, n). Data call: fold the
+    batch's timestamps in order — a gap strictly over SESSION_GAP_US
+    closes the open session (emit) and starts a new one; the surviving
+    session re-arms the timeout at end + gap. Timeout call (watermark
+    passed end + gap with no new data): emit the session and drop the
+    state — the eviction path under test. Sessions still open when the
+    stream ends are never emitted (the honest timeout contract; the
+    oracle reproduces it with the final-watermark cutoff).
+
+    Timeout semantics pinned by test_session_timeout_boundary: Spark
+    fires an event-time timeout iff timeout_ts_ms < watermark_ms,
+    STRICTLY — the oracle's cutoff comparison must match."""
+    if state.hasTimedOut:
+        st, en, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "session_start": pd.Series(
+                    [pd.Timestamp(st, unit="us")], dtype="datetime64[ns]"
+                ),
+                "session_end": pd.Series(
+                    [pd.Timestamp(en, unit="us")], dtype="datetime64[ns]"
+                ),
+                "n_events": pd.Series([n], dtype="int64"),
+            }
+        )
+        return
+    ts: list[int] = []
+    for pdf in pdf_iter:
+        ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+    ts.sort()
+    if state.exists:
+        st, en, n = state.get
+    else:
+        st, en, n = None, None, 0
+    closed: list[tuple[int, int, int]] = []
+    for t in ts:
+        if st is None:
+            st, en, n = t, t, 1
+        elif t - en > SESSION_GAP_US:
+            closed.append((st, en, n))
+            st, en, n = t, t, 1
+        else:
+            en, n = t, n + 1
+    state.update((st, en, n))
+    # floor-ms, matching the oracle's (epoch_us(end) + gap) // 1000
+    state.setTimeoutTimestamp((en + SESSION_GAP_US) // 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+            "session_start": pd.Series(
+                [pd.Timestamp(a, unit="us") for a, _, _ in closed],
+                dtype="datetime64[ns]",
+            ),
+            "session_end": pd.Series(
+                [pd.Timestamp(b, unit="us") for _, b, _ in closed],
+                dtype="datetime64[ns]",
+            ),
+            "n_events": pd.Series(
+                [c for _, _, c in closed], dtype="int64"
+            ),
+        }
+    )
+
+
+def session_timeout_stream(
+    source_dir: str, spark: SparkSession
+) -> DataFrame:
+    """The sessionizer as a streaming transform over a staged span
+    directory — split out so tests can drive it over synthetic files."""
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="st bigint, en bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: gap-based session eviction through
+    applyInPandasWithState EVENT-TIME TIMEOUT — emitted rows are
+    exactly the sessions CLOSED before the stream ended (by a
+    later-than-gap event, or by the watermark passing end + gap); each
+    user's final session stays in state unless the final watermark
+    (max event time − 1 h, ms-floored) strictly passed its timeout.
+
+    Scale: state is O(1) per live user (three longs); the watermark
+    bounds it — every idle session is evicted one gap after its last
+    event, so state tracks ACTIVE users, not the key universe. The
+    span staging is a snapshot-harness device only (see
+    SESSION_SPAN_FILES)."""
+    src = _session_source_dir(spark, sf_dir)
+    return _run_to_table(
+        session_timeout_stream(src, spark),
+        spark,
+        mode="append",
+        state_keys=load_table(spark, sf_dir, "events").select("user_id"),
+        state_key_id=(sf_dir, "events", "user_id", "session_timeout"),
     )

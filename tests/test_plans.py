@@ -125,6 +125,25 @@ def test_dpp_injects_dynamic_partition_filter(spark, sf_oracle):
     assert "dynamicpruning" in explain_str(df, "formatted").lower()
 
 
+def test_bloom_runtime_join_probes_fact_before_shuffle(spark, sf_oracle):
+    """The runtime row-level filter must be planted: a might_contain
+    probe over the fact's join key feeding the join (rows dropped
+    before the shuffle), backed by a Bloom-aggregate subquery over
+    the FILTERED dim keys — and the frozen plan must survive the
+    scoped-conf restore (later actions replay it)."""
+    from inf2106_map_reduce_spark.plans import explain_str
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    df = roundtrip.bloom_runtime_join(spark, sf_oracle)
+    # planned inside the scope, inspected after restore: frozen
+    plan = explain_str(df, "formatted").lower()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloomfilter" in plan.replace("_", ""), plan[:2000]
+    # the at-scale join shape: shuffle join, not a broadcast that
+    # would make the probe pointless
+    assert "broadcasthashjoin" not in plan
+
+
 def test_merge_hint_forces_sort_merge_join(spark, sf_oracle):
     from inf2106_map_reduce_spark.plans import explain_str
 

@@ -123,9 +123,33 @@ def test_round8_fill_covered_names_have_hard_driver_rows():
         assert row["hash_match"] and row["err"] is None, (name, row)
 
 
-def test_round9_priority_leads_with_all_never_checked_names():
-    # round-9 verdict item #1: the 4 entries with no CORRECTNESS row in
-    # any of rounds 1-8 must head the round-9 driver window
+def test_round9_never_checked_names_have_hard_driver_rows():
+    # round-9 verdict item #1 is now settled by the hard artifact
+    # (post-swap the live _ROUND_PRIORITY is the round-10 block, so
+    # recomputing _window(9) would be wrong — the r08 pattern): the 4
+    # entries with no CORRECTNESS row in rounds 1-8 led the round-9
+    # block and must carry fully-green CORRECTNESS_r09 rows, closing
+    # cumulative driver coverage at 100%.
+    import json
+
     never_checked = set(q._ROUND9_DEFERRED) | {"docs_communities_labelprop"}
-    assert never_checked <= set(q._ROUND_PRIORITY[:4])
-    assert never_checked <= _window(9)
+    assert never_checked <= set(q._ROUND9_PRIORITY[:4])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r09.json")) as f:
+        r09 = json.load(f)
+    for name in never_checked:
+        row = r09[name]
+        assert row["hash_match"] and row["err"] is None, (name, row)
+
+
+def test_round10_priority_is_exactly_the_budgeted_block():
+    # round-10 budget (ROTATION_STRIDE comment): 2 new entries + the
+    # plan-rewritten modularity re-verify, all leading window 10
+    assert q._ROUND_PRIORITY == (
+        "streaming_session_timeout",
+        "bloom_runtime_join",
+        "docs_communities_modularity",
+    )
+    assert set(q._ROUND_PRIORITY) <= _window(10)
+    # N sits exactly at the S=28 horizon cap decided for this round
+    assert len(q.REGISTRY) == 224

@@ -388,3 +388,125 @@ def test_neardup_screen_semantics(spark):
         .collect()
     )
     assert kept == [3, 4]
+
+
+def _write_span_file(spark, src_dir, i, rows):
+    """One time-span parquet file with a pinned mtime (batch order)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="mixed")
+    tmp = tempfile.mkdtemp(prefix="spanw_")
+    spark.createDataFrame(pdf).repartition(1).write.mode("overwrite").parquet(
+        tmp
+    )
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(src_dir, f"{i:02d}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+    shutil.rmtree(tmp)
+
+
+def _drain_session_stream(spark, src_dir):
+    import os
+
+    from inf2106_map_reduce_spark.streaming import stateful
+    from inf2106_map_reduce_spark.streaming.runtime import (
+        scoped_state_partitions,
+    )
+
+    out = stateful.session_timeout_stream(src_dir, spark)
+    sink = tempfile.mkdtemp(prefix="sess_sink_")
+    with scoped_state_partitions(spark, n=2, out=out, output_mode="append"):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _e: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def test_session_timeout_boundary(spark):
+    """Pins Spark's event-time-timeout boundary, which the registry
+    oracle's cutoff comparison must mirror: a timeout fires iff
+    timeout_ts_ms < watermark_ms, STRICTLY. Final watermark here is
+    exactly 10:30:00.000 (max ts 11:30 − 1 h); three single-event
+    users arm timeouts 1 ms below / exactly at / 1 ms above it —
+    only the strictly-below one may evict."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="sessb_")
+    d = "2024-01-01 "
+    # gap 30 min → timeout = ts + 30 min (ms-floored)
+    _write_span_file(
+        spark,
+        src,
+        0,
+        [
+            (1, d + "10:00:00"),  # timeout 10:30:00.000 == wm → open
+            (2, d + "09:59:59.999"),  # timeout 10:29:59.999 < wm → evict
+            (3, d + "10:00:00.001"),  # timeout 10:30:00.001 > wm → open
+        ],
+    )
+    _write_span_file(spark, src, 1, [(9, d + "11:30:00")])
+    got = _drain_session_stream(spark, src)
+    assert sorted(r.user_id for r in got.collect()) == [2]
+
+
+def test_session_timeout_emits_gap_and_timeout_closures(spark):
+    """Differential scenario across three micro-batches: gap-detected
+    closures emit with exact (start, end, n); pending evictions fire
+    in the trailing no-data batch; sessions still open at stream end
+    (timeout beyond the final watermark) are never emitted."""
+    src = tempfile.mkdtemp(prefix="sessg_")
+    d = "2024-01-01 "
+    _write_span_file(
+        spark,
+        src,
+        0,
+        [(1, d + "10:00:00"), (1, d + "10:10:00"), (2, d + "10:00:00")],
+    )
+    _write_span_file(
+        spark, src, 1, [(1, d + "20:00:00"), (3, d + "20:05:00")]
+    )
+    _write_span_file(spark, src, 2, [(3, d + "23:00:00")])
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in _drain_session_stream(spark, src).collect()
+    }
+    assert got == {
+        # u1 first session: closed by the 20:00 event (gap > 30 min)
+        (1, d + "10:00:00", d + "10:10:00", 2),
+        # u1 second + u2 only: evicted by timeout (wm_final = 22:00)
+        (1, d + "20:00:00", d + "20:00:00", 1),
+        (2, d + "10:00:00", d + "10:00:00", 1),
+        # u3 first: closed by the 23:00 event
+        (3, d + "20:05:00", d + "20:05:00", 1),
+        # u3's 23:00 session (timeout 23:30 > wm 22:00): NOT emitted
+    }
+
+
+def test_event_time_timeout_forces_no_data_batch(spark):
+    """The session-timeout shape must be structurally detected: an
+    append-mode stateful operator with EventTimeTimeout needs the
+    trailing no-data batch (pending evictions fire there — without it
+    the sf0.01 entry lost 129 rows), while the NoTimeout user-stats
+    shape does not."""
+    from inf2106_map_reduce_spark.streaming import stateful
+    from inf2106_map_reduce_spark.streaming.runtime import (
+        needs_no_data_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="sessn_")
+    _write_span_file(spark, src, 0, [(1, "2024-01-01 10:00:00")])
+    out = stateful.session_timeout_stream(src, spark)
+    assert needs_no_data_batch(out, "append") is True
