@@ -62,6 +62,7 @@ WARMUP = (
     "streaming_tumbling_hourly",
     "streaming_window_distinct",
     "streaming_user_stats_stateful",
+    "streaming_session_timeout",
     "bucketed_orders_lineitem_join",
     "dpp_partitioned_fact_join",
     "source_partitioned_roundtrip",
@@ -111,6 +112,9 @@ HEADLINE = (
     "emb_nn_join",
     "orders_bootstrap_ci",
     "media_phash_neardup",
+    # round-10 new entries
+    "streaming_session_timeout",
+    "bloom_runtime_join",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

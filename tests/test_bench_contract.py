@@ -106,3 +106,73 @@ def test_normalized_bench_gate():
             f"the {TARGET_S_PER_Q} target (raw {raw_spq:.3f})",
             file=sys.stderr,
         )
+
+
+# -- refreshed per-query anchors (r09 driver run, BASELINE.md) --------------
+#
+# The round-1 headline rows drifted 2-4x above current reality after
+# nine rounds of optimization, so gating against them would let a real
+# 2x regression "pass" (r09 verdict item #6). These are the r09 driver
+# full-bench rows (BENCH_FULL.json: 222 q / 177.79 s, calibration
+# 0.127); both sides are weather-adjusted to the 0.107 reference host
+# before comparing.
+
+R09_ANCHOR_CAL = 0.127
+#: raw r09 driver seconds per headline query at calibration 0.127
+PER_QUERY_ANCHORS = {
+    "q1_pricing_summary": 0.402,
+    "q3_shipping_priority": 0.566,
+    "q5_local_supplier_volume": 0.547,
+    "dedup_stage_build": 5.645,
+    "dedup_minhash_candidates": 0.123,
+    "dedup_ngram_jaccard": 0.061,
+    "dedup_prefix_jaccard": 4.025,
+    "dedup_embedding_cosine": 1.325,
+    "dedup_semantic": 2.640,
+    "ann_brute_force": 0.632,
+    "ann_lsh": 1.070,
+    "ann_ivf": 0.858,
+    "emb_nn_join": 2.311,
+    "agg_stats_battery": 1.854,
+    "bucketed_orders_lineitem_join": 0.542,
+    "streaming_tumbling_hourly": 0.993,
+    "streaming_neardup_ingest": 3.603,
+    # the r09 row carries first-stream session init (warm median is
+    # 1.555, SCALING.md) — anchoring at the driver-protocol number
+    "streaming_user_stats_stateful": 2.453,
+    "orders_bootstrap_ci": 2.154,
+    "text_stats": 0.812,
+}
+
+#: sub-second entries swing ±25%+ run-to-run; only adjusted times
+#: above this floor can gate, so noise on a 0.06 s row never fails
+PER_QUERY_GATE_FLOOR_S = 1.0
+
+
+def test_per_query_anchor_gate():
+    import pytest
+
+    path, payload = _latest_driver_bench()
+    if payload is None:
+        pytest.skip("no driver bench artifact with calibration yet")
+    cal = payload["calibration_sec"]
+    breaches = []
+    for name, anchor_raw in PER_QUERY_ANCHORS.items():
+        got = payload["queries"].get(name)
+        if got is None:
+            continue  # truncated tail payloads carry only a subset
+        adj = got * (CALIBRATION_ANCHOR / cal)
+        anchor_adj = anchor_raw * (CALIBRATION_ANCHOR / R09_ANCHOR_CAL)
+        gate = max(2 * anchor_adj, PER_QUERY_GATE_FLOOR_S)
+        if adj > gate:
+            breaches.append(
+                f"{name}: adjusted {adj:.3f} > gate {gate:.3f} "
+                f"(raw {got}, anchor {anchor_raw})"
+            )
+    assert not breaches, f"{path}: " + "; ".join(breaches)
+
+
+def test_anchor_names_exist_in_registry():
+    known = set(REGISTRY) | set(bench.PSEUDO_STAGES)
+    missing = [n for n in PER_QUERY_ANCHORS if n not in known]
+    assert not missing, missing
