@@ -184,7 +184,20 @@ SESSION_GAP_US = 1_800_000_000
 #: stream; the span staging is the harness device that recreates its
 #: batch structure from a snapshot (one narrow 2-column projection,
 #: written once, _STAGED-guarded like the roundtrip stages).
-SESSION_SPAN_FILES = 3
+#:
+#: Two files is the structural minimum that covers every watermark
+#: regime — batch 0 at wm=0, batch 1 with an advanced watermark
+#: (mid-stream evictions fire), and the terminal no-data batch (final
+#: evictions) — and each extra batch costs ~1.7-2 s of pure
+#: applyInPandasWithState machinery at sf0.1 (measured with a
+#: do-nothing state fn: 6.9 s for 4 batches, i.e. the per-group Arrow
+#: exchange for ~1500 keys/batch dominates, not the session logic —
+#: the numpy fold itself is <1 s across the whole drain). The result
+#: set is file-count-INVARIANT (only the final watermark enters the
+#: oracle cutoff), so this is purely a cost knob. The staging dir is
+#: versioned by this constant: a stale 3-file stage must never serve
+#: a 2-file run.
+SESSION_SPAN_FILES = 2
 
 
 def _session_source_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -197,7 +210,7 @@ def _session_source_dir(spark: SparkSession, sf_dir: str) -> str:
         WORK_ROOT,
         "streaming",
         os.path.basename(os.path.normpath(sf_dir)),
-        "events_spans",
+        f"events_spans{SESSION_SPAN_FILES}",
     )
     done = os.path.join(base, "_STAGED")
     if not os.path.exists(done):
@@ -263,40 +276,50 @@ def _session_timeout_fn(
             }
         )
         return
-    ts: list[int] = []
-    for pdf in pdf_iter:
-        ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
-    ts.sort()
+    import numpy as np
+
+    # Vectorized fold: per-timestamp Python iteration measured 5.7x
+    # under 8x data in the scaling probe but with a large constant
+    # (42 s at 8x sf0.1); numpy diff/split of the sorted µs array does
+    # the identical strict-> gap split batch-wide (probe re-measured
+    # after this rewrite — see SCALING.md round-10 rows).
+    arr = np.sort(
+        np.concatenate(
+            [pdf["ts"].astype("int64").to_numpy() // 1000 for pdf in pdf_iter]
+        )
+    )
+    brk = np.flatnonzero(np.diff(arr) > SESSION_GAP_US) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(arr)]))
+    s_us = arr[starts]
+    e_us = arr[ends - 1]
+    cnt = (ends - starts).astype("int64")
     if state.exists:
         st, en, n = state.get
-    else:
-        st, en, n = None, None, 0
-    closed: list[tuple[int, int, int]] = []
-    for t in ts:
-        if st is None:
-            st, en, n = t, t, 1
-        elif t - en > SESSION_GAP_US:
-            closed.append((st, en, n))
-            st, en, n = t, t, 1
+        if int(s_us[0]) - en > SESSION_GAP_US:
+            # open session closes ahead of the batch's first session
+            s_us = np.concatenate(([st], s_us))
+            e_us = np.concatenate(([en], e_us))
+            cnt = np.concatenate(([n], cnt))
         else:
-            en, n = t, n + 1
-    state.update((st, en, n))
+            # batch's first session extends the open one
+            s_us[0] = st
+            cnt[0] += n
+    state.update((int(s_us[-1]), int(e_us[-1]), int(cnt[-1])))
     # floor-ms, matching the oracle's (epoch_us(end) + gap) // 1000
-    state.setTimeoutTimestamp((en + SESSION_GAP_US) // 1000)
+    state.setTimeoutTimestamp((int(e_us[-1]) + SESSION_GAP_US) // 1000)
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+            "user_id": pd.Series(
+                np.full(len(s_us) - 1, key[0]), dtype="int64"
+            ),
             "session_start": pd.Series(
-                [pd.Timestamp(a, unit="us") for a, _, _ in closed],
-                dtype="datetime64[ns]",
+                s_us[:-1].astype("datetime64[us]"), dtype="datetime64[ns]"
             ),
             "session_end": pd.Series(
-                [pd.Timestamp(b, unit="us") for _, b, _ in closed],
-                dtype="datetime64[ns]",
+                e_us[:-1].astype("datetime64[us]"), dtype="datetime64[ns]"
             ),
-            "n_events": pd.Series(
-                [c for _, _, c in closed], dtype="int64"
-            ),
+            "n_events": pd.Series(cnt[:-1], dtype="int64"),
         }
     )
 

@@ -561,6 +561,107 @@ def main() -> None:
         f"{ik / i1:.1f}x (ideal <= {k}x; state partitions {p1} -> {pk}, "
         f"snapshot screen side FIXED)"
     )
+
+    # --- round-10 shapes ---------------------------------------------
+    # Bloom-pruned shuffle join: the probe subquery is DIM-sized (one
+    # Bloom aggregate over the filtered keys); the fact side scales.
+    # The claim under test: the runtime filter's cost stays a small
+    # additive term, never a second fact pass.
+    from inf2106_map_reduce_spark.sources.roundtrip import (
+        BLOOM_JOIN_CONFS,
+        plan_with_confs,
+    )
+
+    def bloom_join(li, o):
+        dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = (
+            li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+            .join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        return plan_with_confs(j, BLOOM_JOIN_CONFS)
+
+    timed(lambda: bloom_join(li1, o1))
+    t1 = min(timed(lambda: bloom_join(li1, o1)) for _ in range(3))
+    tk = min(timed(lambda: bloom_join(lik, ok)) for _ in range(3))
+    print(
+        f"  bloom runtime-filter join: {t1:.3f}s -> {tk:.3f}s  ratio "
+        f"{tk / t1:.1f}x (ideal <= {k}x; Bloom build is dim-sized)"
+    )
+
+    # Session-timeout eviction drain: replicated USERS multiply the
+    # state keys in flight (same ts range, so the same 3 span batches
+    # + terminal eviction batch); state partitions are data-derived.
+    import glob as _glob
+    import shutil as _shutil
+
+    from inf2106_map_reduce_spark.streaming import stateful as st
+
+    def stage_spans(ev: DataFrame) -> str:
+        base = tempfile.mkdtemp(prefix="probe_spans_")
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        step = (hi - lo) // st.SESSION_SPAN_FILES + 1
+        for i in range(st.SESSION_SPAN_FILES):
+            b0, b1 = lo + i * step, lo + (i + 1) * step
+            tmp = tempfile.mkdtemp(prefix="probe_span_w_")
+            (
+                ev.filter(
+                    (F.unix_micros("ts") >= b0) & (F.unix_micros("ts") < b1)
+                )
+                .select("user_id", "ts")
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(base, f"{i:02d}.parquet")
+            _shutil.copyfile(part, dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+            _shutil.rmtree(tmp)
+        return base
+
+    def session_drain(path: str, keys: DataFrame) -> tuple[float, int]:
+        n_parts = state_partitions_for(keys)
+        out = st.session_timeout_stream(path, spark)
+        t0 = time.perf_counter()
+        with scoped_state_partitions(
+            spark, n=n_parts, out=out, output_mode="append"
+        ):
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _e: df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="probe_sess_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return time.perf_counter() - t0, n_parts
+
+    sp1 = stage_spans(ev1c)
+    spk = stage_spans(evkc)
+    session_drain(sp1, ev1c.select("user_id"))  # warm the plan family
+    s1, q1p = min(session_drain(sp1, ev1c.select("user_id")) for _ in range(2))
+    sk, qkp = min(session_drain(spk, evkc.select("user_id")) for _ in range(2))
+    print(
+        f"  session-timeout eviction drain: {s1:.3f}s -> {sk:.3f}s  ratio "
+        f"{sk / s1:.1f}x (ideal <= {k}x; state partitions {q1p} -> {qkp}, "
+        f"O(1) state per live user)"
+    )
     spark.stop()
 
 
