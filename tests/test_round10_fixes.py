@@ -86,3 +86,21 @@ def test_cosine_pairs_known_n_rows_skips_probe_same_result(spark):
     }
     assert known == probe
     assert forced == probe
+
+
+def test_plan_with_confs_restores_session_confs(spark):
+    """bloom_runtime_join plans under scoped thresholds; every conf it
+    touches (including autoBroadcastJoinThreshold=-1, which would
+    de-broadcast EVERY later dimension join if leaked) must be back to
+    its session value after the call."""
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    keys = list(roundtrip.BLOOM_JOIN_CONFS)
+    before = {k: spark.conf.get(k, None) for k in keys}
+    df = roundtrip.bloom_runtime_join(spark, SF_SMALL)
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before, (before, after)
+    # and the frozen plan still carries the runtime filter
+    from inf2106_map_reduce_spark.plans import explain_str
+
+    assert "might_contain" in explain_str(df, "formatted").lower()
