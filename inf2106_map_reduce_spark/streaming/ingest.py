@@ -63,10 +63,11 @@ def snapshot_band_sets(
     snapshot slice: a doc's signature depends only on its own
     shingles, so the slice's rows are bit-identical to signing the
     snapshot alone (identical band values to the stream's narrow
-    per-row form; tests pin the equality). Each set broadcasts to the
-    stream's anti-join: band signatures are 16-byte md5s over distinct
-    (band, min-signature) combinations, so the build side stays tiny
-    relative to the corpus at any scale."""
+    per-row form; tests pin the equality). Band signatures are 16-byte
+    md5s over distinct (band, min-signature) combinations — far
+    smaller than the snapshot text, but still ONE ROW PER SNAPSHOT
+    DOC, so the screen's broadcast decision is size-gated
+    (:data:`SCREEN_BROADCAST_CAP`), not assumed."""
     sigs = _registry_minhash_sigs(spark, sf_dir).filter(
         F.col("doc_id") % SNAPSHOT_MOD < SNAPSHOT_LT
     )
@@ -89,17 +90,46 @@ def snapshot_band_sets(
     ]
 
 
-def neardup_screen(stream: DataFrame, band_sets: list[DataFrame]) -> DataFrame:
+#: Broadcast envelope for the snapshot screen (the modularity-class
+#: audit, round 10): each band set is one 16-byte md5 per distinct
+#: snapshot band signature — i.e. it GROWS with the snapshot corpus
+#: (~80 MB serialized at 5M snapshot docs), so a forced broadcast is
+#: only safe under an explicit cap. Below it the four anti-joins
+#: broadcast (stateless, nothing on the stream shuffles — the fast
+#: path every test SF takes); above it the hints are dropped and the
+#: stream-static anti-joins plan as shuffled joins — slower per
+#: micro-batch but bounded memory. The probe is the bounded
+#: limit(cap+1).count() idiom over the (session-checkpointed)
+#: signature stage, paid once per screen construction.
+SCREEN_BROADCAST_CAP = 5_000_000
+
+
+def neardup_screen(
+    stream: DataFrame,
+    band_sets: list[DataFrame],
+    broadcast_ok: bool | None = None,
+) -> DataFrame:
     """Reject stream docs that share ANY LSH band with the snapshot:
-    one stateless broadcast LEFT ANTI join per band column. Band-B
-    anti-joins compose to 'no band matches' exactly because each join
-    only eliminates rows whose OWN band-b value collides — a doc
-    survives iff it passes all four. NULL band values (docs shorter
-    than one shingle) never equi-join, so shingle-less docs always
-    pass — same contract as the batch banding, both engines."""
+    one stateless LEFT ANTI join per band column (broadcast below
+    :data:`SCREEN_BROADCAST_CAP` snapshot signatures, shuffled above —
+    pass ``broadcast_ok`` to skip the size probe). Band-B anti-joins
+    compose to 'no band matches' exactly because each join only
+    eliminates rows whose OWN band-b value collides — a doc survives
+    iff it passes all four. NULL band values (docs shorter than one
+    shingle) never equi-join, so shingle-less docs always pass — same
+    contract as the batch banding, both engines."""
+    if broadcast_ok is None:
+        broadcast_ok = (
+            band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
+            <= SCREEN_BROADCAST_CAP
+        )
     out = stream
     for b, s in enumerate(band_sets):
-        out = out.join(F.broadcast(s), on=f"band_{b}", how="left_anti")
+        out = out.join(
+            F.broadcast(s) if broadcast_ok else s,
+            on=f"band_{b}",
+            how="left_anti",
+        )
     return out
 
 

@@ -388,6 +388,18 @@ def test_neardup_screen_semantics(spark):
         .collect()
     )
     assert kept == [3, 4]
+    # size-gated broadcast (round-10 modularity-class audit): the
+    # over-cap SHUFFLED form must accept the identical set — the hint
+    # is a memory-safety decision, never a semantic one
+    kept_shuffled = sorted(
+        r["doc_id"]
+        for r in ingest.neardup_screen(
+            stream_side, band_sets, broadcast_ok=False
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert kept_shuffled == kept
 
 
 def _write_span_file(spark, src_dir, i, rows):
