@@ -159,7 +159,35 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[2], 3)
 
+    # Second weather axis: the range-sum probe is pure cache-friendly
+    # CPU, so it misses scan/shuffle weather (page cache, memory
+    # bandwidth, disk). Measured 2026-08-15: identical r09-close code
+    # ran q3/q8 at 1.2-1.9x its own recorded lines while the range-sum
+    # probe IMPROVED 0.095 -> 0.088 — without this probe that window
+    # reads as a phantom code regression. Fixed task: parquet scan +
+    # hash agg shuffle on the bench corpus's lineitem (raw Spark ops,
+    # code-independent; one untimed warm-up fills the page cache so
+    # the probe measures the run's steady state, same as the queries).
+    def _calibrate_scan() -> float:
+        li = os.path.join(sf_dir, "lineitem.parquet")
+        task = lambda: (  # noqa: E731
+            spark.read.parquet(li)
+            .groupBy("l_suppkey")
+            .agg({"l_quantity": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        task()
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            task()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[2], 3)
+
     calibration_start = _calibrate()
+    calibration_scan_start = _calibrate_scan()
 
     timings: dict[str, float] = {}
     # shared dedup stage build gets its own honest line; every dedup
@@ -184,7 +212,11 @@ def main() -> None:
     # second's; calibration_sec stays the comparable scalar (mean of
     # the two medians), both probes are reported raw
     calibration_end = _calibrate()
+    calibration_scan_end = _calibrate_scan()
     calibration = round((calibration_start + calibration_end) / 2, 3)
+    calibration_scan = round(
+        (calibration_scan_start + calibration_scan_end) / 2, 3
+    )
 
     total = round(sum(timings.values()), 3)
     headline = HEADLINE
@@ -202,6 +234,13 @@ def main() -> None:
         # probes, which are also reported raw for drift visibility
         "calibration_sec": calibration,
         "calibration_probes": [calibration_start, calibration_end],
+        # scan/shuffle weather axis (see _calibrate_scan) — additive
+        # key; the normalization gates still divide by calibration_sec
+        "calibration_scan_sec": calibration_scan,
+        "calibration_scan_probes": [
+            calibration_scan_start,
+            calibration_scan_end,
+        ],
     }
     with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
         json.dump(
