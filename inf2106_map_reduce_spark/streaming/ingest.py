@@ -104,6 +104,19 @@ def snapshot_band_sets(
 SCREEN_BROADCAST_CAP = 5_000_000
 
 
+#: Session-scoped memo for the screen's broadcast-size probe: within
+#: an application the snapshot band sets are a pure function of
+#: sf_dir, so the bounded count is paid ONCE per (app, sf_dir), not on
+#: every screen construction — the same construction-time-eager-probe
+#: cost the round-10 `n_rows` parameter removed from
+#: `embedding_cosine_pairs` (a bench timing loop rebuilds this screen
+#: on every run, and each rebuild was one distinct+count job billed to
+#: the query's line). Direct `neardup_screen` calls without
+#: `broadcast_ok` still probe — library callers with arbitrary band
+#: sets get the safe default.
+_SCREEN_PROBE_CACHE: dict[tuple, bool] = {}
+
+
 def neardup_screen(
     stream: DataFrame,
     band_sets: list[DataFrame],
@@ -152,6 +165,12 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO state at any corpus size; that is the point of the narrow
     signature form."""
     band_sets = snapshot_band_sets(spark, sf_dir)
+    probe_key = (spark.sparkContext.applicationId, sf_dir)
+    if probe_key not in _SCREEN_PROBE_CACHE:
+        _SCREEN_PROBE_CACHE[probe_key] = (
+            band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
+            <= SCREEN_BROADCAST_CAP
+        )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -167,7 +186,11 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("ingest_ts", "1 hour")
     )
-    accepted = neardup_screen(minhash_band_cols_arrow(stream), band_sets)
+    accepted = neardup_screen(
+        minhash_band_cols_arrow(stream),
+        band_sets,
+        broadcast_ok=_SCREEN_PROBE_CACHE[probe_key],
+    )
     out = (
         accepted.groupBy(
             F.window("ingest_ts", "1 hour").alias("w"),

@@ -200,12 +200,45 @@ SESSION_GAP_US = 1_800_000_000
 SESSION_SPAN_FILES = 2
 
 
+def stage_session_spans(ev: DataFrame, base: str) -> str:
+    """Stage ``ev`` (any frame with user_id + ts) as SESSION_SPAN_FILES
+    parquet files covering consecutive equal time spans, with strictly
+    increasing pinned mtimes — the file-stream source processes files
+    oldest-first, so batch order == event-time order and nothing
+    arrives late (span width ≫ watermark delay ≫ 0). The batch-order
+    invariant (span arithmetic, the +1 step, the mtime scheme, the
+    SESSION_SPAN_FILES coupling) lives HERE and only here; the
+    registry staging and the scaling probe both call this helper, so
+    a staging-contract change cannot silently diverge between them."""
+    os.makedirs(base, exist_ok=True)
+    ev = ev.select("user_id", "ts")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    step = (hi - lo) // SESSION_SPAN_FILES + 1
+    for i in range(SESSION_SPAN_FILES):
+        b0, b1 = lo + i * step, lo + (i + 1) * step
+        tmp = tempfile.mkdtemp(prefix="span_")
+        (
+            ev.filter(
+                (F.unix_micros("ts") >= b0) & (F.unix_micros("ts") < b1)
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(base, f"{i:02d}.parquet")
+        shutil.copyfile(part, dst)
+        # fixed, strictly increasing mtimes pin the batch order
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        shutil.rmtree(tmp)
+    return base
+
+
 def _session_source_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events(user_id, ts) as SESSION_SPAN_FILES parquet files
-    covering consecutive equal time spans, with strictly increasing
-    mtimes (the file-stream source processes files oldest-first, so
-    batch order == event-time order and nothing arrives late: span
-    width ≫ watermark delay ≫ 0)."""
+    """The registry's _STAGED-guarded span staging of the events
+    snapshot (see :func:`stage_session_spans` for the invariant)."""
     base = os.path.join(
         WORK_ROOT,
         "streaming",
@@ -214,29 +247,9 @@ def _session_source_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     done = os.path.join(base, "_STAGED")
     if not os.path.exists(done):
-        os.makedirs(base, exist_ok=True)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        lo, hi = ev.agg(
-            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-        ).first()
-        step = (hi - lo) // SESSION_SPAN_FILES + 1
-        for i in range(SESSION_SPAN_FILES):
-            b0, b1 = lo + i * step, lo + (i + 1) * step
-            tmp = tempfile.mkdtemp(prefix="span_")
-            (
-                ev.filter(
-                    (F.unix_micros("ts") >= b0) & (F.unix_micros("ts") < b1)
-                )
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(base, f"{i:02d}.parquet")
-            shutil.copyfile(part, dst)
-            # fixed, strictly increasing mtimes pin the batch order
-            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
-            shutil.rmtree(tmp)
+        stage_session_spans(
+            load_table(spark, sf_dir, "events"), base
+        )
         open(done, "w").close()
     return base
 
@@ -302,8 +315,24 @@ def _session_timeout_fn(
             e_us = np.concatenate(([en], e_us))
             cnt = np.concatenate(([n], cnt))
         else:
-            # batch's first session extends the open one
-            s_us[0] = st
+            # batch's first session extends the open one. min/max (not
+            # plain assignment) guard the merge against OUT-OF-ORDER
+            # cross-batch arrival: a late event that is still inside
+            # the watermark is NOT filtered by Spark, and under plain
+            # `s_us[0] = st` a batch whose first session predates the
+            # open session's end would leave state with end < start
+            # and a timeout re-armed in the past (premature eviction
+            # of a malformed row). With the guards the sessionizer is
+            # a CONSERVATIVE MERGER under disorder — a late event
+            # extends the open session backward (exact re-splitting
+            # would need event-level state, not three longs) — and the
+            # state invariants hold unconditionally: start <= end, and
+            # end (hence the armed timeout) never regresses. For
+            # ordered arrival (the staged registry spans) st <= s_us[0]
+            # and en < e_us[0], so both guards are bit-for-bit the old
+            # assignment (pinned by the oracle hash).
+            s_us[0] = min(st, int(s_us[0]))
+            e_us[0] = max(en, int(e_us[0]))
             cnt[0] += n
     state.update((int(s_us[-1]), int(e_us[-1]), int(cnt[-1])))
     # floor-ms, matching the oracle's (epoch_us(end) + gap) // 1000

@@ -507,6 +507,35 @@ def test_session_timeout_emits_gap_and_timeout_closures(spark):
     }
 
 
+def test_session_timeout_out_of_order_merge_stays_well_formed(spark):
+    """Cross-batch OUT-OF-ORDER arrival must not corrupt the open
+    session: a late-but-within-watermark event (Spark does not filter
+    it) that predates the open session's end merges via min/max — the
+    conservative-merge contract — instead of the pre-fix plain
+    assignment that left state with end < start and a timeout armed in
+    the past (premature eviction of a malformed row, end regressing
+    45 min below start in this scenario)."""
+    src = tempfile.mkdtemp(prefix="sesso_")
+    d = "2024-01-01 "
+    # batch 0: u1 opens a session at 11:00; wm after b0 = 10:00
+    _write_span_file(spark, src, 0, [(1, d + "11:00:00")])
+    # batch 1: u1's 10:15 event is late (predates the open session)
+    # but >= wm 10:00, so it reaches the state fn
+    _write_span_file(spark, src, 1, [(1, d + "10:15:00")])
+    # batch 2: push the final watermark to 12:00 so u1's merged
+    # session (timeout 11:30) evicts; u9's own stays open
+    _write_span_file(spark, src, 2, [(9, d + "13:00:00")])
+    rows = _drain_session_stream(spark, src).collect()
+    # no malformed intervals, ever
+    assert all(r.session_start <= r.session_end for r in rows)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows
+    }
+    # conservative merge: the late event extends the session BACKWARD
+    assert got == {(1, d + "10:15:00", d + "11:00:00", 2)}
+
+
 def test_event_time_timeout_forces_no_data_batch(spark):
     """The session-timeout shape must be structurally detected: an
     append-mode stateful operator with EventTimeTimeout needs the

@@ -596,37 +596,17 @@ def main() -> None:
     )
 
     # Session-timeout eviction drain: replicated USERS multiply the
-    # state keys in flight (same ts range, so the same 3 span batches
-    # + terminal eviction batch); state partitions are data-derived.
-    import glob as _glob
-    import shutil as _shutil
-
+    # state keys in flight (same ts range, so the same SPAN_FILES span
+    # batches + terminal eviction batch — 2 + 1 at the current
+    # SESSION_SPAN_FILES=2); state partitions are data-derived. The
+    # staging itself is the registry's own helper, so the probe drains
+    # the identical batch structure.
     from inf2106_map_reduce_spark.streaming import stateful as st
 
     def stage_spans(ev: DataFrame) -> str:
-        base = tempfile.mkdtemp(prefix="probe_spans_")
-        lo, hi = ev.agg(
-            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-        ).first()
-        step = (hi - lo) // st.SESSION_SPAN_FILES + 1
-        for i in range(st.SESSION_SPAN_FILES):
-            b0, b1 = lo + i * step, lo + (i + 1) * step
-            tmp = tempfile.mkdtemp(prefix="probe_span_w_")
-            (
-                ev.filter(
-                    (F.unix_micros("ts") >= b0) & (F.unix_micros("ts") < b1)
-                )
-                .select("user_id", "ts")
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(base, f"{i:02d}.parquet")
-            _shutil.copyfile(part, dst)
-            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
-            _shutil.rmtree(tmp)
-        return base
+        return st.stage_session_spans(
+            ev, tempfile.mkdtemp(prefix="probe_spans_")
+        )
 
     def session_drain(path: str, keys: DataFrame) -> tuple[float, int]:
         n_parts = state_partitions_for(keys)
