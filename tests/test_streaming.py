@@ -536,6 +536,106 @@ def test_session_timeout_out_of_order_merge_stays_well_formed(spark):
     assert got == {(1, d + "10:15:00", d + "11:00:00", 2)}
 
 
+def _write_span_file_us(spark, src_dir, i, rows_us):
+    """Like _write_span_file but takes (user_id, ts_µs) pairs."""
+    import pandas as pd
+
+    _write_span_file(
+        spark,
+        src_dir,
+        i,
+        [(u, pd.Timestamp(t, unit="us")) for u, t in rows_us],
+    )
+
+
+def _reference_emitted_sessions(events_by_user):
+    """Pure-Python reference for the sessionizer's documented contract:
+    per user, gap-split the sorted µs timestamps (strictly > gap opens
+    a new session); emitted = every non-final session, plus the final
+    one iff its ms-floored timeout strictly precedes the final
+    watermark (max ts over ALL users, ms-floored, − 1 h) — the exact
+    cutoff the registry oracle encodes. File batching must not matter
+    (the file-count-invariance claim)."""
+    from inf2106_map_reduce_spark.streaming.stateful import SESSION_GAP_US
+
+    wm_ms = (
+        max(t for ts in events_by_user.values() for t in ts) // 1000
+        - 3_600_000
+    )
+    out = set()
+    for uid, times in events_by_user.items():
+        times = sorted(times)
+        sessions = [[times[0], times[0], 1]]
+        for t in times[1:]:
+            if t - sessions[-1][1] > SESSION_GAP_US:
+                sessions.append([t, t, 1])
+            else:
+                sessions[-1][1] = t
+                sessions[-1][2] += 1
+        for i, (s, e, n) in enumerate(sessions):
+            is_final = i == len(sessions) - 1
+            if not is_final or (e + SESSION_GAP_US) // 1000 < wm_ms:
+                out.add((uid, s, e, n))
+    return out
+
+
+def test_session_timeout_fuzz_matches_reference(spark):
+    """Seeded differential fuzz of the whole sessionizer drain: random
+    user/event sets (ms-quantized with occasional sub-ms µs values to
+    stress the flooring), split into a RANDOM number of ordered span
+    files (1-3, cut at sorted-time boundaries so arrival order holds),
+    drained for real, and compared as a set against the pure-Python
+    reference — which also proves the emitted set is file-count
+    invariant, the claim SESSION_SPAN_FILES relies on."""
+    import random
+
+    rng = random.Random(20261)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    gap_us = 1_800_000_000
+    for case in range(5):
+        events = {}
+        for uid in range(1, rng.randint(2, 6) + 1):
+            t = base_us + rng.randint(0, 4 * 3600 * 1000) * 1000
+            times = [t]
+            for _ in range(rng.randint(0, 8)):
+                if rng.random() < 0.5:
+                    step = rng.randint(0, gap_us // 1000) * 1000
+                else:
+                    step = gap_us + rng.randint(1, gap_us // 1000) * 1000
+                t += step + (rng.randint(0, 999) if rng.random() < 0.2 else 0)
+                times.append(t)
+            events[uid] = times
+        flat = sorted(
+            ((u, t) for u, ts in events.items() for t in ts),
+            key=lambda p: p[1],
+        )
+        n_files = rng.randint(1, 3)
+        cuts = sorted(
+            rng.sample(range(1, len(flat)), min(n_files - 1, len(flat) - 1))
+        )
+        src = tempfile.mkdtemp(prefix=f"sessf{case}_")
+        for i, (lo, hi) in enumerate(
+            zip([0] + cuts, cuts + [len(flat)])
+        ):
+            _write_span_file_us(spark, src, i, flat[lo:hi])
+        import pandas as pd
+
+        got = {
+            (
+                r.user_id,
+                pd.Timestamp(r.session_start),
+                pd.Timestamp(r.session_end),
+                r.n_events,
+            )
+            for r in _drain_session_stream(spark, src).collect()
+        }
+        want = {
+            (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n)
+            for u, s, e, n in _reference_emitted_sessions(events)
+        }
+        assert got == want, f"case {case}: files={n_files} events={events}"
+
+
 def test_event_time_timeout_forces_no_data_batch(spark):
     """The session-timeout shape must be structurally detected: an
     append-mode stateful operator with EventTimeTimeout needs the
