@@ -104,16 +104,17 @@ def snapshot_band_sets(
 SCREEN_BROADCAST_CAP = 5_000_000
 
 
-#: Session-scoped memo for the screen's broadcast-size probe: within
-#: an application the snapshot band sets are a pure function of
-#: sf_dir, so the bounded count is paid ONCE per (app, sf_dir), not on
-#: every screen construction — the same construction-time-eager-probe
-#: cost the round-10 `n_rows` parameter removed from
-#: `embedding_cosine_pairs` (a bench timing loop rebuilds this screen
-#: on every run, and each rebuild was one distinct+count job billed to
-#: the query's line). Direct `neardup_screen` calls without
-#: `broadcast_ok` still probe — library callers with arbitrary band
-#: sets get the safe default.
+#: Session-scoped memo for the screen's broadcast-size probe, keyed by
+#: the caller's ``cache_key`` (the `state_partitions_for` idiom): the
+#: registry's snapshot band sets are a pure function of (app, sf_dir),
+#: so the bounded count is paid ONCE per key, not on every screen
+#: construction — the same construction-time-eager-probe cost the
+#: round-10 `n_rows` parameter removed from `embedding_cosine_pairs`
+#: (a bench timing loop rebuilds this screen on every run, and each
+#: rebuild was one distinct+count job billed to the query's line).
+#: Probe expression and cache live HERE only; callers without a key
+#: always probe — library callers with arbitrary band sets get the
+#: safe default.
 _SCREEN_PROBE_CACHE: dict[tuple, bool] = {}
 
 
@@ -121,21 +122,28 @@ def neardup_screen(
     stream: DataFrame,
     band_sets: list[DataFrame],
     broadcast_ok: bool | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Reject stream docs that share ANY LSH band with the snapshot:
     one stateless LEFT ANTI join per band column (broadcast below
     :data:`SCREEN_BROADCAST_CAP` snapshot signatures, shuffled above —
-    pass ``broadcast_ok`` to skip the size probe). Band-B anti-joins
-    compose to 'no band matches' exactly because each join only
-    eliminates rows whose OWN band-b value collides — a doc survives
-    iff it passes all four. NULL band values (docs shorter than one
-    shingle) never equi-join, so shingle-less docs always pass — same
-    contract as the batch banding, both engines."""
+    pass ``broadcast_ok`` to skip the size probe, or ``cache_key`` to
+    memoize the probe's verdict per source identity). Band-B
+    anti-joins compose to 'no band matches' exactly because each join
+    only eliminates rows whose OWN band-b value collides — a doc
+    survives iff it passes all four. NULL band values (docs shorter
+    than one shingle) never equi-join, so shingle-less docs always
+    pass — same contract as the batch banding, both engines."""
     if broadcast_ok is None:
-        broadcast_ok = (
-            band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
-            <= SCREEN_BROADCAST_CAP
-        )
+        if cache_key is not None and cache_key in _SCREEN_PROBE_CACHE:
+            broadcast_ok = _SCREEN_PROBE_CACHE[cache_key]
+        else:
+            broadcast_ok = (
+                band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
+                <= SCREEN_BROADCAST_CAP
+            )
+            if cache_key is not None:
+                _SCREEN_PROBE_CACHE[cache_key] = broadcast_ok
     out = stream
     for b, s in enumerate(band_sets):
         out = out.join(
@@ -165,12 +173,6 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO state at any corpus size; that is the point of the narrow
     signature form."""
     band_sets = snapshot_band_sets(spark, sf_dir)
-    probe_key = (spark.sparkContext.applicationId, sf_dir)
-    if probe_key not in _SCREEN_PROBE_CACHE:
-        _SCREEN_PROBE_CACHE[probe_key] = (
-            band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
-            <= SCREEN_BROADCAST_CAP
-        )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -189,7 +191,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = neardup_screen(
         minhash_band_cols_arrow(stream),
         band_sets,
-        broadcast_ok=_SCREEN_PROBE_CACHE[probe_key],
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
     )
     out = (
         accepted.groupBy(

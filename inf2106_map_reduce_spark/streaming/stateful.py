@@ -308,32 +308,47 @@ def _session_timeout_fn(
     e_us = arr[ends - 1]
     cnt = (ends - starts).astype("int64")
     if state.exists:
+        # Merge the open-session interval into the batch's session
+        # list by INSERT + GAP-SWEEP rather than patching the first
+        # batch session. This makes the fold exact under OUT-OF-ORDER
+        # cross-batch arrival (late-but-within-watermark events are
+        # NOT filtered by Spark): inserting [st, en] in start order
+        # and merging every adjacent pair whose gap is <= GAP yields
+        # the event-level sessionization of (prior ∪ batch) events —
+        # a batch event inside the open span joins it, one within gap
+        # of either edge extends it, one beyond the gap stays a
+        # separate session, and cascades merge through (provable from
+        # the open session's own chain validity: every adjacent prior
+        # pair is <= GAP apart). A naive `s_us[0] = st` patch instead
+        # corrupts state (end < start, timeout armed in the past →
+        # premature eviction of a malformed row) whenever the batch's
+        # first session predates the open end — pinned by
+        # test_session_timeout_out_of_order_*. For ordered arrival
+        # (the staged registry spans: st <= every batch ts) the
+        # insert lands at index 0 and the only possible merge is
+        # state↔first-batch-session under the same <= GAP test, i.e.
+        # bit-for-bit the pre-round-10 behavior (oracle hashes
+        # unchanged). Eviction-vs-late-arrival cannot conflict: an
+        # event arriving after its user's eviction satisfies
+        # ts >= wm > end + gap, so it is beyond the evicted session's
+        # gap window and correctly opens a new session.
         st, en, n = state.get
-        if int(s_us[0]) - en > SESSION_GAP_US:
-            # open session closes ahead of the batch's first session
-            s_us = np.concatenate(([st], s_us))
-            e_us = np.concatenate(([en], e_us))
-            cnt = np.concatenate(([n], cnt))
-        else:
-            # batch's first session extends the open one. min/max (not
-            # plain assignment) guard the merge against OUT-OF-ORDER
-            # cross-batch arrival: a late event that is still inside
-            # the watermark is NOT filtered by Spark, and under plain
-            # `s_us[0] = st` a batch whose first session predates the
-            # open session's end would leave state with end < start
-            # and a timeout re-armed in the past (premature eviction
-            # of a malformed row). With the guards the sessionizer is
-            # a CONSERVATIVE MERGER under disorder — a late event
-            # extends the open session backward (exact re-splitting
-            # would need event-level state, not three longs) — and the
-            # state invariants hold unconditionally: start <= end, and
-            # end (hence the armed timeout) never regresses. For
-            # ordered arrival (the staged registry spans) st <= s_us[0]
-            # and en < e_us[0], so both guards are bit-for-bit the old
-            # assignment (pinned by the oracle hash).
-            s_us[0] = min(st, int(s_us[0]))
-            e_us[0] = max(en, int(e_us[0]))
-            cnt[0] += n
+        pos = int(np.searchsorted(s_us, st))
+        s_us = np.insert(s_us, pos, st)
+        e_us = np.insert(e_us, pos, en)
+        cnt = np.insert(cnt, pos, n)
+        ms, me, mc = [int(s_us[0])], [int(e_us[0])], [int(cnt[0])]
+        for s, e, c in zip(s_us[1:], e_us[1:], cnt[1:]):
+            if int(s) - me[-1] <= SESSION_GAP_US:
+                me[-1] = max(me[-1], int(e))
+                mc[-1] += int(c)
+            else:
+                ms.append(int(s))
+                me.append(int(e))
+                mc.append(int(c))
+        s_us = np.asarray(ms, dtype="int64")
+        e_us = np.asarray(me, dtype="int64")
+        cnt = np.asarray(mc, dtype="int64")
     state.update((int(s_us[-1]), int(e_us[-1]), int(cnt[-1])))
     # floor-ms, matching the oracle's (epoch_us(end) + gap) // 1000
     state.setTimeoutTimestamp((int(e_us[-1]) + SESSION_GAP_US) // 1000)

@@ -510,8 +510,9 @@ def test_session_timeout_emits_gap_and_timeout_closures(spark):
 def test_session_timeout_out_of_order_merge_stays_well_formed(spark):
     """Cross-batch OUT-OF-ORDER arrival must not corrupt the open
     session: a late-but-within-watermark event (Spark does not filter
-    it) that predates the open session's end merges via min/max — the
-    conservative-merge contract — instead of the pre-fix plain
+    it) that predates the open session's end goes through the
+    insert+gap-sweep merge — which yields the exact event-level
+    sessionization of the union — instead of the pre-fix plain
     assignment that left state with end < start and a timeout armed in
     the past (premature eviction of a malformed row, end regressing
     45 min below start in this scenario)."""
@@ -522,8 +523,8 @@ def test_session_timeout_out_of_order_merge_stays_well_formed(spark):
     # batch 1: u1's 10:15 event is late (predates the open session)
     # but >= wm 10:00, so it reaches the state fn
     _write_span_file(spark, src, 1, [(1, d + "10:15:00")])
-    # batch 2: push the final watermark to 12:00 so u1's merged
-    # session (timeout 11:30) evicts; u9's own stays open
+    # batch 2: push the final watermark to 12:00 so u1's sessions
+    # (timeouts 10:45 and 11:30) both evict; u9's own stays open
     _write_span_file(spark, src, 2, [(9, d + "13:00:00")])
     rows = _drain_session_stream(spark, src).collect()
     # no malformed intervals, ever
@@ -532,8 +533,41 @@ def test_session_timeout_out_of_order_merge_stays_well_formed(spark):
         (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
         for r in rows
     }
-    # conservative merge: the late event extends the session BACKWARD
-    assert got == {(1, d + "10:15:00", d + "11:00:00", 2)}
+    # exact union sessionization: 10:15 -> 11:00 is a 45 min gap
+    # (> 30 min), so the late event is its OWN session, not a
+    # backward extension of the open one
+    assert got == {
+        (1, d + "10:15:00", d + "10:15:00", 1),
+        (1, d + "11:00:00", d + "11:00:00", 1),
+    }
+
+
+def test_session_timeout_mixed_late_and_ontime_batch(spark):
+    """The sweep merge must stay exact when ONE batch carries both a
+    late event and an on-time event: with open state (11:00) a batch
+    holding {10:15 late, 11:10 on-time} gap-splits batch-locally into
+    [10:15] and [11:10] — 55 min apart — but 11:10 is only 10 min
+    after the open end, so the true union sessionization is
+    {[10:15], [11:00..11:10]}. A first-session-only patch would emit a
+    spurious [10:15..11:00] closure and strand 11:10 in a new
+    session."""
+    src = tempfile.mkdtemp(prefix="sessm_")
+    d = "2024-01-01 "
+    _write_span_file(spark, src, 0, [(1, d + "11:00:00")])
+    # wm after batch 0 = 10:00 — both events below are >= wm
+    _write_span_file(
+        spark, src, 1, [(1, d + "10:15:00"), (1, d + "11:10:00")]
+    )
+    # final wm = 13:00 − 1 h = 12:00 > both timeouts (10:45, 11:40)
+    _write_span_file(spark, src, 2, [(9, d + "13:00:00")])
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in _drain_session_stream(spark, src).collect()
+    }
+    assert got == {
+        (1, d + "10:15:00", d + "10:15:00", 1),
+        (1, d + "11:00:00", d + "11:10:00", 2),
+    }
 
 
 def _write_span_file_us(spark, src_dir, i, rows_us):
@@ -633,7 +667,9 @@ def test_session_timeout_fuzz_matches_reference(spark):
             (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n)
             for u, s, e, n in _reference_emitted_sessions(events)
         }
-        assert got == want, f"case {case}: files={n_files} events={events}"
+        assert got == want, (
+            f"case {case}: files={len(cuts) + 1} events={events}"
+        )
 
 
 def test_event_time_timeout_forces_no_data_batch(spark):
