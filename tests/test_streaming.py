@@ -672,6 +672,132 @@ def test_session_timeout_fuzz_matches_reference(spark):
         )
 
 
+def _gap_sessions(times_sorted):
+    """Split a user's sorted µs timestamps by the strict gap rule."""
+    from inf2106_map_reduce_spark.streaming.stateful import SESSION_GAP_US
+
+    sess = [[times_sorted[0]]]
+    for t in times_sorted[1:]:
+        if t - sess[-1][-1] > SESSION_GAP_US:
+            sess.append([t])
+        else:
+            sess[-1].append(t)
+    return sess
+
+
+def test_session_timeout_fuzz_with_safe_disorder(spark):
+    """Disorder fuzz: same generator as the ordered fuzz, but each case
+    then moves ONE event to a LATER span file under the conditions that
+    provably preserve the emitted set (so the same pure reference
+    applies): the moved event belongs to its user's FINAL gap-session
+    and is either that session's last event or redundant (its sorted
+    neighbors are within one gap of each other, so removing it cannot
+    split the session for the on-time fold), and at its new position it
+    is within-watermark (>= max prior ts − 1 h, so Spark neither drops
+    it nor can its session have been evicted first — eviction requires
+    the watermark to pass end + gap, which the within-watermark bound
+    contradicts). This is the randomized end-to-end check of the
+    insert+gap-sweep merge's exactness claim."""
+    import random
+
+    import pandas as pd
+
+    from inf2106_map_reduce_spark.streaming.stateful import SESSION_GAP_US
+
+    rng = random.Random(40509)
+    base_us = 1_704_067_200_000_000
+    moved_total = 0
+    for case in range(5):
+        events = {}
+        for uid in range(1, rng.randint(2, 5) + 1):
+            t = base_us + rng.randint(0, 3 * 3600 * 1000) * 1000
+            times = [t]
+            for _ in range(rng.randint(1, 8)):
+                if rng.random() < 0.55:
+                    step = rng.randint(0, SESSION_GAP_US // 1000) * 1000
+                else:
+                    step = (
+                        SESSION_GAP_US
+                        + rng.randint(1, SESSION_GAP_US // 1000) * 1000
+                    )
+                t += step
+                times.append(t)
+            events[uid] = times
+        flat = sorted(
+            ((u, t) for u, ts in events.items() for t in ts),
+            key=lambda p: p[1],
+        )
+        n_files = rng.randint(2, 3)
+        cuts = sorted(
+            rng.sample(range(1, len(flat)), min(n_files - 1, len(flat) - 1))
+        )
+        files = [
+            list(flat[lo:hi])
+            for lo, hi in zip([0] + cuts, cuts + [len(flat)])
+        ]
+        # one exactness-preserving late move per case, when possible
+        candidates = []
+        for u, ts in events.items():
+            ts_sorted = sorted(ts)
+            final = _gap_sessions(ts_sorted)[-1]
+            for t in final:
+                i = ts_sorted.index(t)
+                redundant = (
+                    0 < i < len(ts_sorted) - 1
+                    and ts_sorted[i + 1] - ts_sorted[i - 1] <= SESSION_GAP_US
+                )
+                if t == final[-1] or redundant:
+                    candidates.append((u, t))
+        rng.shuffle(candidates)
+        for u, t in candidates:
+            src_i = next(
+                (i for i, f in enumerate(files) if (u, t) in f), None
+            )
+            if src_i is None or src_i == len(files) - 1:
+                continue
+            if len(files[src_i]) == 1:
+                continue  # keep every span file non-empty
+            valid_j = []
+            for j in range(src_i + 1, len(files)):
+                prior = [
+                    tt
+                    for i2, f in enumerate(files)
+                    if i2 < j
+                    for (_, tt) in f
+                    if not (i2 == src_i and (u, tt) == (u, t))
+                ]
+                if not prior or t >= max(prior) - 3_600_000_000:
+                    valid_j.append(j)
+            if valid_j:
+                j = rng.choice(valid_j)
+                files[src_i].remove((u, t))
+                files[j].append((u, t))
+                moved_total += 1
+                break
+        src = tempfile.mkdtemp(prefix=f"sessd{case}_")
+        for i, rows in enumerate(files):
+            _write_span_file_us(spark, src, i, rows)
+        got = {
+            (
+                r.user_id,
+                pd.Timestamp(r.session_start),
+                pd.Timestamp(r.session_end),
+                r.n_events,
+            )
+            for r in _drain_session_stream(spark, src).collect()
+        }
+        want = {
+            (u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n)
+            for u, s, e, n in _reference_emitted_sessions(events)
+        }
+        assert got == want, f"case {case}: files={files} events={events}"
+    # the generator must actually exercise disorder, not silently skip
+    # (the fixed seed admits exactly 2 safe moves across the 5 cases —
+    # the within-watermark bound is strict; the targeted disorder
+    # scenarios above cover the hand-picked shapes)
+    assert moved_total >= 2, moved_total
+
+
 def test_event_time_timeout_forces_no_data_batch(spark):
     """The session-timeout shape must be structurally detected: an
     append-mode stateful operator with EventTimeTimeout needs the
