@@ -1403,13 +1403,20 @@ def dedup_cluster_assignments_star(spark: SparkSession, sf_dir: str) -> DataFram
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
-#: Session memo for the embeddings row count the registry entry feeds
-#: to ``embedding_cosine_pairs(n_rows=...)`` — without it every
+#: Session memo for the BOUNDED fast-path probe the registry entry
+#: feeds to ``embedding_cosine_pairs(n_rows=...)`` — without it every
 #: construction (each bench warm run, every explain) pays the eager
-#: ``limit(cap+1).count()`` fast-path probe as its own Spark job (the
-#: round-10 ADVICE item the parameter exists for; the ingest screen's
-#: `_SCREEN_PROBE_CACHE` is the same idiom).
-_EMB_ROWS_CACHE: dict[tuple, int] = {}
+#: ``limit(cap+1).count()`` probe as its own Spark job (the round-10
+#: ADVICE item the parameter exists for; the ingest screen's
+#: `_SCREEN_PROBE_CACHE` is the same idiom). The cached value is the
+#: limit-capped count itself (exact when <= cap, cap+1 when over), so
+#: the gate decision is bit-identical to the un-memoized probe and the
+#: first call never scans more than cap+1 rows — a full ``count()``
+#: here would schedule a whole-table job on the 100 TB path before any
+#: plan is returned. Like every (app, sf_dir)-keyed memo in this
+#: engine, it assumes the registry tables are immutable within an
+#: application.
+_EMB_PROBE_CACHE: dict[tuple, int] = {}
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,15 +1427,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this is hash-checked pair-for-pair despite being approximate."""
     e = load_table(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EMB_ROWS_CACHE:
-        # parquet metadata count of the registry table — identical to
-        # the probe's base cardinality (base is a projection of e)
-        _EMB_ROWS_CACHE[key] = e.count()
+    if key not in _EMB_PROBE_CACHE:
+        _EMB_PROBE_CACHE[key] = e.limit(
+            COSINE_SINGLE_BATCH_CAP + 1
+        ).count()
     return embedding_cosine_pairs(
         e,
         threshold=0.3,
         use_lsh_blocking=True,
-        n_rows=_EMB_ROWS_CACHE[key],
+        n_rows=_EMB_PROBE_CACHE[key],
     )
 
 

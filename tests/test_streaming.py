@@ -598,15 +598,9 @@ def _reference_emitted_sessions(events_by_user):
     )
     out = set()
     for uid, times in events_by_user.items():
-        times = sorted(times)
-        sessions = [[times[0], times[0], 1]]
-        for t in times[1:]:
-            if t - sessions[-1][1] > SESSION_GAP_US:
-                sessions.append([t, t, 1])
-            else:
-                sessions[-1][1] = t
-                sessions[-1][2] += 1
-        for i, (s, e, n) in enumerate(sessions):
+        sessions = _gap_sessions(sorted(times))
+        for i, ev in enumerate(sessions):
+            s, e, n = ev[0], ev[-1], len(ev)
             is_final = i == len(sessions) - 1
             if not is_final or (e + SESSION_GAP_US) // 1000 < wm_ms:
                 out.add((uid, s, e, n))
