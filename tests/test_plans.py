@@ -134,7 +134,7 @@ def test_bloom_runtime_join_probes_fact_before_shuffle(spark, sf_oracle):
     from inf2106_map_reduce_spark.plans import explain_str
     from inf2106_map_reduce_spark.sources import roundtrip
 
-    df = roundtrip.bloom_runtime_join(spark, sf_oracle)
+    df = roundtrip.bloom_runtime_join_plan(spark, sf_oracle)
     # planned inside the scope, inspected after restore: frozen
     plan = explain_str(df, "formatted").lower()
     assert "might_contain" in plan, plan[:2000]
@@ -142,6 +142,31 @@ def test_bloom_runtime_join_probes_fact_before_shuffle(spark, sf_oracle):
     # the at-scale join shape: shuffle join, not a broadcast that
     # would make the probe pointless
     assert "broadcasthashjoin" not in plan
+
+
+def test_bloom_runtime_join_executes_frozen_plan(spark, sf_oracle):
+    """The pin above inspects the STATIC frozen plan; this pins the
+    EXECUTION. DataFrameWriter actions build a fresh QueryExecution
+    that replans under restored confs (round-10 measurement: the
+    bench's noop sink timed a Bloom-less broadcast join), so the
+    registry entry materializes via localCheckpoint on the frozen QE —
+    after it runs, that same QE's final adaptive plan must still carry
+    the might_contain probe and a non-broadcast join."""
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    frozen = roundtrip.bloom_runtime_join_plan(spark, sf_oracle)
+    qe = frozen._jdf.queryExecution()
+    frozen.localCheckpoint(eager=True)
+    post = qe.executedPlan().toString().lower()
+    assert "isfinalplan=true" in post, post[:2000]
+    # the Bloom probe ran on the fact scan...
+    assert "might_contain" in post, post[:2000]
+    # ...BEFORE a real fact-side shuffle (the at-scale shape; AQE may
+    # still convert the POST-shuffle join operator to a broadcast read
+    # of the already-shuffled tiny test dim — runtime re-optimization
+    # reads live session confs — which happens after both pinned
+    # properties have executed)
+    assert "exchange hashpartitioning(l_orderkey" in post, post[:2000]
 
 
 def test_merge_hint_forces_sort_merge_join(spark, sf_oracle):

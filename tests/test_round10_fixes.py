@@ -100,7 +100,11 @@ def test_plan_with_confs_restores_session_confs(spark):
     df = roundtrip.bloom_runtime_join(spark, SF_SMALL)
     after = {k: spark.conf.get(k, None) for k in keys}
     assert after == before, (before, after)
-    # and the frozen plan still carries the runtime filter
+    # the registry entry returns the EXECUTED (checkpointed) rows; the
+    # frozen-plan inspection lives on the _plan helper
     from inf2106_map_reduce_spark.plans import explain_str
 
-    assert "might_contain" in explain_str(df, "formatted").lower()
+    assert "might_contain" in explain_str(
+        roundtrip.bloom_runtime_join_plan(spark, SF_SMALL), "formatted"
+    ).lower()
+    assert df.count() > 0

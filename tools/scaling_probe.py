@@ -585,7 +585,14 @@ def main() -> None:
                 F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
             )
         )
-        return plan_with_confs(j, BLOOM_JOIN_CONFS)
+        # localCheckpoint executes the FROZEN plan (a .write on the
+        # returned frame would build a fresh QueryExecution and replan
+        # without the Bloom filter — the round-10 measurement); the
+        # probe's timed() charges the eager construction, so the lane
+        # times the Bloom-pruned shuffle join itself
+        return plan_with_confs(j, BLOOM_JOIN_CONFS).localCheckpoint(
+            eager=True
+        )
 
     timed(lambda: bloom_join(li1, o1))
     t1 = min(timed(lambda: bloom_join(li1, o1)) for _ in range(3))
