@@ -146,18 +146,27 @@ def main() -> None:
     # the calibration ratio before reading them as regressions
     # (BASELINE.md r06: identical code measured 74.5 s vs 139–348 s
     # across weather windows).
-    def _calibrate() -> float:
+    def _median5(task) -> float:
         # median of 5 (not min): intermittent stall windows are part of
         # the weather being measured — min would report only the
-        # healthiest instant
+        # healthiest instant. SHARED by both probes: the run count /
+        # median / rounding protocol is the calibration contract that
+        # keeps the two weather axes comparable across rounds.
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
-            spark.range(200_000_000).selectExpr(
-                "sum(id * 3 % 7) AS s"
-            ).write.format("noop").mode("overwrite").save()
+            task()
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[2], 3)
+
+    def _calibrate() -> float:
+        return _median5(
+            lambda: spark.range(200_000_000)
+            .selectExpr("sum(id * 3 % 7) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     # Second weather axis: the range-sum probe is pure cache-friendly
     # CPU, so it misses scan/shuffle weather (page cache, memory
@@ -178,13 +187,8 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
-        task()
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            task()
-            runs.append(time.perf_counter() - t0)
-        return round(sorted(runs)[2], 3)
+        task()  # untimed warm-up fills the page cache
+        return _median5(task)
 
     calibration_start = _calibrate()
     calibration_scan_start = _calibrate_scan()

@@ -319,7 +319,15 @@ def _session_timeout_fn(
         # of either edge extends it, one beyond the gap stays a
         # separate session, and cascades merge through (provable from
         # the open session's own chain validity: every adjacent prior
-        # pair is <= GAP apart). A naive `s_us[0] = st` patch instead
+        # pair is <= GAP apart). The correctness WINDOW is the open
+        # session: exactness is w.r.t. (open state ∪ batch), not
+        # emitted history — an event late enough to gap-chain onto an
+        # ALREADY-EMITTED session cannot retract that append-mode row
+        # and emits as its own session instead (the standard streaming
+        # contract; the watermark bounds how late such an event can
+        # be, and the disorder fuzz's safe moves stay inside the
+        # window for exactly this reason). A naive `s_us[0] = st`
+        # patch instead
         # corrupts state (end < start, timeout armed in the past →
         # premature eviction of a malformed row) whenever the batch's
         # first session predates the open end — pinned by
@@ -414,5 +422,8 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         mode="append",
         state_keys=load_table(spark, sf_dir, "events").select("user_id"),
-        state_key_id=(sf_dir, "events", "user_id", "session_timeout"),
+        # same key identity as user-stats (approx-distinct user_id
+        # over events) so the estimate memo HITS — a per-query suffix
+        # here cost one redundant full-events scan per application
+        state_key_id=(sf_dir, "events", "user_id"),
     )
