@@ -249,21 +249,17 @@ def plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
     return df
 
 
-def bloom_runtime_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UNEXECUTED frozen plan behind :func:`bloom_runtime_join` —
-    split out so the plan-pin tests can inspect the physical plan
-    (might_contain probe, Bloom-aggregate subquery, shuffle join)
-    before execution collapses the returned frame to an RDD scan."""
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
+def _bloom_joined(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """The Bloom-join query shape over caller-supplied frames — ONE
+    copy of the construction shared by the registry entry, the plan
+    helper, and the scaling probe (which passes replicated tables), so
+    the join body cannot silently diverge between them."""
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_returnflag"
-    )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    fact = li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+    return (
+        fact.join(dim, fact.l_orderkey == dim.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -271,7 +267,32 @@ def bloom_runtime_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
-    return plan_with_confs(joined, BLOOM_JOIN_CONFS)
+
+
+def bloom_pruned_join(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """Frame-parameterized frozen-plan EXECUTION of the Bloom join —
+    the one place the freeze-then-localCheckpoint contract lives (see
+    the plan_with_confs caveat: any other action path replans without
+    the filter). The scaling probe calls this with replicated
+    tables."""
+    return plan_with_confs(
+        _bloom_joined(li, orders), BLOOM_JOIN_CONFS
+    ).localCheckpoint(eager=True)
+
+
+def bloom_runtime_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNEXECUTED frozen plan behind :func:`bloom_runtime_join` —
+    split out so the plan-pin tests and `tools/dump_plans.py` can
+    inspect the physical plan (might_contain probe, Bloom-aggregate
+    subquery, shuffle join) before execution collapses the returned
+    frame to an RDD scan."""
+    return plan_with_confs(
+        _bloom_joined(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        ),
+        BLOOM_JOIN_CONFS,
+    )
 
 
 def bloom_runtime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +322,9 @@ def bloom_runtime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan_with_confs caveat). The checkpoint pins execution to the
     at-scale plan for every consumer; the eager construction-time job
     IS the query, billed to its own bench line."""
-    return bloom_runtime_join_plan(spark, sf_dir).localCheckpoint(
-        eager=True
+    return bloom_pruned_join(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
     )
 
 

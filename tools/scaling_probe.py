@@ -567,32 +567,18 @@ def main() -> None:
     # Bloom aggregate over the filtered keys); the fact side scales.
     # The claim under test: the runtime filter's cost stays a small
     # additive term, never a second fact pass.
+    # bloom_pruned_join is the ONE copy of the construction AND of the
+    # freeze-then-localCheckpoint execution contract (a .write on the
+    # frozen frame would build a fresh QueryExecution and replan
+    # without the Bloom filter — the round-10 measurement); the
+    # probe's timed() charges the eager construction, so the lane
+    # times the Bloom-pruned shuffle join itself
     from inf2106_map_reduce_spark.sources.roundtrip import (
-        BLOOM_JOIN_CONFS,
-        plan_with_confs,
+        bloom_pruned_join,
     )
 
     def bloom_join(li, o):
-        dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-            "o_orderkey"
-        )
-        j = (
-            li.select("l_orderkey", "l_extendedprice", "l_returnflag")
-            .join(dim, li.l_orderkey == dim.o_orderkey)
-            .groupBy("l_returnflag")
-            .agg(
-                F.count(F.lit(1)).alias("n_items"),
-                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-            )
-        )
-        # localCheckpoint executes the FROZEN plan (a .write on the
-        # returned frame would build a fresh QueryExecution and replan
-        # without the Bloom filter — the round-10 measurement); the
-        # probe's timed() charges the eager construction, so the lane
-        # times the Bloom-pruned shuffle join itself
-        return plan_with_confs(j, BLOOM_JOIN_CONFS).localCheckpoint(
-            eager=True
-        )
+        return bloom_pruned_join(li, o)
 
     timed(lambda: bloom_join(li1, o1))
     t1 = min(timed(lambda: bloom_join(li1, o1)) for _ in range(3))
