@@ -5807,7 +5807,21 @@ ROTATION_WINDOW = 50
 # priority <= 21) or widen the window / relax the 8-round horizon —
 # re-derive, don't drift (test_registry_rotation.py will fail loudly
 # at N = 225 under S = 28 regardless).
-ROTATION_STRIDE = 28
+#
+# Round-11 math (decided BEFORE adding entries, per the r10 verdict's
+# item #1): the registry entered round 11 at 224 = the exact S = 28
+# cap with cumulative driver coverage 100% and zero latest-check
+# failures (r10 verdict recomputed the union independently). Raising
+# S to 29 widens the horizon cap to N <= 232 (ceil(232/29) = 8) and
+# shrinks the priority cap to WINDOW - S = 21. The round-11 budget is
+# the 4 new families the r10 verdict pre-scoped (histogram-split
+# decision stump + its depth-2 tree sibling, per-group deterministic
+# reservoir top-k, streaming rate-limited backfill) -> N = 228;
+# ceil(228/29) = 8 holds and the priority block (4 new + up to a few
+# re-verifies) stays well under 21. S = 29 keeps the horizon through
+# N = 232 (4 free round-12 slots); past that, re-derive — the window
+# (50) or the 8-round staleness bound must change explicitly.
+ROTATION_STRIDE = 29
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
