@@ -1509,3 +1509,53 @@ def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_words", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group deterministic reservoir sample (bounded top-k over a hash)
+# ---------------------------------------------------------------------------
+
+#: Reservoir size per group. Small so the emitted sample (and the
+#: shuffle that carries it) is O(groups x k) regardless of corpus size.
+RESERVOIR_K = 4
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = RESERVOIR_K,
+    id_col: str = "doc_id",
+    salt: str = "rsv:",
+) -> DataFrame:
+    """Deterministic per-group reservoir sample: exactly
+    ``min(k, |group|)`` rows per group, each group member equally
+    likely under the hash's uniformity — the bounded-per-group form
+    the sampling family lacked (stratified/weighted thin by RATE, so a
+    whale group still emits millions of rows; this caps the output).
+
+    Method: rank rows within each group by ``md5(salt || id)`` and
+    keep rank <= k — the bottom-k-priority formulation of reservoir
+    sampling (Efraimidis–Spirakis with uniform keys, public method).
+    A content hash instead of ``rand()`` keeps the draw stable across
+    retries, partitionings, and engines; changing the salt redraws.
+
+    Scale: the rank+filter compiles to Spark's map-side
+    WindowGroupLimit (pinned in tests/test_plans.py) — each task
+    forwards at most k rows per group to the shuffle, so the exchange
+    carries O(groups x k) rows even when one group holds half the
+    corpus. No global sort anywhere.
+    """
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("draw", draw)
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def docs_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: deterministic 4-doc reservoir per language."""
+    return group_reservoir(load_table(spark, sf_dir, "documents")).select(
+        "lang", "rank_in_group", "doc_id", "n_chars"
+    )

@@ -1060,3 +1060,275 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-split decision stump / shallow tree
+# ---------------------------------------------------------------------------
+
+#: Equi-width bin count for the histogram-split trainer. 16 buckets is
+#: the classic histogram-GBDT resolution/cost trade-off knob
+#: (LightGBM-style binned split finding, public method); the split
+#: search cost is O(features x bins) per node regardless of data size.
+N_STUMP_BINS = 16
+
+#: Fixed equi-width binning table: (feature, column, op, constant).
+#: Edges are DATA-INDEPENDENT constants (the logreg fixed-scaling
+#: precedent) spanning the generator's value ranges — quantity 1..50,
+#: discount 0..0.1, extendedprice ~900..105000 — so the whole trainer
+#: is reproducible without a min/max pre-pass and the oracle can
+#: replay the identical arithmetic. ``*``/``/`` by an exactly-parsed
+#: double literal is a single IEEE op, bit-identical across engines.
+STUMP_BINS: tuple[tuple[str, str, str, float], ...] = (
+    ("qty", "l_quantity", "*", 0.32),
+    ("disc", "l_discount", "*", 160.0),
+    ("price", "l_extendedprice", "/", 6875.0),
+)
+
+#: The stump/tree label: same target as the registry logreg model.
+_STUMP_LABEL_SQL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+def _stump_bin_col(col: str, op: str, k: float) -> Column:
+    scaled = (
+        F.col(col).cast("double") * F.lit(k)
+        if op == "*"
+        else F.col(col).cast("double") / F.lit(k)
+    )
+    return F.least(F.lit(N_STUMP_BINS - 1), F.floor(scaled).cast("int"))
+
+
+def stump_bin_sql(col: str, op: str, k: float) -> str:
+    """The oracle-side rendering of :func:`_stump_bin_col` — one
+    definition table (``STUMP_BINS``), two mechanical renderings, so
+    the binning arithmetic cannot diverge between engines."""
+    return (
+        f"LEAST({N_STUMP_BINS - 1}, CAST(FLOOR(CAST({col} AS DOUBLE) "
+        f"{op} CAST({k} AS DOUBLE)) AS INT))"
+    )
+
+
+def gini_gain_sql() -> str:
+    """Gini-gain expression over cumulative histogram counts
+    ``(nl, posl, nt, post)`` — parent impurity minus the
+    count-weighted child impurities, rounded to 9 (the repo's
+    integer-input double contract: both engines evaluate the identical
+    expression tree over identical BIGINTs, so the pre-round doubles
+    are already bit-equal; the round is belt-and-braces for the hash).
+    The Spark build in :func:`_split_gains` mirrors this text
+    term-for-term."""
+    parent = "1.0 - (post/nt)*(post/nt) - ((nt-post)/nt)*((nt-post)/nt)"
+    left = "1.0 - (posl/nl)*(posl/nl) - ((nl-posl)/nl)*((nl-posl)/nl)"
+    right = (
+        "1.0 - ((post-posl)/(nt-nl))*((post-posl)/(nt-nl)) "
+        "- (((nt-nl)-(post-posl))/(nt-nl))*(((nt-nl)-(post-posl))/(nt-nl))"
+    )
+    return (
+        f"ROUND(({parent}) - (nl/nt) * ({left}) "
+        f"- ((nt-nl)/nt) * ({right}), 9)"
+    )
+
+
+def _split_gains(hist: DataFrame, node_cols: list[str]) -> DataFrame:
+    """Candidate-split gain table from a binned label histogram
+    ``(node..., feature, bin, n, pos)``: cumulative prefix counts per
+    (node, feature) ordered by bin give, for every boundary, the left/
+    right child counts in one window pass over the HISTOGRAM (tiny:
+    features x bins rows per node — never the data), then the Gini
+    gain of splitting at ``bin <= split_bin``. Splits with an empty
+    child (nl == nt at the last bin) are not candidates.
+
+    Expression mirrors :func:`gini_gain_sql` term-for-term — the
+    cross-engine determinism contract is identical integer counts
+    through an identical IEEE expression tree."""
+    part = [*node_cols, "feature"]
+    w_cum = Window.partitionBy(*part).orderBy("bin")
+    w_all = Window.partitionBy(*part)
+    cum = hist.select(
+        *node_cols,
+        "feature",
+        F.col("bin").alias("split_bin"),
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("posl"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("pos").over(w_all).alias("post"),
+    ).filter(F.col("nl") < F.col("nt"))
+    nl, posl, nt, post = (F.col(c) for c in ("nl", "posl", "nt", "post"))
+    nr, posr = nt - nl, post - posl
+    parent = (
+        F.lit(1.0) - (post / nt) * (post / nt) - ((nt - post) / nt) * ((nt - post) / nt)
+    )
+    g_left = (
+        F.lit(1.0) - (posl / nl) * (posl / nl) - ((nl - posl) / nl) * ((nl - posl) / nl)
+    )
+    g_right = (
+        F.lit(1.0) - (posr / nr) * (posr / nr) - ((nr - posr) / nr) * ((nr - posr) / nr)
+    )
+    gain = F.round(parent - (nl / nt) * g_left - (nr / nt) * g_right, 9)
+    return cum.select(
+        *node_cols,
+        "feature",
+        "split_bin",
+        nl.alias("n_left"),
+        posl.alias("pos_left"),
+        nr.alias("n_right"),
+        posr.alias("pos_right"),
+        gain.alias("gain"),
+    )
+
+
+def _stump_binned(df: DataFrame) -> DataFrame:
+    """One narrow projection: the three bin columns plus the 0/1 label."""
+    return df.select(
+        *[
+            _stump_bin_col(col, op, k).alias(f"b_{name}")
+            for name, col, op, k in STUMP_BINS
+        ],
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+
+
+def _stump_hist(binned: DataFrame, node_cols: list[str]) -> DataFrame:
+    """Per-(node, feature, bin) label histogram in ONE scan: each row
+    explodes into |features| (feature, bin) pairs, then a hash
+    aggregate with map-side partial combine reduces to features x bins
+    x nodes rows — the distributed histogram-GBDT primitive (the
+    shuffle carries only partial histograms, never rows)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.col(f"b_{name}").alias("bin")
+            )
+            for name, *_ in STUMP_BINS
+        ]
+    )
+    return (
+        binned.select(*node_cols, F.explode(pairs).alias("p"), "y")
+        .groupBy(*node_cols, "p.feature", "p.bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos"))
+    )
+
+
+def decision_stump(df: DataFrame) -> DataFrame:
+    """Histogram-split decision stump: the best ``bin <= t`` split per
+    feature by Gini gain, with the global winner flagged — the split
+    chooser every histogram-GBDT level runs.
+
+    Plan: one scan (explode -> partial/final hash agg to 48 histogram
+    rows), then windows + ranking over the HISTOGRAM only. At 100 TB
+    the scan is the entire cost and it shuffles O(features x bins)
+    partial counts per task — the canonical map-side-combine shape.
+
+    Determinism: integer counts through the fixed-bin table; gain is
+    the identical IEEE expression both engines evaluate (see
+    :func:`gini_gain_sql`); ranking orders by (gain DESC, split_bin)
+    within feature and (gain DESC, feature, split_bin) globally —
+    total orders, rounded-9 gains."""
+    gains = _split_gains(_stump_hist(_stump_binned(df), []), [])
+    w_feat = Window.partitionBy("feature").orderBy(
+        F.col("gain").desc(), F.col("split_bin")
+    )
+    w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
+    return (
+        gains.select(
+            "*",
+            F.row_number().over(w_feat).alias("_rf"),
+            F.row_number().over(w_glob).alias("_rg"),
+        )
+        .filter(F.col("_rf") == 1)
+        .select(
+            "feature",
+            "split_bin",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gain",
+            (F.col("_rg") == 1).alias("is_root"),
+        )
+    )
+
+
+def lineitem_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-feature best histogram split (and the global
+    root) for ``l_returnflag = 'R'`` over fixed 16-bin features."""
+    return decision_stump(load_table(spark, sf_dir, "lineitem"))
+
+
+def tree_depth2(df: DataFrame) -> DataFrame:
+    """Greedy depth-2 histogram tree: choose the root split (as
+    :func:`decision_stump`), route every row to its L/R child with the
+    root choice joined in as a broadcast 1-row scalar (the
+    pagerank-scalar idiom — no driver action, the whole tree is one
+    lazy plan), then run the SAME histogram split search per child.
+    The emitted child-split rows carry the four leaf populations
+    (n/pos of each grandchild) — the depth-2 tree's leaf stats.
+
+    Plan: exactly ONE data scan per level (level 1: explode -> 48-row
+    histogram; level 2: scan x broadcast(root) -> explode -> 96-row
+    histogram) — the one-pass-per-level partial-histogram pattern that
+    makes histogram GBDT the 100 TB-honest tree trainer. Everything
+    after each scan operates on histogram rows only.
+
+    A child with no valid split (single occupied bin on every feature)
+    would emit no row — deterministic on both engines; with 16 bins
+    over the generator's ranges both children always split."""
+    gains1 = _split_gains(_stump_hist(_stump_binned(df), []), [])
+    w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
+    root = (
+        gains1.select(
+            "*", F.row_number().over(w_glob).alias("_rg")
+        )
+        .filter(F.col("_rg") == 1)
+        .select(
+            F.col("feature").alias("root_feature"),
+            F.col("split_bin").alias("root_bin"),
+        )
+    )
+    is_left = None
+    for name, *_ in STUMP_BINS:
+        term = (F.col("root_feature") == name) & (
+            F.col(f"b_{name}") <= F.col("root_bin")
+        )
+        is_left = term if is_left is None else is_left | term
+    leafed = (
+        _stump_binned(df)
+        .crossJoin(F.broadcast(root))
+        .select(
+            F.when(is_left, F.lit("L")).otherwise(F.lit("R")).alias("node"),
+            "root_feature",
+            "root_bin",
+            *[f"b_{name}" for name, *_ in STUMP_BINS],
+            "y",
+        )
+    )
+    gains2 = _split_gains(
+        _stump_hist(leafed, ["node", "root_feature", "root_bin"]),
+        ["node", "root_feature", "root_bin"],
+    )
+    w_node = Window.partitionBy("node").orderBy(
+        F.col("gain").desc(), "feature", "split_bin"
+    )
+    return (
+        gains2.select("*", F.row_number().over(w_node).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "node",
+            "root_feature",
+            "root_bin",
+            "feature",
+            "split_bin",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gain",
+        )
+    )
+
+
+def lineitem_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: greedy depth-2 histogram tree for
+    ``l_returnflag = 'R'`` — root split + per-child splits with the
+    four leaf populations."""
+    return tree_depth2(load_table(spark, sf_dir, "lineitem"))
