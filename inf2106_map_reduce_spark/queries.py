@@ -5759,6 +5759,230 @@ REGISTRY.update(
 
 
 # ---------------------------------------------------------------------------
+# Round-11 entries: histogram-split tree trainers, bounded per-group
+# reservoir sampling, rate-limited streaming backfill.
+# ---------------------------------------------------------------------------
+
+#: One definition table (stats.STUMP_BINS), two renderings: the oracle
+#: bin expressions are generated from the same tuple the Spark
+#: operator binds, so the binning arithmetic cannot diverge.
+_STUMP_BIN_SQL = {
+    name: stats.stump_bin_sql(col, op, k)
+    for name, col, op, k in stats.STUMP_BINS
+}
+
+#: Shared level-1 CTE chain: binned base -> per-(feature, bin) label
+#: histogram -> cumulative prefix counts -> candidate-split Gini gains
+#: (stats.gini_gain_sql() mirrors the Spark expression term-for-term).
+_STUMP_CTES = f"""
+base AS (
+  SELECT {_STUMP_BIN_SQL["qty"]} AS b_qty,
+         {_STUMP_BIN_SQL["disc"]} AS b_disc,
+         {_STUMP_BIN_SQL["price"]} AS b_price,
+         {stats._STUMP_LABEL_SQL} AS y
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'qty' AS feature, b_qty AS bin, y FROM base
+  UNION ALL SELECT 'disc', b_disc, y FROM base
+  UNION ALL SELECT 'price', b_price, y FROM base
+),
+hist AS (
+  SELECT feature, bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM pairs GROUP BY feature, bin
+),
+cum AS (
+  SELECT feature, bin AS split_bin,
+         SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+         SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+         SUM(n) OVER (PARTITION BY feature) AS nt,
+         SUM(pos) OVER (PARTITION BY feature) AS post
+  FROM hist
+),
+gains AS (
+  SELECT feature, split_bin,
+         CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         CAST(post - posl AS BIGINT) AS pos_right,
+         {stats.gini_gain_sql()} AS gain
+  FROM cum WHERE nl < nt
+)
+"""
+
+
+def _backfill_oracle(n_spans: int) -> str:
+    """Watermark-lag trajectory oracle, generated for the live span
+    count: wm_i = ms-floored max event time of spans < i, minus the
+    1 h delay (the EventTimeWatermarkExec contract probed and pinned
+    by test_backfill_emission_contract); a window is emitted by the
+    FIRST batch whose watermark reaches its end; span arithmetic
+    replicates stateful.stage_session_spans (step = (hi-lo)//N + 1)."""
+    wm_defs = ",\n         ".join(
+        f"date_trunc('milliseconds', MAX(ts) FILTER (WHERE epoch_us(ts) "
+        f"< lo + {i} * ((hi - lo) // {n_spans} + 1))) "
+        f"- INTERVAL 1 HOUR AS wm{i}"
+        for i in range(1, n_spans)
+    )
+    wm_defs += (",\n         " if n_spans > 1 else "") + (
+        f"date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS wm{n_spans}"
+    )
+    emitted = (
+        "CASE "
+        + " ".join(
+            f"WHEN window_end <= wm{i} THEN {i}"
+            for i in range(1, n_spans + 1)
+        )
+        + " END"
+    )
+    wm_at = (
+        "CASE "
+        + " ".join(
+            f"WHEN window_end <= wm{i} THEN wm{i}"
+            for i in range(1, n_spans + 1)
+        )
+        + " END"
+    )
+    return f"""
+WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+wm AS (
+  SELECT {wm_defs}
+  FROM events, b
+),
+w AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, n_events,
+       {emitted} AS emitted_in_batch,
+       epoch_ms({wm_at}) - epoch_ms(window_end) AS lag_ms
+FROM w, wm
+WHERE window_end <= wm{n_spans}
+"""
+
+
+REGISTRY.update(
+    {
+        "lineitem_stump_gini": QuerySpec(
+            stats.lineitem_stump_gini,
+            f"""
+            WITH {_STUMP_CTES}
+            SELECT feature, split_bin, n_left, pos_left,
+                   n_right, pos_right, gain, (rg = 1) AS is_root
+            FROM (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY feature
+                      ORDER BY gain DESC, split_bin) AS rf,
+                    ROW_NUMBER() OVER (
+                      ORDER BY gain DESC, feature, split_bin) AS rg
+                  FROM gains)
+            WHERE rf = 1
+            """,
+            "histogram-split decision stump: best Gini split per fixed "
+            "16-bin feature (global root flagged) from one scan's "
+            "map-side partial label histograms",
+            ("stats", "model", "lineitem"),
+        ),
+        "lineitem_tree_depth2": QuerySpec(
+            stats.lineitem_tree_depth2,
+            f"""
+            WITH {_STUMP_CTES},
+            root AS (
+              SELECT feature AS root_feature, split_bin AS root_bin
+              FROM (SELECT feature, split_bin,
+                      ROW_NUMBER() OVER (
+                        ORDER BY gain DESC, feature, split_bin) AS rg
+                    FROM gains)
+              WHERE rg = 1
+            ),
+            leafed AS (
+              SELECT CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
+                           OR (root_feature = 'disc' AND b_disc <= root_bin)
+                           OR (root_feature = 'price' AND b_price <= root_bin)
+                      THEN 'L' ELSE 'R' END AS node,
+                     root_feature, root_bin, b_qty, b_disc, b_price, y
+              FROM base, root
+            ),
+            pairs2 AS (
+              SELECT node, root_feature, root_bin,
+                     'qty' AS feature, b_qty AS bin, y FROM leafed
+              UNION ALL SELECT node, root_feature, root_bin,
+                     'disc', b_disc, y FROM leafed
+              UNION ALL SELECT node, root_feature, root_bin,
+                     'price', b_price, y FROM leafed
+            ),
+            hist2 AS (
+              SELECT node, root_feature, root_bin, feature, bin,
+                     COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+              FROM pairs2
+              GROUP BY node, root_feature, root_bin, feature, bin
+            ),
+            cum2 AS (
+              SELECT node, root_feature, root_bin, feature,
+                     bin AS split_bin,
+                     SUM(n) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature ORDER BY bin) AS nl,
+                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature ORDER BY bin) AS posl,
+                     SUM(n) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature) AS nt,
+                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature) AS post
+              FROM hist2
+            ),
+            gains2 AS (
+              SELECT node, root_feature, root_bin, feature, split_bin,
+                     CAST(nl AS BIGINT) AS n_left,
+                     CAST(posl AS BIGINT) AS pos_left,
+                     CAST(nt - nl AS BIGINT) AS n_right,
+                     CAST(post - posl AS BIGINT) AS pos_right,
+                     {stats.gini_gain_sql()} AS gain
+              FROM cum2 WHERE nl < nt
+            )
+            SELECT node, root_feature, root_bin, feature, split_bin,
+                   n_left, pos_left, n_right, pos_right, gain
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                    ORDER BY gain DESC, feature, split_bin) AS rn
+                  FROM gains2)
+            WHERE rn = 1
+            """,
+            "greedy depth-2 histogram tree: root split + per-child "
+            "splits carrying the four leaf populations, one data scan "
+            "per level (root joined in as a broadcast scalar)",
+            ("stats", "model", "lineitem"),
+        ),
+        "docs_group_reservoir": QuerySpec(
+            pipeline.docs_group_reservoir,
+            f"""
+            SELECT lang, rank_in_group, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rank_in_group
+                  FROM documents)
+            WHERE rank_in_group <= {pipeline.RESERVOIR_K}
+            """,
+            "deterministic per-group reservoir sample: exactly "
+            "min(k, |group|) docs per language via rank-over-hash, "
+            "map-side WindowGroupLimit bounds the shuffle at "
+            "O(groups x k)",
+            ("pipeline", "sampling", "documents"),
+        ),
+        "streaming_backfill_lag": QuerySpec(
+            stream_windows.streaming_backfill_lag,
+            _backfill_oracle(stream_stateful.SESSION_SPAN_FILES),
+            "rate-limited backfill (maxFilesPerTrigger=1 over the "
+            "staged event spans): per finalized hourly window, the "
+            "emitting micro-batch and the watermark lag at emission, "
+            "cross-checked against the runtime's own progress "
+            "telemetry",
+            ("events", "streaming"),
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — deterministic rotation. The driver's correctness
 # gate hash-checks the FIRST ``ROTATION_WINDOW`` entries of
 # ``queries()`` each round, so ordering IS the sampling policy. Rounds
@@ -5826,19 +6050,29 @@ ROTATION_STRIDE = 29
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # Round-10 block — nothing is carried (all 222 prior entries have
-    # driver rows since r09), so the block is exactly the two new
-    # budgeted families plus the one plan-rewritten entry:
-    # applyInPandasWithState EVENT-TIME TIMEOUT session eviction —
-    # the one stateful-streaming feature without an oracle-encoded
-    # entry (r09 verdict item #5a)
+    # Round-11 block — nothing is carried (cumulative driver coverage
+    # is 100% with zero latest-check failures per the r10 verdict), so
+    # the block is exactly the four new budgeted families:
+    # histogram-split decision stump — best Gini split per binned
+    # feature from one-scan partial histograms (r10 verdict item #2)
+    "lineitem_stump_gini",
+    # greedy depth-2 histogram tree — one scan per level, leaf stats
+    # oracle-encoded (r10 verdict item #2)
+    "lineitem_tree_depth2",
+    # per-group deterministic reservoir top-k via rank-over-hash
+    # (r10 verdict item #3)
+    "docs_group_reservoir",
+    # rate-limited streaming backfill with the oracle-encoded
+    # watermark-lag trajectory (r10 verdict item #4)
+    "streaming_backfill_lag",
+)
+
+#: The round-10 priority block (driver-checked green in
+#: CORRECTNESS_r10 — every name below has its hard row), kept as a
+#: record for the staleness audit.
+_ROUND10_PRIORITY: tuple[str, ...] = (
     "streaming_session_timeout",
-    # runtime row-level Bloom-filter pruned join — the last built-in
-    # pruning mechanism without a pinned entry (r09 verdict item #5b)
     "bloom_runtime_join",
-    # re-verify after the r10 scale-hygiene plan rewrite (no forced
-    # label broadcast, 1-row-aggregate Q — r09 verdict item #1); the
-    # oracle hash is unchanged, the driver row proves it
     "docs_communities_modularity",
 )
 

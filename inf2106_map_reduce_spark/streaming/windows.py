@@ -8,10 +8,13 @@ unbounded state at scale).
 
 from __future__ import annotations
 
+import datetime as dt
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 
 from inf2106_map_reduce_spark.streaming.runtime import (
     scoped_state_partitions,
@@ -424,4 +427,111 @@ def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n_distinct_users")
             + F.lit(STREAM_DISTINCT_ABS_SLACK)
         ).alias("distinct_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limited backfill with an oracle-encoded watermark-lag trajectory
+# ---------------------------------------------------------------------------
+
+
+def streaming_backfill_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: RATE-LIMITED BACKFILL of the events snapshot —
+    the historical-reprocessing shape: replay an accumulated archive
+    through the SAME streaming query that handles live data, with
+    ``maxFilesPerTrigger=1`` bounding each micro-batch (the knob that
+    keeps a 100 TB backfill from loading the whole archive into one
+    enormous batch). The output records, per finalized hourly window,
+    WHICH micro-batch emitted it and how far the watermark had run
+    ahead of the window's end at that moment (``lag_ms``) — the
+    emission/lag trajectory an operator watches to size a backfill.
+
+    Reuses the session-timeout entry's span staging as-is
+    (``stateful._session_source_dir`` — SESSION_SPAN_FILES time-ordered
+    span files with pinned mtimes, so batch order == event-time order);
+    the staging cost is shared with that entry.
+
+    The per-batch watermark is taken from the runtime's OWN progress
+    telemetry (``StreamingQueryProgress.eventTime.watermark`` — the
+    value the batch actually evicted with), not recomputed from the
+    data, so the oracle independently cross-checks the engine's whole
+    watermark trajectory: wm during batch i = ms-floored max event
+    time of batches < i, minus the 1 h delay (probed; matches
+    ``EventTimeWatermarkExec``'s ms-floor contract pinned by the
+    tumbling-append entry), and a window is emitted by the first batch
+    whose watermark reaches its END (``window_end <= wm``). Windows
+    the final watermark never reached — the trailing partial hour —
+    are withheld, exactly as a live deployment withholds them.
+
+    Scale notes: the aggregation state is O(open windows); each batch
+    flushes every window the advancing watermark finalized, so sink
+    pressure tracks the backfill RATE knob, not the archive size. The
+    driver holds only O(batches) progress rows — never data."""
+    src = stream_stateful._session_source_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+    )
+    out = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="backfill_sink_")
+    _write_batch = _batch_writer(sink, "append")
+    with scoped_state_partitions(
+        spark,
+        n=state_partitions_for(
+            load_table(spark, sf_dir, "events").select(
+                F.date_trunc("hour", "ts").alias("h")
+            ),
+            cache_key=(
+                spark.sparkContext.applicationId,
+                sf_dir,
+                "events",
+                "hour",
+            ),
+        ),
+        out=out,
+        output_mode="append",
+    ):
+        q = (
+            out.writeStream.foreachBatch(_write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # O(batches) progress rows: the watermark each batch evicted with
+    wm_rows = [
+        (
+            int(p["batchId"]),
+            dt.datetime.fromisoformat(
+                p["eventTime"]["watermark"].replace("Z", "+00:00")
+            ).replace(tzinfo=None),
+        )
+        for p in q.recentProgress
+        if "watermark" in p.get("eventTime", {})
+    ]
+    wm_df = spark.createDataFrame(wm_rows, "epoch int, wm timestamp")
+    return (
+        spark.read.parquet(sink)
+        .join(wm_df, "epoch")
+        .select(
+            "window_start",
+            "n_events",
+            F.col("epoch").alias("emitted_in_batch"),
+            (F.unix_millis("wm") - F.unix_millis("window_end")).alias(
+                "lag_ms"
+            ),
+        )
     )

@@ -142,14 +142,28 @@ def test_round9_never_checked_names_have_hard_driver_rows():
         assert row["hash_match"] and row["err"] is None, (name, row)
 
 
-def test_round10_priority_is_exactly_the_budgeted_block():
+def test_round10_priority_was_exactly_the_budgeted_block():
     # round-10 budget (ROTATION_STRIDE comment): 2 new entries + the
-    # plan-rewritten modularity re-verify, all leading window 10
-    assert q._ROUND_PRIORITY == (
+    # plan-rewritten modularity re-verify — archived as a named record
+    # once CORRECTNESS_r10 landed their hard rows (all green)
+    assert q._ROUND10_PRIORITY == (
         "streaming_session_timeout",
         "bloom_runtime_join",
         "docs_communities_modularity",
     )
-    assert set(q._ROUND_PRIORITY) <= _window(10)
-    # N sits exactly at the S=28 horizon cap decided for this round
-    assert len(q.REGISTRY) == 224
+
+
+def test_round11_priority_is_exactly_the_budgeted_block():
+    # round-11 budget (ROTATION_STRIDE comment): stride raised to 29
+    # FIRST (r10 verdict item #1), then exactly the four new families
+    # the verdict pre-scoped, all leading window 11
+    assert q._ROUND_PRIORITY == (
+        "lineitem_stump_gini",
+        "lineitem_tree_depth2",
+        "docs_group_reservoir",
+        "streaming_backfill_lag",
+    )
+    assert set(q._ROUND_PRIORITY) <= _window(11)
+    # N = 228 under the S=29 horizon (cap 232, 4 free round-12 slots)
+    assert len(q.REGISTRY) == 228
+    assert q.ROTATION_STRIDE == 29
