@@ -63,6 +63,11 @@ WARMUP = (
     "streaming_window_distinct",
     "streaming_user_stats_stateful",
     "streaming_session_timeout",
+    "streaming_backfill_lag",
+    # headline plan-shape entry: without warm-up its timed line
+    # included first-run session warm-up (codegen, footer reads),
+    # unlike every other headline entry (r10 ADVICE item)
+    "bloom_runtime_join",
     "bucketed_orders_lineitem_join",
     "dpp_partitioned_fact_join",
     "source_partitioned_roundtrip",
@@ -115,6 +120,11 @@ HEADLINE = (
     # round-10 new entries
     "streaming_session_timeout",
     "bloom_runtime_join",
+    # round-11 new families
+    "lineitem_stump_gini",
+    "lineitem_tree_depth2",
+    "docs_group_reservoir",
+    "streaming_backfill_lag",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

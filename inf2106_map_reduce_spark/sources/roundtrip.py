@@ -17,6 +17,7 @@ warmup phase.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,6 +218,11 @@ BLOOM_JOIN_CONFS = {
 }
 
 
+#: Serializes conf-scoped planning sections (see plan_with_confs
+#: CONCURRENCY note).
+_PLAN_CONF_LOCK = threading.Lock()
+
+
 def plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
     """Force physical planning of ``df`` under temporarily-set session
     confs, then restore them. A Dataset's ``QueryExecution`` phases
@@ -233,19 +239,31 @@ def plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
     writer) must materialize inside the same QE first:
     ``plan_with_confs(df, confs).localCheckpoint(eager=True)``
     (verified: the checkpoint flips the SAME QE to isFinalPlan and the
-    returned frame is an RDD scan of the executed rows)."""
+    returned frame is an RDD scan of the executed rows).
+
+    CONCURRENCY: session confs are process-global mutable state — any
+    query planned on the same session WHILE the scope is open (a
+    concurrent caller thread, a running streaming micro-batch being
+    replanned) would silently plan under these confs (including
+    ``autoBroadcastJoinThreshold=-1``). The module lock below
+    serializes concurrent ``plan_with_confs`` calls against each
+    other; it cannot fence unrelated planners, so callers in a
+    multi-threaded session should treat the scope as a stop-the-world
+    planning section (the registry/bench/test harnesses are all
+    single-threaded, where this is moot)."""
     spark = df.sparkSession
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        df._jdf.queryExecution().executedPlan()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    with _PLAN_CONF_LOCK:
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
     return df
 
 

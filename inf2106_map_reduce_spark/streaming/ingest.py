@@ -138,9 +138,16 @@ def neardup_screen(
         if cache_key is not None and cache_key in _SCREEN_PROBE_CACHE:
             broadcast_ok = _SCREEN_PROBE_CACHE[cache_key]
         else:
-            broadcast_ok = (
-                band_sets[0].limit(SCREEN_BROADCAST_CAP + 1).count()
+            # every band set must fit under the cap: per-band distinct
+            # cardinalities are NOT interchangeable (band b hashes a
+            # different minhash slice, so a low-entropy slice can
+            # collapse band 0 while another band stays near |docs|) —
+            # one over-cap band force-broadcast would be the exact
+            # failure the cap exists to prevent (r10 ADVICE item)
+            broadcast_ok = all(
+                s.limit(SCREEN_BROADCAST_CAP + 1).count()
                 <= SCREEN_BROADCAST_CAP
+                for s in band_sets
             )
             if cache_key is not None:
                 _SCREEN_PROBE_CACHE[cache_key] = broadcast_ok

@@ -215,6 +215,13 @@ def stage_session_spans(ev: DataFrame, base: str) -> str:
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
+    if lo is None:
+        # agg(min, max).first() on an empty (or all-null-ts) frame is
+        # (None, None); fail with intent instead of an opaque
+        # TypeError from the span arithmetic (r10 ADVICE item)
+        raise ValueError(
+            "cannot stage spans of an empty (or all-null-ts) events frame"
+        )
     step = (hi - lo) // SESSION_SPAN_FILES + 1
     for i in range(SESSION_SPAN_FILES):
         b0, b1 = lo + i * step, lo + (i + 1) * step
