@@ -635,6 +635,73 @@ def main() -> None:
         f"{sk / s1:.1f}x (ideal <= {k}x; state partitions {q1p} -> {qkp}, "
         f"O(1) state per live user)"
     )
+
+    # --- round-11 shapes ---------------------------------------------
+    # Histogram-split trainers: the split search is windows/ranking
+    # over a features x bins histogram, so the only data-sized work is
+    # the scan+partial-agg per level — the claim under test is that
+    # the ratio tracks the scan, with the per-node epilogue fixed.
+    from inf2106_map_reduce_spark.functions.pipeline import group_reservoir
+    from inf2106_map_reduce_spark.operators.stats import (
+        decision_stump,
+        tree_depth2,
+    )
+
+    for name, fn in (
+        ("decision stump (1-scan histogram split)", decision_stump),
+        ("depth-2 tree (2 scans, histogram epilogue)", tree_depth2),
+    ):
+        timed(lambda: fn(li1))
+        t1 = min(timed(lambda: fn(li1)) for _ in range(3))
+        tk = min(timed(lambda: fn(lik)) for _ in range(3))
+        print(
+            f"  {name}: {t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x "
+            f"(ideal <= {k}x; split search is histogram-sized)"
+        )
+
+    # Per-group reservoir: replicated docs multiply rows per lang but
+    # the emitted sample stays O(langs x k) — map-side WindowGroupLimit
+    # must keep the exchange bounded, so the ratio tracks the scan.
+    dr1 = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).localCheckpoint(eager=True)
+    drk = replicate(
+        load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars"),
+        k,
+        ["doc_id"],
+    ).localCheckpoint(eager=True)
+    timed(lambda: group_reservoir(dr1))
+    t1 = min(timed(lambda: group_reservoir(dr1)) for _ in range(3))
+    tk = min(timed(lambda: group_reservoir(drk)) for _ in range(3))
+    print(
+        f"  per-group reservoir top-k: {t1:.3f}s -> {tk:.3f}s  ratio "
+        f"{tk / t1:.1f}x (ideal <= {k}x; shuffle bounded at groups x k)"
+    )
+
+    # Rate-limited backfill: replicated users multiply rows per hourly
+    # window but the WINDOW grid (and so the agg state and the sink)
+    # is fixed by the shared ts range — the drain should track the
+    # scan, with the per-batch machinery a fixed term. Reuses the
+    # session probe's staged spans (identical batch structure).
+    from inf2106_map_reduce_spark.streaming.windows import backfill_lag_over
+
+    def backfill_drain(path: str, keys: DataFrame) -> float:
+        t0 = time.perf_counter()
+        backfill_lag_over(path, spark, state_keys=keys).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    hours1 = ev1c.select(F.date_trunc("hour", "ts").alias("h"))
+    hoursk = evkc.select(F.date_trunc("hour", "ts").alias("h"))
+    backfill_drain(sp1, hours1)  # warm the plan family
+    b1 = min(backfill_drain(sp1, hours1) for _ in range(2))
+    bk = min(backfill_drain(spk, hoursk) for _ in range(2))
+    print(
+        f"  rate-limited backfill drain: {b1:.3f}s -> {bk:.3f}s  ratio "
+        f"{bk / b1:.1f}x (ideal <= {k}x; window grid + state fixed by "
+        f"the ts range)"
+    )
     spark.stop()
 
 
