@@ -218,3 +218,159 @@ def test_backfill_emission_contract(spark, tmp_path):
         second["lag_ms"],
         second["n_events"],
     ) == (2, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: stump/tree vs an independent pandas reference
+# ---------------------------------------------------------------------------
+#
+# The DuckDB oracle intentionally shares its binning/gain expression
+# TEXT with the Spark build (one definition table), which makes parity
+# immune to transcription drift but blind to a common-mode formula
+# error. This reference re-derives the greedy split search from the
+# histogram definition independently (numpy folds, no shared code), so
+# a wrong gain formula or a wrong tie-break would fail HERE even while
+# parity stays green — the sessionizer's differential-fuzz precedent.
+
+
+def _ref_gains(hist: "pd.DataFrame") -> "pd.DataFrame":
+    rows = []
+    for feature, g in hist.groupby("feature"):
+        g = g.sort_values("bin")
+        nt, post = int(g["n"].sum()), int(g["pos"].sum())
+        nl = posl = 0
+        for _, r in g.iterrows():
+            nl += int(r["n"])
+            posl += int(r["pos"])
+            if nl >= nt:
+                continue
+            nr, posr = nt - nl, post - posl
+
+            def gini(p, n):
+                return 1.0 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+            gain = round(
+                gini(post, nt)
+                - (nl / nt) * gini(posl, nl)
+                - (nr / nt) * gini(posr, nr),
+                9,
+            )
+            rows.append((feature, int(r["bin"]), nl, posl, nr, posr, gain))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "feature",
+            "split_bin",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gain",
+        ],
+    )
+
+
+def _ref_hist(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    import math
+
+    recs = []
+    for _, r in pdf.iterrows():
+        y = 1 if r["l_returnflag"] == "R" else 0
+        for name, col, op, k in stats.STUMP_BINS:
+            x = float(r[col])
+            scaled = x * k if op == "*" else x / k
+            b = min(stats.N_STUMP_BINS - 1, int(math.floor(scaled)))
+            recs.append((name, b, y))
+    raw = pd.DataFrame(recs, columns=["feature", "bin", "y"])
+    return (
+        raw.groupby(["feature", "bin"], as_index=False)
+        .agg(n=("y", "size"), pos=("y", "sum"))
+    )
+
+
+def _ref_best(gains: "pd.DataFrame", per_feature: bool) -> "pd.DataFrame":
+    keys = ["feature"] if per_feature else []
+    out = gains.sort_values(
+        keys + ["gain", "feature", "split_bin"],
+        ascending=[True] * len(keys) + [False, True, True],
+    )
+    return out.groupby(keys).head(1) if keys else out.head(1)
+
+
+def test_stump_and_tree_match_independent_reference_fuzz(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(20260815)
+    for trial in range(3):
+        n = int(rng.integers(200, 800))
+        pdf = pd.DataFrame(
+            {
+                "l_quantity": rng.integers(1, 51, n).astype(float),
+                "l_discount": rng.integers(0, 11, n) / 100.0,
+                "l_extendedprice": rng.uniform(900, 105000, n).round(2),
+                "l_returnflag": rng.choice(["R", "N", "A"], n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+
+        # stump: per-feature winners + global root
+        got = {
+            r["feature"]: r
+            for r in stats.decision_stump(df).collect()
+        }
+        gains = _ref_gains(_ref_hist(pdf))
+        want = _ref_best(gains, per_feature=True)
+        assert len(got) == len(want)
+        for _, w in want.iterrows():
+            g = got[w["feature"]]
+            assert (
+                g["split_bin"],
+                g["n_left"],
+                g["pos_left"],
+                g["n_right"],
+                g["pos_right"],
+            ) == (
+                w["split_bin"],
+                w["n_left"],
+                w["pos_left"],
+                w["n_right"],
+                w["pos_right"],
+            ), (trial, w["feature"])
+            assert g["gain"] == pytest.approx(w["gain"], abs=2e-9)
+        root_ref = _ref_best(gains, per_feature=False).iloc[0]
+        root_got = next(r for r in got.values() if r["is_root"])
+        assert (root_got["feature"], root_got["split_bin"]) == (
+            root_ref["feature"],
+            root_ref["split_bin"],
+        )
+
+        # depth-2: greedy recursion on each child of the reference root
+        tree_got = {
+            r["node"]: r
+            for r in stats.tree_depth2(df).collect()
+        }
+        is_left = pdf.apply(
+            lambda r, f=root_ref["feature"], b=root_ref["split_bin"]: (
+                _ref_hist(pd.DataFrame([r])).query(
+                    "feature == @f and bin <= @b"
+                ).shape[0]
+                > 0
+            ),
+            axis=1,
+        )
+        for node, mask in (("L", is_left), ("R", ~is_left)):
+            child = pdf[mask]
+            cgains = _ref_gains(_ref_hist(child))
+            if cgains.empty:
+                assert node not in tree_got
+                continue
+            cref = _ref_best(cgains, per_feature=False).iloc[0]
+            cgot = tree_got[node]
+            assert (cgot["feature"], cgot["split_bin"]) == (
+                cref["feature"],
+                cref["split_bin"],
+            ), (trial, node)
+            assert (
+                cgot["n_left"] + cgot["n_right"],
+                cgot["pos_left"] + cgot["pos_right"],
+            ) == (len(child), int((child["l_returnflag"] == "R").sum()))
