@@ -9,6 +9,7 @@ unbounded state at scale).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -539,6 +540,25 @@ def backfill_lag_over(
         for p in q.recentProgress
         if "watermark" in p.get("eventTime", {})
     ]
+    # recentProgress is a BOUNDED ring buffer
+    # (spark.sql.streaming.numRecentProgressUpdates, default 100): a
+    # backfill with more batches than the buffer would silently lose
+    # the early epochs' watermarks and the inner join below would drop
+    # their emitted windows. Fail loud instead — a deployment that
+    # long must raise the buffer or capture progress via a listener.
+    emitted_epochs = {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(sink)
+        if name.startswith("epoch=")
+    }
+    missing = emitted_epochs - {e for e, _ in wm_rows}
+    if missing:
+        raise RuntimeError(
+            f"progress buffer lost watermarks for emitted epochs "
+            f"{sorted(missing)}; raise "
+            f"spark.sql.streaming.numRecentProgressUpdates above the "
+            f"batch count or attach a StreamingQueryListener"
+        )
     wm_df = spark.createDataFrame(wm_rows, "epoch int, wm timestamp")
     return (
         spark.read.parquet(sink)

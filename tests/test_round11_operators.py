@@ -374,3 +374,58 @@ def test_stump_and_tree_match_independent_reference_fuzz(spark):
                 cgot["n_left"] + cgot["n_right"],
                 cgot["pos_left"] + cgot["pos_right"],
             ) == (len(child), int((child["l_returnflag"] == "R").sum()))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ADVICE fixes — pinned
+# ---------------------------------------------------------------------------
+
+
+def test_stage_spans_empty_frame_raises_with_intent(spark):
+    ev = spark.createDataFrame([], "user_id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="empty"):
+        stream_stateful.stage_session_spans(ev, "/tmp/never_written_spans")
+
+
+def test_screen_probe_covers_every_band_set(spark, monkeypatch):
+    """The broadcast gate must probe ALL band sets: one over-cap band
+    flips the verdict to the shuffled path even when band 0 sits under
+    the cap (the planner may still auto-broadcast genuinely small
+    sides on its own — the pin is that the FORCED hint is withheld,
+    i.e. the cached verdict is False)."""
+    from inf2106_map_reduce_spark.streaming import ingest as ing
+
+    monkeypatch.setattr(ing, "SCREEN_BROADCAST_CAP", 10)
+    small = spark.range(5).select(F.col("id").cast("string").alias("band_0"))
+    big = spark.range(50).select(F.col("id").cast("string").alias("band_1"))
+    stream = spark.range(3).select(
+        F.col("id").cast("string").alias("band_0"),
+        F.col("id").cast("string").alias("band_1"),
+    )
+    key = ("test", "band-coverage", id(big))
+    ing.neardup_screen(stream, [small, big], cache_key=key)
+    assert ing._SCREEN_PROBE_CACHE[key] is False
+    # and with every band under the cap the verdict stays True
+    small1 = spark.range(5).select(
+        F.col("id").cast("string").alias("band_1")
+    )
+    key2 = ("test", "band-coverage-ok", id(small))
+    ing.neardup_screen(stream, [small, small1], cache_key=key2)
+    assert ing._SCREEN_PROBE_CACHE[key2] is True
+
+
+def test_plan_with_confs_is_lock_serialized():
+    from inf2106_map_reduce_spark.sources import roundtrip
+
+    assert roundtrip._PLAN_CONF_LOCK is not None
+    # the lock is actually taken around the conf swap: a held lock
+    # blocks a second planner until release
+    assert roundtrip._PLAN_CONF_LOCK.acquire(timeout=1)
+    roundtrip._PLAN_CONF_LOCK.release()
+
+
+def test_bloom_runtime_join_is_warmed_in_bench():
+    import bench
+
+    assert "bloom_runtime_join" in bench.WARMUP
+    assert "streaming_backfill_lag" in bench.WARMUP
