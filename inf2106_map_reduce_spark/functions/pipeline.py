@@ -1540,7 +1540,8 @@ def group_reservoir(
     retries, partitionings, and engines; changing the salt redraws.
 
     Scale: the rank+filter compiles to Spark's map-side
-    WindowGroupLimit (pinned in tests/test_plans.py) — each task
+    WindowGroupLimit (pinned in tests/test_round11_operators.py) —
+    each task
     forwards at most k rows per group to the shuffle, so the exchange
     carries O(groups x k) rows even when one group holds half the
     corpus. No global sort anywhere.
