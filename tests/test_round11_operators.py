@@ -429,3 +429,68 @@ def test_bloom_runtime_join_is_warmed_in_bench():
 
     assert "bloom_runtime_join" in bench.WARMUP
     assert "streaming_backfill_lag" in bench.WARMUP
+
+
+def test_backfill_trajectory_matches_python_reference_fuzz(spark, tmp_path):
+    """Seeded random event sets through the REAL streaming drain vs an
+    independent pure-Python replay of the contract (span arithmetic,
+    ms-floored watermark advance, `window_end <= wm` emission, lag) —
+    the third verification layer alongside the DuckDB oracle (which
+    shares its SQL text with the generator) and the exact-boundary
+    synthetic case."""
+    import random
+
+    rng = random.Random(20260816)
+    hour_us = 3_600_000_000
+    for trial in range(2):
+        lo_us = 1_709_000_000_000_000 + trial * 10 * hour_us
+        n = rng.randint(120, 260)
+        ts_us = sorted(
+            lo_us + rng.randrange(0, 90 * hour_us) for _ in range(n)
+        )
+        ev = spark.createDataFrame(
+            [(rng.randint(1, 9), t) for t in ts_us],
+            "user_id bigint, t bigint",
+        ).select("user_id", F.timestamp_micros("t").alias("ts"))
+        src = str(tmp_path / f"fuzz_spans_{trial}")
+        stream_stateful.stage_session_spans(ev, src)
+
+        # pure-Python replay
+        lo, hi = ts_us[0], ts_us[-1]
+        n_spans = stream_stateful.SESSION_SPAN_FILES
+        step = (hi - lo) // n_spans + 1
+        wm_ms = []
+        for i in range(1, n_spans + 1):
+            seen = [t for t in ts_us if t < lo + i * step] or [lo]
+            if i == n_spans:
+                seen = ts_us
+            wm_ms.append(max(seen) // 1000 - 3_600_000)
+        windows: dict[int, int] = {}
+        for t in ts_us:
+            ws = t // hour_us * hour_us
+            windows[ws] = windows.get(ws, 0) + 1
+        expect = set()
+        for ws, cnt in windows.items():
+            we_ms = (ws + hour_us) // 1000
+            for batch, wm in enumerate(wm_ms, start=1):
+                if we_ms <= wm:
+                    expect.add((ws // 1000, cnt, batch, wm - we_ms))
+                    break
+
+        got = {
+            (
+                # session tz is UTC and collected timestamps are naive:
+                # pin the epoch conversion to UTC (host-tz independent)
+                int(
+                    r["window_start"]
+                    .replace(tzinfo=dt.timezone.utc)
+                    .timestamp()
+                    * 1000
+                ),
+                r["n_events"],
+                r["emitted_in_batch"],
+                r["lag_ms"],
+            )
+            for r in stream_windows.backfill_lag_over(src, spark).collect()
+        }
+        assert got == expect, (trial, got ^ expect)
