@@ -1560,3 +1560,80 @@ def docs_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_reservoir(load_table(spark, sf_dir, "documents")).select(
         "lang", "rank_in_group", "doc_id", "n_chars"
     )
+
+
+#: Weighted reservoir size per group (small: output O(groups x k)).
+WEIGHTED_RESERVOIR_K = 3
+
+#: Integer weight-class cap for the weighted reservoir: weights are
+#: 1..8 (one per started 64-char block, capped) so the per-row draw
+#: list stays a bounded constant and the selection distribution is
+#: exactly replayable from integers. 64 spreads the synthetic corpus
+#: (n_chars ~48-560, median ~306) across the full 1..8 class range —
+#: a 500-char block had mapped ~93% of docs to weight 1, making the
+#: "weighted" draw indistinguishable from uniform on the gate data.
+WEIGHT_CLASS_CAP = 7
+WEIGHT_CLASS_CHARS = 64.0
+
+
+def group_weighted_reservoir(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = WEIGHTED_RESERVOIR_K,
+    id_col: str = "doc_id",
+    salt: str = "wrsv:",
+) -> DataFrame:
+    """Weighted per-group reservoir sample — bounded like
+    :func:`group_reservoir` but with selection probability
+    proportional to an integer weight class (longer documents drawn
+    more often), via the MIN-OF-W-KEYS construction: each row gets
+    ``w`` independent hash keys and its priority is their minimum, so
+    ``P(row wins rank 1) = w_i / sum(w)`` exactly (every one of the
+    sum(w) i.i.d. keys is equally likely to be the global minimum),
+    and ranking by priority is sampling WITHOUT replacement
+    proportional to weights — the integer-weight specialization of
+    Efraimidis–Spirakis bottom-k, done entirely in md5/string-min
+    arithmetic so both engines replay it bit-for-bit (no ``ln``/
+    ``pow`` whose last-ulp libm differences could reorder near-ties).
+
+    Plan: the draw list is built per row with sequence/transform and
+    collapsed by ``array_min`` — pure whole-stage codegen, NO explode,
+    no extra shuffle — then the same rank<=k filter compiles to
+    map-side WindowGroupLimit (exchange bounded at O(groups x k)).
+
+    Weight class: ``1 + min(cap, floor(n_chars / 64))`` — a bounded
+    small integer so the per-row work is O(cap) and the distribution
+    is auditable from the emitted ``weight`` column."""
+    w_int = F.lit(1) + F.least(
+        F.lit(WEIGHT_CLASS_CAP),
+        F.floor(F.col("n_chars") / F.lit(WEIGHT_CLASS_CHARS)).cast("int"),
+    )
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w_int),
+            lambda j: F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    wnd = Window.partitionBy(group_col).orderBy(
+        F.col("_pri").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("weight", w_int)
+        .withColumn("_pri", pri)
+        .withColumn("rank_in_group", F.row_number().over(wnd))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def docs_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: length-weighted 3-doc reservoir per language."""
+    return group_weighted_reservoir(
+        load_table(spark, sf_dir, "documents")
+    ).select("lang", "rank_in_group", "doc_id", "weight", "n_chars")

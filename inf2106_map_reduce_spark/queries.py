@@ -5978,6 +5978,61 @@ REGISTRY.update(
             "telemetry",
             ("events", "streaming"),
         ),
+        "orders_scd2_priority": QuerySpec(
+            relational.orders_scd2_priority,
+            """
+            WITH changes AS (
+              SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                     LAG(o_orderpriority) OVER w AS prev
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            )
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER w2 AS version,
+                   o_orderpriority,
+                   o_orderdate AS valid_from,
+                   LEAD(o_orderdate) OVER w2 AS valid_to,
+                   (LEAD(o_orderdate) OVER w2 IS NULL) AS is_current
+            FROM changes
+            WHERE prev IS NULL OR o_orderpriority != prev
+            WINDOW w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+            """,
+            "type-2 SCD history build: keyed update stream -> "
+            "versioned [valid_from, valid_to) intervals + current "
+            "flag, no-change updates collapsed, one shuffle on the key",
+            ("relational", "window", "orders"),
+        ),
+        "docs_weighted_reservoir": QuerySpec(
+            pipeline.docs_weighted_reservoir,
+            f"""
+            SELECT lang, rank_in_group, doc_id, weight, n_chars
+            FROM (
+              SELECT lang, doc_id, weight, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY pri, doc_id) AS rank_in_group
+              FROM (
+                SELECT lang, doc_id, n_chars,
+                       1 + LEAST({pipeline.WEIGHT_CLASS_CAP},
+                         CAST(FLOOR(n_chars / CAST({pipeline.WEIGHT_CLASS_CHARS} AS DOUBLE))
+                              AS INT)) AS weight,
+                       list_min(list_transform(
+                         range(1, 2 + LEAST({pipeline.WEIGHT_CLASS_CAP},
+                           CAST(FLOOR(n_chars / CAST({pipeline.WEIGHT_CLASS_CHARS} AS DOUBLE))
+                                AS INT))),
+                         j -> md5('wrsv:' || CAST(doc_id AS VARCHAR)
+                                  || ':' || CAST(j AS VARCHAR))
+                       )) AS pri
+                FROM documents)
+            )
+            WHERE rank_in_group <= {pipeline.WEIGHTED_RESERVOIR_K}
+            """,
+            "weighted per-group reservoir: min-of-w-hash-keys priority "
+            "(exact integer-weight Efraimidis-Spirakis, no "
+            "transcendentals), WindowGroupLimit-bounded output",
+            ("pipeline", "sampling", "documents"),
+        ),
     }
 )
 
@@ -6040,11 +6095,14 @@ ROTATION_WINDOW = 50
 # shrinks the priority cap to WINDOW - S = 21. The round-11 budget is
 # the 4 new families the r10 verdict pre-scoped (histogram-split
 # decision stump + its depth-2 tree sibling, per-group deterministic
-# reservoir top-k, streaming rate-limited backfill) -> N = 228;
-# ceil(228/29) = 8 holds and the priority block (4 new + up to a few
-# re-verifies) stays well under 21. S = 29 keeps the horizon through
-# N = 232 (4 free round-12 slots); past that, re-derive — the window
-# (50) or the 8-round staleness bound must change explicitly.
+# reservoir top-k, streaming rate-limited backfill) -> N = 228 —
+# plus, decided mid-round against the same math, 2 of the 4
+# pre-scoped round-12 candidates pulled forward (SCD2 validity-
+# interval build, weighted per-group reservoir) -> N = 230;
+# ceil(230/29) = 8 holds and the priority block (6 new) stays well
+# under 21. S = 29 keeps the horizon through N = 232 (2 free
+# round-12 slots); past that, raise S to 30 (covers N <= 240,
+# priority <= 20) — re-derive explicitly, don't drift.
 ROTATION_STRIDE = 29
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6065,6 +6123,11 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # rate-limited streaming backfill with the oracle-encoded
     # watermark-lag trajectory (r10 verdict item #4)
     "streaming_backfill_lag",
+    # round-12 candidates pulled forward mid-round (budget re-derived
+    # in the ROTATION_STRIDE comment): type-2 SCD history build
+    "orders_scd2_priority",
+    # exact integer-weight Efraimidis-Spirakis per-group reservoir
+    "docs_weighted_reservoir",
 )
 
 #: The round-10 priority block (driver-checked green in

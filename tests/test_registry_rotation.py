@@ -155,15 +155,18 @@ def test_round10_priority_was_exactly_the_budgeted_block():
 
 def test_round11_priority_is_exactly_the_budgeted_block():
     # round-11 budget (ROTATION_STRIDE comment): stride raised to 29
-    # FIRST (r10 verdict item #1), then exactly the four new families
-    # the verdict pre-scoped, all leading window 11
+    # FIRST (r10 verdict item #1), then the four new families the
+    # verdict pre-scoped plus the two round-12 candidates pulled
+    # forward mid-round, all leading window 11
     assert q._ROUND_PRIORITY == (
         "lineitem_stump_gini",
         "lineitem_tree_depth2",
         "docs_group_reservoir",
         "streaming_backfill_lag",
+        "orders_scd2_priority",
+        "docs_weighted_reservoir",
     )
     assert set(q._ROUND_PRIORITY) <= _window(11)
-    # N = 228 under the S=29 horizon (cap 232, 4 free round-12 slots)
-    assert len(q.REGISTRY) == 228
+    # N = 230 under the S=29 horizon (cap 232, 2 free round-12 slots)
+    assert len(q.REGISTRY) == 230
     assert q.ROTATION_STRIDE == 29

@@ -494,3 +494,88 @@ def test_backfill_trajectory_matches_python_reference_fuzz(spark, tmp_path):
             for r in stream_windows.backfill_lag_over(src, spark).collect()
         }
         assert got == expect, (trial, got ^ expect)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_tile_and_collapse(spark, sf_oracle):
+    """Per key: versions number 1..n in (ts, tiebreak) order, each
+    interval ends where the next begins, exactly one open (current)
+    version, and consecutive versions never carry the same attribute
+    (the no-change collapse rule)."""
+    from inf2106_map_reduce_spark.operators import relational
+
+    rows = relational.orders_scd2_priority(spark, sf_oracle).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["o_custkey"], []).append(r)
+    assert by_key
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], key
+            assert a["o_orderpriority"] != b["o_orderpriority"], key
+
+
+def test_scd2_is_single_shuffle(spark, sf_oracle):
+    """Both window passes share the (key x order) partitioning, so the
+    whole history build is ONE exchange on the key."""
+    from inf2106_map_reduce_spark.operators import relational
+    from inf2106_map_reduce_spark.plans.inspect import shuffle_count
+
+    df = relational.orders_scd2_priority(spark, sf_oracle)
+    assert shuffle_count(df) == 1, explain_str(df, "formatted")
+
+
+# ---------------------------------------------------------------------------
+# Weighted per-group reservoir
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_plan_and_caps(spark, sf_oracle):
+    """WindowGroupLimit bounds the exchange; the per-row draw list is
+    built in codegen (sequence/transform/array_min — no Generate/
+    explode operator); exactly min(k, |group|) rows emit per group."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    df = pipeline.docs_weighted_reservoir(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Generate" not in plan, plan
+    d = load_table(spark, sf_oracle, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_lang: dict[str, int] = {}
+    for r in df.collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    for lang, n in by_lang.items():
+        assert n == min(pipeline.WEIGHTED_RESERVOIR_K, sizes[lang])
+
+
+def test_weighted_reservoir_biases_toward_heavy_rows(spark, sf_oracle):
+    """The min-of-w-keys construction draws weight-proportionally: on
+    the real corpus the sampled rows' mean weight class must exceed
+    the corpus mean (deterministic given the fixed salt — a failure
+    means the weighting is broken, not an unlucky draw: the sample is
+    ~40 docs whose selection odds are weight-tilted)."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    w_expr = F.lit(1) + F.least(
+        F.lit(pipeline.WEIGHT_CLASS_CAP),
+        F.floor(
+            F.col("n_chars") / F.lit(pipeline.WEIGHT_CLASS_CHARS)
+        ).cast("int"),
+    )
+    corpus_mean = d.agg(F.avg(w_expr)).first()[0]
+    sample = pipeline.docs_weighted_reservoir(spark, sf_oracle)
+    sample_mean = sample.agg(F.avg("weight")).first()[0]
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
