@@ -125,6 +125,8 @@ HEADLINE = (
     "lineitem_tree_depth2",
     "docs_group_reservoir",
     "streaming_backfill_lag",
+    "orders_scd2_priority",
+    "docs_weighted_reservoir",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

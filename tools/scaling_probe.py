@@ -678,6 +678,39 @@ def main() -> None:
         f"{tk / t1:.1f}x (ideal <= {k}x; shuffle bounded at groups x k)"
     )
 
+    # SCD2 history: replicated customers multiply keys; both window
+    # passes share one (key x order) shuffle, so the ratio tracks the
+    # scan+sort of a 4-column projection.
+    from inf2106_map_reduce_spark.operators.relational import scd2_history
+
+    def scd2(o):
+        return scd2_history(
+            o, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        )
+
+    timed(lambda: scd2(o1))
+    t1 = min(timed(lambda: scd2(o1)) for _ in range(3))
+    tk = min(timed(lambda: scd2(ok)) for _ in range(3))
+    print(
+        f"  SCD2 history build (1 shuffle, 2 windows): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # Weighted reservoir: codegen draw lists (no explode), map-side
+    # WindowGroupLimit — same bounded-exchange claim as the uniform
+    # reservoir, with O(cap) extra per-row hash work.
+    from inf2106_map_reduce_spark.functions.pipeline import (
+        group_weighted_reservoir,
+    )
+
+    timed(lambda: group_weighted_reservoir(dr1))
+    t1 = min(timed(lambda: group_weighted_reservoir(dr1)) for _ in range(3))
+    tk = min(timed(lambda: group_weighted_reservoir(drk)) for _ in range(3))
+    print(
+        f"  weighted per-group reservoir: {t1:.3f}s -> {tk:.3f}s  ratio "
+        f"{tk / t1:.1f}x (ideal <= {k}x; codegen draws, bounded exchange)"
+    )
+
     # Rate-limited backfill: replicated users multiply rows per hourly
     # window but the WINDOW grid (and so the agg state and the sink)
     # is fixed by the shared ts range — the drain should track the
