@@ -1129,6 +1129,34 @@ def gini_gain_sql() -> str:
     )
 
 
+def _cum_counts(
+    hist: DataFrame, node_cols: list[str], extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Cumulative boundary counts over a (node..., feature, bin, n,
+    pos[, extra...]) histogram: per candidate boundary ``bin <=
+    split_bin`` the left-side prefix sums (``nl``/``posl``/``<c>l``)
+    and the node totals (``nt``/``post``/``<c>t``) — one window pass
+    over histogram rows, empty-child boundaries dropped. Both
+    histogram-split criteria (Gini stump/tree, SSE boosting) consume
+    this frame."""
+    part = [*node_cols, "feature"]
+    w_cum = Window.partitionBy(*part).orderBy("bin")
+    w_all = Window.partitionBy(*part)
+    cols = [
+        *node_cols,
+        "feature",
+        F.col("bin").alias("split_bin"),
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("posl"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("pos").over(w_all).alias("post"),
+    ]
+    for c in extra:
+        cols.append(F.sum(c).over(w_cum).alias(f"{c}l"))
+        cols.append(F.sum(c).over(w_all).alias(f"{c}t"))
+    return hist.select(*cols).filter(F.col("nl") < F.col("nt"))
+
+
 def _split_gains(hist: DataFrame, node_cols: list[str]) -> DataFrame:
     """Candidate-split gain table from a binned label histogram
     ``(node..., feature, bin, n, pos)``: cumulative prefix counts per
@@ -1141,18 +1169,7 @@ def _split_gains(hist: DataFrame, node_cols: list[str]) -> DataFrame:
     Expression mirrors :func:`gini_gain_sql` term-for-term — the
     cross-engine determinism contract is identical integer counts
     through an identical IEEE expression tree."""
-    part = [*node_cols, "feature"]
-    w_cum = Window.partitionBy(*part).orderBy("bin")
-    w_all = Window.partitionBy(*part)
-    cum = hist.select(
-        *node_cols,
-        "feature",
-        F.col("bin").alias("split_bin"),
-        F.sum("n").over(w_cum).alias("nl"),
-        F.sum("pos").over(w_cum).alias("posl"),
-        F.sum("n").over(w_all).alias("nt"),
-        F.sum("pos").over(w_all).alias("post"),
-    ).filter(F.col("nl") < F.col("nt"))
+    cum = _cum_counts(hist, node_cols)
     nl, posl, nt, post = (F.col(c) for c in ("nl", "posl", "nt", "post"))
     nr, posr = nt - nl, post - posl
     parent = (
@@ -1332,3 +1349,189 @@ def lineitem_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_returnflag = 'R'`` — root split + per-child splits with the
     four leaf populations."""
     return tree_depth2(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (squared loss, exact closed-form residuals)
+# ---------------------------------------------------------------------------
+
+#: Boosting shrinkage. 0.5 is exactly representable in binary, so the
+#: stage-2 residual expression stays bit-identical across engines.
+GBT_SHRINKAGE = 0.5
+
+
+def gbt_two_stage(df: DataFrame) -> DataFrame:
+    """Two-stage gradient boosting with stump base learners under
+    SQUARED loss — the GBDT outer loop the histogram primitive exists
+    for, in its exactly-replayable form.
+
+    Squared loss is the deliberate choice over AdaBoost/log-loss:
+    its pseudo-residuals and leaf values are RATIOS OF COUNTS, not
+    ``exp``/``ln`` of them, so every stage stays inside the repo's
+    exact cross-engine arithmetic (last-ulp libm differences in
+    transcendentals could silently flip an argmax; divisions of
+    identical integers cannot).
+
+    Stage 0 is the global mean ``ybar = post/nt``. Stage 1 fits a
+    stump to ``y − ybar`` by SSE reduction — the split maximizing
+    ``sum_r_L²/n_L + sum_r_R²/n_R`` — with the bin residual sums in
+    CLOSED FORM over histogram integers: ``sum_r(bin) = pos − n·ybar``
+    (never a per-row double sum, so no summation-order sensitivity).
+    Stage 2 re-fits to ``y − ybar − ν·γ_leaf(x)``; again the bin sums
+    collapse to integers times the (shared-expression) stage-1
+    doubles: ``(pos − n·ybar) − ν·(n_L1·γ_L + (n − n_L1)·γ_R)`` where
+    ``n_L1`` counts the bin's rows that fell in the stage-1 left
+    leaf — the ONLY extra histogram column stage 2 needs.
+
+    Plan: one explode→partial-histogram scan per stage (stage 2's
+    scan carries the stage-1 choice as a broadcast scalar, the
+    depth-2-tree idiom); all split search runs on histogram rows.
+    Deeper ensembles iterate the identical shape — one scan and one
+    O(features × bins) epilogue per stage, the 100 TB GBDT loop.
+
+    Returns one row per stage: ``(stage, feature, split_bin, n_left,
+    n_right, gamma_left, gamma_right, score)`` — γ published rounded
+    to 9; ranking uses the round-9 score with (feature, split_bin)
+    tie-break."""
+    cum1 = _cum_counts(_stump_hist(_stump_binned(df), []), [])
+    nl, posl, nt, post = (F.col(c) for c in ("nl", "posl", "nt", "post"))
+    ybar = post / nt
+    sum_rl = posl - nl * ybar
+    sum_rr = (post - posl) - (nt - nl) * ybar
+    score1 = F.round(
+        (sum_rl * sum_rl) / nl + (sum_rr * sum_rr) / (nt - nl), 9
+    )
+    w_glob = Window.orderBy(F.col("score").desc(), "feature", "split_bin")
+    s1 = cum1.select(
+        "feature",
+        "split_bin",
+        nl.alias("nl"),
+        nt.alias("nt"),
+        score1.alias("score"),
+        (sum_rl / nl).alias("g_l"),
+        (sum_rr / (nt - nl)).alias("g_r"),
+        ybar.alias("ybar"),
+    )
+    r1 = (
+        s1.select("*", F.row_number().over(w_glob).alias("_rg"))
+        .filter(F.col("_rg") == 1)
+        .select(
+            F.col("feature").alias("root_feature"),
+            F.col("split_bin").alias("root_bin"),
+            F.col("nl").alias("n_left_1"),
+            (F.col("nt") - F.col("nl")).alias("n_right_1"),
+            F.col("score").alias("score_1"),
+            "g_l",
+            "g_r",
+            "ybar",
+        )
+    )
+    is_left = None
+    for name, *_ in STUMP_BINS:
+        term = (F.col("root_feature") == name) & (
+            F.col(f"b_{name}") <= F.col("root_bin")
+        )
+        is_left = term if is_left is None else is_left | term
+    staged = (
+        _stump_binned(df)
+        .crossJoin(F.broadcast(r1))
+        .select(
+            "root_feature",
+            "root_bin",
+            "n_left_1",
+            "n_right_1",
+            "score_1",
+            "g_l",
+            "g_r",
+            "ybar",
+            is_left.cast("int").alias("l1"),
+            *[f"b_{name}" for name, *_ in STUMP_BINS],
+            "y",
+        )
+    )
+    carry = [
+        "root_feature",
+        "root_bin",
+        "n_left_1",
+        "n_right_1",
+        "score_1",
+        "g_l",
+        "g_r",
+        "ybar",
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.col(f"b_{name}").alias("bin")
+            )
+            for name, *_ in STUMP_BINS
+        ]
+    )
+    hist2 = (
+        staged.select(*carry, F.explode(pairs).alias("p"), "y", "l1")
+        .groupBy(*carry, "p.feature", "p.bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum("l1").cast("bigint").alias("nl1"),
+        )
+    )
+    cum2 = _cum_counts(hist2, carry, extra=("nl1",))
+    nl1l, nl1t = F.col("nl1l"), F.col("nl1t")
+    gl, gr, yb = F.col("g_l"), F.col("g_r"), F.col("ybar")
+    nu = F.lit(GBT_SHRINKAGE)
+    sum_r2l = (posl - nl * yb) - nu * (nl1l * gl + (nl - nl1l) * gr)
+    sum_r2t = (post - nt * yb) - nu * (nl1t * gl + (nt - nl1t) * gr)
+    sum_r2r = sum_r2t - sum_r2l
+    score2 = F.round(
+        (sum_r2l * sum_r2l) / nl + (sum_r2r * sum_r2r) / (nt - nl), 9
+    )
+    w_glob2 = Window.orderBy(F.col("score").desc(), "feature", "split_bin")
+    s2 = cum2.select(
+        *carry,
+        "feature",
+        "split_bin",
+        nl.alias("nl"),
+        nt.alias("nt"),
+        score2.alias("score"),
+        (sum_r2l / nl).alias("g2_l"),
+        (sum_r2r / (nt - nl)).alias("g2_r"),
+    )
+    r2 = s2.select("*", F.row_number().over(w_glob2).alias("_rg")).filter(
+        F.col("_rg") == 1
+    )
+    # both stage rows explode out of the ONE winning row — a unionAll
+    # of two selects over r2 would duplicate the whole two-scan
+    # subtree in the plan (4 scans), defeating the one-scan-per-stage
+    # contract the plan test pins
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.col("root_feature").alias("feature"),
+            F.col("root_bin").alias("split_bin"),
+            F.col("n_left_1").alias("n_left"),
+            F.col("n_right_1").alias("n_right"),
+            F.round(F.col("g_l"), 9).alias("gamma_left"),
+            F.round(F.col("g_r"), 9).alias("gamma_right"),
+            F.col("score_1").alias("score"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.col("feature").alias("feature"),
+            F.col("split_bin").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            (F.col("nt") - F.col("nl")).alias("n_right"),
+            F.round(F.col("g2_l"), 9).alias("gamma_left"),
+            F.round(F.col("g2_r"), 9).alias("gamma_right"),
+            F.col("score").alias("score"),
+        ),
+    )
+    return r2.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def lineitem_gbt_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: two gradient-boosting stages of histogram
+    stumps (squared loss, shrinkage 0.5) on the fixed-bin lineitem
+    features — the splits, leaf values, and SSE scores of the whole
+    trajectory."""
+    return gbt_two_stage(load_table(spark, sf_dir, "lineitem"))

@@ -6037,6 +6037,116 @@ REGISTRY.update(
 )
 
 
+# Gradient-boosted stumps: the repeated stage-2 residual-sum fragments
+# are built once here so the left/total/right expressions cannot drift
+# apart inside the long oracle (they appear 6 times); shrinkage is the
+# module constant rendered as an exact-double CAST.
+_GBT_NU = f"CAST({stats.GBT_SHRINKAGE} AS DOUBLE)"
+_GBT_R2L = f"((posl - nl*ybar) - {_GBT_NU}*(nl1l*g_l + (nl - nl1l)*g_r))"
+_GBT_R2T = f"((post - nt*ybar) - {_GBT_NU}*(nl1t*g_l + (nt - nl1t)*g_r))"
+_GBT_R2R = f"({_GBT_R2T} - {_GBT_R2L})"
+_GBT_CARRY = (
+    "root_feature, root_bin, n_left_1, n_right_1, score_1, g_l, g_r, ybar"
+)
+
+REGISTRY.update(
+    {
+        "lineitem_gbt_stages": QuerySpec(
+            stats.lineitem_gbt_stages,
+            f"""
+            WITH {_STUMP_CTES},
+            s1 AS (
+              SELECT feature, split_bin,
+                     CAST(nl AS BIGINT) AS nl, CAST(nt AS BIGINT) AS nt,
+                     ROUND(((posl - nl*(post/nt))*(posl - nl*(post/nt)))/nl
+                         + (((post - posl) - (nt - nl)*(post/nt))
+                            *((post - posl) - (nt - nl)*(post/nt)))/(nt - nl),
+                       9) AS score,
+                     (posl - nl*(post/nt))/nl AS g_l,
+                     ((post - posl) - (nt - nl)*(post/nt))/(nt - nl) AS g_r,
+                     post/nt AS ybar
+              FROM cum WHERE nl < nt
+            ),
+            r1 AS (
+              SELECT feature AS root_feature, split_bin AS root_bin,
+                     nl AS n_left_1, nt - nl AS n_right_1, score AS score_1,
+                     g_l, g_r, ybar
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY score DESC, feature, split_bin) AS rg
+                    FROM s1)
+              WHERE rg = 1
+            ),
+            staged AS (
+              SELECT {_GBT_CARRY},
+                     CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
+                           OR (root_feature = 'disc' AND b_disc <= root_bin)
+                           OR (root_feature = 'price' AND b_price <= root_bin)
+                      THEN 1 ELSE 0 END AS l1,
+                     b_qty, b_disc, b_price, y
+              FROM base, r1
+            ),
+            pairs2 AS (
+              SELECT {_GBT_CARRY},
+                     'qty' AS feature, b_qty AS bin, y, l1 FROM staged
+              UNION ALL SELECT {_GBT_CARRY},
+                     'disc', b_disc, y, l1 FROM staged
+              UNION ALL SELECT {_GBT_CARRY},
+                     'price', b_price, y, l1 FROM staged
+            ),
+            hist2 AS (
+              SELECT {_GBT_CARRY}, feature, bin,
+                     COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+                     CAST(SUM(l1) AS BIGINT) AS nl1
+              FROM pairs2
+              GROUP BY {_GBT_CARRY}, feature, bin
+            ),
+            cum2 AS (
+              SELECT {_GBT_CARRY}, feature, bin AS split_bin,
+                     SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+                     SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+                     SUM(n) OVER (PARTITION BY feature) AS nt,
+                     SUM(pos) OVER (PARTITION BY feature) AS post,
+                     SUM(nl1) OVER (PARTITION BY feature ORDER BY bin) AS nl1l,
+                     SUM(nl1) OVER (PARTITION BY feature) AS nl1t
+              FROM hist2
+            ),
+            s2 AS (
+              SELECT {_GBT_CARRY}, feature, split_bin,
+                     CAST(nl AS BIGINT) AS nl, CAST(nt AS BIGINT) AS nt,
+                     ROUND(({_GBT_R2L}*{_GBT_R2L})/nl
+                         + ({_GBT_R2R}*{_GBT_R2R})/(nt - nl), 9) AS score,
+                     {_GBT_R2L}/nl AS g2_l,
+                     {_GBT_R2R}/(nt - nl) AS g2_r
+              FROM cum2 WHERE nl < nt
+            ),
+            r2 AS (
+              SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY score DESC, feature, split_bin) AS rg
+                    FROM s2)
+              WHERE rg = 1
+            )
+            SELECT 1 AS stage, root_feature AS feature,
+                   root_bin AS split_bin,
+                   n_left_1 AS n_left, n_right_1 AS n_right,
+                   ROUND(g_l, 9) AS gamma_left,
+                   ROUND(g_r, 9) AS gamma_right,
+                   score_1 AS score
+            FROM r2
+            UNION ALL
+            SELECT 2, feature, split_bin, nl, nt - nl,
+                   ROUND(g2_l, 9), ROUND(g2_r, 9), score
+            FROM r2
+            """,
+            "two gradient-boosting stages of histogram stumps under "
+            "squared loss (shrinkage 0.5): residual bin sums in closed "
+            "form over histogram integers — one scan per stage, the "
+            "exactly-replayable GBDT loop",
+            ("stats", "model", "lineitem", "iterative"),
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — deterministic rotation. The driver's correctness
 # gate hash-checks the FIRST ``ROTATION_WINDOW`` entries of
@@ -6096,13 +6206,14 @@ ROTATION_WINDOW = 50
 # the 4 new families the r10 verdict pre-scoped (histogram-split
 # decision stump + its depth-2 tree sibling, per-group deterministic
 # reservoir top-k, streaming rate-limited backfill) -> N = 228 —
-# plus, decided mid-round against the same math, 2 of the 4
+# plus, decided mid-round against the same math, 3 of the 4
 # pre-scoped round-12 candidates pulled forward (SCD2 validity-
-# interval build, weighted per-group reservoir) -> N = 230;
-# ceil(230/29) = 8 holds and the priority block (6 new) stays well
-# under 21. S = 29 keeps the horizon through N = 232 (2 free
-# round-12 slots); past that, raise S to 30 (covers N <= 240,
-# priority <= 20) — re-derive explicitly, don't drift.
+# interval build, weighted per-group reservoir, and the two-stage
+# gradient-boosted-stump trainer) -> N = 231; ceil(231/29) = 8 holds
+# and the priority block (7 new) stays well under 21. S = 29 keeps
+# the horizon through N = 232 (1 free round-12 slot); past that,
+# raise S to 30 (covers N <= 240, priority <= 20) — re-derive
+# explicitly, don't drift.
 ROTATION_STRIDE = 29
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6128,6 +6239,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "orders_scd2_priority",
     # exact integer-weight Efraimidis-Spirakis per-group reservoir
     "docs_weighted_reservoir",
+    # two-stage gradient-boosted stumps, squared loss, closed-form
+    # residual histograms — the GBDT loop over the stump primitive
+    "lineitem_gbt_stages",
 )
 
 #: The round-10 priority block (driver-checked green in

@@ -165,8 +165,9 @@ def test_round11_priority_is_exactly_the_budgeted_block():
         "streaming_backfill_lag",
         "orders_scd2_priority",
         "docs_weighted_reservoir",
+        "lineitem_gbt_stages",
     )
     assert set(q._ROUND_PRIORITY) <= _window(11)
-    # N = 230 under the S=29 horizon (cap 232, 2 free round-12 slots)
-    assert len(q.REGISTRY) == 230
+    # N = 231 under the S=29 horizon (cap 232, 1 free round-12 slot)
+    assert len(q.REGISTRY) == 231
     assert q.ROTATION_STRIDE == 29

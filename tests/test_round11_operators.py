@@ -579,3 +579,93 @@ def test_weighted_reservoir_biases_toward_heavy_rows(spark, sf_oracle):
     sample = pipeline.docs_weighted_reservoir(spark, sf_oracle)
     sample_mean = sample.agg(F.avg("weight")).first()[0]
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps
+# ---------------------------------------------------------------------------
+
+
+def test_gbt_is_one_scan_per_stage(spark, sf_oracle):
+    """Two boosting stages = exactly two data scans; the stage-1
+    choice reaches stage 2 as a broadcast scalar, never a driver
+    action (the depth-2-tree plan contract)."""
+    df = stats.lineitem_gbt_stages(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert _scan_count(plan, "lineitem") == 2, plan
+    assert "CollectLimit" not in plan
+
+
+def test_gbt_matches_independent_reference_fuzz(spark):
+    """Seeded random frames vs an independent numpy replay of the
+    two-stage squared-loss boosting recursion (closed-form residual
+    histograms) — guards the shared-SQL-text oracle against
+    common-mode formula errors, like the stump fuzz."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(3):
+        n = int(rng.integers(300, 900))
+        pdf = pd.DataFrame(
+            {
+                "l_quantity": rng.integers(1, 51, n).astype(float),
+                "l_discount": rng.integers(0, 11, n) / 100.0,
+                "l_extendedprice": rng.uniform(900, 105000, n).round(2),
+                "l_returnflag": rng.choice(["R", "N", "A"], n),
+            }
+        )
+        # per-row bins + label, mirroring STUMP_BINS independently
+        bins = {}
+        for name, col, op, k in stats.STUMP_BINS:
+            x = pdf[col].astype(float)
+            scaled = x * k if op == "*" else x / k
+            bins[name] = np.minimum(
+                stats.N_STUMP_BINS - 1, np.floor(scaled).astype(int)
+            )
+        y = (pdf["l_returnflag"] == "R").astype(int).to_numpy()
+
+        def best_split(resid):
+            # resid: per-row residual values; returns the argmax row
+            cands = []
+            for name in bins:
+                b = bins[name]
+                order = np.sort(np.unique(b))
+                for t in order[:-1]:
+                    left = b <= t
+                    nl, nr = int(left.sum()), int((~left).sum())
+                    sl, sr = float(resid[left].sum()), float(
+                        resid[~left].sum()
+                    )
+                    score = round(sl * sl / nl + sr * sr / nr, 9)
+                    cands.append(
+                        (score, name, int(t), nl, nr, sl / nl, sr / nr)
+                    )
+            cands.sort(key=lambda c: (-c[0], c[1], c[2]))
+            return cands[0]
+
+        ybar = y.sum() / n
+        r1 = y - ybar
+        s1 = best_split(r1)
+        leaf_left = bins[s1[1]] <= s1[2]
+        gamma = np.where(leaf_left, s1[5], s1[6])
+        r2 = r1 - stats.GBT_SHRINKAGE * gamma
+        s2 = best_split(r2)
+
+        got = {
+            r["stage"]: r
+            for r in stats.gbt_two_stage(spark.createDataFrame(pdf)).collect()
+        }
+        for stage, ref in ((1, s1), (2, s2)):
+            g = got[stage]
+            assert (g["feature"], g["split_bin"], g["n_left"], g["n_right"]) == (
+                ref[1],
+                ref[2],
+                ref[3],
+                ref[4],
+            ), (trial, stage)
+            assert g["score"] == pytest.approx(ref[0], abs=2e-9)
+            assert g["gamma_left"] == pytest.approx(ref[5], abs=2e-9)
+            assert g["gamma_right"] == pytest.approx(ref[6], abs=2e-9)
+        assert not math.isnan(got[2]["score"])
