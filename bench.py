@@ -127,6 +127,7 @@ HEADLINE = (
     "streaming_backfill_lag",
     "orders_scd2_priority",
     "docs_weighted_reservoir",
+    "lineitem_gbt_stages",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

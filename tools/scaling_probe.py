@@ -647,9 +647,12 @@ def main() -> None:
         tree_depth2,
     )
 
+    from inf2106_map_reduce_spark.operators.stats import gbt_two_stage
+
     for name, fn in (
         ("decision stump (1-scan histogram split)", decision_stump),
         ("depth-2 tree (2 scans, histogram epilogue)", tree_depth2),
+        ("GBT 2 stages (closed-form residual hists)", gbt_two_stage),
     ):
         timed(lambda: fn(li1))
         t1 = min(timed(lambda: fn(li1)) for _ in range(3))
