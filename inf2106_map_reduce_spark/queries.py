@@ -6143,6 +6143,19 @@ REGISTRY.update(
             "exactly-replayable GBDT loop",
             ("stats", "model", "lineitem", "iterative"),
         ),
+        "streaming_upsert_latest": QuerySpec(
+            stream_windows.streaming_upsert_latest,
+            """
+            SELECT user_id, COUNT(*) AS n_events,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY user_id
+            """,
+            "foreachBatch MERGE-upsert sink: a rate-limited stream "
+            "maintains a keyed parquet latest-table via versioned "
+            "idempotent merges (batch e reads v=e-1, overwrites v=e); "
+            "final table must equal the one-shot batch aggregate",
+            ("events", "streaming", "sink"),
+        ),
     }
 )
 
@@ -6206,14 +6219,17 @@ ROTATION_WINDOW = 50
 # the 4 new families the r10 verdict pre-scoped (histogram-split
 # decision stump + its depth-2 tree sibling, per-group deterministic
 # reservoir top-k, streaming rate-limited backfill) -> N = 228 —
-# plus, decided mid-round against the same math, 3 of the 4
-# pre-scoped round-12 candidates pulled forward (SCD2 validity-
-# interval build, weighted per-group reservoir, and the two-stage
-# gradient-boosted-stump trainer) -> N = 231; ceil(231/29) = 8 holds
-# and the priority block (7 new) stays well under 21. S = 29 keeps
-# the horizon through N = 232 (1 free round-12 slot); past that,
-# raise S to 30 (covers N <= 240, priority <= 20) — re-derive
-# explicitly, don't drift.
+# plus, decided mid-round against the same math, ALL 4 pre-scoped
+# round-12 candidates pulled forward (SCD2 validity-interval build,
+# weighted per-group reservoir, the two-stage gradient-boosted-stump
+# trainer, and the foreachBatch MERGE-upsert sink) -> N = 232 = the
+# exact S = 29 cap; ceil(232/29) = 8 holds and the priority block
+# (8 new) stays well under 21. ROUND 12 HAS ZERO FREE SLOTS: any
+# growth there must first raise S to 30 (covers N <= 240, window
+# fill 50 - |priority| >= 30 needs priority <= 20) or widen the
+# window / relax the 8-round horizon — re-derive explicitly, don't
+# drift (test_registry_rotation.py fails loudly at N = 233 under
+# S = 29 regardless).
 ROTATION_STRIDE = 29
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6242,6 +6258,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # two-stage gradient-boosted stumps, squared loss, closed-form
     # residual histograms — the GBDT loop over the stump primitive
     "lineitem_gbt_stages",
+    # foreachBatch MERGE-upsert sink: versioned idempotent keyed
+    # latest-table — the exactly-once upsert recipe for plain parquet
+    "streaming_upsert_latest",
 )
 
 #: The round-10 priority block (driver-checked green in

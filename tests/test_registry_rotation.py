@@ -166,8 +166,10 @@ def test_round11_priority_is_exactly_the_budgeted_block():
         "orders_scd2_priority",
         "docs_weighted_reservoir",
         "lineitem_gbt_stages",
+        "streaming_upsert_latest",
     )
     assert set(q._ROUND_PRIORITY) <= _window(11)
-    # N = 231 under the S=29 horizon (cap 232, 1 free round-12 slot)
-    assert len(q.REGISTRY) == 231
+    # N = 232 = the exact S=29 horizon cap (round 12 must raise S
+    # to 30 before adding a single entry)
+    assert len(q.REGISTRY) == 232
     assert q.ROTATION_STRIDE == 29

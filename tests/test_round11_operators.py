@@ -669,3 +669,47 @@ def test_gbt_matches_independent_reference_fuzz(spark):
             assert g["gamma_left"] == pytest.approx(ref[5], abs=2e-9)
             assert g["gamma_right"] == pytest.approx(ref[6], abs=2e-9)
         assert not math.isnan(got[2]["score"])
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch MERGE-upsert sink
+# ---------------------------------------------------------------------------
+
+
+def test_merge_latest_is_an_exact_upsert(spark):
+    """MERGE semantics unit: update-existing accumulates and extends
+    extremes; insert-new passes through; absent-from-delta rows are
+    untouched — and the versioned recipe's idempotence is structural:
+    recomputing a version from its predecessor twice gives identical
+    rows (a retried batch can never double-apply its delta)."""
+    cur = spark.createDataFrame(
+        [
+            (1, 3, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)),
+            (2, 1, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 5)),
+        ],
+        "user_id bigint, n_events bigint, first_ts timestamp, last_ts timestamp",
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, 2, dt.datetime(2024, 1, 4), dt.datetime(2024, 1, 6)),
+            (3, 1, dt.datetime(2024, 1, 7), dt.datetime(2024, 1, 7)),
+        ],
+        "user_id bigint, n_events bigint, first_ts timestamp, last_ts timestamp",
+    )
+    merged = {
+        r["user_id"]: r
+        for r in stream_windows.merge_latest(cur, delta).collect()
+    }
+    assert merged[1]["n_events"] == 3  # untouched
+    assert merged[2]["n_events"] == 3  # accumulated
+    assert merged[2]["first_ts"] == dt.datetime(2024, 1, 4)  # extended
+    assert merged[2]["last_ts"] == dt.datetime(2024, 1, 6)
+    assert merged[3]["n_events"] == 1  # inserted
+    # retry = recompute from the SAME predecessor: identical result
+    again = {
+        r["user_id"]: r
+        for r in stream_windows.merge_latest(cur, delta).collect()
+    }
+    assert {k: tuple(v) for k, v in merged.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
