@@ -64,6 +64,7 @@ WARMUP = (
     "streaming_user_stats_stateful",
     "streaming_session_timeout",
     "streaming_backfill_lag",
+    "streaming_upsert_latest",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -128,6 +129,7 @@ HEADLINE = (
     "orders_scd2_priority",
     "docs_weighted_reservoir",
     "lineitem_gbt_stages",
+    "streaming_upsert_latest",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -738,6 +738,62 @@ def main() -> None:
         f"{bk / b1:.1f}x (ideal <= {k}x; window grid + state fixed by "
         f"the ts range)"
     )
+
+    # foreachBatch MERGE-upsert: 8x USERS multiply the latest-table's
+    # keys; per batch the cost is one delta aggregate + one full-outer
+    # merge against the table — no streaming state store at all, so
+    # the claim is the sink-side merge scales with keys, not history.
+    from inf2106_map_reduce_spark.streaming.windows import merge_latest
+
+    def upsert_drain(path: str) -> float:
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .load(path)
+        )
+        root = tempfile.mkdtemp(prefix="probe_upsert_tbl_")
+        empty = spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint, "
+            "first_ts timestamp, last_ts timestamp",
+        )
+
+        def mb(bdf, e):
+            cur = (
+                spark.read.parquet(f"{root}/v={e - 1}") if e > 0 else empty
+            )
+            delta = bdf.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            merge_latest(cur, delta).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/v={e}")
+
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(mb)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="probe_uck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    upsert_drain(sp1)  # warm
+    u1 = min(upsert_drain(sp1) for _ in range(2))
+    uk = min(upsert_drain(spk) for _ in range(2))
+    print(
+        f"  foreachBatch merge-upsert drain: {u1:.3f}s -> {uk:.3f}s  "
+        f"ratio {uk / u1:.1f}x (ideal <= {k}x; sink-side keyed merge, "
+        f"no state store)"
+    )
     spark.stop()
 
 
