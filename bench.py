@@ -130,6 +130,11 @@ HEADLINE = (
     "docs_weighted_reservoir",
     "lineitem_gbt_stages",
     "streaming_upsert_latest",
+    # round-12 new families
+    "lineitem_gbt_stages3",
+    "lineitem_isotonic_calibration",
+    "lineitem_target_encoding",
+    "docs_ngram_novelty",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -79,6 +79,65 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """First-occurrence n-gram novelty attribution: every distinct
+    shingle in the corpus is OWNED by the lowest-id document that
+    contains it; a document's novelty is the share of its distinct
+    shingles it owns. The corpus-diversity metric behind "which
+    documents contribute new content" decisions — near 1.0 the doc is
+    fresh material, near 0.0 everything in it already appeared in an
+    earlier (lower-id) document, making it a drop candidate that pure
+    pairwise dedup (Jaccard thresholds) can miss when the overlap is
+    spread across MANY earlier docs.
+
+    Distributed shape: explode to the distinct (doc, shingle) table →
+    hash agg ``min(doc_id)`` per shingle (one shuffle keyed on the
+    shingle — the same key MinHash signatures shuffle on) → shuffle
+    join back on the shingle → per-doc count aggregation (second
+    shuffle, keyed on doc_id). No all-pairs stage anywhere; both
+    shuffles are linear in the shingle table, so the shape holds at
+    100 TB exactly like the MinHash pipeline it shares its first
+    stage with. Docs with fewer words than one shingle have no rows
+    here (no shingles to attribute) — deterministic on both engines.
+
+    Returns one row per doc: ``(doc_id, n_shingles, n_novel,
+    novelty)`` with ``novelty = n_novel / n_shingles`` rounded to 9 —
+    all counts over DISTINCT shingles (the shingle table is distinct
+    per doc by construction)."""
+    # the shingle table feeds both the ownership aggregate and the
+    # join-back; checkpoint it once (the minhash-path idiom at
+    # :func:`dedup_candidate_pairs`) so the expensive shingling scan
+    # never replays
+    sh = shingle_table(df, id_col, text_col).localCheckpoint(eager=True)
+    owners = sh.groupBy("shingle").agg(F.min(id_col).alias("owner"))
+    return (
+        sh.join(owners, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("owner") == F.col(id_col)).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 9).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: first-occurrence 3-gram novelty share per
+    document — min-doc_id shingle ownership, two linear shuffles."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

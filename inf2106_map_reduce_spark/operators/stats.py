@@ -678,6 +678,228 @@ def calibration_table(
     )
 
 
+def isotonic_calibration(
+    scored: DataFrame, n_bins: int = ROC_BINS
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a ``(p, y)`` scored frame over
+    the fixed score histogram — the non-parametric upgrade of
+    :func:`calibration_table`: instead of reporting per-bin empirical
+    rates it fits the monotone-nondecreasing map score→P(y=1) that
+    minimizes squared error, which is what a pipeline applies to turn
+    a ranking model's scores into usable probabilities.
+
+    Distributed shape: ONE data scan builds the per-bin ``(n, pos)``
+    histogram (map-side-combined hash agg); everything after operates
+    on occupied-bin rows only (≤ n_bins, data-size-independent — at
+    100 TB the scan is the entire cost). The fit itself uses the
+    classic minimax closed form of isotonic regression (Robertson/
+    Wright/Dykstra; Ayer et al. 1955):
+
+        iso(i) = max_{h<=i} min_{j>=i} Av(h, j)
+
+    where ``Av(h, j)`` is the pooled positive rate of occupied bins
+    ``h..j``. A sequential PAV stack is O(bins) but inherently serial
+    and order-dependent; the minimax form is O(bins²) pairs — trivial
+    at histogram scale — and every term is a ratio of exact BIGINT
+    prefix-sum differences through two window passes, so the DuckDB
+    oracle replays it bit-for-bit (no pooled-average accumulation
+    order to disagree on).
+
+    Returns one row per occupied bin: ``(bin, n_rows, pos, rate,
+    iso)`` with ``rate = pos/n`` raw and ``iso`` the fitted monotone
+    rate, both rounded to 9."""
+    hist = (
+        scored.select(_score_bin(n_bins).alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w_ord = Window.orderBy("bin")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the occupied-bin index is consumed TWICE (both sides of the
+    # range self-join); an eager localCheckpoint (the repo's shared-
+    # stage idiom, e.g. the reused shingle table in functions/dedup)
+    # materializes the ≤ n_bins-row frame so the data scan runs
+    # exactly once — without it each consumer would replay the scan
+    idx = hist.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+    ).localCheckpoint(eager=True)
+    a = idx.select(
+        F.col("i").alias("h"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+    )
+    b = idx.select(F.col("i").alias("j"), "bin", "n", "pos", "cn", "cp")
+    # histogram × histogram range join (≤ n_bins² rows, never data):
+    # Av(h, j) = pooled rate of occupied bins h..j via prefix-sum
+    # differences — exact BIGINTs into one IEEE division
+    pairs = a.join(F.broadcast(b), F.col("j") >= F.col("h")).select(
+        "h",
+        "j",
+        "bin",
+        "n",
+        "pos",
+        (
+            (F.col("cp") - F.col("cp0")) / (F.col("cn") - F.col("cn0"))
+        ).alias("av"),
+    )
+    w_tail = (
+        Window.partitionBy("h")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_head = (
+        Window.partitionBy("j")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iso = (
+        pairs.select(
+            "h", "j", "bin", "n", "pos", F.min("av").over(w_tail).alias("mn")
+        )
+        .select(
+            "h", "j", "bin", "n", "pos", F.max("mn").over(w_head).alias("mx")
+        )
+        .filter(F.col("h") == F.col("j"))
+    )
+    return iso.select(
+        "bin",
+        F.col("n").alias("n_rows"),
+        "pos",
+        F.round(F.col("pos") / F.col("n"), 9).alias("rate"),
+        F.round(F.col("mx"), 9).alias("iso"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+#: Fold count for out-of-fold statistics. 5 is the standard CV fold
+#: count; the fold id is a pure function of the row key (md5), so the
+#: assignment is reproducible across engines, retries, and re-runs.
+N_ENC_FOLDS = 5
+
+#: Additive-smoothing pseudo-count toward the fold-complement prior
+#: (Micci-Barreca 2001's fixed-m variant — the data-independent choice
+#: that keeps the expression exactly replayable). 20 is exactly
+#: representable, so m·prior is a single IEEE multiply both engines
+#: agree on.
+ENC_SMOOTHING = 20.0
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    key_col: Column,
+    label: Column,
+    n_folds: int = N_ENC_FOLDS,
+    m: float = ENC_SMOOTHING,
+) -> DataFrame:
+    """Out-of-fold smoothed target encoding — the leakage-safe form of
+    the most common high-cardinality categorical feature in tabular
+    pipelines. Rows are assigned a deterministic fold by content hash
+    (md5 of the row key — never ``rand()``, so retries and both
+    engines agree); the encoding a fold's rows receive is computed
+    from the OTHER folds only::
+
+        enc(c, f) = (pos_c − pos_{c,f} + m·prior_f)
+                    / (n_c − n_{c,f} + m)
+        prior_f   = (pos_total − pos_f) / (n_total − n_f)
+
+    Distributed shape, sized for HIGH-cardinality categories (millions
+    at 100 TB — the case target encoding exists for): ONE scan → hash
+    agg to the (category × fold) cell grid (map-side combined; the
+    shuffle carries partial counts, never rows). Per-category totals
+    come from a window over the grid whose partitions hold ≤ n_folds
+    rows each (bounded, skew-free); per-fold and global totals are
+    n_folds-row / 1-row aggregates broadcast back — never an
+    unpartitioned window over the category-cardinality-sized grid.
+    Applying the encoding to rows afterward is a broadcast join
+    against the grid this returns. A category seen only inside one
+    fold degrades to the smoothed prior (denominator = m) rather than
+    leaking its own rows.
+
+    Returns one row per occupied (category, fold) cell: ``(category,
+    fold, n, pos, prior, encoding)``, doubles rounded to 9."""
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        (
+            F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint")
+            % n_folds
+        ).alias("fold"),
+        label.cast("int").alias("y"),
+    )
+    # the cell grid feeds THREE consumers (category window, fold
+    # totals, global totals); an eager localCheckpoint materializes
+    # the categories × folds frame once so the data scan runs exactly
+    # once — the grid is aggregate-sized (≤ |categories|·n_folds), so
+    # the checkpoint is bounded even at 100 TB
+    cell = (
+        base.groupBy("category", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_cat = Window.partitionBy("category")
+    per_cat = cell.select(
+        "category",
+        "fold",
+        "n",
+        "pos",
+        F.sum("n").over(w_cat).alias("n_c"),
+        F.sum("pos").over(w_cat).alias("pos_c"),
+    )
+    fold_tot = cell.groupBy("fold").agg(
+        F.sum("n").alias("n_f"), F.sum("pos").alias("pos_f")
+    )
+    glob = cell.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    )
+    g = per_cat.join(F.broadcast(fold_tot), "fold").crossJoin(
+        F.broadcast(glob)
+    )
+    prior = (F.col("post") - F.col("pos_f")) / (F.col("nt") - F.col("n_f"))
+    enc = (
+        (F.col("pos_c") - F.col("pos")) + F.lit(m) * prior
+    ) / ((F.col("n_c") - F.col("n")) + F.lit(m))
+    return g.select(
+        "category",
+        "fold",
+        "n",
+        "pos",
+        F.round(prior, 9).alias("prior"),
+        F.round(enc, 9).alias("encoding"),
+    )
+
+
+def lineitem_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: out-of-fold smoothed target encoding of the
+    supplier key (the high-cardinality categorical) against the return
+    label — md5-deterministic folds keyed by the lineitem primary key,
+    complements from one cell-grid pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return target_encoding(
+        li,
+        "l_suppkey",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        F.col("l_returnflag") == "R",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chi-square test of independence (+ Cramér's V)
 # ---------------------------------------------------------------------------
@@ -873,6 +1095,22 @@ def lineitem_logreg_calibration(
             "frac_positive double",
         )
     return calibration_table(logreg_score(base, w))
+
+
+def lineitem_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: isotonic (PAV) calibration of the registry
+    logreg model's round-9 scores over the 1024-bin histogram — the
+    fitted monotone score→probability map, via the exactly-replayable
+    minimax closed form."""
+    base, w = _registry_lineitem_model(spark, sf_dir)
+    if w is None:
+        return spark.createDataFrame(
+            [],
+            "bin int, n_rows bigint, pos bigint, rate double, iso double",
+        )
+    return isotonic_calibration(logreg_score(base, w))
 
 
 def lineitem_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,3 +1773,163 @@ def lineitem_gbt_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     features — the splits, leaf values, and SSE scores of the whole
     trajectory."""
     return gbt_two_stage(load_table(spark, sf_dir, "lineitem"))
+
+
+def gbt_boost(df: DataFrame, n_stages: int) -> DataFrame:
+    """K-stage gradient boosting of histogram stumps under squared
+    loss — :func:`gbt_two_stage`'s closed-form residual recursion
+    carried to arbitrary depth (§7.6's "deeper boosting": each extra
+    stage is ONE more data scan plus one more carried membership
+    column through the histogram).
+
+    Why the recursion stays exact at any depth: after stage ``i`` the
+    model correction is piecewise-constant over the stage-``i`` leaf
+    membership ``m_i ∈ {0,1}``, so a bin's residual sum at stage ``k``
+    collapses to integers times carried doubles::
+
+        sum_r_k(bin) = (pos − n·ȳ) − Σ_{i<k} ν·(m_i_count·γ_i_L
+                                              + (n − m_i_count)·γ_i_R)
+
+    where ``m_i_count`` counts the bin's rows that fell in stage-i's
+    left leaf — the only per-stage histogram addition. No per-row
+    double accumulates anywhere, so there is no summation-order
+    sensitivity and the DuckDB oracle can replay the identical IEEE
+    expression tree (left-associated exactly as built here).
+
+    Unlike the hand-unrolled two-stage form this uniform loop computes
+    EVERY stage's right-side residual sum as ``sum_r_total −
+    sum_r_left`` (the two-stage stage-1 used the algebraically equal
+    but FP-distinct direct form), so the two functions' stage-1 scores
+    may differ in the last ulp — each entry's oracle mirrors its own
+    formulation.
+
+    Plan: one explode→partial-histogram scan per stage; stage k's scan
+    carries the stage-(k−1) winner (itself carrying all earlier
+    choices) as a broadcast 1-row scalar — K scans total, never a
+    driver action. At 100 TB each scan shuffles O(features × bins)
+    partial histograms per task; the split search is histogram-sized.
+
+    Returns one row per stage: ``(stage, feature, split_bin, n_left,
+    n_right, gamma_left, gamma_right, score)``, γ rounded to 9,
+    ranking by the rounded-9 score with (feature, split_bin)
+    tie-break."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    names = [name for name, *_ in STUMP_BINS]
+    binned = _stump_binned(df)
+    nu = F.lit(GBT_SHRINKAGE)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.col(f"b_{name}").alias("bin")
+            )
+            for name in names
+        ]
+    )
+    winner: DataFrame | None = None
+    for k in range(1, n_stages + 1):
+        if k == 1:
+            cur, carry, mem_cols = binned, [], []
+        else:
+            mems = []
+            for i in range(1, k):
+                is_left = None
+                for name in names:
+                    term = (F.col(f"f{i}") == name) & (
+                        F.col(f"b_{name}") <= F.col(f"t{i}")
+                    )
+                    is_left = term if is_left is None else is_left | term
+                mems.append(is_left.cast("int").alias(f"m{i}"))
+            carry = list(winner.columns)
+            mem_cols = [f"m{i}" for i in range(1, k)]
+            cur = binned.crossJoin(F.broadcast(winner)).select(
+                *carry, *mems, *[f"b_{name}" for name in names], "y"
+            )
+        hist = (
+            cur.select(*carry, F.explode(pairs).alias("p"), "y", *mem_cols)
+            .groupBy(*carry, "p.feature", "p.bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("bigint").alias("pos"),
+                *[
+                    F.sum(m).cast("bigint").alias(f"{m}s")
+                    for m in mem_cols
+                ],
+            )
+        )
+        cum = _cum_counts(
+            hist, carry, extra=tuple(f"{m}s" for m in mem_cols)
+        )
+        nl, posl, nt, post = (
+            F.col(c) for c in ("nl", "posl", "nt", "post")
+        )
+        yb = F.col("ybar") if k > 1 else (post / nt)
+        sum_rl = posl - nl * yb
+        sum_rt = post - nt * yb
+        for i in range(1, k):
+            ml, mt = F.col(f"m{i}sl"), F.col(f"m{i}st")
+            gl_i, gr_i = F.col(f"gl{i}"), F.col(f"gr{i}")
+            sum_rl = sum_rl - nu * (ml * gl_i + (nl - ml) * gr_i)
+            sum_rt = sum_rt - nu * (mt * gl_i + (nt - mt) * gr_i)
+        sum_rr = sum_rt - sum_rl
+        score = F.round(
+            (sum_rl * sum_rl) / nl + (sum_rr * sum_rr) / (nt - nl), 9
+        )
+        staged_cols = [
+            *(F.col(c) for c in carry),
+            F.col("feature"),
+            F.col("split_bin"),
+            nl.alias("cand_nl"),
+            nt.alias("cand_nt"),
+            score.alias("score"),
+            (sum_rl / nl).alias("cand_gl"),
+            (sum_rr / (nt - nl)).alias("cand_gr"),
+        ]
+        if k == 1:
+            staged_cols.append(yb.alias("ybar"))
+        s = cum.select(*staged_cols)
+        w_glob = Window.orderBy(
+            F.col("score").desc(), "feature", "split_bin"
+        )
+        keep = [c for c in carry if c != "ybar"]
+        winner = (
+            s.select("*", F.row_number().over(w_glob).alias("_rg"))
+            .filter(F.col("_rg") == 1)
+            .select(
+                *keep,
+                F.col("feature").alias(f"f{k}"),
+                F.col("split_bin").alias(f"t{k}"),
+                F.col("cand_nl").alias(f"nw{k}"),
+                (F.col("cand_nt") - F.col("cand_nl")).alias(f"nr{k}"),
+                F.col("score").alias(f"sc{k}"),
+                F.col("cand_gl").alias(f"gl{k}"),
+                F.col("cand_gr").alias(f"gr{k}"),
+                "ybar",
+            )
+        )
+    # all stage rows explode out of the ONE winning row (the two-stage
+    # rationale: a unionAll would duplicate the whole K-scan subtree)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("stage"),
+                F.col(f"f{k}").alias("feature"),
+                F.col(f"t{k}").alias("split_bin"),
+                F.col(f"nw{k}").alias("n_left"),
+                F.col(f"nr{k}").alias("n_right"),
+                F.round(F.col(f"gl{k}"), 9).alias("gamma_left"),
+                F.round(F.col(f"gr{k}"), 9).alias("gamma_right"),
+                F.col(f"sc{k}").alias("score"),
+            )
+            for k in range(1, n_stages + 1)
+        ]
+    )
+    return winner.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def lineitem_gbt_stages3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: THREE gradient-boosting stages of histogram
+    stumps (squared loss, shrinkage 0.5) via the uniform closed-form
+    recursion — one scan per stage, the whole trajectory's splits,
+    leaf values, and SSE scores."""
+    return gbt_boost(load_table(spark, sf_dir, "lineitem"), 3)

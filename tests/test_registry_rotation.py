@@ -153,12 +153,12 @@ def test_round10_priority_was_exactly_the_budgeted_block():
     )
 
 
-def test_round11_priority_is_exactly_the_budgeted_block():
+def test_round11_priority_is_the_archived_budgeted_block():
     # round-11 budget (ROTATION_STRIDE comment): stride raised to 29
     # FIRST (r10 verdict item #1), then the four new families the
-    # verdict pre-scoped plus the two round-12 candidates pulled
-    # forward mid-round, all leading window 11
-    assert q._ROUND_PRIORITY == (
+    # verdict pre-scoped plus the four round-12 candidates pulled
+    # forward mid-round
+    assert q._ROUND11_PRIORITY == (
         "lineitem_stump_gini",
         "lineitem_tree_depth2",
         "docs_group_reservoir",
@@ -168,8 +168,28 @@ def test_round11_priority_is_exactly_the_budgeted_block():
         "lineitem_gbt_stages",
         "streaming_upsert_latest",
     )
-    assert set(q._ROUND_PRIORITY) <= _window(11)
-    # N = 232 = the exact S=29 horizon cap (round 12 must raise S
-    # to 30 before adding a single entry)
-    assert len(q.REGISTRY) == 232
-    assert q.ROTATION_STRIDE == 29
+
+
+def test_round12_priority_carries_unchecked_round11_block():
+    # No CORRECTNESS_r11 artifact landed (the driver re-entered round
+    # 12 without a verify pass), so every round-11 name is still
+    # driver-unchecked and must lead the round-12 window ahead of the
+    # four new round-12 families — the r08/r09 carry protocol.
+    import glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    if not any(a.endswith(("r11.json", "r12.json")) for a in artifacts):
+        assert q._ROUND_PRIORITY[: len(q._ROUND11_PRIORITY)] == (
+            q._ROUND11_PRIORITY
+        )
+    assert q._ROUND_PRIORITY[len(q._ROUND11_PRIORITY):] == (
+        "lineitem_gbt_stages3",
+        "lineitem_isotonic_calibration",
+        "lineitem_target_encoding",
+        "docs_ngram_novelty",
+    )
+    assert set(q._ROUND_PRIORITY) <= _window(12)
+    # N = 236 under the S=30 cap (240): round 13 has 4 free slots
+    assert len(q.REGISTRY) == 236
+    assert q.ROTATION_STRIDE == 30
