@@ -679,7 +679,7 @@ def calibration_table(
 
 
 def isotonic_calibration(
-    scored: DataFrame, n_bins: int = ROC_BINS
+    scored: DataFrame, n_bins: int = ROC_BINS, checkpoint: bool = True
 ) -> DataFrame:
     """Isotonic (PAV) calibration of a ``(p, y)`` scored frame over
     the fixed score histogram — the non-parametric upgrade of
@@ -722,7 +722,9 @@ def isotonic_calibration(
     # range self-join); an eager localCheckpoint (the repo's shared-
     # stage idiom, e.g. the reused shingle table in functions/dedup)
     # materializes the ≤ n_bins-row frame so the data scan runs
-    # exactly once — without it each consumer would replay the scan
+    # exactly once — without it each consumer would replay the scan.
+    # checkpoint=False is for PLAN INSPECTION only (tools/dump_plans
+    # needs the unexecuted lineage to show the scan evidence).
     idx = hist.select(
         "bin",
         "n",
@@ -730,7 +732,9 @@ def isotonic_calibration(
         F.row_number().over(w_ord).alias("i"),
         F.sum("n").over(w_cum).alias("cn"),
         F.sum("pos").over(w_cum).alias("cp"),
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint:
+        idx = idx.localCheckpoint(eager=True)
     a = idx.select(
         F.col("i").alias("h"),
         (F.col("cn") - F.col("n")).alias("cn0"),
@@ -802,6 +806,7 @@ def target_encoding(
     label: Column,
     n_folds: int = N_ENC_FOLDS,
     m: float = ENC_SMOOTHING,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Out-of-fold smoothed target encoding — the leakage-safe form of
     the most common high-cardinality categorical feature in tabular
@@ -841,15 +846,14 @@ def target_encoding(
     # totals, global totals); an eager localCheckpoint materializes
     # the categories × folds frame once so the data scan runs exactly
     # once — the grid is aggregate-sized (≤ |categories|·n_folds), so
-    # the checkpoint is bounded even at 100 TB
-    cell = (
-        base.groupBy("category", "fold")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("y").cast("bigint").alias("pos"),
-        )
-        .localCheckpoint(eager=True)
+    # the checkpoint is bounded even at 100 TB. checkpoint=False is
+    # for PLAN INSPECTION only (tools/dump_plans).
+    cell = base.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
     )
+    if checkpoint:
+        cell = cell.localCheckpoint(eager=True)
     w_cat = Window.partitionBy("category")
     per_cat = cell.select(
         "category",
@@ -897,6 +901,26 @@ def lineitem_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ),
         F.col("l_returnflag") == "R",
+    )
+
+
+def lineitem_target_encoding_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): checkpoint disabled
+    so the dumped plan shows the scan lineage; see
+    :func:`lineitem_isotonic_calibration_plan`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return target_encoding(
+        li,
+        "l_suppkey",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        F.col("l_returnflag") == "R",
+        checkpoint=False,
     )
 
 
@@ -1111,6 +1135,19 @@ def lineitem_isotonic_calibration(
             "bin int, n_rows bigint, pos bigint, rate double, iso double",
         )
     return isotonic_calibration(logreg_score(base, w))
+
+
+def lineitem_isotonic_calibration_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): the same query with
+    the histogram-stage checkpoint disabled, so the dumped plan shows
+    the real scan lineage (pushdown, pruning) instead of a bare
+    ExistingRDD. Never executed — the duplicated scan subtrees it
+    shows are exactly what the checkpoint exists to prevent."""
+    base, w = _registry_lineitem_model(spark, sf_dir)
+    assert w is not None
+    return isotonic_calibration(logreg_score(base, w), checkpoint=False)
 
 
 def lineitem_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

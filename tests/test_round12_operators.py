@@ -335,6 +335,20 @@ def test_novelty_attribution_invariants(spark):
     assert 4 not in out  # < 3 words -> no shingles -> no row
 
 
+def test_plan_variants_expose_scan_lineage(spark, sf_oracle):
+    """The dump_plans overrides for the checkpoint-staged round-12
+    entries must show the REAL scan lineage (pushdown/pruning
+    evidence) — if a refactor re-checkpoints them, PLANS.md would
+    silently regenerate to a bare ExistingRDD (the r10 evidence-pin
+    discipline)."""
+    iso = stats.lineitem_isotonic_calibration_plan(spark, sf_oracle)
+    assert _scan_count(explain_str(iso, "formatted"), "lineitem") >= 1
+    enc = stats.lineitem_target_encoding_plan(spark, sf_oracle)
+    assert _scan_count(explain_str(enc, "formatted"), "lineitem") >= 1
+    nov = dedup.docs_ngram_novelty_plan(spark, sf_oracle)
+    assert _scan_count(explain_str(nov, "formatted"), "documents") >= 1
+
+
 def test_novelty_totals_partition_ownership(spark, sf_oracle):
     """Σ n_novel over docs = number of DISTINCT shingles in the corpus
     (each distinct shingle owned exactly once), and every novelty is

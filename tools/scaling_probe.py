@@ -794,6 +794,90 @@ def main() -> None:
         f"ratio {uk / u1:.1f}x (ideal <= {k}x; sink-side keyed merge, "
         f"no state store)"
     )
+
+    # ---- round-12 shapes --------------------------------------------
+    from inf2106_map_reduce_spark.functions.dedup import ngram_novelty
+    from inf2106_map_reduce_spark.operators.stats import (
+        gbt_boost,
+        isotonic_calibration,
+        target_encoding,
+    )
+
+    # K-stage booster: one scan per stage; claim under test is that
+    # adding a stage adds one scan's cost, with the split search fixed
+    timed(lambda: gbt_boost(li1, 3))
+    t1 = min(timed(lambda: gbt_boost(li1, 3)) for _ in range(3))
+    tk = min(timed(lambda: gbt_boost(lik, 3)) for _ in range(3))
+    print(
+        f"  GBT 3 stages (uniform closed-form loop): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; "
+        f"split search histogram-sized)"
+    )
+
+    # Isotonic calibration: scored frame from a deterministic
+    # md5-uniform so the probe needs no trained model — the shape
+    # under test is scan→histogram + the FIXED O(bins²) epilogue
+    def scored(li):
+        p = F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double") / F.lit(float(16**8))
+        return li.select(
+            p.alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        )
+
+    timed(lambda: isotonic_calibration(scored(li1)))
+    t1 = min(timed(lambda: isotonic_calibration(scored(li1))) for _ in range(3))
+    tk = min(timed(lambda: isotonic_calibration(scored(lik))) for _ in range(3))
+    print(
+        f"  isotonic calibration (minimax over score hist): {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; "
+        f"epilogue fixed at bins²)"
+    )
+
+    # Out-of-fold target encoding: suppkey offset PER COPY so the
+    # category cardinality (and the cell grid) grows 8x with the data
+    # — the high-cardinality case the broadcast-complement design is
+    # sized for
+    te1 = li1
+    tek = replicate(
+        load_table(spark, sf, "lineitem"), k, ["l_orderkey", "l_suppkey"]
+    ).localCheckpoint(eager=True)
+
+    def tenc(li):
+        return target_encoding(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+        )
+
+    timed(lambda: tenc(te1))
+    t1 = min(timed(lambda: tenc(te1)) for _ in range(3))
+    tk = min(timed(lambda: tenc(tek)) for _ in range(3))
+    print(
+        f"  OOF target encoding (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; grid "
+        f"grows with categories, never an unpartitioned window)"
+    )
+
+    # N-gram novelty: text-varied copies (the AllPairs fixture) keep
+    # cross-copy shingles disjoint, so BOTH the shingle table and the
+    # distinct-shingle owner table grow 8x — the honest worst case
+    timed(lambda: ngram_novelty(pd1))
+    t1 = min(timed(lambda: ngram_novelty(pd1)) for _ in range(3))
+    tk = min(timed(lambda: ngram_novelty(pdk)) for _ in range(3))
+    print(
+        f"  n-gram novelty attribution: {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x; two linear shuffles "
+        f"on the shingle table)"
+    )
     spark.stop()
 
 
