@@ -65,6 +65,7 @@ WARMUP = (
     "streaming_session_timeout",
     "streaming_backfill_lag",
     "streaming_upsert_latest",
+    "streaming_dlq_split",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -135,6 +136,10 @@ HEADLINE = (
     "lineitem_isotonic_calibration",
     "lineitem_target_encoding",
     "docs_ngram_novelty",
+    # round-13 new families
+    "lineitem_price_quantile_bins",
+    "lineitem_encoding_reliability",
+    "streaming_dlq_split",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

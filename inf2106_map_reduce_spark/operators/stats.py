@@ -799,6 +799,18 @@ N_ENC_FOLDS = 5
 ENC_SMOOTHING = 20.0
 
 
+def _enc_fold(key_col: Column, n_folds: int) -> Column:
+    """The fold id as a pure function of the row key: first 8 hex
+    digits of md5, mod n_folds — ONE definition shared by the encoding
+    fit and every consumer that re-derives row folds (the reliability
+    audit), so the assignment cannot diverge between them. Mirrored
+    textually by the oracles' ``('0x' || substr(md5(..), 1, 8))``."""
+    return (
+        F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint")
+        % n_folds
+    )
+
+
 def target_encoding(
     df: DataFrame,
     cat_col: str,
@@ -836,10 +848,7 @@ def target_encoding(
     fold, n, pos, prior, encoding)``, doubles rounded to 9."""
     base = df.select(
         F.col(cat_col).alias("category"),
-        (
-            F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint")
-            % n_folds
-        ).alias("fold"),
+        _enc_fold(key_col, n_folds).alias("fold"),
         label.cast("int").alias("y"),
     )
     # the cell grid feeds THREE consumers (category window, fold
@@ -1970,3 +1979,198 @@ def lineitem_gbt_stages3(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion — one scan per stage, the whole trajectory's splits,
     leaf values, and SSE scores."""
     return gbt_boost(load_table(spark, sf_dir, "lineitem"), 3)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile) feature discretization
+# ---------------------------------------------------------------------------
+
+#: Pass-1 resolution of the two-pass exact-rank equi-depth binner: a
+#: fixed equi-width FINE histogram whose bins are then grouped into
+#: equal-population buckets by rank arithmetic. 4096 bins of width 32
+#: cover the l_extendedprice domain [900, 105000) with ~3.3k occupied
+#: bins — fine enough that a bucket edge lands within one fine bin
+#: (~0.03% of the domain) of the exact sample quantile, while the
+#: pass-2 epilogue stays histogram-sized. The fine grid is
+#: DATA-INDEPENDENT (fixed width, clamped edges) so the histogram is
+#: reproducible across engines, retries, and data orders; only the
+#: BUCKET EDGES adapt to the distribution — which is the whole point
+#: of equi-depth over the stump family's fixed equi-width bins.
+N_QTL_FINE = 4096
+QTL_FINE_WIDTH = 32.0
+N_QTL_BUCKETS = 10
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    width: float = QTL_FINE_WIDTH,
+    n_fine: int = N_QTL_FINE,
+    n_buckets: int = N_QTL_BUCKETS,
+) -> DataFrame:
+    """Equi-depth (quantile) discretization by the two-pass exact-rank
+    scheme: pass 1 — the ONLY data scan — reduces the column to a
+    fixed fine histogram (map-side-combined hash agg, ≤ n_fine rows);
+    pass 2 is pure rank arithmetic over the histogram. No global sort,
+    no approxQuantile nondeterminism: boundary ``q`` is *defined* as
+    the least fine bin whose cumulative count reaches
+    ``ceil(q·N/B)``, and with integer prefix sums that collapses to a
+    closed form — fine bin ``f`` (cumulative count ``cum``, own count
+    ``n``) belongs to bucket::
+
+        bucket(f) = ((cum − n) · B) DIV N        -- exact integers
+
+    (the count of boundaries strictly below ``f``; ``cum − n < N``
+    guarantees the quotient < B, the LEAST clamp is provably inert and
+    kept only as the repo's edge-bin idiom). Whole fine bins are
+    allotted to buckets, so the discretization is a total function of
+    the histogram — the property that makes it exactly
+    oracle-replayable, unlike midpoint-interpolating quantiles.
+
+    Scale: at 100 TB the scan is the entire cost; the shuffle carries
+    ≤ n_fine partial counts per task and the cumulative window runs
+    over the histogram only (single partition of ≤ n_fine rows — the
+    accepted histogram idiom, see :func:`isotonic_calibration`).
+
+    Returns one row per occupied bucket: ``(bucket, n_fine_bins,
+    n_rows, lo_bin, hi_bin, frac)`` — ``lo_bin·width`` is the bucket's
+    value-domain edge."""
+    fine = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_fine - 1),
+            F.floor(F.col(col).cast("double") / F.lit(width)).cast("int"),
+        ),
+    )
+    hist = (
+        df.select(fine.alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy("fb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("fb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        "fb",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
+    )
+    return (
+        c.select(bucket.alias("bucket"), "fb", "n", "nt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_fine_bins"),
+            F.sum("n").alias("n_rows"),
+            F.min("fb").alias("lo_bin"),
+            F.max("fb").alias("hi_bin"),
+            F.round(F.sum("n") / F.max("nt"), 9).alias("frac"),
+        )
+    )
+
+
+def lineitem_price_quantile_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: exact equi-depth decile discretization of
+    l_extendedprice via the two-pass rank scheme — the adaptive
+    counterpart of the stump family's fixed equi-width bins (the
+    binning any histogram-GBDT or monotone-feature pipeline wants when
+    the feature is skewed)."""
+    return quantile_bins(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Per-category encoding reliability audit
+# ---------------------------------------------------------------------------
+
+#: Bin grid for the encoding audit — finer than the model-score
+#: CALIBRATION_BINS (10) because smoothed out-of-fold encodings
+#: CONCENTRATE near the global prior (m = 20 pseudo-counts shrink
+#: every thin cell toward ~0.33 here): a decile grid collapses the
+#: whole audit into 2 occupied rows, a centile grid resolves ~11 —
+#: enough spread to actually see mis-calibration per encoding level.
+ENC_RELIABILITY_BINS = 100
+
+
+def encoding_reliability(
+    df: DataFrame,
+    cat_col: str,
+    key_col: Column,
+    label: Column,
+    n_folds: int = N_ENC_FOLDS,
+    m: float = ENC_SMOOTHING,
+    n_bins: int = ENC_RELIABILITY_BINS,
+) -> DataFrame:
+    """Reliability audit of the out-of-fold target encoding: does the
+    encoded value actually predict the label rate it claims? Every row
+    receives its own (category, fold) cell's encoding — exactly the
+    value a training pipeline would feed the model — and the rows are
+    bucketed into fixed encoding centiles; a leakage-free, well-
+    calibrated encoding has ``mean_encoding ≈ frac_positive`` per
+    bucket (the :func:`calibration_table` contract applied to the
+    feature instead of the model).
+
+    Distributed shape: the grid fit is :func:`target_encoding`'s one
+    cell-grid pass; APPLYING it is a second scan joined against the
+    aggregate-sized grid — two scans total, inherent to out-of-fold
+    semantics (a row's encoding depends on totals over all other
+    rows). The join is left to AQE: at test scale the checkpointed
+    grid's size stats make it a broadcast; at 100 TB-category scale it
+    degrades to an orderly key-partitioned shuffle join rather than an
+    OOM broadcast. Fold re-derivation shares :func:`_enc_fold` with
+    the fit, so row→cell routing cannot diverge from the grid.
+
+    Returns one row per occupied centile: ``(bin, n_rows,
+    mean_encoding, frac_positive)``, round-6 like every reliability
+    surface in the repo (means of round-9 doubles; jitter ≫ 6 orders
+    inside the bucket)."""
+    grid = target_encoding(df, cat_col, key_col, label, n_folds, m)
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        _enc_fold(key_col, n_folds).alias("fold"),
+        label.cast("int").alias("y"),
+    )
+    joined = base.join(
+        grid.select("category", "fold", "encoding"), ["category", "fold"]
+    )
+    enc_bin = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col("encoding") * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    n = F.count(F.lit(1))
+    return joined.groupBy(enc_bin.alias("bin")).agg(
+        n.alias("n_rows"),
+        F.round(F.sum("encoding") / n, 6).alias("mean_encoding"),
+        F.round(F.sum("y") / n, 6).alias("frac_positive"),
+    )
+
+
+def lineitem_encoding_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: centile reliability table of the supplier-key
+    target encoding vs the return label — the audit that catches a
+    leaky or mis-smoothed encoding before it trains a model (composes
+    the §7.6 encoding with the round-8 reliability surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_reliability(
+        li,
+        "l_suppkey",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        F.col("l_returnflag") == "R",
+    )

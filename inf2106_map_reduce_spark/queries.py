@@ -6443,6 +6443,139 @@ REGISTRY.update(
 )
 
 
+# Round-13 block: equi-depth discretization, the encoding reliability
+# audit, and the DLQ split sink (SURVEY.md §7.7).
+
+# First-match CASE rendered from the SAME ordered rule table the
+# foreachBatch router folds (stream_windows.DLQ_RULES) — one rule
+# definition, two mechanical renderings.
+_DLQ_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {pred} THEN '{name}'"
+        for name, pred in stream_windows.DLQ_RULES
+    )
+    + " END"
+)
+
+REGISTRY.update(
+    {
+        "lineitem_price_quantile_bins": QuerySpec(
+            stats.lineitem_price_quantile_bins,
+            f"""
+            WITH h AS (
+              SELECT GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
+                       CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                            / {stats.QTL_FINE_WIDTH}) AS INT))) AS fb,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY fb
+            ),
+            c AS (
+              SELECT fb, n,
+                     SUM(n) OVER (ORDER BY fb ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(n) OVER () AS nt
+              FROM h
+            )
+            SELECT LEAST({stats.N_QTL_BUCKETS - 1},
+                     CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                          AS INT)) AS bucket,
+                   COUNT(*) AS n_fine_bins,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   MIN(fb) AS lo_bin, MAX(fb) AS hi_bin,
+                   ROUND(CAST(SUM(n) AS BIGINT) / MAX(nt), 9) AS frac
+            FROM c GROUP BY bucket
+            """,
+            "exact equi-depth decile discretization of l_extendedprice "
+            "by the two-pass rank scheme (fixed fine histogram + "
+            "closed-form integer rank arithmetic) — one data scan, "
+            "histogram-sized epilogue, no global sort",
+            ("stats", "lineitem", "pipeline"),
+        ),
+        "lineitem_encoding_reliability": QuerySpec(
+            stats.lineitem_encoding_reliability,
+            f"""
+            WITH base AS (
+              SELECT l_suppkey AS category,
+                     CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                       || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                       AS BIGINT) % {stats.N_ENC_FOLDS} AS fold,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem
+            ),
+            cell AS (
+              SELECT category, fold, COUNT(*) AS n,
+                     CAST(SUM(y) AS BIGINT) AS pos
+              FROM base GROUP BY category, fold
+            ),
+            per_cat AS (
+              SELECT category, fold, n, pos,
+                     CAST(SUM(n) OVER (PARTITION BY category) AS BIGINT)
+                       AS n_c,
+                     CAST(SUM(pos) OVER (PARTITION BY category) AS BIGINT)
+                       AS pos_c
+              FROM cell
+            ),
+            fold_tot AS (
+              SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f,
+                     CAST(SUM(pos) AS BIGINT) AS pos_f
+              FROM cell GROUP BY fold
+            ),
+            tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                     CAST(SUM(pos) AS BIGINT) AS post
+              FROM cell
+            ),
+            grid AS (
+              SELECT category, fold,
+                     ROUND(((pos_c - pos)
+                            + {stats.ENC_SMOOTHING}
+                              * ((post - pos_f) / (nt - n_f)))
+                           / ((n_c - n) + {stats.ENC_SMOOTHING}), 9)
+                       AS encoding
+              FROM per_cat p JOIN fold_tot f USING (fold) CROSS JOIN tot
+            )
+            SELECT GREATEST(0, LEAST(CAST(FLOOR(encoding
+                     * {stats.ENC_RELIABILITY_BINS}) AS INT),
+                     {stats.ENC_RELIABILITY_BINS - 1})) AS bin,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(encoding) / COUNT(*), 6) AS mean_encoding,
+                   ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
+            FROM base b JOIN grid g USING (category, fold)
+            GROUP BY bin
+            """,
+            "centile reliability audit of the out-of-fold supplier-key "
+            "target encoding: every row receives its own cell's "
+            "encoding (shared fold derivation with the fit), bucketed "
+            "into fixed encoding centiles — mean_encoding vs "
+            "frac_positive per bucket",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "streaming_dlq_split": QuerySpec(
+            stream_windows.streaming_dlq_split,
+            f"""
+            WITH tagged AS (
+              SELECT *, {_DLQ_CASE} AS r FROM events
+            )
+            SELECT CASE WHEN r IS NULL THEN 'good' ELSE 'dlq' END
+                     AS disposition,
+                   COALESCE(r, 'ok') AS reason, event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM tagged GROUP BY 1, 2, 3
+            """,
+            "foreachBatch dead-letter-queue sink: each micro-batch is "
+            "routed by ordered first-match quarantine rules into "
+            "reason-tagged DLQ vs good sinks (epoch-scoped idempotent "
+            "overwrites); the audit summary must equal the one-shot "
+            "batch CASE split",
+            ("events", "streaming", "sink"),
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — deterministic rotation. The driver's correctness
 # gate hash-checks the FIRST ``ROTATION_WINDOW`` entries of
@@ -6532,6 +6665,22 @@ ROTATION_WINDOW = 50
 # holds and the priority block (8 carried + 4 new = 12) fits the
 # 20-cap. ROUND 13 HAS 4 FREE SLOTS (N <= 240) before S must go to
 # 31 — re-derive explicitly, don't drift.
+#
+# Round-13 math (decided BEFORE adding entries, per the §7.7
+# pre-scope): the registry entered round 13 at 236 with 4 free slots
+# under S = 30 (horizon cap N <= 240). Still no CORRECTNESS artifact
+# has landed since r10, so ALL 12 round-11/-12 names stay carried in
+# the priority block. The round-13 budget spends 3 of the 4 free
+# slots on the §7.7 candidates that survived scoping (the K=4+
+# boosting depth probe needs no registry entry — gbt_boost already
+# generalizes; its evidence is a SCALING.md cost-∝-K probe row):
+# exact equi-depth discretization (lineitem_price_quantile_bins),
+# the encoding reliability audit (lineitem_encoding_reliability),
+# and the foreachBatch DLQ split sink (streaming_dlq_split) ->
+# N = 239; ceil(239/30) = 8 holds and the priority block (12 carried
+# + 3 new = 15) fits the 20-cap. ROUND 14 HAS 1 FREE SLOT (N <= 240)
+# before S must go to 31 (covers N <= 248, priority <= 19) —
+# re-derive explicitly, don't drift.
 ROTATION_STRIDE = 30
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6565,6 +6714,17 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # corpus-diversity metric, one shuffle on the shingle (decided
     # this round)
     "docs_ngram_novelty",
+    # Round-13 block (budget re-derived in the ROTATION_STRIDE
+    # comment BEFORE adding entries): exact equi-depth decile
+    # discretization by the two-pass rank scheme (§7.7 candidate #1)
+    "lineitem_price_quantile_bins",
+    # centile reliability audit of the out-of-fold target encoding
+    # (§7.7 candidate #3 — composes the §7.6 encoding with the
+    # round-8 reliability surface)
+    "lineitem_encoding_reliability",
+    # foreachBatch dead-letter-queue split sink — the error-handling
+    # member of the sink family (§7.7 candidate #4)
+    "streaming_dlq_split",
 )
 
 #: The round-11 block as budgeted (kept as a named record for the

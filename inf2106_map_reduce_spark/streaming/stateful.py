@@ -200,18 +200,26 @@ SESSION_GAP_US = 1_800_000_000
 SESSION_SPAN_FILES = 2
 
 
-def stage_session_spans(ev: DataFrame, base: str) -> str:
-    """Stage ``ev`` (any frame with user_id + ts) as SESSION_SPAN_FILES
+def stage_session_spans(
+    ev: DataFrame,
+    base: str,
+    cols: tuple[str, ...] = ("user_id", "ts"),
+    n_files: int = SESSION_SPAN_FILES,
+) -> str:
+    """Stage ``ev`` (any frame with a ``ts`` column) as ``n_files``
     parquet files covering consecutive equal time spans, with strictly
     increasing pinned mtimes — the file-stream source processes files
     oldest-first, so batch order == event-time order and nothing
     arrives late (span width ≫ watermark delay ≫ 0). The batch-order
     invariant (span arithmetic, the +1 step, the mtime scheme, the
-    SESSION_SPAN_FILES coupling) lives HERE and only here; the
-    registry staging and the scaling probe both call this helper, so
-    a staging-contract change cannot silently diverge between them."""
+    file-count coupling) lives HERE and only here; the registry
+    stagings (session/backfill/upsert on the 2-column projection, the
+    DLQ split on the full event row) and the scaling probe all call
+    this helper, so a staging-contract change cannot silently diverge
+    between them. ``cols`` picks the staged projection; ``ts`` must be
+    a member."""
     os.makedirs(base, exist_ok=True)
-    ev = ev.select("user_id", "ts")
+    ev = ev.select(*cols)
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
@@ -222,8 +230,8 @@ def stage_session_spans(ev: DataFrame, base: str) -> str:
         raise ValueError(
             "cannot stage spans of an empty (or all-null-ts) events frame"
         )
-    step = (hi - lo) // SESSION_SPAN_FILES + 1
-    for i in range(SESSION_SPAN_FILES):
+    step = (hi - lo) // n_files + 1
+    for i in range(n_files):
         b0, b1 = lo + i * step, lo + (i + 1) * step
         tmp = tempfile.mkdtemp(prefix="span_")
         (

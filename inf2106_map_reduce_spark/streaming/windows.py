@@ -681,3 +681,139 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if name.startswith("v=")
     )
     return spark.read.parquet(f"{table_root}/v={last}")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch dead-letter-queue (DLQ) split sink
+# ---------------------------------------------------------------------------
+
+#: Ordered first-match quarantine rules (reason, SQL predicate) — the
+#: ONE definition both the foreachBatch router and the oracle's CASE
+#: mirror. Rules are content-based (the synthetic events are
+#: structurally clean, so "malformed" is a semantic contract here):
+#: error-telemetry events don't belong in the analytics stream, and
+#: out-of-range values are quarantined for inspection rather than
+#: silently aggregated.
+DLQ_RULES: tuple[tuple[str, str], ...] = (
+    ("error_event", "event_type = 'error'"),
+    ("value_out_of_range", "value > 300.0"),
+)
+
+#: Span-file count for the DLQ staging. More batches than the stateful
+#: entries (which pay ~2 s/batch of state-store machinery) is cheap
+#: here — foreachBatch with no state store is just N tiny jobs — and
+#: 3 batches exercise the per-epoch idempotent-overwrite layout on a
+#: genuinely multi-batch stream.
+DLQ_SPAN_FILES = 3
+
+
+def dlq_reason() -> F.Column:
+    """First-matching-rule reason column (NULL = routed to the good
+    sink), folded from :data:`DLQ_RULES` so router and oracle cannot
+    diverge."""
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(DLQ_RULES):
+        reason = F.when(F.expr(pred), F.lit(name)).otherwise(reason)
+    return reason
+
+
+def _dlq_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """_STAGED-guarded staging of the FULL event row (the session/
+    backfill stagings carry only user_id+ts) into DLQ_SPAN_FILES
+    time-span files — same batch-order invariant, same helper
+    (:func:`stream_stateful.stage_session_spans`)."""
+    base = os.path.join(
+        stream_stateful.WORK_ROOT,
+        "streaming",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"events_dlq{DLQ_SPAN_FILES}",
+    )
+    done = os.path.join(base, "_STAGED")
+    if not os.path.exists(done):
+        stream_stateful.stage_session_spans(
+            load_table(spark, sf_dir, "events"),
+            base,
+            cols=("event_id", "ts", "user_id", "event_type", "value"),
+            n_files=DLQ_SPAN_FILES,
+        )
+        open(done, "w").close()
+    return base
+
+
+def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the foreachBatch DEAD-LETTER-QUEUE recipe — the
+    error-handling member of the sink family. Each micro-batch is
+    routed by the ordered :data:`DLQ_RULES`: rows matching a rule land
+    in the DLQ sink WITH their quarantine reason attached (so the
+    queue is triage-able, not a bit bucket), clean rows land in the
+    good sink; both writes are scoped to ``epoch=<batch>`` directories
+    with ``overwrite`` mode, so a retried micro-batch (foreachBatch is
+    at-least-once) rewrites its own partition instead of doubling it —
+    the same versioned-idempotence contract as
+    :func:`streaming_upsert_latest`, partition-scoped instead of
+    table-versioned because the split is per-row (no cross-batch
+    merge).
+
+    Scale: the router is one codegen'd CASE over each batch — no
+    state store, no shuffle; at 100 TB the good/DLQ writes are the
+    stream's own parallelism and the quarantine share (~20% here, by
+    synthetic construction) prunes downstream compute at the earliest
+    possible point. The returned audit summary — per (disposition,
+    reason, event_type): row count, distinct users, event-id checksum
+    — is what a pipeline alerts on, and the oracle replays it as a
+    one-shot batch CASE split over the same snapshot: the streaming
+    plumbing must route every row exactly once to match."""
+    src = _dlq_source_dir(spark, sf_dir)
+    good_root = tempfile.mkdtemp(prefix="dlq_good_")
+    dlq_root = tempfile.mkdtemp(prefix="dlq_bad_")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+    )
+
+    def _route_batch(batch_df, epoch):
+        tagged = batch_df.withColumn("reason", dlq_reason())
+        tagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
+            "overwrite"
+        ).parquet(f"{good_root}/epoch={epoch}")
+        tagged.filter(F.col("reason").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(f"{dlq_root}/epoch={epoch}")
+
+    q = (
+        stream.writeStream.foreachBatch(_route_batch)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _summary(root: str, disposition: str, reason: F.Column):
+        return (
+            spark.read.parquet(root)
+            .groupBy(reason.alias("reason"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+            .select(
+                F.lit(disposition).alias("disposition"),
+                "reason",
+                "event_type",
+                "n_rows",
+                "n_users",
+                "sum_event_id",
+            )
+        )
+
+    return _summary(good_root, "good", F.lit("ok")).unionByName(
+        _summary(dlq_root, "dlq", F.col("reason"))
+    )

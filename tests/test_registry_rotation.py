@@ -188,8 +188,15 @@ def test_round12_priority_carries_unchecked_round11_block():
         "lineitem_isotonic_calibration",
         "lineitem_target_encoding",
         "docs_ngram_novelty",
+        # round-13 block: the §7.7 candidates that survived scoping
+        # (the K=4+ boosting depth probe is bench-only, no entry)
+        "lineitem_price_quantile_bins",
+        "lineitem_encoding_reliability",
+        "streaming_dlq_split",
     )
-    assert set(q._ROUND_PRIORITY) <= _window(12)
-    # N = 236 under the S=30 cap (240): round 13 has 4 free slots
-    assert len(q.REGISTRY) == 236
+    assert set(q._ROUND_PRIORITY) <= _window(12) and (
+        set(q._ROUND_PRIORITY) <= _window(13)
+    )
+    # N = 239 under the S=30 cap (240): round 14 has 1 free slot
+    assert len(q.REGISTRY) == 239
     assert q.ROTATION_STRIDE == 30

@@ -1,0 +1,296 @@
+"""Round-13 operator pins: equi-depth quantile binning plan shape +
+exact-rank property + independent fuzz, encoding-reliability routing
+invariants, and DLQ-split idempotence/partition semantics (the oracle
+parity suite covers values; these pin the PLANS and the semantics the
+oracles encode)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.operators import stats
+from inf2106_map_reduce_spark.plans import explain_str
+from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
+from inf2106_map_reduce_spark.streaming import windows as stream_windows
+from inf2106_map_reduce_spark.tables import load_table
+
+
+def _scan_count(plan: str, table: str) -> int:
+    return plan.count(f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth quantile binning
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bins_is_one_scan_no_global_sort(spark, sf_oracle):
+    """Pass 2 is rank arithmetic over the fine histogram: exactly one
+    data scan, and no data-sized global sort (the Sort the plan is
+    allowed is the ≤ n_fine-row histogram window — guarded by the
+    Exchange shape: the only shuffles are the histogram hash agg and
+    the single-partition histogram window)."""
+    df = stats.lineitem_price_quantile_bins(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert _scan_count(plan, "lineitem") == 1, plan
+    assert "CollectLimit" not in plan
+    # the scan reads the binned column ONLY (projection pruned)
+    assert "l_extendedprice" in plan and "l_orderkey" not in plan
+
+
+def test_quantile_bins_are_exactly_equi_depth(spark, sf_oracle):
+    """The defining exact-rank property: bucket q holds exactly the
+    rows whose strict-rank prefix satisfies floor(prefix·B/N) = q,
+    i.e. consecutive rank segments; with whole fine bins allotted,
+    each bucket's row count deviates from N/B by at most the largest
+    fine-bin count straddling its boundary. Verified against a pure
+    pandas replay of the same histogram arithmetic (independent of
+    Spark's window/aggregate machinery)."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo_bin"], r["hi_bin"])
+        for r in stats.quantile_bins(li, "l_extendedprice").collect()
+    }
+    import numpy as np
+
+    prices = pd.Series(
+        [r[0] for r in li.select("l_extendedprice").collect()], dtype=float
+    )
+    fb = np.clip(
+        np.floor(prices.to_numpy() / stats.QTL_FINE_WIDTH).astype(int),
+        0,
+        stats.N_QTL_FINE - 1,
+    )
+    hist = pd.Series(fb).value_counts().sort_index()
+    cum_prev = hist.cumsum() - hist
+    bucket = np.minimum(
+        stats.N_QTL_BUCKETS - 1,
+        (cum_prev * stats.N_QTL_BUCKETS) // len(fb),
+    )
+    want = {}
+    for b in sorted(set(bucket)):
+        bins = hist.index[bucket == b]
+        want[int(b)] = (
+            int(hist[bins].sum()),
+            int(bins.min()),
+            int(bins.max()),
+        )
+    assert got == want
+    # equal-population within one straddling fine bin
+    n, B = len(fb), stats.N_QTL_BUCKETS
+    max_bin = int(hist.max())
+    for b, (rows, _, _) in got.items():
+        assert abs(rows - n / B) <= max_bin, (b, rows, n / B, max_bin)
+
+
+def test_quantile_bins_partition_data_completely(spark, sf_oracle):
+    """Buckets tile the data: counts sum to N, fine-bin ranges are
+    disjoint and ordered."""
+    rows = sorted(
+        stats.lineitem_price_quantile_bins(spark, sf_oracle).collect(),
+        key=lambda r: r["bucket"],
+    )
+    li_n = load_table(spark, sf_oracle, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li_n
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_bin"] < b["lo_bin"]
+
+
+def test_quantile_bins_fuzz_vs_sorted_rank_reference(spark):
+    """Seeded random frames vs the DEFINITION (not the closed form):
+    sort the values, walk ranks, cut at ceil(q·N/B) boundaries
+    extended to whole fine bins — the independent reference the
+    closed-form DIV arithmetic must reproduce."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(3):
+        n = int(rng.integers(200, 2000))
+        # lognormal => heavily skewed, many collisions in low bins
+        vals = np.round(np.exp(rng.normal(3, 1.2, n)) * 4.0, 2)
+        pdf = pd.DataFrame({"x": vals})
+        width, n_fine, nb = 8.0, 512, 7
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["bucket"]: r["n_rows"]
+            for r in stats.quantile_bins(
+                df, "x", width=width, n_fine=n_fine, n_buckets=nb
+            ).collect()
+        }
+        fb = np.clip(np.floor(vals / width).astype(int), 0, n_fine - 1)
+        order = np.sort(fb)
+        # reference: boundary_q = least fine bin whose cumulative
+        # count reaches ceil(q*n/nb); bucket of bin f = #{q: b_q < f}
+        bins, counts = np.unique(order, return_counts=True)
+        cum = np.cumsum(counts)
+        boundaries = []
+        for qq in range(1, nb):
+            r = -(-qq * n // nb)  # ceil
+            boundaries.append(bins[np.searchsorted(cum, r)])
+        want: dict[int, int] = {}
+        for f, c in zip(bins, counts):
+            b = int(sum(1 for e in boundaries if e < f))
+            want[b] = want.get(b, 0) + int(c)
+        assert got == want, (trial, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Encoding reliability audit
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_reliability_routes_every_row(spark, sf_oracle):
+    """The inner join against the grid loses nothing: every row's
+    (category, fold) cell exists by construction (shared _enc_fold),
+    so decile counts sum to the table size."""
+    rows = stats.lineitem_encoding_reliability(spark, sf_oracle).collect()
+    li_n = load_table(spark, sf_oracle, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r["bin"] < stats.ENC_RELIABILITY_BINS
+        # each row's bucket really contains its mean: bin/N <= mean < (bin+1)/N
+        lo = r["bin"] / stats.ENC_RELIABILITY_BINS
+        hi = (r["bin"] + 1) / stats.ENC_RELIABILITY_BINS
+        assert lo - 1e-9 <= r["mean_encoding"] <= hi + 1e-9, r
+
+
+def test_encoding_reliability_smoothing_pulls_toward_prior(spark):
+    """Synthetic frame where one category is all-positive but thin:
+    with m pseudo-counts its out-of-fold encoding must sit strictly
+    between the raw rate (1.0) and the prior — the shrinkage contract
+    the audit exists to surface."""
+    pdf = pd.DataFrame(
+        {
+            "cat": ["thin"] * 4 + ["bulk"] * 400,
+            "key": [str(i) for i in range(404)],
+            "y": [1] * 4 + [1 if i % 4 == 0 else 0 for i in range(400)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    grid = stats.target_encoding(
+        df, "cat", F.col("key"), F.col("y") == 1, n_folds=2, m=10.0
+    ).collect()
+    thin = [r for r in grid if r["category"] == "thin"]
+    assert thin
+    for r in thin:
+        assert 0.2 < r["encoding"] < 1.0, r
+
+
+# ---------------------------------------------------------------------------
+# DLQ split sink
+# ---------------------------------------------------------------------------
+
+
+def test_dlq_rules_first_match_wins(spark):
+    """A row matching BOTH rules (an 'error' event with value > 300)
+    must take the FIRST rule's reason — the ordered-rules contract the
+    oracle's CASE mirrors."""
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["error", "error", "click", "click"],
+            "value": [999.0, 1.0, 999.0, 1.0],
+        }
+    )
+    got = [
+        r["r"]
+        for r in spark.createDataFrame(pdf)
+        .select(stream_windows.dlq_reason().alias("r"))
+        .collect()
+    ]
+    assert got == ["error_event", "error_event", "value_out_of_range", None]
+
+
+def test_dlq_split_routes_each_row_exactly_once(spark, sf_oracle):
+    """Good + DLQ partition the input: counts and event-id checksums
+    add back up to the whole events table, per event_type."""
+    rows = stream_windows.streaming_dlq_split(spark, sf_oracle).collect()
+    ev = load_table(spark, sf_oracle, "events")
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    got: dict[str, list[int]] = {}
+    for r in rows:
+        g = got.setdefault(r["event_type"], [0, 0])
+        g[0] += r["n_rows"]
+        g[1] += r["sum_event_id"]
+    assert {k: tuple(v) for k, v in got.items()} == want
+
+
+def test_dlq_epoch_overwrite_is_idempotent(spark, sf_oracle):
+    """A retried micro-batch rewrites its epoch partition instead of
+    doubling it: routing the same batch twice through the writer body
+    leaves exactly one copy in each sink (the at-least-once contract
+    foreachBatch requires of its writer)."""
+    src = stream_windows._dlq_source_dir(spark, sf_oracle)
+    first = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
+    batch = spark.read.parquet(first)
+    good_root = tempfile.mkdtemp(prefix="dlq_idem_good_")
+    dlq_root = tempfile.mkdtemp(prefix="dlq_idem_bad_")
+    try:
+
+        def route(bdf, epoch):
+            tagged = bdf.withColumn("reason", stream_windows.dlq_reason())
+            tagged.filter(F.col("reason").isNull()).drop(
+                "reason"
+            ).write.mode("overwrite").parquet(f"{good_root}/epoch={epoch}")
+            tagged.filter(F.col("reason").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{dlq_root}/epoch={epoch}")
+
+        route(batch, 0)
+        once = (
+            spark.read.parquet(good_root).count(),
+            spark.read.parquet(dlq_root).count(),
+        )
+        route(batch, 0)  # the retry
+        twice = (
+            spark.read.parquet(good_root).count(),
+            spark.read.parquet(dlq_root).count(),
+        )
+        assert once == twice
+        assert sum(once) == batch.count()
+    finally:
+        shutil.rmtree(good_root, ignore_errors=True)
+        shutil.rmtree(dlq_root, ignore_errors=True)
+
+
+def test_staging_cols_param_preserves_default_contract(spark, sf_oracle):
+    """The generalized stager still stages the 2-column projection by
+    default, and the DLQ staging carries the full row — both under the
+    same span/mtime invariant (file names and strictly increasing
+    pinned mtimes)."""
+    base = tempfile.mkdtemp(prefix="span_default_")
+    try:
+        ev = load_table(spark, sf_oracle, "events").limit(500)
+        stream_stateful.stage_session_spans(ev, base, n_files=2)
+        files = sorted(glob.glob(os.path.join(base, "*.parquet")))
+        assert len(files) == 2
+        assert os.path.getmtime(files[0]) < os.path.getmtime(files[1])
+        cols = spark.read.parquet(files[0]).columns
+        assert cols == ["user_id", "ts"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    dlq_src = stream_windows._dlq_source_dir(spark, sf_oracle)
+    dlq_files = sorted(glob.glob(os.path.join(dlq_src, "*.parquet")))
+    assert len(dlq_files) == stream_windows.DLQ_SPAN_FILES
+    assert spark.read.parquet(dlq_files[0]).columns == [
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+    ]
