@@ -2108,6 +2108,7 @@ def encoding_reliability(
     n_folds: int = N_ENC_FOLDS,
     m: float = ENC_SMOOTHING,
     n_bins: int = ENC_RELIABILITY_BINS,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Reliability audit of the out-of-fold target encoding: does the
     encoded value actually predict the label rate it claims? Every row
@@ -2132,7 +2133,9 @@ def encoding_reliability(
     mean_encoding, frac_positive)``, round-6 like every reliability
     surface in the repo (means of round-9 doubles; jitter ≫ 6 orders
     inside the bucket)."""
-    grid = target_encoding(df, cat_col, key_col, label, n_folds, m)
+    grid = target_encoding(
+        df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
+    )
     base = df.select(
         F.col(cat_col).alias("category"),
         _enc_fold(key_col, n_folds).alias("fold"),
@@ -2173,4 +2176,25 @@ def lineitem_encoding_reliability(
             F.col("l_linenumber").cast("string"),
         ),
         F.col("l_returnflag") == "R",
+    )
+
+
+def lineitem_encoding_reliability_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): the grid-stage
+    checkpoint disabled so the dumped plan shows the real two-scan
+    lineage (fit scan + apply scan) instead of a bare ExistingRDD;
+    see :func:`lineitem_target_encoding_plan`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_reliability(
+        li,
+        "l_suppkey",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        F.col("l_returnflag") == "R",
+        checkpoint=False,
     )

@@ -162,6 +162,26 @@ def test_encoding_reliability_routes_every_row(spark, sf_oracle):
         assert lo - 1e-9 <= r["mean_encoding"] <= hi + 1e-9, r
 
 
+def test_encoding_reliability_plan_shape(spark, sf_oracle):
+    """Registry plan: the apply side is the ONE live lineitem scan,
+    the grid arrives as the fit's checkpointed frame (ExistingRDD) —
+    the two-scan cost model with the fit paid once at construction.
+    The dump_plans variant exposes the raw lineage: the grid's THREE
+    complement consumers (category window, fold totals, global
+    totals) each replay the fit scan plus the apply scan = 4 static
+    scans — exactly the replay the checkpoint exists to collapse
+    (same evidence shape as the round-12 encoding pin)."""
+    df = stats.lineitem_encoding_reliability(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert _scan_count(plan, "lineitem") == 1, plan
+    assert "ExistingRDD" in plan
+    assert "CollectLimit" not in plan
+    unexec = stats.lineitem_encoding_reliability_plan(spark, sf_oracle)
+    plan2 = explain_str(unexec, "formatted")
+    assert _scan_count(plan2, "lineitem") == 4, plan2
+    assert "ExistingRDD" not in plan2
+
+
 def test_encoding_reliability_smoothing_pulls_toward_prior(spark):
     """Synthetic frame where one category is all-positive but thin:
     with m pseudo-counts its out-of-fold encoding must sit strictly

@@ -878,6 +878,141 @@ def main() -> None:
         f"ratio {tk / t1:.1f}x (ideal <= {k}x; two linear shuffles "
         f"on the shingle table)"
     )
+
+    # ---- round-13 shapes --------------------------------------------
+    from inf2106_map_reduce_spark.operators.stats import (
+        encoding_reliability,
+        quantile_bins,
+    )
+    from inf2106_map_reduce_spark.streaming.windows import (
+        DLQ_SPAN_FILES,
+        dlq_reason,
+    )
+
+    # Equi-depth quantile bins: one scan + fixed fine-histogram
+    # epilogue — should track the q1 scan+agg row, near-flat
+    timed(lambda: quantile_bins(li1, "l_extendedprice"))
+    t1 = min(
+        timed(lambda: quantile_bins(li1, "l_extendedprice"))
+        for _ in range(3)
+    )
+    tk = min(
+        timed(lambda: quantile_bins(lik, "l_extendedprice"))
+        for _ in range(3)
+    )
+    print(
+        f"  equi-depth quantile bins (rank closed form): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; epilogue "
+        f"histogram-sized)"
+    )
+
+    # Encoding reliability: the two-scan apply — grid fit + row join —
+    # with 8x categories (the same tek fixture as the encoding row)
+    def erel(li):
+        return encoding_reliability(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+        )
+
+    timed(lambda: erel(te1))
+    t1 = min(timed(lambda: erel(te1)) for _ in range(3))
+    tk = min(timed(lambda: erel(tek)) for _ in range(3))
+    print(
+        f"  encoding reliability audit (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; two scans + "
+        f"grid join, centile agg map-side)"
+    )
+
+    # DLQ split drain: full-row spans, foreachBatch CASE router into
+    # epoch-scoped good/DLQ parquet — no state store, so the claim is
+    # the drain tracks the scan+write with fixed per-batch overhead
+    evd1 = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    evdk = replicate(evd1, k, ["event_id", "user_id"]).localCheckpoint(
+        eager=True
+    )
+    evd1 = evd1.localCheckpoint(eager=True)
+
+    def stage_dlq(ev: DataFrame) -> str:
+        return st.stage_session_spans(
+            ev,
+            tempfile.mkdtemp(prefix="probe_dlq_spans_"),
+            cols=("event_id", "ts", "user_id", "event_type", "value"),
+            n_files=DLQ_SPAN_FILES,
+        )
+
+    def dlq_drain(path: str) -> float:
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .load(path)
+        )
+        good = tempfile.mkdtemp(prefix="probe_dlq_good_")
+        bad = tempfile.mkdtemp(prefix="probe_dlq_bad_")
+
+        def route(bdf, e):
+            tagged = bdf.withColumn("reason", dlq_reason())
+            tagged.filter(F.col("reason").isNull()).drop(
+                "reason"
+            ).write.mode("overwrite").parquet(f"{good}/epoch={e}")
+            tagged.filter(F.col("reason").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{bad}/epoch={e}")
+
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="probe_dck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    dp1, dpk = stage_dlq(evd1), stage_dlq(evdk)
+    dlq_drain(dp1)  # warm
+    t1 = min(dlq_drain(dp1) for _ in range(2))
+    tk = min(dlq_drain(dpk) for _ in range(2))
+    print(
+        f"  foreachBatch DLQ split drain (8x rows): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; codegen CASE "
+        f"router, no state store)"
+    )
+
+    # K-depth boosting curve (§7.7 bench-only probe): cost must be
+    # ~affine in K — each extra stage adds ONE scan's cost while the
+    # split search stays histogram-sized. Fixed 1x data, K swept.
+    timed(lambda: gbt_boost(li1, 2))  # warm the family
+    curve = []
+    for n_stages in (2, 3, 4, 5):
+        tbest = min(
+            timed(lambda: gbt_boost(li1, n_stages)) for _ in range(3)
+        )
+        curve.append((n_stages, tbest))
+    marg = [
+        (b[0], b[1] - a[1]) for a, b in zip(curve, curve[1:])
+    ]
+    print(
+        "  GBT depth curve (1x data): "
+        + ", ".join(f"K={kk}: {t:.3f}s" for kk, t in curve)
+        + "  |  marginal per stage: "
+        + ", ".join(f"+{t:.3f}s" for _, t in marg)
+    )
     spark.stop()
 
 
