@@ -140,6 +140,7 @@ HEADLINE = (
     "lineitem_price_quantile_bins",
     "lineitem_encoding_reliability",
     "streaming_dlq_split",
+    "lineitem_flag_quantile_bins",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -2007,6 +2007,7 @@ def quantile_bins(
     width: float = QTL_FINE_WIDTH,
     n_fine: int = N_QTL_FINE,
     n_buckets: int = N_QTL_BUCKETS,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Equi-depth (quantile) discretization by the two-pass exact-rank
     scheme: pass 1 — the ONLY data scan — reduces the column to a
@@ -2032,9 +2033,16 @@ def quantile_bins(
     over the histogram only (single partition of ≤ n_fine rows — the
     accepted histogram idiom, see :func:`isotonic_calibration`).
 
-    Returns one row per occupied bucket: ``(bucket, n_fine_bins,
-    n_rows, lo_bin, hi_bin, frac)`` — ``lo_bin·width`` is the bucket's
-    value-domain edge."""
+    With ``group_cols`` the whole scheme runs PER GROUP (bucket edges
+    adapt to each group's own distribution — the per-segment binning a
+    feature pipeline ships): every window/aggregate gains the group
+    key, so the cumulative window partitions are per-group
+    histogram-sized — MORE parallel than the global form, never less.
+
+    Returns one row per occupied (group..., bucket): ``(group...,
+    bucket, n_fine_bins, n_rows, lo_bin, hi_bin, frac)`` —
+    ``lo_bin·width`` is the bucket's value-domain edge."""
+    gc = list(group_cols)
     fine = F.greatest(
         F.lit(0),
         F.least(
@@ -2043,17 +2051,22 @@ def quantile_bins(
         ),
     )
     hist = (
-        df.select(fine.alias("fb"))
-        .groupBy("fb")
+        df.select(*gc, fine.alias("fb"))
+        .groupBy(*gc, "fb")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_cum = Window.orderBy("fb").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_cum = (
+        Window.partitionBy(*gc)
+        .orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.orderBy("fb").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    w_all = (
+        Window.partitionBy(*gc)
+        .orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     c = hist.select(
+        *gc,
         "fb",
         "n",
         F.sum("n").over(w_cum).alias("cum"),
@@ -2064,8 +2077,8 @@ def quantile_bins(
         F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
     )
     return (
-        c.select(bucket.alias("bucket"), "fb", "n", "nt")
-        .groupBy("bucket")
+        c.select(*gc, bucket.alias("bucket"), "fb", "n", "nt")
+        .groupBy(*gc, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_fine_bins"),
             F.sum("n").alias("n_rows"),
@@ -2085,6 +2098,20 @@ def lineitem_price_quantile_bins(
     binning any histogram-GBDT or monotone-feature pipeline wants when
     the feature is skewed)."""
     return quantile_bins(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def lineitem_flag_quantile_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: PER-GROUP equi-depth deciles of l_extendedprice
+    keyed by l_returnflag — each flag gets bucket edges adapted to its
+    own price distribution (the per-segment discretization form; same
+    closed-form rank arithmetic, one more grouping column)."""
+    return quantile_bins(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_cols=("l_returnflag",),
+    )
 
 
 # ---------------------------------------------------------------------------

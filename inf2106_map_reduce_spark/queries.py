@@ -6492,6 +6492,42 @@ REGISTRY.update(
             "histogram-sized epilogue, no global sort",
             ("stats", "lineitem", "pipeline"),
         ),
+        "lineitem_flag_quantile_bins": QuerySpec(
+            stats.lineitem_flag_quantile_bins,
+            f"""
+            WITH h AS (
+              SELECT l_returnflag,
+                     GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
+                       CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                            / {stats.QTL_FINE_WIDTH}) AS INT))) AS fb,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag, fb
+            ),
+            c AS (
+              SELECT l_returnflag, fb, n,
+                     SUM(n) OVER (PARTITION BY l_returnflag ORDER BY fb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(n) OVER (PARTITION BY l_returnflag) AS nt
+              FROM h
+            )
+            SELECT l_returnflag,
+                   LEAST({stats.N_QTL_BUCKETS - 1},
+                     CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                          AS INT)) AS bucket,
+                   COUNT(*) AS n_fine_bins,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   MIN(fb) AS lo_bin, MAX(fb) AS hi_bin,
+                   ROUND(CAST(SUM(n) AS BIGINT) / MAX(nt), 9) AS frac
+            FROM c GROUP BY l_returnflag, bucket
+            """,
+            "per-group equi-depth deciles of l_extendedprice keyed by "
+            "l_returnflag — bucket edges adapt to each group's own "
+            "distribution; same closed-form rank arithmetic with the "
+            "group key on every window (per-group histogram "
+            "partitions: more parallel than the global form)",
+            ("stats", "lineitem", "pipeline"),
+        ),
         "lineitem_encoding_reliability": QuerySpec(
             stats.lineitem_encoding_reliability,
             f"""
@@ -6677,10 +6713,17 @@ ROTATION_WINDOW = 50
 # exact equi-depth discretization (lineitem_price_quantile_bins),
 # the encoding reliability audit (lineitem_encoding_reliability),
 # and the foreachBatch DLQ split sink (streaming_dlq_split) ->
-# N = 239; ceil(239/30) = 8 holds and the priority block (12 carried
-# + 3 new = 15) fits the 20-cap. ROUND 14 HAS 1 FREE SLOT (N <= 240)
-# before S must go to 31 (covers N <= 248, priority <= 19) —
-# re-derive explicitly, don't drift.
+# N = 239 — plus, decided mid-round against the same math, the top
+# §7.8 candidate pulled forward (per-group equi-depth bins,
+# lineitem_flag_quantile_bins — one grouping column on the same
+# closed form) -> N = 240 = the exact S = 30 cap; ceil(240/30) = 8
+# holds and the priority block (12 carried + 4 new = 16) fits the
+# 20-cap. ROUND 14 HAS ZERO FREE SLOTS: any growth there must first
+# raise S to 31 (covers N <= 248, window fill 50 - |priority| >= 31
+# needs priority <= 19) or widen the window / relax the 8-round
+# horizon — re-derive explicitly, don't drift
+# (test_registry_rotation.py fails loudly at N = 241 under S = 30
+# regardless).
 ROTATION_STRIDE = 30
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6725,6 +6768,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # foreachBatch dead-letter-queue split sink — the error-handling
     # member of the sink family (§7.7 candidate #4)
     "streaming_dlq_split",
+    # per-group equi-depth deciles — the top §7.8 candidate pulled
+    # forward against the same rotation math (one grouping column on
+    # the quantile closed form)
+    "lineitem_flag_quantile_bins",
 )
 
 #: The round-11 block as budgeted (kept as a named record for the

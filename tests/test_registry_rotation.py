@@ -189,14 +189,16 @@ def test_round12_priority_carries_unchecked_round11_block():
         "lineitem_target_encoding",
         "docs_ngram_novelty",
         # round-13 block: the §7.7 candidates that survived scoping
-        # (the K=4+ boosting depth probe is bench-only, no entry)
+        # (the K=4+ boosting depth probe is bench-only, no entry),
+        # plus the top §7.8 candidate pulled forward mid-round
         "lineitem_price_quantile_bins",
         "lineitem_encoding_reliability",
         "streaming_dlq_split",
+        "lineitem_flag_quantile_bins",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    # N = 239 under the S=30 cap (240): round 14 has 1 free slot
-    assert len(q.REGISTRY) == 239
+    # N = 240 = the exact S=30 cap: round 14 has ZERO free slots
+    assert len(q.REGISTRY) == 240
     assert q.ROTATION_STRIDE == 30

@@ -142,6 +142,41 @@ def test_quantile_bins_fuzz_vs_sorted_rank_reference(spark):
         assert got == want, (trial, got, want)
 
 
+def test_grouped_quantile_bins_match_per_group_runs(spark, sf_oracle):
+    """The grouped form is definitionally the global form run per
+    group: for each l_returnflag, filtering the table first and
+    binning globally must give the identical buckets (plus the
+    one-scan plan keeps holding — the group key rides the same
+    histogram aggregate)."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    got = {
+        (r["l_returnflag"], r["bucket"]): (
+            r["n_rows"],
+            r["lo_bin"],
+            r["hi_bin"],
+            r["frac"],
+        )
+        for r in stats.lineitem_flag_quantile_bins(
+            spark, sf_oracle
+        ).collect()
+    }
+    want = {}
+    for flag in ("A", "N", "R"):
+        sub = li.filter(F.col("l_returnflag") == flag)
+        for r in stats.quantile_bins(sub, "l_extendedprice").collect():
+            want[(flag, r["bucket"])] = (
+                r["n_rows"],
+                r["lo_bin"],
+                r["hi_bin"],
+                r["frac"],
+            )
+    assert got == want
+    plan = explain_str(
+        stats.lineitem_flag_quantile_bins(spark, sf_oracle), "formatted"
+    )
+    assert _scan_count(plan, "lineitem") == 1, plan
+
+
 # ---------------------------------------------------------------------------
 # Encoding reliability audit
 # ---------------------------------------------------------------------------
