@@ -217,6 +217,16 @@ def test_encoding_reliability_plan_shape(spark, sf_oracle):
     assert "ExistingRDD" not in plan2
 
 
+def test_encoding_entries_share_one_session_grid(spark, sf_oracle):
+    """The registry encoding entry and the reliability audit share the
+    session-cached grid fit (the trainer-trajectory idiom): the
+    encoding entry RETURNS the cached frame, and the audit consumes
+    the same object — one cell-grid pass per (session, sf_dir)."""
+    g1 = stats.lineitem_target_encoding(spark, sf_oracle)
+    g2 = stats._registry_encoding_grid(spark, sf_oracle)
+    assert g1 is g2
+
+
 def test_encoding_reliability_smoothing_pulls_toward_prior(spark):
     """Synthetic frame where one category is all-positive but thin:
     with m pseudo-counts its out-of-fold encoding must sit strictly
