@@ -66,6 +66,7 @@ WARMUP = (
     "streaming_backfill_lag",
     "streaming_upsert_latest",
     "streaming_dlq_split",
+    "streaming_dlq_redrive",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -141,6 +142,10 @@ HEADLINE = (
     "lineitem_encoding_reliability",
     "streaming_dlq_split",
     "lineitem_flag_quantile_bins",
+    # round-13 late block
+    "streaming_dlq_redrive",
+    "lineitem_fold_reliability",
+    "lineitem_status_isotonic",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -679,7 +679,10 @@ def calibration_table(
 
 
 def isotonic_calibration(
-    scored: DataFrame, n_bins: int = ROC_BINS, checkpoint: bool = True
+    scored: DataFrame,
+    n_bins: int = ROC_BINS,
+    checkpoint: bool = True,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Isotonic (PAV) calibration of a ``(p, y)`` scored frame over
     the fixed score histogram — the non-parametric upgrade of
@@ -708,15 +711,16 @@ def isotonic_calibration(
     Returns one row per occupied bin: ``(bin, n_rows, pos, rate,
     iso)`` with ``rate = pos/n`` raw and ``iso`` the fitted monotone
     rate, both rounded to 9."""
+    gc = list(group_cols)
     hist = (
-        scored.select(_score_bin(n_bins).alias("bin"), "y")
-        .groupBy("bin")
+        scored.select(*gc, _score_bin(n_bins).alias("bin"), "y")
+        .groupBy(*gc, "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").cast("bigint").alias("pos"),
         )
     )
-    w_ord = Window.orderBy("bin")
+    w_ord = Window.partitionBy(*gc).orderBy("bin")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # the occupied-bin index is consumed TWICE (both sides of the
     # range self-join); an eager localCheckpoint (the repo's shared-
@@ -726,6 +730,7 @@ def isotonic_calibration(
     # checkpoint=False is for PLAN INSPECTION only (tools/dump_plans
     # needs the unexecuted lineage to show the scan evidence).
     idx = hist.select(
+        *gc,
         "bin",
         "n",
         "pos",
@@ -736,15 +741,24 @@ def isotonic_calibration(
     if checkpoint:
         idx = idx.localCheckpoint(eager=True)
     a = idx.select(
+        *[F.col(g).alias(f"_ga_{g}") for g in gc],
         F.col("i").alias("h"),
         (F.col("cn") - F.col("n")).alias("cn0"),
         (F.col("cp") - F.col("pos")).alias("cp0"),
     )
-    b = idx.select(F.col("i").alias("j"), "bin", "n", "pos", "cn", "cp")
-    # histogram × histogram range join (≤ n_bins² rows, never data):
-    # Av(h, j) = pooled rate of occupied bins h..j via prefix-sum
-    # differences — exact BIGINTs into one IEEE division
-    pairs = a.join(F.broadcast(b), F.col("j") >= F.col("h")).select(
+    b = idx.select(
+        *gc, F.col("i").alias("j"), "bin", "n", "pos", "cn", "cp"
+    )
+    # histogram × histogram range join (≤ n_bins² rows per group,
+    # never data): Av(h, j) = pooled rate of occupied bins h..j via
+    # prefix-sum differences — exact BIGINTs into one IEEE division.
+    # With group_cols the join gains the group-key equality, so each
+    # group fits its own monotone map independently.
+    cond = F.col("j") >= F.col("h")
+    for g in gc:
+        cond = cond & (F.col(f"_ga_{g}") == F.col(g))
+    pairs = a.join(F.broadcast(b), cond).select(
+        *gc,
         "h",
         "j",
         "bin",
@@ -755,25 +769,38 @@ def isotonic_calibration(
         ).alias("av"),
     )
     w_tail = (
-        Window.partitionBy("h")
+        Window.partitionBy(*gc, "h")
         .orderBy(F.col("j").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_head = (
-        Window.partitionBy("j")
+        Window.partitionBy(*gc, "j")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     iso = (
         pairs.select(
-            "h", "j", "bin", "n", "pos", F.min("av").over(w_tail).alias("mn")
+            *gc,
+            "h",
+            "j",
+            "bin",
+            "n",
+            "pos",
+            F.min("av").over(w_tail).alias("mn"),
         )
         .select(
-            "h", "j", "bin", "n", "pos", F.max("mn").over(w_head).alias("mx")
+            *gc,
+            "h",
+            "j",
+            "bin",
+            "n",
+            "pos",
+            F.max("mn").over(w_head).alias("mx"),
         )
         .filter(F.col("h") == F.col("j"))
     )
     return iso.select(
+        *gc,
         "bin",
         F.col("n").alias("n_rows"),
         "pos",
@@ -1178,6 +1205,80 @@ def lineitem_isotonic_calibration_plan(
     base, w = _registry_lineitem_model(spark, sf_dir)
     assert w is not None
     return isotonic_calibration(logreg_score(base, w), checkpoint=False)
+
+
+def _registry_scored_with_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The registry model's round-9 scored frame WITH the l_linestatus
+    segment riding along — the input of the per-segment calibration.
+    Reuses the session-cached trained weights (one trajectory per
+    session); the score expression is the same literal-weight codegen
+    sigmoid as :func:`logreg_score` (which strips extra columns, hence
+    this sibling)."""
+    _, w = _registry_lineitem_model(spark, sf_dir)
+    if w is None:
+        return None
+    feats = _lineitem_features()
+    seg_base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("seg"),
+        *[expr.cast("double").alias(name) for name, expr in feats],
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    z = _z_col(w, [name for name, _ in feats])
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return seg_base.select("seg", p.alias("p"), F.col("y"))
+
+
+def lineitem_status_isotonic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: PER-SEGMENT isotonic calibration — the monotone
+    score→probability map fit independently per l_linestatus over the
+    same 1024-bin histogram (a model can be well calibrated globally
+    yet biased within a segment; the per-segment fit is the audit AND
+    the fix). Same minimax closed form with the segment key on every
+    window and on the pair join."""
+    scored = _registry_scored_with_status(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [],
+            "seg string, bin int, n_rows bigint, pos bigint, "
+            "rate double, iso double",
+        )
+    return isotonic_calibration(scored, group_cols=("seg",))
+
+
+def lineitem_status_isotonic_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): histogram-stage
+    checkpoint disabled; see :func:`lineitem_isotonic_calibration_plan`."""
+    scored = _registry_scored_with_status(spark, sf_dir)
+    assert scored is not None
+    return isotonic_calibration(
+        scored, checkpoint=False, group_cols=("seg",)
+    )
+
+
+def lineitem_fold_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the encoding reliability audit split BY FOLD —
+    the leakage detector's variance view: one fold whose
+    mean_encoding↔frac_positive gap diverges from its peers indicates
+    fold-dependent leakage or a broken fold hash; a healthy
+    out-of-fold encoding has indistinguishable per-fold reliability.
+    Shares the session-cached grid with the other encoding entries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_reliability(
+        li,
+        "l_suppkey",
+        _lineitem_enc_key(),
+        F.col("l_returnflag") == "R",
+        grid=_registry_encoding_grid(spark, sf_dir),
+        per_fold=True,
+    )
 
 
 def lineitem_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2158,6 +2259,7 @@ def encoding_reliability(
     n_bins: int = ENC_RELIABILITY_BINS,
     checkpoint: bool = True,
     grid: DataFrame | None = None,
+    per_fold: bool = False,
 ) -> DataFrame:
     """Reliability audit of the out-of-fold target encoding: does the
     encoded value actually predict the label rate it claims? Every row
@@ -2204,7 +2306,8 @@ def encoding_reliability(
         ),
     )
     n = F.count(F.lit(1))
-    return joined.groupBy(enc_bin.alias("bin")).agg(
+    keys = ([F.col("fold")] if per_fold else []) + [enc_bin.alias("bin")]
+    return joined.groupBy(*keys).agg(
         n.alias("n_rows"),
         F.round(F.sum("encoding") / n, 6).alias("mean_encoding"),
         F.round(F.sum("y") / n, 6).alias("frac_positive"),

@@ -570,6 +570,7 @@ def _logreg_traj_ctes() -> tuple[str, str]:
       SELECT l_quantity/50 AS x_qty,
              l_discount AS x_disc,
              l_extendedprice/100000 AS x_price,
+             l_linestatus,
              CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
       FROM lineitem
     )""",
@@ -627,14 +628,16 @@ def _logreg_oracle() -> str:
     """
 
 
-def _logreg_scored_cte() -> str:
+def _logreg_scored_cte(extra: str = "") -> str:
     """``scored AS (...)`` CTE: the round-9 sigmoid score + label, the
     shared input of the AUC and calibration oracles. Mirrors
-    stats.logreg_score term for term."""
+    stats.logreg_score term for term. ``extra`` prepends additional
+    projected columns (e.g. the calibration segment key) — base
+    carries every lineitem column it names."""
     ctes, wf = _logreg_traj_ctes()
     return (
-        f"{ctes}, scored AS (SELECT ROUND({_logreg_p('w')}, 9) AS p, y"
-        f" FROM base CROSS JOIN {wf} w)"
+        f"{ctes}, scored AS (SELECT {extra}ROUND({_logreg_p('w')}, 9)"
+        f" AS p, y FROM base CROSS JOIN {wf} w)"
     )
 
 
@@ -6299,51 +6302,58 @@ def _gbt_boost_oracle(n_stages: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + stage_rows
 
 
-def _isotonic_oracle(n_bins: int = stats.ROC_BINS) -> str:
+def _isotonic_oracle(n_bins: int = stats.ROC_BINS, seg: bool = False) -> str:
     """Oracle for the isotonic calibrator: same trajectory + round-9
     score + fixed binning as the AUC oracle, then the minimax closed
     form over occupied-bin prefix sums — every Av(h, j) is one IEEE
     division of exact BIGINT differences, and the two window passes
     (suffix-min per h, prefix-max per j) mirror stats.
-    isotonic_calibration term for term."""
+    isotonic_calibration term for term. ``seg=True`` renders the
+    PER-SEGMENT form from the same template: the l_linestatus key
+    rides the scored CTE, partitions every window, and keys the pair
+    join — one definition, both entries."""
+    sel = "seg, " if seg else ""
+    part = "PARTITION BY seg " if seg else ""
+    joinseg = "b.seg = a.seg AND " if seg else ""
+    segcol = "l_linestatus AS seg, " if seg else ""
     return f"""
-    WITH {_logreg_scored_cte()},
+    WITH {_logreg_scored_cte(extra=segcol)},
     hist AS (
-      SELECT GREATEST(0, LEAST(CAST(FLOOR(p * {n_bins}) AS INT),
+      SELECT {sel}GREATEST(0, LEAST(CAST(FLOOR(p * {n_bins}) AS INT),
                                 {n_bins - 1})) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(y) AS BIGINT) AS pos
-      FROM scored GROUP BY 1
+      FROM scored GROUP BY {"seg, bin" if seg else "1"}
     ),
     idx AS (
-      SELECT bin, n, pos,
-             ROW_NUMBER() OVER (ORDER BY bin) AS i,
-             CAST(SUM(n) OVER (ORDER BY bin
+      SELECT {sel}bin, n, pos,
+             ROW_NUMBER() OVER ({part}ORDER BY bin) AS i,
+             CAST(SUM(n) OVER ({part}ORDER BY bin
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cn,
-             CAST(SUM(pos) OVER (ORDER BY bin
+             CAST(SUM(pos) OVER ({part}ORDER BY bin
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cp
       FROM hist
     ),
     pairs AS (
-      SELECT a.i AS h, b.i AS j, b.bin, b.n, b.pos,
+      SELECT {"b.seg, " if seg else ""}a.i AS h, b.i AS j, b.bin, b.n, b.pos,
              (b.cp - (a.cp - a.pos)) / (b.cn - (a.cn - a.n)) AS av
-      FROM idx a JOIN idx b ON b.i >= a.i
+      FROM idx a JOIN idx b ON {joinseg}b.i >= a.i
     ),
     t AS (
-      SELECT h, j, bin, n, pos,
-             MIN(av) OVER (PARTITION BY h ORDER BY j DESC
+      SELECT {sel}h, j, bin, n, pos,
+             MIN(av) OVER (PARTITION BY {"seg, " if seg else ""}h ORDER BY j DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
       FROM pairs
     ),
     u AS (
-      SELECT h, j, bin, n, pos,
-             MAX(mn) OVER (PARTITION BY j ORDER BY h
+      SELECT {sel}h, j, bin, n, pos,
+             MAX(mn) OVER (PARTITION BY {"seg, " if seg else ""}j ORDER BY h
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
       FROM t
     )
-    SELECT bin, n AS n_rows, pos,
+    SELECT {sel}bin, n AS n_rows, pos,
            ROUND(pos / n, 9) AS rate, ROUND(mx, 9) AS iso
     FROM u WHERE h = j
     """
@@ -6458,6 +6468,64 @@ _DLQ_CASE = (
     + " END"
 )
 
+def _enc_reliability_oracle(per_fold: bool = False) -> str:
+    """Oracle for the encoding reliability audit — the target-encoding
+    CTEs, the row→cell re-join, and the fixed centile buckets;
+    ``per_fold=True`` renders the fold-variance form (one more
+    grouping key) from the same template."""
+    sel = "fold, " if per_fold else ""
+    return f"""
+    WITH base AS (
+      SELECT l_suppkey AS category,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+               || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) % {stats.N_ENC_FOLDS} AS fold,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cell AS (
+      SELECT category, fold, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM base GROUP BY category, fold
+    ),
+    per_cat AS (
+      SELECT category, fold, n, pos,
+             CAST(SUM(n) OVER (PARTITION BY category) AS BIGINT)
+               AS n_c,
+             CAST(SUM(pos) OVER (PARTITION BY category) AS BIGINT)
+               AS pos_c
+      FROM cell
+    ),
+    fold_tot AS (
+      SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f,
+             CAST(SUM(pos) AS BIGINT) AS pos_f
+      FROM cell GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(pos) AS BIGINT) AS post
+      FROM cell
+    ),
+    grid AS (
+      SELECT category, fold,
+             ROUND(((pos_c - pos)
+                    + {stats.ENC_SMOOTHING}
+                      * ((post - pos_f) / (nt - n_f)))
+                   / ((n_c - n) + {stats.ENC_SMOOTHING}), 9)
+               AS encoding
+      FROM per_cat p JOIN fold_tot f USING (fold) CROSS JOIN tot
+    )
+    SELECT {sel}GREATEST(0, LEAST(CAST(FLOOR(encoding
+             * {stats.ENC_RELIABILITY_BINS}) AS INT),
+             {stats.ENC_RELIABILITY_BINS - 1})) AS bin,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(encoding) / COUNT(*), 6) AS mean_encoding,
+           ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
+    FROM base b JOIN grid g USING (category, fold)
+    GROUP BY {"fold, bin" if per_fold else "bin"}
+    """
+
+
 REGISTRY.update(
     {
         "lineitem_price_quantile_bins": QuerySpec(
@@ -6530,56 +6598,7 @@ REGISTRY.update(
         ),
         "lineitem_encoding_reliability": QuerySpec(
             stats.lineitem_encoding_reliability,
-            f"""
-            WITH base AS (
-              SELECT l_suppkey AS category,
-                     CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
-                       || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
-                       AS BIGINT) % {stats.N_ENC_FOLDS} AS fold,
-                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-              FROM lineitem
-            ),
-            cell AS (
-              SELECT category, fold, COUNT(*) AS n,
-                     CAST(SUM(y) AS BIGINT) AS pos
-              FROM base GROUP BY category, fold
-            ),
-            per_cat AS (
-              SELECT category, fold, n, pos,
-                     CAST(SUM(n) OVER (PARTITION BY category) AS BIGINT)
-                       AS n_c,
-                     CAST(SUM(pos) OVER (PARTITION BY category) AS BIGINT)
-                       AS pos_c
-              FROM cell
-            ),
-            fold_tot AS (
-              SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f,
-                     CAST(SUM(pos) AS BIGINT) AS pos_f
-              FROM cell GROUP BY fold
-            ),
-            tot AS (
-              SELECT CAST(SUM(n) AS BIGINT) AS nt,
-                     CAST(SUM(pos) AS BIGINT) AS post
-              FROM cell
-            ),
-            grid AS (
-              SELECT category, fold,
-                     ROUND(((pos_c - pos)
-                            + {stats.ENC_SMOOTHING}
-                              * ((post - pos_f) / (nt - n_f)))
-                           / ((n_c - n) + {stats.ENC_SMOOTHING}), 9)
-                       AS encoding
-              FROM per_cat p JOIN fold_tot f USING (fold) CROSS JOIN tot
-            )
-            SELECT GREATEST(0, LEAST(CAST(FLOOR(encoding
-                     * {stats.ENC_RELIABILITY_BINS}) AS INT),
-                     {stats.ENC_RELIABILITY_BINS - 1})) AS bin,
-                   COUNT(*) AS n_rows,
-                   ROUND(SUM(encoding) / COUNT(*), 6) AS mean_encoding,
-                   ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
-            FROM base b JOIN grid g USING (category, fold)
-            GROUP BY bin
-            """,
+            _enc_reliability_oracle(),
             "centile reliability audit of the out-of-fold supplier-key "
             "target encoding: every row receives its own cell's "
             "encoding (shared fold derivation with the fit), bucketed "
@@ -6607,6 +6626,69 @@ REGISTRY.update(
             "overwrites); the audit summary must equal the one-shot "
             "batch CASE split",
             ("events", "streaming", "sink"),
+        ),
+    }
+)
+
+
+# Round-13 late block (§7.8 candidates pulled forward after the
+# five-lane sweep; rotation math re-derived in the ROTATION_STRIDE
+# comment — S raised to 31 FIRST).
+
+_REDRIVE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {pred} THEN '{name}'"
+        for name, pred in stream_windows.REDRIVE_RULES
+    )
+    + " END"
+)
+
+REGISTRY.update(
+    {
+        "streaming_dlq_redrive": QuerySpec(
+            stream_windows.streaming_dlq_redrive,
+            f"""
+            WITH tagged AS (
+              SELECT *, {_DLQ_CASE} AS r1 FROM events
+            ),
+            re AS (
+              SELECT *, {_REDRIVE_CASE} AS r2
+              FROM tagged WHERE r1 IS NOT NULL
+            )
+            SELECT CASE WHEN r2 IS NULL THEN 'redriven_good'
+                        ELSE 'still_dlq' END AS disposition,
+                   COALESCE(r2, 'ok') AS reason, event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM re GROUP BY 1, 2, 3
+            """,
+            "DLQ redrive pass: the quarantine is re-ingested as a "
+            "rate-limited stream and re-routed under the corrected "
+            "rule table (the false-positive value cap dropped) — "
+            "cleared rows rejoin the good data, the rest stay "
+            "dead-lettered; oracle replays the two-pass composition "
+            "batch-wise",
+            ("events", "streaming", "sink"),
+        ),
+        "lineitem_fold_reliability": QuerySpec(
+            stats.lineitem_fold_reliability,
+            _enc_reliability_oracle(per_fold=True),
+            "the encoding reliability audit split BY FOLD — the "
+            "leakage detector's variance view (a diverging fold "
+            "indicates fold-dependent leakage or a broken fold hash); "
+            "shares the session-cached grid",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "lineitem_status_isotonic": QuerySpec(
+            stats.lineitem_status_isotonic,
+            _isotonic_oracle(seg=True),
+            "PER-SEGMENT isotonic calibration of the logreg scores "
+            "keyed by l_linestatus — the minimax closed form with the "
+            "segment key on every window and the pair join; a model "
+            "can be calibrated globally yet biased within a segment",
+            ("stats", "model", "lineitem"),
         ),
     }
 )
@@ -6724,7 +6806,22 @@ ROTATION_WINDOW = 50
 # horizon — re-derive explicitly, don't drift
 # (test_registry_rotation.py fails loudly at N = 241 under S = 30
 # regardless).
-ROTATION_STRIDE = 30
+#
+# Round-13 late block (decided mid-round, AFTER the full five-lane
+# sweep went green at N = 240, against explicitly re-derived math —
+# the round-11/round-13 pull-forward protocol): raising S to 31
+# widens the horizon cap to N <= 248 (ceil(248/31) = 8) and shrinks
+# the priority cap to WINDOW - S = 19. The late budget is the three
+# §7.8 candidates, all thin compositions over machinery landed this
+# round or earlier: the streaming DLQ redrive pass
+# (streaming_dlq_redrive), the per-fold encoding reliability
+# variance audit (lineitem_fold_reliability), and per-segment
+# isotonic calibration (lineitem_status_isotonic) -> N = 243;
+# ceil(243/31) = 8 holds and the priority block (12 carried + 4 + 3
+# = 19) sits AT the 19-cap exactly. ROUND 14 HAS 5 FREE SLOTS
+# (N <= 248) but ZERO priority headroom until CORRECTNESS_r11 lands
+# the carried names' hard rows — re-derive explicitly, don't drift.
+ROTATION_STRIDE = 31
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -6772,6 +6869,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # forward against the same rotation math (one grouping column on
     # the quantile closed form)
     "lineitem_flag_quantile_bins",
+    # Round-13 LATE block (S raised to 31 first — math in the
+    # ROTATION_STRIDE comment): the remaining §7.8 candidates, all
+    # thin compositions over this round's machinery
+    "streaming_dlq_redrive",
+    "lineitem_fold_reliability",
+    "lineitem_status_isotonic",
 )
 
 #: The round-11 block as budgeted (kept as a named record for the

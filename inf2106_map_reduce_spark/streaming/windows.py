@@ -740,29 +740,38 @@ def _dlq_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: the foreachBatch DEAD-LETTER-QUEUE recipe — the
-    error-handling member of the sink family. Each micro-batch is
-    routed by the ordered :data:`DLQ_RULES`: rows matching a rule land
-    in the DLQ sink WITH their quarantine reason attached (so the
-    queue is triage-able, not a bit bucket), clean rows land in the
-    good sink; both writes are scoped to ``epoch=<batch>`` directories
-    with ``overwrite`` mode, so a retried micro-batch (foreachBatch is
-    at-least-once) rewrites its own partition instead of doubling it —
-    the same versioned-idempotence contract as
-    :func:`streaming_upsert_latest`, partition-scoped instead of
-    table-versioned because the split is per-row (no cross-batch
-    merge).
+#: Corrected rule table for the REDRIVE pass: triage found the value
+#: cap was a false positive (out-of-range values are legitimate), so
+#: only the error-telemetry rule survives — quarantined rows are
+#: re-evaluated under THIS table and the cleared ones rejoin the good
+#: data. Same single-definition contract as DLQ_RULES.
+REDRIVE_RULES: tuple[tuple[str, str], ...] = (
+    ("error_event", "event_type = 'error'"),
+)
 
-    Scale: the router is one codegen'd CASE over each batch — no
-    state store, no shuffle; at 100 TB the good/DLQ writes are the
-    stream's own parallelism and the quarantine share (~20% here, by
-    synthetic construction) prunes downstream compute at the earliest
-    possible point. The returned audit summary — per (disposition,
-    reason, event_type): row count, distinct users, event-id checksum
-    — is what a pipeline alerts on, and the oracle replays it as a
-    one-shot batch CASE split over the same snapshot: the streaming
-    plumbing must route every row exactly once to match."""
+
+def redrive_reason() -> F.Column:
+    """First-matching corrected-rule reason (NULL = cleared, rejoins
+    the good sink), folded from :data:`REDRIVE_RULES`."""
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(REDRIVE_RULES):
+        reason = F.when(F.expr(pred), F.lit(name)).otherwise(reason)
+    return reason
+
+
+#: Session cache of the split run's sink roots: the split entry and
+#: the redrive entry share ONE quarantine (the encoding-grid /
+#: dedup-stage-cache accounting idiom — whichever entry runs first
+#: pays the split drain; the other consumes the sinks).
+_DLQ_ROOTS_CACHE: dict[tuple, tuple[str, str]] = {}
+
+
+def _dlq_sink_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the DLQ split stream at most once per (session, sf_dir);
+    returns (good_root, dlq_root)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DLQ_ROOTS_CACHE:
+        return _DLQ_ROOTS_CACHE[key]
     src = _dlq_source_dir(spark, sf_dir)
     good_root = tempfile.mkdtemp(prefix="dlq_good_")
     dlq_root = tempfile.mkdtemp(prefix="dlq_bad_")
@@ -794,26 +803,112 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _DLQ_ROOTS_CACHE[key] = (good_root, dlq_root)
+    return good_root, dlq_root
 
-    def _summary(root: str, disposition: str, reason: F.Column):
-        return (
-            spark.read.parquet(root)
-            .groupBy(reason.alias("reason"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("user_id").alias("n_users"),
-                F.sum("event_id").cast("bigint").alias("sum_event_id"),
-            )
-            .select(
-                F.lit(disposition).alias("disposition"),
-                "reason",
-                "event_type",
-                "n_rows",
-                "n_users",
-                "sum_event_id",
-            )
+
+def _dlq_summary(spark, root: str, disposition: str, reason: F.Column):
+    """(disposition, reason, event_type, n_rows, n_users,
+    sum_event_id) audit rows over one sink tree — the shape both DLQ
+    entries and their oracles emit."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(root)
+        .groupBy(reason.alias("reason"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
         )
-
-    return _summary(good_root, "good", F.lit("ok")).unionByName(
-        _summary(dlq_root, "dlq", F.col("reason"))
+        .select(
+            F.lit(disposition).alias("disposition"),
+            "reason",
+            "event_type",
+            "n_rows",
+            "n_users",
+            "sum_event_id",
+        )
     )
+
+
+def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the foreachBatch DEAD-LETTER-QUEUE recipe — the
+    error-handling member of the sink family. Each micro-batch is
+    routed by the ordered :data:`DLQ_RULES`: rows matching a rule land
+    in the DLQ sink WITH their quarantine reason attached (so the
+    queue is triage-able, not a bit bucket), clean rows land in the
+    good sink; both writes are scoped to ``epoch=<batch>`` directories
+    with ``overwrite`` mode, so a retried micro-batch (foreachBatch is
+    at-least-once) rewrites its own partition instead of doubling it —
+    the same versioned-idempotence contract as
+    :func:`streaming_upsert_latest`, partition-scoped instead of
+    table-versioned because the split is per-row (no cross-batch
+    merge).
+
+    Scale: the router is one codegen'd CASE over each batch — no
+    state store, no shuffle; at 100 TB the good/DLQ writes are the
+    stream's own parallelism and the quarantine share (~20% here, by
+    synthetic construction) prunes downstream compute at the earliest
+    possible point. The returned audit summary — per (disposition,
+    reason, event_type): row count, distinct users, event-id checksum
+    — is what a pipeline alerts on, and the oracle replays it as a
+    one-shot batch CASE split over the same snapshot: the streaming
+    plumbing must route every row exactly once to match."""
+    good_root, dlq_root = _dlq_sink_roots(spark, sf_dir)
+    return _dlq_summary(spark, good_root, "good", F.lit("ok")).unionByName(
+        _dlq_summary(spark, dlq_root, "dlq", F.col("reason"))
+    )
+
+
+def streaming_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the DLQ REDRIVE pass — the lifecycle step that
+    makes a dead-letter queue operationally useful: after triage
+    corrects the rule table (:data:`REDRIVE_RULES` drops the
+    false-positive value cap), the quarantine itself is re-ingested as
+    a stream (``recursiveFileLookup`` over the epoch-scoped sink tree,
+    rate-limited like the original) and re-routed: cleared rows land
+    in a redriven-good sink, rows the corrected rules still reject
+    stay dead-lettered — same epoch-scoped idempotent-overwrite
+    contract as the first pass.
+
+    The oracle replays the composition batch-wise: first-pass CASE to
+    isolate the quarantine, corrected CASE over it — the two-pass
+    streaming plumbing must route every quarantined row exactly once
+    to match."""
+    _, dlq_root = _dlq_sink_roots(spark, sf_dir)
+    re_good = tempfile.mkdtemp(prefix="dlq_regood_")
+    still = tempfile.mkdtemp(prefix="dlq_still_")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, reason string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(dlq_root)
+    )
+
+    def _reroute_batch(batch_df, epoch):
+        tagged = batch_df.drop("reason").withColumn(
+            "reason", redrive_reason()
+        )
+        tagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
+            "overwrite"
+        ).parquet(f"{re_good}/epoch={epoch}")
+        tagged.filter(F.col("reason").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(f"{still}/epoch={epoch}")
+
+    q = (
+        stream.writeStream.foreachBatch(_reroute_batch)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _dlq_summary(
+        spark, re_good, "redriven_good", F.lit("ok")
+    ).unionByName(_dlq_summary(spark, still, "still_dlq", F.col("reason")))

@@ -195,10 +195,16 @@ def test_round12_priority_carries_unchecked_round11_block():
         "lineitem_encoding_reliability",
         "streaming_dlq_split",
         "lineitem_flag_quantile_bins",
+        # round-13 LATE block (S raised to 31 first)
+        "streaming_dlq_redrive",
+        "lineitem_fold_reliability",
+        "lineitem_status_isotonic",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    # N = 240 = the exact S=30 cap: round 14 has ZERO free slots
-    assert len(q.REGISTRY) == 240
-    assert q.ROTATION_STRIDE == 30
+    # N = 243 under the S=31 cap (248): round 14 has 5 free slots but
+    # zero priority headroom (19 = exactly WINDOW - S) until the
+    # carried names' hard rows land
+    assert len(q.REGISTRY) == 243
+    assert q.ROTATION_STRIDE == 31

@@ -333,6 +333,76 @@ def test_dlq_epoch_overwrite_is_idempotent(spark, sf_oracle):
         shutil.rmtree(dlq_root, ignore_errors=True)
 
 
+def test_dlq_redrive_conserves_the_quarantine(spark, sf_oracle):
+    """Lifecycle conservation: the redrive pass re-routes EXACTLY the
+    quarantine — redriven_good + still_dlq counts/checksums per
+    event_type equal the split entry's dlq rows; and both entries
+    share one session-cached split run (the stage-cache idiom)."""
+    split = stream_windows.streaming_dlq_split(spark, sf_oracle).collect()
+    redrive = stream_windows.streaming_dlq_redrive(
+        spark, sf_oracle
+    ).collect()
+    dlq = {}
+    for r in split:
+        if r["disposition"] == "dlq":
+            g = dlq.setdefault(r["event_type"], [0, 0])
+            g[0] += r["n_rows"]
+            g[1] += r["sum_event_id"]
+    re = {}
+    for r in redrive:
+        g = re.setdefault(r["event_type"], [0, 0])
+        g[0] += r["n_rows"]
+        g[1] += r["sum_event_id"]
+    assert re == dlq
+    key = (spark.sparkContext.applicationId, sf_oracle)
+    assert key in stream_windows._DLQ_ROOTS_CACHE
+
+
+def test_redrive_rules_are_a_subset_correction(spark):
+    """The corrected table only ever CLEARS rows (every redrive rule
+    exists in the original table with the same predicate), so a
+    redriven row can never acquire a reason the first pass didn't
+    know — the monotone-correction contract the lifecycle assumes."""
+    original = dict(stream_windows.DLQ_RULES)
+    for name, pred in stream_windows.REDRIVE_RULES:
+        assert original.get(name) == pred
+
+
+def test_status_isotonic_matches_per_segment_runs(spark, sf_oracle):
+    """The grouped fit is definitionally the global fit run per
+    segment: filtering the scored frame per l_linestatus and fitting
+    globally must give identical monotone maps."""
+    scored = stats._registry_scored_with_status(spark, sf_oracle)
+    assert scored is not None
+    got = {
+        (r["seg"], r["bin"]): (r["n_rows"], r["pos"], r["rate"], r["iso"])
+        for r in stats.lineitem_status_isotonic(spark, sf_oracle).collect()
+    }
+    want = {}
+    for seg in ("F", "O"):
+        sub = scored.filter(F.col("seg") == seg).select("p", "y")
+        for r in stats.isotonic_calibration(sub).collect():
+            want[(seg, r["bin"])] = (
+                r["n_rows"],
+                r["pos"],
+                r["rate"],
+                r["iso"],
+            )
+    assert got == want
+
+
+def test_fold_reliability_marginalizes_to_the_audit(spark, sf_oracle):
+    """Summing the per-fold audit over folds reproduces the unsplit
+    audit's per-bin row counts exactly (same rows, one more key)."""
+    per_fold = stats.lineitem_fold_reliability(spark, sf_oracle).collect()
+    flat = stats.lineitem_encoding_reliability(spark, sf_oracle).collect()
+    marg: dict[int, int] = {}
+    for r in per_fold:
+        marg[r["bin"]] = marg.get(r["bin"], 0) + r["n_rows"]
+        assert 0 <= r["fold"] < stats.N_ENC_FOLDS
+    assert marg == {r["bin"]: r["n_rows"] for r in flat}
+
+
 def test_staging_cols_param_preserves_default_contract(spark, sf_oracle):
     """The generalized stager still stages the 2-column projection by
     default, and the DLQ staging carries the full row — both under the
