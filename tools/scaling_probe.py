@@ -994,6 +994,133 @@ def main() -> None:
         f"router, no state store)"
     )
 
+    # DLQ redrive drain: one more rate-limited pass over the
+    # quarantine ONLY (the corrected-rule re-route) — scales with the
+    # quarantine share of the data, not the data
+    from inf2106_map_reduce_spark.streaming.windows import redrive_reason
+
+    def dlq_bad_root(path: str) -> str:
+        bad = tempfile.mkdtemp(prefix="probe_dlq_prebad_")
+        (
+            spark.read.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double"
+            )
+            .parquet(path)
+            .withColumn("reason", dlq_reason())
+            .filter(F.col("reason").isNotNull())
+            .write.mode("overwrite")
+            .parquet(f"{bad}/epoch=0")
+        )
+        return bad
+
+    def redrive_drain(bad: str) -> float:
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, reason string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .load(bad)
+        )
+        re_good = tempfile.mkdtemp(prefix="probe_dlq_regood_")
+        still = tempfile.mkdtemp(prefix="probe_dlq_still_")
+
+        def route(bdf, e):
+            tagged = bdf.drop("reason").withColumn(
+                "reason", redrive_reason()
+            )
+            tagged.filter(F.col("reason").isNull()).drop(
+                "reason"
+            ).write.mode("overwrite").parquet(f"{re_good}/epoch={e}")
+            tagged.filter(F.col("reason").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{still}/epoch={e}")
+
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="probe_rck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    bad1, badk = dlq_bad_root(dp1), dlq_bad_root(dpk)
+    redrive_drain(bad1)  # warm
+    t1 = min(redrive_drain(bad1) for _ in range(2))
+    tk = min(redrive_drain(badk) for _ in range(2))
+    print(
+        f"  DLQ redrive drain (8x quarantine): {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x; re-route scales with "
+        f"the quarantine, not the corpus)"
+    )
+
+    # Per-segment isotonic: synthetic md5-uniform scores + the
+    # l_linestatus segment — the grouped minimax epilogue is
+    # (segments x bins²)-sized, still data-independent
+    from inf2106_map_reduce_spark.operators.stats import (
+        isotonic_calibration as iso_cal,
+    )
+
+    def seg_scored(li):
+        pcol = F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double") / F.lit(float(16**8))
+        return li.select(
+            F.col("l_linestatus").alias("seg"),
+            pcol.alias("p"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        )
+
+    timed(lambda: iso_cal(seg_scored(li1), group_cols=("seg",)))
+    t1 = min(
+        timed(lambda: iso_cal(seg_scored(li1), group_cols=("seg",)))
+        for _ in range(3)
+    )
+    tk = min(
+        timed(lambda: iso_cal(seg_scored(lik), group_cols=("seg",)))
+        for _ in range(3)
+    )
+    print(
+        f"  per-segment isotonic (grouped minimax): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; epilogue "
+        f"segments x bins², data-independent)"
+    )
+
+    # Per-fold reliability: the audit with one more grouping key —
+    # same two-scan shape, the centile agg stays map-side
+    def erel_fold(li):
+        return encoding_reliability(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+            per_fold=True,
+        )
+
+    timed(lambda: erel_fold(te1))
+    t1 = min(timed(lambda: erel_fold(te1)) for _ in range(3))
+    tk = min(timed(lambda: erel_fold(tek)) for _ in range(3))
+    print(
+        f"  per-fold reliability audit (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; one more "
+        f"grouping key on the centile agg)"
+    )
+
     # K-depth boosting curve (§7.7 bench-only probe): cost must be
     # ~affine in K — each extra stage adds ONE scan's cost while the
     # split search stays histogram-sized. Fixed 1x data, K swept.
