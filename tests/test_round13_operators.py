@@ -177,6 +177,95 @@ def test_grouped_quantile_bins_match_per_group_runs(spark, sf_oracle):
     assert _scan_count(plan, "lineitem") == 1, plan
 
 
+def test_grouped_quantile_bins_fuzz_vs_per_group_reference(spark):
+    """Seeded random (group, value) frames with per-group skew: the
+    grouped closed form must reproduce, for EVERY group, the
+    sorted-rank definition replayed independently on that group's
+    values (extends the global fuzz to the grouped form)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(3):
+        n = int(rng.integers(400, 2500))
+        groups = rng.choice(["g0", "g1", "g2", "g3"], n)
+        # per-group scale differences => edges must diverge per group
+        scale = {"g0": 1.0, "g1": 4.0, "g2": 0.5, "g3": 9.0}
+        vals = np.round(
+            np.exp(rng.normal(3, 1.0, n))
+            * np.vectorize(scale.get)(groups),
+            2,
+        )
+        pdf = pd.DataFrame({"g": groups, "x": vals})
+        width, n_fine, nb = 8.0, 512, 5
+        got = {
+            (r["g"], r["bucket"]): r["n_rows"]
+            for r in stats.quantile_bins(
+                spark.createDataFrame(pdf),
+                "x",
+                width=width,
+                n_fine=n_fine,
+                n_buckets=nb,
+                group_cols=("g",),
+            ).collect()
+        }
+        want: dict[tuple, int] = {}
+        for g in sorted(set(groups)):
+            sub = vals[groups == g]
+            fb = np.clip(np.floor(sub / width).astype(int), 0, n_fine - 1)
+            bins, counts = np.unique(fb, return_counts=True)
+            cum = np.cumsum(counts)
+            boundaries = [
+                bins[np.searchsorted(cum, -(-qq * len(sub) // nb))]
+                for qq in range(1, nb)
+            ]
+            for f, c in zip(bins, counts):
+                b = int(sum(1 for e in boundaries if e < f))
+                want[(g, b)] = want.get((g, b), 0) + int(c)
+        assert got == want, trial
+
+
+def test_grouped_isotonic_fuzz_vs_pav_stack_per_group(spark):
+    """Seeded random (seg, p, y) frames: the grouped minimax closed
+    form must agree, segment by segment, with the classic sequential
+    PAV stack run independently on that segment's histogram (extends
+    the round-12 stack fuzz to the grouped form)."""
+    import numpy as np
+
+    from tests.test_round12_operators import _pav_reference
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(3):
+        n = int(rng.integers(600, 2000))
+        seg = rng.choice(["a", "b", "c"], n)
+        p = rng.random(n).round(3)
+        # per-segment base rates so the monotone maps differ
+        base = {"a": 0.15, "b": 0.35, "c": 0.55}
+        y = (
+            rng.random(n) < np.vectorize(base.get)(seg) + 0.35 * p
+        ).astype(int)
+        scored = spark.createDataFrame(
+            pd.DataFrame({"seg": seg, "p": p, "y": y})
+        )
+        rows = (
+            stats.isotonic_calibration(
+                scored, n_bins=64, group_cols=("seg",)
+            )
+            .orderBy("seg", "bin")
+            .collect()
+        )
+        for g in ("a", "b", "c"):
+            sub = [r for r in rows if r["seg"] == g]
+            ref = _pav_reference(
+                [r["n_rows"] for r in sub], [r["pos"] for r in sub]
+            )
+            for row, want in zip(sub, ref):
+                assert row["iso"] == pytest.approx(want, abs=1e-8), (
+                    trial,
+                    g,
+                    row["bin"],
+                )
+
+
 # ---------------------------------------------------------------------------
 # Encoding reliability audit
 # ---------------------------------------------------------------------------
