@@ -118,3 +118,50 @@ def test_rfm_scores_are_population_quintiles(spark, sf_oracle):
     assert best_r["r_score"] == 5
     for r in rows[:20]:
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth closed form (pure-Python property, full hypothesis volume)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=511),  # fine bin id
+            st.integers(min_value=1, max_value=1000),  # occupancy
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=16),  # bucket count B
+)
+def test_quantile_closed_form_equals_boundary_definition(hist, n_buckets):
+    """The operator's closed form ``bucket(f) = ((cum−n)·B) DIV N``
+    equals the DEFINITION it claims to collapse — ``#{q ∈ 1..B−1 :
+    boundary_q < f}`` with ``boundary_q = least bin whose cumulative
+    count reaches ceil(q·N/B)`` — for ARBITRARY occupied histograms
+    (the seeded Spark fuzz checks a few dozen frames; this proves the
+    integer arithmetic itself at full hypothesis volume)."""
+    hist = sorted(hist)
+    bins = [b for b, _ in hist]
+    counts = [c for _, c in hist]
+    total = sum(counts)
+    cums = []
+    acc = 0
+    for c in counts:
+        acc += c
+        cums.append(acc)
+    boundaries = []
+    for q in range(1, n_buckets):
+        rank = -(-q * total // n_buckets)  # ceil
+        boundaries.append(
+            next(b for b, cum in zip(bins, cums) if cum >= rank)
+        )
+    for b, c, cum in zip(bins, counts, cums):
+        by_definition = sum(1 for e in boundaries if e < b)
+        closed_form = min(
+            n_buckets - 1, ((cum - c) * n_buckets) // total
+        )
+        assert closed_form == by_definition, (b, hist, n_buckets)
