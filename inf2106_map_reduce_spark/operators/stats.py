@@ -2285,7 +2285,10 @@ def encoding_reliability(
     surface in the repo (means of round-9 doubles; jitter ≫ 6 orders
     inside the bucket). ``grid`` injects a prefit (checkpointed)
     grid — the registry path passes the session-cached fit so audit
-    and encoding entry share one cell-grid pass."""
+    and encoding entry share one cell-grid pass (``checkpoint`` then
+    has no effect: it governs only the internal fit). ``per_fold``
+    adds the fold key to the output grouping — the leakage-variance
+    view."""
     if grid is None:
         grid = target_encoding(
             df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
