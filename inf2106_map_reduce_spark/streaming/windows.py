@@ -766,6 +766,24 @@ def redrive_reason() -> F.Column:
 _DLQ_ROOTS_CACHE: dict[tuple, tuple[str, str]] = {}
 
 
+def route_batch(
+    batch_df, epoch: int, good_root: str, bad_root: str, reason
+) -> None:
+    """Route ONE micro-batch by a first-match reason column into
+    epoch-scoped good/quarantine partition directories — overwrite
+    mode makes an at-least-once retry rewrite its own partition
+    instead of doubling it. The single router body behind the split
+    sink, the redrive pass, and the idempotence pin (an incoming
+    ``reason`` column from a previous pass is replaced)."""
+    tagged = batch_df.drop("reason").withColumn("reason", reason)
+    tagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
+        "overwrite"
+    ).parquet(f"{good_root}/epoch={epoch}")
+    tagged.filter(F.col("reason").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(f"{bad_root}/epoch={epoch}")
+
+
 def _dlq_sink_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Run the DLQ split stream at most once per (session, sf_dir);
     returns (good_root, dlq_root)."""
@@ -787,13 +805,7 @@ def _dlq_sink_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
 
     def _route_batch(batch_df, epoch):
-        tagged = batch_df.withColumn("reason", dlq_reason())
-        tagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
-            "overwrite"
-        ).parquet(f"{good_root}/epoch={epoch}")
-        tagged.filter(F.col("reason").isNotNull()).write.mode(
-            "overwrite"
-        ).parquet(f"{dlq_root}/epoch={epoch}")
+        route_batch(batch_df, epoch, good_root, dlq_root, dlq_reason())
 
     q = (
         stream.writeStream.foreachBatch(_route_batch)
@@ -891,15 +903,7 @@ def streaming_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _reroute_batch(batch_df, epoch):
-        tagged = batch_df.drop("reason").withColumn(
-            "reason", redrive_reason()
-        )
-        tagged.filter(F.col("reason").isNull()).drop("reason").write.mode(
-            "overwrite"
-        ).parquet(f"{re_good}/epoch={epoch}")
-        tagged.filter(F.col("reason").isNotNull()).write.mode(
-            "overwrite"
-        ).parquet(f"{still}/epoch={epoch}")
+        route_batch(batch_df, epoch, re_good, still, redrive_reason())
 
     q = (
         stream.writeStream.foreachBatch(_reroute_batch)

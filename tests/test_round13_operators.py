@@ -397,13 +397,11 @@ def test_dlq_epoch_overwrite_is_idempotent(spark, sf_oracle):
     try:
 
         def route(bdf, epoch):
-            tagged = bdf.withColumn("reason", stream_windows.dlq_reason())
-            tagged.filter(F.col("reason").isNull()).drop(
-                "reason"
-            ).write.mode("overwrite").parquet(f"{good_root}/epoch={epoch}")
-            tagged.filter(F.col("reason").isNotNull()).write.mode(
-                "overwrite"
-            ).parquet(f"{dlq_root}/epoch={epoch}")
+            # the REAL router body (not a re-implementation) — drift
+            # between sink and test is impossible
+            stream_windows.route_batch(
+                bdf, epoch, good_root, dlq_root, stream_windows.dlq_reason()
+            )
 
         route(batch, 0)
         once = (

@@ -949,6 +949,10 @@ def main() -> None:
         )
 
     def dlq_drain(path: str) -> float:
+        from inf2106_map_reduce_spark.streaming.windows import (
+            route_batch as _rb,
+        )
+
         stream = (
             spark.readStream.schema(
                 "event_id bigint, ts timestamp, user_id bigint, "
@@ -963,13 +967,7 @@ def main() -> None:
         bad = tempfile.mkdtemp(prefix="probe_dlq_bad_")
 
         def route(bdf, e):
-            tagged = bdf.withColumn("reason", dlq_reason())
-            tagged.filter(F.col("reason").isNull()).drop(
-                "reason"
-            ).write.mode("overwrite").parquet(f"{good}/epoch={e}")
-            tagged.filter(F.col("reason").isNotNull()).write.mode(
-                "overwrite"
-            ).parquet(f"{bad}/epoch={e}")
+            _rb(bdf, e, good, bad, dlq_reason())
 
         t0 = time.perf_counter()
         q = (
@@ -997,7 +995,10 @@ def main() -> None:
     # DLQ redrive drain: one more rate-limited pass over the
     # quarantine ONLY (the corrected-rule re-route) — scales with the
     # quarantine share of the data, not the data
-    from inf2106_map_reduce_spark.streaming.windows import redrive_reason
+    from inf2106_map_reduce_spark.streaming.windows import (
+        redrive_reason,
+        route_batch,
+    )
 
     def dlq_bad_root(path: str) -> str:
         bad = tempfile.mkdtemp(prefix="probe_dlq_prebad_")
@@ -1030,15 +1031,7 @@ def main() -> None:
         still = tempfile.mkdtemp(prefix="probe_dlq_still_")
 
         def route(bdf, e):
-            tagged = bdf.drop("reason").withColumn(
-                "reason", redrive_reason()
-            )
-            tagged.filter(F.col("reason").isNull()).drop(
-                "reason"
-            ).write.mode("overwrite").parquet(f"{re_good}/epoch={e}")
-            tagged.filter(F.col("reason").isNotNull()).write.mode(
-                "overwrite"
-            ).parquet(f"{still}/epoch={e}")
+            route_batch(bdf, e, re_good, still, redrive_reason())
 
         t0 = time.perf_counter()
         q = (
