@@ -523,6 +523,53 @@ def test_scd2_intervals_tile_and_collapse(spark, sf_oracle):
             assert a["o_orderpriority"] != b["o_orderpriority"], key
 
 
+def test_scd2_matches_pandas_reference_fuzz(spark):
+    """Seeded random keyed update streams — small key pool (forces
+    multi-version histories), colliding timestamps (forces the
+    tiebreak), and a 3-value attribute (forces no-change collapses) —
+    vs an independent pandas replay of the SCD2 definition: sort per
+    key by (ts, tiebreak), drop re-statements, tile intervals,
+    flag the open version."""
+    import numpy as np
+
+    from inf2106_map_reduce_spark.operators.relational import scd2_history
+
+    rng = np.random.default_rng(20260820)
+    for trial in range(3):
+        n = int(rng.integers(200, 800))
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 25, n),
+                "a": rng.choice(["x", "y", "z"], n),
+                "ts": rng.integers(0, 40, n),  # heavy collisions
+                "tb": rng.permutation(n),
+            }
+        )
+        got = {
+            (r["k"], r["version"]): (
+                r["a"],
+                r["valid_from"],
+                r["valid_to"],
+                r["is_current"],
+            )
+            for r in scd2_history(
+                spark.createDataFrame(pdf), "k", "a", "ts", "tb"
+            ).collect()
+        }
+        want = {}
+        for k, sub in pdf.sort_values(["ts", "tb"]).groupby("k"):
+            versions = []
+            prev = None
+            for _, row in sub.iterrows():
+                if prev is None or row["a"] != prev:
+                    versions.append((row["a"], int(row["ts"])))
+                prev = row["a"]
+            for i, (a, vf) in enumerate(versions):
+                vt = versions[i + 1][1] if i + 1 < len(versions) else None
+                want[(int(k), i + 1)] = (a, vf, vt, vt is None)
+        assert got == want, trial
+
+
 def test_scd2_is_single_shuffle(spark, sf_oracle):
     """Both window passes share the (key x order) partitioning, so the
     whole history build is ONE exchange on the key."""

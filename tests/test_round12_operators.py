@@ -254,6 +254,71 @@ def test_target_encoding_uses_fold_complements_only(spark):
         assert r["encoding"] == pytest.approx(want, abs=1e-9)
 
 
+def test_target_encoding_matches_pandas_reference_fuzz(spark):
+    """Seeded random frames vs an INDEPENDENT pandas replay computed
+    from the raw rows (md5 fold hash included) — stronger than the
+    grid-self-consistency check above, which recomputes complements
+    from the engine's own output."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(20260821)
+    for trial in range(3):
+        n = int(rng.integers(300, 1200))
+        n_folds, m = 4, 12.0
+        pdf = pd.DataFrame(
+            {
+                "cat": rng.choice([f"c{i}" for i in range(15)], n),
+                "key": [f"k{i}" for i in range(n)],
+                "y": rng.random(n) < 0.3,
+            }
+        )
+        got = {
+            (r["category"], r["fold"]): (
+                r["n"],
+                r["pos"],
+                r["prior"],
+                r["encoding"],
+            )
+            for r in stats.target_encoding(
+                spark.createDataFrame(pdf),
+                "cat",
+                F.col("key"),
+                F.col("y"),
+                n_folds=n_folds,
+                m=m,
+            ).collect()
+        }
+        pdf["fold"] = [
+            int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n_folds
+            for k in pdf["key"]
+        ]
+        cells = pdf.groupby(["cat", "fold"]).agg(
+            n=("y", "size"), pos=("y", "sum")
+        )
+        nt, post = len(pdf), int(pdf["y"].sum())
+        by_cat = pdf.groupby("cat").agg(n_c=("y", "size"), pos_c=("y", "sum"))
+        by_fold = pdf.groupby("fold").agg(
+            n_f=("y", "size"), pos_f=("y", "sum")
+        )
+        want = {}
+        for (cat, fold), row in cells.iterrows():
+            n_f, pos_f = by_fold.loc[fold]
+            n_c, pos_c = by_cat.loc[cat]
+            prior = (post - pos_f) / (nt - n_f)
+            enc = ((pos_c - row["pos"]) + m * prior) / (
+                (n_c - row["n"]) + m
+            )
+            want[(cat, fold)] = (
+                int(row["n"]),
+                int(row["pos"]),
+                round(prior, 9),
+                round(enc, 9),
+            )
+        assert got == want, trial
+
+
 def test_target_encoding_single_category_fold_degrades_to_prior(spark):
     """A category entirely inside one fold has an empty complement —
     its encoding must equal the smoothed prior exactly (m·prior / m),
