@@ -2164,6 +2164,14 @@ def quantile_bins(
     Returns one row per occupied (group..., bucket): ``(group...,
     bucket, n_fine_bins, n_rows, lo_bin, hi_bin, frac)`` —
     ``lo_bin·width`` is the bucket's value-domain edge."""
+    if width <= 0 or n_fine < 1 or n_buckets < 2:
+        # fail with intent: a non-positive width floors every value
+        # into the edge bins and B < 2 makes "equi-depth" vacuous —
+        # silent nonsense, not an error Spark would surface
+        raise ValueError(
+            "quantile_bins needs width > 0, n_fine >= 1, n_buckets >= 2 "
+            f"(got width={width}, n_fine={n_fine}, n_buckets={n_buckets})"
+        )
     gc = list(group_cols)
     fine = F.greatest(
         F.lit(0),

@@ -218,6 +218,12 @@ def stage_session_spans(
     this helper, so a staging-contract change cannot silently diverge
     between them. ``cols`` picks the staged projection; ``ts`` must be
     a member."""
+    if "ts" not in cols:
+        # the span arithmetic is ts-driven; fail with intent instead
+        # of an opaque unresolved-column error from the agg below
+        raise ValueError(
+            f"stage_session_spans cols must include 'ts' (got {cols!r})"
+        )
     os.makedirs(base, exist_ok=True)
     ev = ev.select(*cols)
     lo, hi = ev.agg(

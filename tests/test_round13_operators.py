@@ -177,6 +177,26 @@ def test_grouped_quantile_bins_match_per_group_runs(spark, sf_oracle):
     assert _scan_count(plan, "lineitem") == 1, plan
 
 
+def test_quantile_bins_rejects_degenerate_parameters(spark, sf_oracle):
+    """Non-positive width / B < 2 produce silent nonsense (edge-bin
+    pileup, vacuous buckets) rather than a Spark error — the operator
+    fails with intent instead (the empty-span-guard pattern)."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    for kwargs in ({"width": 0.0}, {"width": -1.0}, {"n_buckets": 1}):
+        with pytest.raises(ValueError, match="quantile_bins needs"):
+            stats.quantile_bins(li, "l_extendedprice", **kwargs)
+
+
+def test_stage_spans_requires_ts_column(spark, sf_oracle):
+    """A staged projection without ts cannot drive the span
+    arithmetic — fail with intent, not an unresolved-column error."""
+    ev = load_table(spark, sf_oracle, "events")
+    with pytest.raises(ValueError, match="must include 'ts'"):
+        stream_stateful.stage_session_spans(
+            ev, tempfile.mkdtemp(prefix="span_nots_"), cols=("user_id",)
+        )
+
+
 def test_grouped_quantile_bins_fuzz_vs_per_group_reference(spark):
     """Seeded random (group, value) frames with per-group skew: the
     grouped closed form must reproduce, for EVERY group, the
