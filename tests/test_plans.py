@@ -575,3 +575,21 @@ def test_modularity_no_forced_label_broadcast_no_window(spark):
     # the 1-row Q aggregate over the checkpointed per-community frame
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_plan_audit_artifact_reports_zero_unsanctioned():
+    """The committed PLANS.md must carry the whole-registry
+    anti-pattern audit with ZERO unsanctioned flags — regenerating it
+    is part of the round ritual (tools/dump_plans.py), and this pin
+    makes a stale or regressed audit a test failure, the same
+    discipline as the executed-plan pins."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "PLANS.md")).read()
+    m = re.search(
+        r"\*\*(\d+) flagged, (\d+) unsanctioned\.\*\*", text
+    )
+    assert m, "PLANS.md is missing the anti-pattern audit section"
+    assert int(m.group(2)) == 0, text[m.start(): m.start() + 500]
