@@ -678,6 +678,16 @@ def calibration_table(
     )
 
 
+#: Column names isotonic_calibration manufactures internally; a
+#: caller-supplied group column with one of these names (or the
+#: ``_ga_`` join-alias prefix) would resolve ambiguously in the
+#: histogram pair join.
+_ISO_INTERNAL_NAMES = frozenset(
+    {"bin", "n", "pos", "i", "cn", "cp", "h", "j", "cn0", "cp0",
+     "av", "mn", "mx", "p", "y", "n_rows", "rate", "iso"}
+)
+
+
 def isotonic_calibration(
     scored: DataFrame,
     n_bins: int = ROC_BINS,
@@ -712,6 +722,18 @@ def isotonic_calibration(
     iso)`` with ``rate = pos/n`` raw and ``iso`` the fitted monotone
     rate, both rounded to 9."""
     gc = list(group_cols)
+    reserved = _ISO_INTERNAL_NAMES & set(gc)
+    prefixed = [g for g in gc if g.startswith("_ga_")]
+    if reserved or prefixed:
+        # fail with intent (the quantile_bins guard idiom): a group
+        # column named like an internal stage column resolves
+        # ambiguously in the pair join and Spark either errors late or
+        # silently binds the wrong side
+        raise ValueError(
+            "isotonic_calibration group_cols collide with internal "
+            f"names: {sorted(reserved) + prefixed} (reserved: "
+            f"{sorted(_ISO_INTERNAL_NAMES)} and the '_ga_' prefix)"
+        )
     hist = (
         scored.select(*gc, _score_bin(n_bins).alias("bin"), "y")
         .groupBy(*gc, "bin")
@@ -756,7 +778,12 @@ def isotonic_calibration(
     # group fits its own monotone map independently.
     cond = F.col("j") >= F.col("h")
     for g in gc:
-        cond = cond & (F.col(f"_ga_{g}") == F.col(g))
+        # eqNullSafe, not ==: a NULL group key forms a normal group
+        # everywhere else in this operator (the windows partition it
+        # like any value) — a plain-equality join here would silently
+        # drop it between the hist and pair stages, inconsistent with
+        # grouped quantile_bins where NULL groups are returned
+        cond = cond & (F.col(f"_ga_{g}").eqNullSafe(F.col(g)))
     pairs = a.join(F.broadcast(b), cond).select(
         *gc,
         "h",
@@ -2301,6 +2328,23 @@ def encoding_reliability(
         grid = target_encoding(
             df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
         )
+    else:
+        # fail with intent: the (category, fold) inner join silently
+        # drops every row whose re-derived fold has no grid cell, so a
+        # grid fit under a DIFFERENT n_folds corrupts the audit
+        # instead of erroring. The necessary-condition check is cheap
+        # (one job over the checkpointed aggregate-sized grid): a grid
+        # built with MORE folds than the caller's n_folds is caught
+        # here; a grid built with fewer is indistinguishable from
+        # sparse fold occupancy without schema metadata — callers own
+        # that side (the registry passes one shared fit).
+        max_fold = grid.agg(F.max("fold")).first()[0]
+        if max_fold is not None and max_fold >= n_folds:
+            raise ValueError(
+                f"grid carries fold ids up to {max_fold} but the audit "
+                f"re-derives folds mod n_folds={n_folds} — the grid was "
+                "fit under a different n_folds"
+            )
     base = df.select(
         F.col(cat_col).alias("category"),
         _enc_fold(key_col, n_folds).alias("fold"),

@@ -794,10 +794,7 @@ def _dlq_sink_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     good_root = tempfile.mkdtemp(prefix="dlq_good_")
     dlq_root = tempfile.mkdtemp(prefix="dlq_bad_")
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double"
-        )
+        spark.readStream.schema(_DLQ_EVENT_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
@@ -819,12 +816,32 @@ def _dlq_sink_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return good_root, dlq_root
 
 
-def _dlq_summary(spark, root: str, disposition: str, reason: F.Column):
+#: The event schema as written by the DLQ good-side sinks; quarantine
+#: sinks carry it plus the attached ``reason``.
+_DLQ_EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _dlq_summary(
+    spark, root: str, disposition: str, reason: F.Column, *,
+    with_reason_col: bool = False,
+):
     """(disposition, reason, event_type, n_rows, n_users,
     sum_event_id) audit rows over one sink tree — the shape both DLQ
-    entries and their oracles emit."""
+    entries and their oracles emit. The read pins the explicit sink
+    schema (``with_reason_col`` for quarantine trees, which carry the
+    attached reason) so a sink left with zero part files — e.g. a
+    redrive whose corrected rules clear every quarantined row, leaving
+    only ``_SUCCESS`` markers — yields an EMPTY summary instead of an
+    opaque schema-inference error."""
+    schema = _DLQ_EVENT_SCHEMA + (
+        ", reason string" if with_reason_col else ""
+    )
     return (
-        spark.read.option("recursiveFileLookup", "true")
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
         .parquet(root)
         .groupBy(reason.alias("reason"), "event_type")
         .agg(
@@ -868,7 +885,9 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing must route every row exactly once to match."""
     good_root, dlq_root = _dlq_sink_roots(spark, sf_dir)
     return _dlq_summary(spark, good_root, "good", F.lit("ok")).unionByName(
-        _dlq_summary(spark, dlq_root, "dlq", F.col("reason"))
+        _dlq_summary(
+            spark, dlq_root, "dlq", F.col("reason"), with_reason_col=True
+        )
     )
 
 
@@ -891,10 +910,7 @@ def streaming_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     re_good = tempfile.mkdtemp(prefix="dlq_regood_")
     still = tempfile.mkdtemp(prefix="dlq_still_")
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, reason string"
-        )
+        spark.readStream.schema(_DLQ_EVENT_SCHEMA + ", reason string")
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
@@ -915,4 +931,9 @@ def streaming_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return _dlq_summary(
         spark, re_good, "redriven_good", F.lit("ok")
-    ).unionByName(_dlq_summary(spark, still, "still_dlq", F.col("reason")))
+    ).unionByName(
+        _dlq_summary(
+            spark, still, "still_dlq", F.col("reason"),
+            with_reason_col=True,
+        )
+    )
