@@ -67,6 +67,7 @@ WARMUP = (
     "streaming_upsert_latest",
     "streaming_dlq_split",
     "streaming_dlq_redrive",
+    "streaming_dlq_retention",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -146,6 +147,10 @@ HEADLINE = (
     "streaming_dlq_redrive",
     "lineitem_fold_reliability",
     "lineitem_status_isotonic",
+    # round-14 new families
+    "lineitem_status_reliability",
+    "lineitem_binned_stump",
+    "streaming_dlq_retention",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -1308,6 +1308,29 @@ def lineitem_fold_reliability(
     )
 
 
+def lineitem_status_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the encoding reliability audit split BY DATA
+    SEGMENT (l_linestatus) — completes the per-segment audit matrix
+    (model scores: :func:`lineitem_status_isotonic`; encoded feature:
+    this entry). The grid stays the unsplit session-cached supplier
+    fit — the encoding a pipeline ships is ONE map — so a divergent
+    segment here means the shared encoding is biased within that
+    segment, the audit a global reliability table cannot see. Counts
+    marginalize exactly back to :func:`lineitem_encoding_reliability`
+    (pinned in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_reliability(
+        li,
+        "l_suppkey",
+        _lineitem_enc_key(),
+        F.col("l_returnflag") == "R",
+        grid=_registry_encoding_grid(spark, sf_dir),
+        segment_col="l_linestatus",
+    )
+
+
 def lineitem_chi2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: chi-square independence test of return flag vs
     line status, with per-cell contributions and Cramér's V."""
@@ -2271,6 +2294,107 @@ def lineitem_flag_quantile_bins(
     )
 
 
+def quantile_stump(
+    df: DataFrame,
+    col: str,
+    label: Column,
+    width: float = QTL_FINE_WIDTH,
+    n_fine: int = N_QTL_FINE,
+    n_buckets: int = N_QTL_BUCKETS,
+) -> DataFrame:
+    """Decision stump trained on the EQUI-DEPTH bucket feature — the
+    composition a histogram-GBDT pipeline runs when the raw feature is
+    skewed: discretize by quantiles (:func:`quantile_bins`), then
+    search the best ``bucket <= t`` split by Gini gain
+    (:func:`decision_stump`'s criterion). Equi-depth buckets place
+    split candidates at population deciles, so every candidate
+    boundary carries real mass — the fixed equi-width grid wastes
+    candidates on empty tails.
+
+    Distributed shape — ONE data scan total, strictly better than
+    running the two parents separately: the scan builds the LABELED
+    fine histogram ``(fb, n, pos)`` (map-side-combined hash agg,
+    ≤ n_fine rows); the equi-depth bucket of each fine bin is the same
+    closed-form rank expression :func:`quantile_bins` uses (pure
+    arithmetic over histogram prefix sums — no second pass, because
+    the bucket edges are a function of the counts the histogram
+    already carries); folding ``(n, pos)`` to bucket granularity and
+    the split-gain window (:func:`_split_gains`) then run over ≤
+    n_buckets rows. At 100 TB the scan is the entire cost.
+
+    Returns every candidate boundary (empty-child splits dropped, as
+    in the stump): ``(feature, split_bin, n_left, pos_left, n_right,
+    pos_right, gain, is_best)`` with ``split_bin`` the bucket id and
+    the winner ranked by (gain DESC, split_bin) — total order,
+    rounded-9 gains over exact BIGINT counts, so the oracle replays
+    the identical expression tree."""
+    if width <= 0 or n_fine < 1 or n_buckets < 2:
+        raise ValueError(
+            "quantile_stump needs width > 0, n_fine >= 1, n_buckets >= 2 "
+            f"(got width={width}, n_fine={n_fine}, n_buckets={n_buckets})"
+        )
+    fine = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_fine - 1),
+            F.floor(F.col(col).cast("double") / F.lit(width)).cast("int"),
+        ),
+    )
+    hist = (
+        df.select(fine.alias("fb"), label.cast("int").alias("y"))
+        .groupBy("fb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w_cum = (
+        Window.orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.orderBy("fb")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    c = hist.select(
+        "fb",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
+    )
+    bhist = (
+        c.select(bucket.alias("bin"), "n", "pos")
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+        .select(F.lit(f"{col}_q{n_buckets}").alias("feature"), "*")
+    )
+    gains = _split_gains(bhist, [])
+    w_best = Window.orderBy(F.col("gain").desc(), "split_bin")
+    return gains.select(
+        "*", (F.row_number().over(w_best) == 1).alias("is_best")
+    )
+
+
+def lineitem_binned_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the return-flag stump trained on equi-depth
+    price DECILES — composes the two round-13 binning families
+    (adaptive quantile_bins feature, histogram stump criterion) in one
+    data scan; all nine populated candidate boundaries with the Gini
+    winner flagged."""
+    return quantile_stump(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-category encoding reliability audit
 # ---------------------------------------------------------------------------
@@ -2295,6 +2419,7 @@ def encoding_reliability(
     checkpoint: bool = True,
     grid: DataFrame | None = None,
     per_fold: bool = False,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """Reliability audit of the out-of-fold target encoding: does the
     encoded value actually predict the label rate it claims? Every row
@@ -2323,7 +2448,14 @@ def encoding_reliability(
     and encoding entry share one cell-grid pass (``checkpoint`` then
     has no effect: it governs only the internal fit). ``per_fold``
     adds the fold key to the output grouping — the leakage-variance
-    view."""
+    view. ``segment_col`` adds a data segment key (as ``seg``) to the
+    output grouping — the per-segment audit: the GRID stays the
+    unsplit fit (the encoding a pipeline actually ships is one map),
+    only the audit rows are split, so a feature can read calibrated
+    in aggregate yet biased within a segment (the
+    :func:`lineitem_status_isotonic` argument applied to the encoded
+    feature). Count columns marginalize exactly back to the unsplit
+    audit by construction — the pinned completeness property."""
     if grid is None:
         grid = target_encoding(
             df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
@@ -2345,7 +2477,9 @@ def encoding_reliability(
                 f"re-derives folds mod n_folds={n_folds} — the grid was "
                 "fit under a different n_folds"
             )
+    seg = [F.col(segment_col).alias("seg")] if segment_col else []
     base = df.select(
+        *seg,
         F.col(cat_col).alias("category"),
         _enc_fold(key_col, n_folds).alias("fold"),
         label.cast("int").alias("y"),
@@ -2361,7 +2495,11 @@ def encoding_reliability(
         ),
     )
     n = F.count(F.lit(1))
-    keys = ([F.col("fold")] if per_fold else []) + [enc_bin.alias("bin")]
+    keys = (
+        ([F.col("seg")] if segment_col else [])
+        + ([F.col("fold")] if per_fold else [])
+        + [enc_bin.alias("bin")]
+    )
     return joined.groupBy(*keys).agg(
         n.alias("n_rows"),
         F.round(F.sum("encoding") / n, 6).alias("mean_encoding"),

@@ -6468,15 +6468,20 @@ _DLQ_CASE = (
     + " END"
 )
 
-def _enc_reliability_oracle(per_fold: bool = False) -> str:
+def _enc_reliability_oracle(
+    per_fold: bool = False, segment: bool = False
+) -> str:
     """Oracle for the encoding reliability audit — the target-encoding
     CTEs, the row→cell re-join, and the fixed centile buckets;
-    ``per_fold=True`` renders the fold-variance form (one more
-    grouping key) from the same template."""
-    sel = "fold, " if per_fold else ""
+    ``per_fold=True`` renders the fold-variance form and
+    ``segment=True`` the per-l_linestatus form (one more grouping key
+    each) from the same template. The grid CTEs never see the segment:
+    the fit is the one unsplit map the pipeline ships."""
+    sel = ("seg, " if segment else "") + ("fold, " if per_fold else "")
+    seg_base = "l_linestatus AS seg, " if segment else ""
     return f"""
     WITH base AS (
-      SELECT l_suppkey AS category,
+      SELECT {seg_base}l_suppkey AS category,
              CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
                AS BIGINT) % {stats.N_ENC_FOLDS} AS fold,
@@ -6522,7 +6527,7 @@ def _enc_reliability_oracle(per_fold: bool = False) -> str:
            ROUND(SUM(encoding) / COUNT(*), 6) AS mean_encoding,
            ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
     FROM base b JOIN grid g USING (category, fold)
-    GROUP BY {"fold, bin" if per_fold else "bin"}
+    GROUP BY {sel}bin
     """
 
 
@@ -6694,6 +6699,115 @@ REGISTRY.update(
 )
 
 
+# Round-14 block (§7.8 candidates; rotation math re-derived in the
+# ROTATION_STRIDE comment — N 243 -> 246 fits the S = 31 horizon cap
+# of 248 with 2 slots to spare).
+
+_BSTUMP_FEATURE = f"l_extendedprice_q{stats.N_QTL_BUCKETS}"
+
+REGISTRY.update(
+    {
+        "lineitem_status_reliability": QuerySpec(
+            stats.lineitem_status_reliability,
+            _enc_reliability_oracle(segment=True),
+            "the encoding reliability audit split BY DATA SEGMENT "
+            "(l_linestatus) against the one unsplit shipped grid — "
+            "completes the per-segment audit matrix (scores: "
+            "status_isotonic; encoded feature: this); counts "
+            "marginalize exactly back to the unsplit audit",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "lineitem_binned_stump": QuerySpec(
+            stats.lineitem_binned_stump,
+            f"""
+            WITH h AS (
+              SELECT GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
+                       CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                            / {stats.QTL_FINE_WIDTH}) AS INT))) AS fb,
+                     COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pos
+              FROM lineitem GROUP BY fb
+            ),
+            c AS (
+              SELECT fb, n, pos,
+                     SUM(n) OVER (ORDER BY fb ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(n) OVER () AS nt
+              FROM h
+            ),
+            bh AS (
+              SELECT '{_BSTUMP_FEATURE}' AS feature,
+                     LEAST({stats.N_QTL_BUCKETS - 1},
+                       CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                            AS INT)) AS bin,
+                     CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS pos
+              FROM c GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT feature, bin AS split_bin,
+                     SUM(n) OVER (PARTITION BY feature
+                       ORDER BY bin) AS nl,
+                     SUM(pos) OVER (PARTITION BY feature
+                       ORDER BY bin) AS posl,
+                     SUM(n) OVER (PARTITION BY feature) AS nt,
+                     SUM(pos) OVER (PARTITION BY feature) AS post
+              FROM bh
+            ),
+            gains AS (
+              SELECT feature, split_bin,
+                     CAST(nl AS BIGINT) AS n_left,
+                     CAST(posl AS BIGINT) AS pos_left,
+                     CAST(nt - nl AS BIGINT) AS n_right,
+                     CAST(post - posl AS BIGINT) AS pos_right,
+                     {stats.gini_gain_sql()} AS gain
+              FROM cum WHERE nl < nt
+            )
+            SELECT feature, split_bin, n_left, pos_left,
+                   n_right, pos_right, gain, (rb = 1) AS is_best
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    ORDER BY gain DESC, split_bin) AS rb
+                  FROM gains)
+            """,
+            "decision stump on the equi-depth price-decile feature — "
+            "the skew-robust binning composed with the histogram "
+            "split criterion in ONE data scan (labeled fine "
+            "histogram; bucket edges are closed-form rank arithmetic "
+            "over counts the histogram already carries)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "streaming_dlq_retention": QuerySpec(
+            stream_windows.streaming_dlq_retention,
+            f"""
+            WITH tagged AS (
+              SELECT *, {_DLQ_CASE} AS r1 FROM events
+            ),
+            re AS (
+              SELECT *, {_REDRIVE_CASE} AS r2
+              FROM tagged WHERE r1 IS NOT NULL
+            )
+            SELECT CASE WHEN r2 IS NULL THEN 'aged_out'
+                        ELSE 'retained' END AS disposition,
+                   CASE WHEN r2 IS NULL THEN r1 ELSE r2 END AS reason,
+                   event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM re GROUP BY 1, 2, 3
+            """,
+            "DLQ retention/compaction — the maintenance member of the "
+            "DLQ lifecycle: rows the corrected rules clear are aged "
+            "out of the queue (audited under their ORIGINAL quarantine "
+            "reason), survivors are rewritten as a right-size-compacted "
+            "next-generation queue tree and summarized from the "
+            "compacted files themselves",
+            ("events", "streaming", "sink"),
+        ),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — deterministic rotation. The driver's correctness
 # gate hash-checks the FIRST ``ROTATION_WINDOW`` entries of
@@ -6818,19 +6932,43 @@ ROTATION_WINDOW = 50
 # variance audit (lineitem_fold_reliability), and per-segment
 # isotonic calibration (lineitem_status_isotonic) -> N = 243;
 # ceil(243/31) = 8 holds and the priority block (12 carried + 4 + 3
-# = 19) sits AT the 19-cap exactly. ROUND 14 HAS 5 FREE SLOTS
-# (N <= 248) but ZERO priority headroom until CORRECTNESS_r11 lands
-# the carried names' hard rows — re-derive explicitly, don't drift.
+# = 19) sits AT the 19-cap exactly.
+#
+# Round-14 budget (re-derived BEFORE adding entries):
+# CORRECTNESS_r11 landed hard green rows for every carried round-11/
+# -12/-13 name (the r11 verdict re-verified the cumulative union ==
+# the full 243 registry with zero latest-status failures), so the
+# carry protocol is satisfied and the 19-name block RETIRES to the
+# archive records below. The round-14 budget is the three §7.8
+# candidates -> N = 246 <= 248 (ceil(246/31) = 8 holds, 2 free
+# slots left); priority = 3 new names <= 19-cap with room to spare.
+# ROUND 15: 2 free slots under S = 31; any growth beyond 248 must
+# first raise S to 32 (covers N <= 256, priority cap 18) — re-derive
+# explicitly, don't drift (test_registry_rotation.py fails loudly at
+# N = 249 under S = 31 regardless).
 ROTATION_STRIDE = 31
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # CARRIED round-11 block: no CORRECTNESS_r11 artifact exists (the
-    # driver re-entered round 12 without a verify pass), so none of
-    # the 8 round-11 names has a hard driver row yet — they stay
-    # front-loaded until CORRECTNESS_r12 lands them (the r08/r09
-    # carry protocol).
+    # Round-14 block (§7.8 candidates, budget in the ROTATION_STRIDE
+    # comment): the encoding reliability audit split by data segment
+    # against the one unsplit shipped grid — completes the
+    # per-segment audit matrix
+    "lineitem_status_reliability",
+    # stump trained on the equi-depth price-decile feature — the two
+    # round-13 binning families composed in ONE data scan
+    "lineitem_binned_stump",
+    # DLQ retention/compaction — the maintenance member of the DLQ
+    # lifecycle (age out redriven rows, compact the survivors)
+    "streaming_dlq_retention",
+)
+
+#: The round-13 priority block (12 carried + 7 new) as retired at
+#: round-14 open: CORRECTNESS_r11 carries a hard green row for every
+#: name (the carry protocol's exit condition), kept as a named record
+#: for the staleness audit.
+_ROUND13_PRIORITY: tuple[str, ...] = (
     "lineitem_stump_gini",
     "lineitem_tree_depth2",
     "docs_group_reservoir",
@@ -6839,48 +6977,22 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "docs_weighted_reservoir",
     "lineitem_gbt_stages",
     "streaming_upsert_latest",
-    # Round-12 block (budget re-derived in the ROTATION_STRIDE
-    # comment BEFORE adding entries): third boosting stage — the
-    # closed-form residual recursion carried one level deeper, one
-    # scan per stage (§7.6 candidate #1)
     "lineitem_gbt_stages3",
-    # isotonic/PAV calibration of the binned logreg scores via the
-    # minimax closed form over the score histogram (§7.6 candidate #2)
     "lineitem_isotonic_calibration",
-    # out-of-fold smoothed target encoding — hash-deterministic folds,
-    # complement statistics from one shuffle (decided this round)
     "lineitem_target_encoding",
-    # first-occurrence n-gram novelty attribution over documents —
-    # corpus-diversity metric, one shuffle on the shingle (decided
-    # this round)
     "docs_ngram_novelty",
-    # Round-13 block (budget re-derived in the ROTATION_STRIDE
-    # comment BEFORE adding entries): exact equi-depth decile
-    # discretization by the two-pass rank scheme (§7.7 candidate #1)
     "lineitem_price_quantile_bins",
-    # centile reliability audit of the out-of-fold target encoding
-    # (§7.7 candidate #3 — composes the §7.6 encoding with the
-    # round-8 reliability surface)
     "lineitem_encoding_reliability",
-    # foreachBatch dead-letter-queue split sink — the error-handling
-    # member of the sink family (§7.7 candidate #4)
     "streaming_dlq_split",
-    # per-group equi-depth deciles — the top §7.8 candidate pulled
-    # forward against the same rotation math (one grouping column on
-    # the quantile closed form)
     "lineitem_flag_quantile_bins",
-    # Round-13 LATE block (S raised to 31 first — math in the
-    # ROTATION_STRIDE comment): the remaining §7.8 candidates, all
-    # thin compositions over this round's machinery
     "streaming_dlq_redrive",
     "lineitem_fold_reliability",
     "lineitem_status_isotonic",
 )
 
 #: The round-11 block as budgeted (kept as a named record for the
-#: staleness audit; its names are ALSO carried live in
-#: _ROUND_PRIORITY above until CORRECTNESS_r12 lands their first
-#: hard driver rows).
+#: staleness audit; it led the carried block until CORRECTNESS_r11
+#: landed its hard driver rows).
 _ROUND11_PRIORITY: tuple[str, ...] = (
     "lineitem_stump_gini",
     "lineitem_tree_depth2",

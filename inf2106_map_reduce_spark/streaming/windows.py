@@ -9,6 +9,7 @@ unbounded state at scale).
 from __future__ import annotations
 
 import datetime as dt
+import math
 import os
 import tempfile
 
@@ -823,6 +824,13 @@ _DLQ_EVENT_SCHEMA = (
     "event_type string, value double"
 )
 
+#: Target output-file size for the retention pass's compaction
+#: rewrite. 128 MB = the classic parquet scan-split sweet spot (one
+#: file ≈ one task at default maxPartitionBytes); the test-scale
+#: quarantine is far below one target, so the rewrite lands in a
+#: single file — pinned in tests.
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
 
 def _dlq_summary(
     spark, root: str, disposition: str, reason: F.Column, *,
@@ -937,3 +945,94 @@ def streaming_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_reason_col=True,
         )
     )
+
+
+def streaming_dlq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the DLQ RETENTION/COMPACTION pass — the
+    maintenance member of the DLQ lifecycle (split → redrive →
+    retention). A redrive resolves part of the quarantine, but the
+    queue TREE still holds every epoch-scoped fragment: resolved rows
+    wait to be aged out, unresolved rows sit in per-epoch small files
+    that grow with (batches × partitions) — the #1 operational failure
+    of long-running ingest (see
+    :func:`sources.roundtrip.maintenance_compaction`). This pass runs
+    the standard snapshot-compaction recipe as a BATCH maintenance job
+    over the sink tree: read the quarantine, age out rows the
+    corrected :data:`REDRIVE_RULES` clear (they were redriven — their
+    audit rows carry the ORIGINAL quarantine reason, i.e. which rule
+    was the false positive), rewrite the surviving rows as the
+    next-generation queue — compacted to right-sized files, reason
+    re-attached from the corrected rules — then atomically swap trees
+    (here the source tree is kept because two sibling registry entries
+    share the session-cached quarantine; the swap is a rename the
+    audit cannot see).
+
+    Scale: one scan of the quarantine (a ~20% slice of ingest by
+    construction), one codegen CASE, one compacted write sized by
+    ``bytes / COMPACT_TARGET_BYTES`` — no state store, no shuffle
+    beyond the write's repartition. The retained summary reads the
+    COMPACTED tree back, so the audit proves the rewrite, not the
+    intent; conservation (aged + retained == quarantine) is pinned in
+    tests, and the oracle replays the composition batch-wise."""
+    _, dlq_root = _dlq_sink_roots(spark, sf_dir)
+    summary, _ = dlq_retention_pass(spark, dlq_root)
+    return summary
+
+
+def dlq_retention_pass(
+    spark: SparkSession, dlq_root: str
+) -> tuple[DataFrame, str]:
+    """The retention/compaction body over one quarantine tree; returns
+    ``(audit_summary, compacted_root)`` — the root surfaced so tests
+    can pin the rewrite itself (file count, exact retained rows)."""
+    quarantine = (
+        spark.read.schema(_DLQ_EVENT_SCHEMA + ", reason string")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dlq_root)
+    )
+    split = quarantine.withColumn("r2", redrive_reason()).localCheckpoint(
+        eager=True
+    )
+    aged = split.filter(F.col("r2").isNull())
+    retained = (
+        split.filter(F.col("r2").isNotNull())
+        .drop("reason")
+        .withColumnRenamed("r2", "reason")
+    )
+    # right-size the rewrite from the source tree's actual bytes (the
+    # maintenance_compaction sizing rule, computed instead of pinned:
+    # file listing is driver-side metadata, never data)
+    tree_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(dlq_root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(tree_bytes / COMPACT_TARGET_BYTES))
+    compact_root = tempfile.mkdtemp(prefix="dlq_retained_")
+    retained.repartition(n_out).write.mode("overwrite").parquet(
+        compact_root
+    )
+    return (
+        aged.groupBy(F.col("reason"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        .select(
+            F.lit("aged_out").alias("disposition"),
+            "reason",
+            "event_type",
+            "n_rows",
+            "n_users",
+            "sum_event_id",
+        )
+        .unionByName(
+            _dlq_summary(
+                spark, compact_root, "retained", F.col("reason"),
+                with_reason_col=True,
+            )
+        )
+    ), compact_root

@@ -170,41 +170,35 @@ def test_round11_priority_is_the_archived_budgeted_block():
     )
 
 
-def test_round12_priority_carries_unchecked_round11_block():
-    # No CORRECTNESS_r11 artifact landed (the driver re-entered round
-    # 12 without a verify pass), so every round-11 name is still
-    # driver-unchecked and must lead the round-12 window ahead of the
-    # four new round-12 families — the r08/r09 carry protocol.
-    import glob
+def test_round13_carried_block_retired_on_hard_rows():
+    # The carry protocol's exit condition, settled by the hard
+    # artifact: every name of the retired 19-name round-13 block
+    # (archived as _ROUND13_PRIORITY) must carry a fully-green
+    # CORRECTNESS_r11 row — only then may the live priority drop to
+    # round-14's new entries.
+    import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifacts = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    if not any(a.endswith(("r11.json", "r12.json")) for a in artifacts):
-        assert q._ROUND_PRIORITY[: len(q._ROUND11_PRIORITY)] == (
-            q._ROUND11_PRIORITY
-        )
-    assert q._ROUND_PRIORITY[len(q._ROUND11_PRIORITY):] == (
-        "lineitem_gbt_stages3",
-        "lineitem_isotonic_calibration",
-        "lineitem_target_encoding",
-        "docs_ngram_novelty",
-        # round-13 block: the §7.7 candidates that survived scoping
-        # (the K=4+ boosting depth probe is bench-only, no entry),
-        # plus the top §7.8 candidate pulled forward mid-round
-        "lineitem_price_quantile_bins",
-        "lineitem_encoding_reliability",
-        "streaming_dlq_split",
-        "lineitem_flag_quantile_bins",
-        # round-13 LATE block (S raised to 31 first)
-        "streaming_dlq_redrive",
-        "lineitem_fold_reliability",
-        "lineitem_status_isotonic",
+    with open(os.path.join(root, "CORRECTNESS_r11.json")) as f:
+        r11 = json.load(f)
+    assert len(q._ROUND13_PRIORITY) == 19
+    assert q._ROUND13_PRIORITY[:8] == q._ROUND11_PRIORITY
+    for name in q._ROUND13_PRIORITY:
+        row = r11[name]
+        assert row["hash_match"] and row["err"] is None, (name, row)
+
+
+def test_round14_priority_is_exactly_the_budgeted_block():
+    # round-14 budget (ROTATION_STRIDE comment): the three §7.8
+    # candidates, nothing carried (the 19-name block retired above);
+    # N = 246 under the S=31 horizon cap of 248 leaves 2 free slots.
+    assert q._ROUND_PRIORITY == (
+        "lineitem_status_reliability",
+        "lineitem_binned_stump",
+        "streaming_dlq_retention",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    # N = 243 under the S=31 cap (248): round 14 has 5 free slots but
-    # zero priority headroom (19 = exactly WINDOW - S) until the
-    # carried names' hard rows land
-    assert len(q.REGISTRY) == 243
+    assert len(q.REGISTRY) == 246
     assert q.ROTATION_STRIDE == 31

@@ -1,0 +1,265 @@
+"""Round-14 operator pins: segmented encoding reliability
+(marginalization completeness), the one-scan equi-depth binned stump
+(plan shape + independent pandas replay), and the DLQ
+retention/compaction pass (conservation + the rewrite itself). The
+oracle parity suite covers values; these pin the plans and the
+semantics the oracles encode."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inf2106_map_reduce_spark.operators import stats
+from inf2106_map_reduce_spark.plans import explain_str
+from inf2106_map_reduce_spark.streaming import windows as stream_windows
+from inf2106_map_reduce_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Segmented encoding reliability
+# ---------------------------------------------------------------------------
+
+
+def test_status_reliability_marginalizes_to_unsplit_audit(spark, sf_oracle):
+    """The pinned completeness property: summing the per-segment rows
+    over segments reproduces the unsplit audit's exact counts per
+    centile (same grid, same row routing — the segment key only
+    splits the grouping), and the weighted recombination of the
+    rounded means agrees to rounding tolerance."""
+    seg_rows = stats.lineitem_status_reliability(spark, sf_oracle).collect()
+    flat_rows = stats.lineitem_encoding_reliability(
+        spark, sf_oracle
+    ).collect()
+    marg: dict[int, int] = {}
+    wmean: dict[int, float] = {}
+    for r in seg_rows:
+        marg[r["bin"]] = marg.get(r["bin"], 0) + r["n_rows"]
+        wmean[r["bin"]] = (
+            wmean.get(r["bin"], 0.0) + r["n_rows"] * r["mean_encoding"]
+        )
+    flat = {r["bin"]: r for r in flat_rows}
+    assert marg == {b: r["n_rows"] for b, r in flat.items()}
+    for b, r in flat.items():
+        assert wmean[b] / marg[b] == pytest.approx(
+            r["mean_encoding"], abs=3e-6
+        ), b
+
+
+def test_status_reliability_segments_share_one_grid(spark, sf_oracle):
+    """Rows of the same centile in different segments carry the SAME
+    mean encoding neighborhood (the grid is the one unsplit fit): for
+    each bin present in several segments, the per-segment
+    mean_encoding values all sit inside the bin's centile interval —
+    a per-segment grid would shift encodings across bin boundaries."""
+    rows = stats.lineitem_status_reliability(spark, sf_oracle).collect()
+    for r in rows:
+        lo = r["bin"] / stats.ENC_RELIABILITY_BINS
+        hi = (r["bin"] + 1) / stats.ENC_RELIABILITY_BINS
+        assert lo - 1e-9 <= r["mean_encoding"] <= hi + 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binned stump
+# ---------------------------------------------------------------------------
+
+
+def test_binned_stump_is_one_scan_pruned(spark, sf_oracle):
+    """The composition's whole point: ONE data scan (labeled fine
+    histogram) feeds both the bucket-edge arithmetic and the split
+    search — not one scan per parent — and the scan reads only the
+    feature and label columns."""
+    df = stats.lineitem_binned_stump(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CollectLimit" not in plan
+    assert "l_extendedprice" in plan and "l_returnflag" in plan
+    assert "l_orderkey" not in plan and "l_quantity" not in plan
+
+
+def test_binned_stump_matches_pandas_composition(spark, sf_oracle):
+    """Independent replay: assign each row its equi-depth bucket via a
+    pure-pandas rerun of the fine-histogram rank arithmetic, compute
+    every boundary's Gini gain in numpy, and compare counts and gains
+    exactly (gains to 1e-12 — both sides are the same closed form
+    over identical integers)."""
+    import numpy as np
+
+    pdf = (
+        load_table(spark, sf_oracle, "lineitem")
+        .select("l_extendedprice", "l_returnflag")
+        .toPandas()
+    )
+    fb = np.clip(
+        np.floor(
+            pdf["l_extendedprice"].astype(float) / stats.QTL_FINE_WIDTH
+        ).astype(int),
+        0,
+        stats.N_QTL_FINE - 1,
+    )
+    y = (pdf["l_returnflag"] == "R").astype(int).to_numpy()
+    hist = (
+        pd.DataFrame({"fb": fb, "n": 1, "pos": y})
+        .groupby("fb", as_index=False)
+        .sum()
+        .sort_values("fb")
+    )
+    cum = hist["n"].cumsum()
+    nt = int(hist["n"].sum())
+    bucket = np.minimum(
+        stats.N_QTL_BUCKETS - 1,
+        ((cum - hist["n"]) * stats.N_QTL_BUCKETS) // nt,
+    ).astype(int)
+    bh = (
+        pd.DataFrame(
+            {"b": bucket.to_numpy(), "n": hist["n"].to_numpy(),
+             "pos": hist["pos"].to_numpy()}
+        )
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+    )
+    nl = bh["n"].cumsum().to_numpy()
+    posl = bh["pos"].cumsum().to_numpy()
+    post = int(bh["pos"].sum())
+
+    def gini(n, p):
+        return 1.0 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+    want = {}
+    for i, b in enumerate(bh["b"]):
+        if nl[i] >= nt:
+            continue
+        gain = (
+            gini(nt, post)
+            - (nl[i] / nt) * gini(nl[i], posl[i])
+            - ((nt - nl[i]) / nt) * gini(nt - nl[i], post - posl[i])
+        )
+        want[int(b)] = (
+            int(nl[i]), int(posl[i]), int(nt - nl[i]),
+            int(post - posl[i]), round(gain, 9),
+        )
+    got = {
+        r["split_bin"]: (
+            r["n_left"], r["pos_left"], r["n_right"], r["pos_right"],
+            r["gain"],
+        )
+        for r in stats.lineitem_binned_stump(spark, sf_oracle).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][:4] == want[b][:4], b
+        assert got[b][4] == pytest.approx(want[b][4], abs=1e-12), b
+
+
+def test_binned_stump_flags_exactly_one_winner(spark, sf_oracle):
+    rows = stats.lineitem_binned_stump(spark, sf_oracle).collect()
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["gain"] == max(r["gain"] for r in rows)
+
+
+def test_binned_stump_candidates_are_near_equal_mass(spark, sf_oracle):
+    """Equi-depth buckets put every candidate boundary at a population
+    decile: n_left of boundary t sits within one fine-bin straddle of
+    (t+1)·N/B — the property that makes the adaptive grid strictly
+    better than equi-width on skewed features (no empty candidates)."""
+    rows = sorted(
+        stats.lineitem_binned_stump(spark, sf_oracle).collect(),
+        key=lambda r: r["split_bin"],
+    )
+    nt = rows[0]["n_left"] + rows[0]["n_right"]
+    b = stats.N_QTL_BUCKETS
+    for r in rows:
+        frac = r["n_left"] / nt
+        want = (r["split_bin"] + 1) / b
+        assert abs(frac - want) < 0.02, (r["split_bin"], frac, want)
+
+
+def test_quantile_stump_rejects_degenerate_parameters(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem")
+    with pytest.raises(ValueError, match="quantile_stump needs"):
+        stats.quantile_stump(li, "l_extendedprice",
+                             F.col("l_returnflag") == "R", width=0.0)
+    with pytest.raises(ValueError, match="quantile_stump needs"):
+        stats.quantile_stump(li, "l_extendedprice",
+                             F.col("l_returnflag") == "R", n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# DLQ retention / compaction
+# ---------------------------------------------------------------------------
+
+
+def test_dlq_retention_conserves_the_quarantine(spark, sf_oracle):
+    """Every quarantined row is accounted exactly once: aged_out +
+    retained row counts and event-id checksums equal the quarantine
+    tree's own totals (nothing dropped, nothing doubled by the
+    rewrite)."""
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dlq_root)
+    )
+    want_n = q.count()
+    want_sum = q.agg(F.sum("event_id")).first()[0]
+    rows = stream_windows.streaming_dlq_retention(spark, sf_oracle).collect()
+    assert sum(r["n_rows"] for r in rows) == want_n
+    assert sum(r["sum_event_id"] for r in rows) == want_sum
+    assert {r["disposition"] for r in rows} == {"aged_out", "retained"}
+
+
+def test_dlq_retention_rewrite_is_compacted_and_exact(spark, sf_oracle):
+    """The rewrite itself, not just the audit: at test scale the
+    quarantine is far below one 128 MB target, so the next-generation
+    tree is ONE parquet file (epoch fragmentation collapsed), and its
+    rows are exactly the corrected-rules survivors with the corrected
+    reason attached."""
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    _, compact_root = stream_windows.dlq_retention_pass(spark, dlq_root)
+    files = glob.glob(os.path.join(compact_root, "*.parquet"))
+    assert len(files) == 1, files
+    back = spark.read.parquet(compact_root)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dlq_root)
+    )
+    want = (
+        q.withColumn("r2", stream_windows.redrive_reason())
+        .filter(F.col("r2").isNotNull())
+        .drop("reason")
+        .withColumnRenamed("r2", "reason")
+    )
+    assert back.count() == want.count()
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
+
+
+def test_dlq_retention_ages_only_redrivable_reasons(spark, sf_oracle):
+    """Aged rows carry their ORIGINAL quarantine reason, and only
+    reasons the corrected rule table actually relaxed can age out
+    (the value cap was the false positive; error events never age)."""
+    rows = stream_windows.streaming_dlq_retention(spark, sf_oracle).collect()
+    aged_reasons = {
+        r["reason"] for r in rows if r["disposition"] == "aged_out"
+    }
+    retained_reasons = {
+        r["reason"] for r in rows if r["disposition"] == "retained"
+    }
+    dlq_names = {name for name, _ in stream_windows.DLQ_RULES}
+    redrive_names = {name for name, _ in stream_windows.REDRIVE_RULES}
+    assert aged_reasons <= dlq_names
+    assert retained_reasons <= redrive_names
+    assert "error_event" not in aged_reasons
