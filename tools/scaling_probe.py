@@ -1133,6 +1133,70 @@ def main() -> None:
         + "  |  marginal per stage: "
         + ", ".join(f"+{t:.3f}s" for _, t in marg)
     )
+
+    # ---- round-14 shapes --------------------------------------------
+    from inf2106_map_reduce_spark.operators.stats import quantile_stump
+    from inf2106_map_reduce_spark.streaming.windows import (
+        dlq_retention_pass,
+    )
+
+    # Equi-depth binned stump: the quantile_bins scan with the label
+    # folded in + a <= n_buckets split-search epilogue — must track
+    # the quantile-bins row (one scan, histogram epilogue)
+    def qstump(li):
+        return quantile_stump(
+            li, "l_extendedprice", F.col("l_returnflag") == "R"
+        )
+
+    timed(lambda: qstump(li1))
+    t1 = min(timed(lambda: qstump(li1)) for _ in range(3))
+    tk = min(timed(lambda: qstump(lik)) for _ in range(3))
+    print(
+        f"  equi-depth binned stump (1-scan compose): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; labeled "
+        f"fine histogram, bucket+split epilogue data-independent)"
+    )
+
+    # Segmented encoding reliability: the two-scan audit with the
+    # segment key on the centile agg only (grid unsplit) — same
+    # shape as the per-fold row
+    def erel_seg(li):
+        return encoding_reliability(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+            segment_col="l_linestatus",
+        )
+
+    timed(lambda: erel_seg(te1))
+    t1 = min(timed(lambda: erel_seg(te1)) for _ in range(3))
+    tk = min(timed(lambda: erel_seg(tek)) for _ in range(3))
+    print(
+        f"  segmented reliability audit (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; segment key "
+        f"on the centile agg only, grid stays unsplit)"
+    )
+
+    # DLQ retention/compaction: one batch scan of the quarantine +
+    # CASE + right-sized rewrite — scales with the quarantine share,
+    # same fixture as the redrive row
+    def retention(bad):
+        summary, _ = dlq_retention_pass(spark, bad)
+        return summary
+
+    timed(lambda: retention(bad1))
+    t1 = min(timed(lambda: retention(bad1)) for _ in range(2))
+    tk = min(timed(lambda: retention(badk)) for _ in range(2))
+    print(
+        f"  DLQ retention/compaction (8x quarantine): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; batch scan "
+        f"+ CASE + compacted rewrite, no streaming machinery)"
+    )
     spark.stop()
 
 
