@@ -68,6 +68,7 @@ WARMUP = (
     "streaming_dlq_split",
     "streaming_dlq_redrive",
     "streaming_dlq_retention",
+    "streaming_upsert_vacuum",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -151,6 +152,9 @@ HEADLINE = (
     "lineitem_status_reliability",
     "lineitem_binned_stump",
     "streaming_dlq_retention",
+    # round-14 late block
+    "lineitem_multi_binned_stump",
+    "streaming_upsert_vacuum",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -2395,6 +2395,143 @@ def lineitem_binned_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-feature fine-histogram widths for the MULTI-feature equi-depth
+#: stump: (feature label, column, fine width). Widths are
+#: DATA-INDEPENDENT exactly-representable doubles sized so each
+#: domain spans well under N_QTL_FINE fine bins (price ~3.3k occupied
+#: of 4096; quantity 1..50 -> 200 bins at 0.25; discount 0..0.1 ->
+#: 200 bins at 0.0005) — the quantile_bins contract per feature.
+QSTUMP_FEATURES: tuple[tuple[str, str, float], ...] = (
+    ("price", "l_extendedprice", QTL_FINE_WIDTH),
+    ("qty", "l_quantity", 0.25),
+    ("disc", "l_discount", 0.0005),
+)
+
+
+def quantile_stump_multi(
+    df: DataFrame,
+    features: tuple[tuple[str, str, float], ...],
+    label: Column,
+    n_fine: int = N_QTL_FINE,
+    n_buckets: int = N_QTL_BUCKETS,
+) -> DataFrame:
+    """The full split search a histogram-GBDT level runs over
+    SKEW-ROBUST features: every feature gets its own equi-depth
+    bucket grid (edges from its own fine-histogram closed form) and
+    its own best ``bucket <= t`` Gini split, with the global root
+    flagged — :func:`decision_stump`'s shape on
+    :func:`quantile_stump`'s adaptive binning.
+
+    Distributed shape — still ONE data scan for ALL features: each
+    row explodes into |features| ``(feature, fine_bin)`` pairs (the
+    :func:`_stump_hist` pattern), the hash agg map-side-combines to
+    ≤ |features|·n_fine labeled histogram rows, and everything after
+    — per-feature rank arithmetic for bucket edges, bucket fold,
+    split gains, ranking — partitions BY FEATURE over histogram rows
+    only. At 100 TB the scan is the entire cost and the shuffle
+    carries partial histogram counts, never rows.
+
+    Returns the best split per feature: ``(feature, split_bin,
+    n_left, pos_left, n_right, pos_right, gain, is_root)`` ranked by
+    (gain DESC, split_bin) within feature and (gain DESC, feature,
+    split_bin) globally — total orders over rounded-9 gains."""
+    if n_fine < 1 or n_buckets < 2 or any(w <= 0 for _, _, w in features):
+        raise ValueError(
+            "quantile_stump_multi needs widths > 0, n_fine >= 1, "
+            f"n_buckets >= 2 (got features={features}, n_fine={n_fine}, "
+            f"n_buckets={n_buckets})"
+        )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"),
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(n_fine - 1),
+                        F.floor(
+                            F.col(col).cast("double") / F.lit(w)
+                        ).cast("int"),
+                    ),
+                ).alias("fb"),
+            )
+            for name, col, w in features
+        ]
+    )
+    hist = (
+        df.select(F.explode(pairs).alias("p"), label.cast("int").alias("y"))
+        .groupBy("p.feature", "p.fb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("feature")
+        .orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    c = hist.select(
+        "feature",
+        "fb",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
+    )
+    bhist = (
+        c.select("feature", bucket.alias("bin"), "n", "pos")
+        .groupBy("feature", "bin")
+        .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+    )
+    gains = _split_gains(bhist, [])
+    w_feat = Window.partitionBy("feature").orderBy(
+        F.col("gain").desc(), F.col("split_bin")
+    )
+    w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
+    return (
+        gains.select(
+            "*",
+            F.row_number().over(w_feat).alias("_rf"),
+            F.row_number().over(w_glob).alias("_rg"),
+        )
+        .filter(F.col("_rf") == 1)
+        .select(
+            "feature",
+            "split_bin",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gain",
+            (F.col("_rg") == 1).alias("is_root"),
+        )
+    )
+
+
+def lineitem_multi_binned_stump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the full skew-robust split search — best
+    equi-depth-decile Gini split per feature (price/qty/discount,
+    each on its own adaptive bucket grid) with the global root
+    flagged, all from ONE exploded data scan."""
+    return quantile_stump_multi(
+        load_table(spark, sf_dir, "lineitem"),
+        QSTUMP_FEATURES,
+        F.col("l_returnflag") == "R",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-category encoding reliability audit
 # ---------------------------------------------------------------------------

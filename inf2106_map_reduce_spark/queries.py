@@ -6777,6 +6777,101 @@ REGISTRY.update(
             "over counts the histogram already carries)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_multi_binned_stump": QuerySpec(
+            stats.lineitem_multi_binned_stump,
+            f"""
+            WITH pairs AS (
+              {" UNION ALL ".join(
+                  f'''SELECT '{name}' AS feature,
+                     GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
+                       CAST(FLOOR(CAST({col} AS DOUBLE) / {w})
+                            AS INT))) AS fb,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                  FROM lineitem'''
+                  for name, col, w in stats.QSTUMP_FEATURES
+              )}
+            ),
+            h AS (
+              SELECT feature, fb, COUNT(*) AS n,
+                     CAST(SUM(y) AS BIGINT) AS pos
+              FROM pairs GROUP BY feature, fb
+            ),
+            c AS (
+              SELECT feature, fb, n, pos,
+                     SUM(n) OVER (PARTITION BY feature ORDER BY fb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cum,
+                     SUM(n) OVER (PARTITION BY feature) AS nt
+              FROM h
+            ),
+            bh AS (
+              SELECT feature,
+                     LEAST({stats.N_QTL_BUCKETS - 1},
+                       CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                            AS INT)) AS bin,
+                     CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS pos
+              FROM c GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT feature, bin AS split_bin,
+                     SUM(n) OVER (PARTITION BY feature
+                       ORDER BY bin) AS nl,
+                     SUM(pos) OVER (PARTITION BY feature
+                       ORDER BY bin) AS posl,
+                     SUM(n) OVER (PARTITION BY feature) AS nt,
+                     SUM(pos) OVER (PARTITION BY feature) AS post
+              FROM bh
+            ),
+            gains AS (
+              SELECT feature, split_bin,
+                     CAST(nl AS BIGINT) AS n_left,
+                     CAST(posl AS BIGINT) AS pos_left,
+                     CAST(nt - nl AS BIGINT) AS n_right,
+                     CAST(post - posl AS BIGINT) AS pos_right,
+                     {stats.gini_gain_sql()} AS gain
+              FROM cum WHERE nl < nt
+            )
+            SELECT feature, split_bin, n_left, pos_left,
+                   n_right, pos_right, gain, (rg = 1) AS is_root
+            FROM (SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY feature
+                      ORDER BY gain DESC, split_bin) AS rf,
+                    ROW_NUMBER() OVER (
+                      ORDER BY gain DESC, feature, split_bin) AS rg
+                  FROM gains)
+            WHERE rf = 1
+            """,
+            "the full skew-robust split search: best equi-depth-decile "
+            "Gini split per feature (each on its own adaptive bucket "
+            "grid from its own fine-histogram closed form) with the "
+            "global root flagged — one exploded data scan for all "
+            "features",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "streaming_upsert_vacuum": QuerySpec(
+            stream_windows.streaming_upsert_vacuum,
+            f"""
+            WITH latest AS (
+              SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+              FROM events GROUP BY user_id
+            )
+            SELECT 'retained' AS disposition, 1 AS n_versions,
+                   COUNT(*) AS n_keys,
+                   CAST(SUM(n_events) AS BIGINT) AS sum_n_events,
+                   MAX(last_ts) AS max_last_ts
+            FROM latest
+            UNION ALL
+            SELECT 'vacuumed', {stream_stateful.SESSION_SPAN_FILES - 1},
+                   NULL, NULL, NULL
+            """,
+            "version-retention VACUUM over the merge-upsert sink: all "
+            "superseded version snapshots deleted (count pinned to the "
+            "span-staging batch count), the surviving latest table "
+            "audited from disk and still equal to the one-shot batch "
+            "aggregate",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_dlq_retention": QuerySpec(
             stream_windows.streaming_dlq_retention,
             f"""
@@ -6942,10 +7037,19 @@ ROTATION_WINDOW = 50
 # archive records below. The round-14 budget is the three §7.8
 # candidates -> N = 246 <= 248 (ceil(246/31) = 8 holds, 2 free
 # slots left); priority = 3 new names <= 19-cap with room to spare.
-# ROUND 15: 2 free slots under S = 31; any growth beyond 248 must
-# first raise S to 32 (covers N <= 256, priority cap 18) — re-derive
-# explicitly, don't drift (test_registry_rotation.py fails loudly at
-# N = 249 under S = 31 regardless).
+#
+# Round-14 LATE block (decided mid-round AFTER the default suite went
+# green at N = 246, the round-13 pull-forward protocol, math
+# re-derived): the top two §7.9 candidates — the multi-feature
+# equi-depth stump (decision_stump's explode shape on per-feature
+# adaptive bucket grids, still one scan) and the upsert-sink version
+# vacuum (the upsert family's lifecycle completion, mirroring the
+# DLQ retention pass) -> N = 248 = EXACTLY the S = 31 horizon cap
+# (ceil(248/31) = 8 holds); priority 5 <= 19-cap. ROUND 15 HAS ZERO
+# FREE SLOTS: any growth must first raise S to 32 (covers N <= 256,
+# priority cap 18) — re-derive explicitly, don't drift
+# (test_registry_rotation.py fails loudly at N = 249 under S = 31
+# regardless).
 ROTATION_STRIDE = 31
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -6962,6 +7066,13 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # DLQ retention/compaction — the maintenance member of the DLQ
     # lifecycle (age out redriven rows, compact the survivors)
     "streaming_dlq_retention",
+    # Round-14 LATE block (§7.9 pull-forward, math in the
+    # ROTATION_STRIDE comment): best adaptive-decile split per
+    # feature with the global root flagged, one exploded scan
+    "lineitem_multi_binned_stump",
+    # version-retention vacuum over the merge-upsert sink — the
+    # upsert lifecycle's maintenance member
+    "streaming_upsert_vacuum",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

@@ -196,9 +196,12 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         "lineitem_status_reliability",
         "lineitem_binned_stump",
         "streaming_dlq_retention",
+        # late block (§7.9 pull-forward after the green sweep)
+        "lineitem_multi_binned_stump",
+        "streaming_upsert_vacuum",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    assert len(q.REGISTRY) == 246
+    assert len(q.REGISTRY) == 248
     assert q.ROTATION_STRIDE == 31

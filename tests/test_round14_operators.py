@@ -247,6 +247,120 @@ def test_dlq_retention_rewrite_is_compacted_and_exact(spark, sf_oracle):
     assert want.exceptAll(back).count() == 0
 
 
+# ---------------------------------------------------------------------------
+# Multi-feature equi-depth stump (late block)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_stump_is_one_scan_pruned(spark, sf_oracle):
+    """All three features' labeled fine histograms come from ONE
+    exploded scan (the decision_stump pattern), pruned to the three
+    feature columns plus the label."""
+    df = stats.lineitem_multi_binned_stump(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    for col in ("l_extendedprice", "l_quantity", "l_discount",
+                "l_returnflag"):
+        assert col in plan, col
+    assert "l_orderkey" not in plan and "l_shipdate" not in plan
+
+
+def test_multi_stump_price_row_matches_single_feature_entry(
+    spark, sf_oracle
+):
+    """Cross-entry consistency: the multi stump's price row is the
+    single-feature binned stump's winning boundary — same fine grid,
+    same closed form, independently wired."""
+    multi = {
+        r["feature"]: r
+        for r in stats.lineitem_multi_binned_stump(
+            spark, sf_oracle
+        ).collect()
+    }
+    single = [
+        r
+        for r in stats.lineitem_binned_stump(spark, sf_oracle).collect()
+        if r["is_best"]
+    ][0]
+    got = multi["price"]
+    assert got["split_bin"] == single["split_bin"]
+    assert got["n_left"] == single["n_left"]
+    assert got["pos_left"] == single["pos_left"]
+    assert got["gain"] == pytest.approx(single["gain"], abs=1e-12)
+
+
+def test_multi_stump_flags_exactly_one_root(spark, sf_oracle):
+    rows = stats.lineitem_multi_binned_stump(spark, sf_oracle).collect()
+    assert len(rows) == len(stats.QSTUMP_FEATURES)
+    roots = [r for r in rows if r["is_root"]]
+    assert len(roots) == 1
+    assert roots[0]["gain"] == max(r["gain"] for r in rows)
+
+
+def test_multi_stump_rejects_degenerate_widths(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem")
+    with pytest.raises(ValueError, match="quantile_stump_multi needs"):
+        stats.quantile_stump_multi(
+            li, (("price", "l_extendedprice", 0.0),),
+            F.col("l_returnflag") == "R",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Upsert-sink version vacuum (late block)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_vacuum_retained_equals_batch_aggregate(spark, sf_oracle):
+    """Delivery correctness survives the deletion: the retained-row
+    audit read back from the surviving latest snapshot equals the
+    one-shot batch aggregate of the whole archive."""
+    rows = {
+        r["disposition"]: r
+        for r in stream_windows.streaming_upsert_vacuum(
+            spark, sf_oracle
+        ).collect()
+    }
+    ev = load_table(spark, sf_oracle, "events")
+    want_keys = ev.select("user_id").distinct().count()
+    want_events = ev.count()
+    want_max_ts = ev.agg(F.max("ts")).first()[0]
+    got = rows["retained"]
+    assert got["n_keys"] == want_keys
+    assert got["sum_n_events"] == want_events
+    assert got["max_last_ts"] == want_max_ts
+    assert got["n_versions"] == 1
+
+
+def test_upsert_vacuum_removes_the_superseded_versions(spark, sf_oracle):
+    """The vacuumed count is the span-staging batch count minus the
+    retained latest (the pinned version-history contract), and the
+    drain+vacuum is deterministic: two full passes report identical
+    audits (each pass owns a fresh version tree, so deletion cannot
+    leak between runs)."""
+    from inf2106_map_reduce_spark.streaming import stateful as st
+
+    a = sorted(
+        map(
+            tuple,
+            stream_windows.streaming_upsert_vacuum(
+                spark, sf_oracle
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            stream_windows.streaming_upsert_vacuum(
+                spark, sf_oracle
+            ).collect(),
+        )
+    )
+    assert a == b
+    vac = [r for r in a if r[0] == "vacuumed"][0]
+    assert vac[1] == st.SESSION_SPAN_FILES - 1
+
+
 def test_dlq_retention_ages_only_redrivable_reasons(spark, sf_oracle):
     """Aged rows carry their ORIGINAL quarantine reason, and only
     reasons the corrected rule table actually relaxed can age out

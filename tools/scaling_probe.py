@@ -1197,6 +1197,27 @@ def main() -> None:
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; batch scan "
         f"+ CASE + compacted rewrite, no streaming machinery)"
     )
+
+    # Multi-feature equi-depth stump: one exploded scan for all
+    # features, per-feature histogram epilogues — must stay flat
+    from inf2106_map_reduce_spark.operators.stats import (
+        QSTUMP_FEATURES,
+        quantile_stump_multi,
+    )
+
+    def mstump(li):
+        return quantile_stump_multi(
+            li, QSTUMP_FEATURES, F.col("l_returnflag") == "R"
+        )
+
+    timed(lambda: mstump(li1))
+    t1 = min(timed(lambda: mstump(li1)) for _ in range(3))
+    tk = min(timed(lambda: mstump(lik)) for _ in range(3))
+    print(
+        f"  multi-feature equi-depth stump (exploded 1-scan): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; "
+        f"per-feature epilogues histogram-sized)"
+    )
     spark.stop()
 
 
