@@ -297,6 +297,54 @@ def test_multi_stump_flags_exactly_one_root(spark, sf_oracle):
     assert roots[0]["gain"] == max(r["gain"] for r in rows)
 
 
+def test_multi_stump_fuzz_vs_single_feature_runs(spark):
+    """Differential fuzz of the explode wiring: on seeded random
+    frames, each feature's row from the multi stump must equal the
+    winning boundary of an independent single-feature
+    :func:`quantile_stump` run on that column alone (same widths) —
+    the explode shares nothing between features except the scan."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    for trial in range(3):
+        n = int(rng.integers(800, 3000))
+        pdf = pd.DataFrame(
+            {
+                # lognormal: skewed, the adaptive grid's target case
+                "a": np.round(np.exp(rng.normal(3.0, 1.0, n)), 3),
+                "b": rng.integers(0, 500, n).astype(float),
+                "y": rng.integers(0, 2, n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        feats = (("fa", "a", 0.5), ("fb", "b", 2.0))
+        multi = {
+            r["feature"]: r
+            for r in stats.quantile_stump_multi(
+                df, feats, F.col("y") == 1, n_fine=512, n_buckets=8
+            ).collect()
+        }
+        for name, col, w in feats:
+            single = [
+                r
+                for r in stats.quantile_stump(
+                    df, col, F.col("y") == 1,
+                    width=w, n_fine=512, n_buckets=8,
+                ).collect()
+                if r["is_best"]
+            ]
+            if not single:
+                assert name not in multi, (trial, name)
+                continue
+            got, want = multi[name], single[0]
+            assert got["split_bin"] == want["split_bin"], (trial, name)
+            assert got["n_left"] == want["n_left"], (trial, name)
+            assert got["pos_left"] == want["pos_left"], (trial, name)
+            assert got["gain"] == pytest.approx(
+                want["gain"], abs=1e-12
+            ), (trial, name)
+
+
 def test_multi_stump_rejects_degenerate_widths(spark, sf_oracle):
     li = load_table(spark, sf_oracle, "lineitem")
     with pytest.raises(ValueError, match="quantile_stump_multi needs"):
