@@ -155,6 +155,7 @@ HEADLINE = (
     # round-14 late block
     "lineitem_multi_binned_stump",
     "streaming_upsert_vacuum",
+    "lineitem_encoding_stump",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

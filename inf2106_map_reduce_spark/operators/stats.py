@@ -2598,22 +2598,7 @@ def encoding_reliability(
             df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
         )
     else:
-        # fail with intent: the (category, fold) inner join silently
-        # drops every row whose re-derived fold has no grid cell, so a
-        # grid fit under a DIFFERENT n_folds corrupts the audit
-        # instead of erroring. The necessary-condition check is cheap
-        # (one job over the checkpointed aggregate-sized grid): a grid
-        # built with MORE folds than the caller's n_folds is caught
-        # here; a grid built with fewer is indistinguishable from
-        # sparse fold occupancy without schema metadata — callers own
-        # that side (the registry passes one shared fit).
-        max_fold = grid.agg(F.max("fold")).first()[0]
-        if max_fold is not None and max_fold >= n_folds:
-            raise ValueError(
-                f"grid carries fold ids up to {max_fold} but the audit "
-                f"re-derives folds mod n_folds={n_folds} — the grid was "
-                "fit under a different n_folds"
-            )
+        _require_grid_folds(grid, n_folds)
     seg = [F.col(segment_col).alias("seg")] if segment_col else []
     base = df.select(
         *seg,
@@ -2641,6 +2626,115 @@ def encoding_reliability(
         n.alias("n_rows"),
         F.round(F.sum("encoding") / n, 6).alias("mean_encoding"),
         F.round(F.sum("y") / n, 6).alias("frac_positive"),
+    )
+
+
+def _require_grid_folds(grid: DataFrame, n_folds: int) -> None:
+    """Fail with intent on a caller-supplied grid fit under a
+    different fold count: the (category, fold) inner join silently
+    drops every row whose re-derived fold has no grid cell, so a
+    mismatched grid corrupts the consumer instead of erroring. The
+    necessary-condition check is cheap (one job over the checkpointed
+    aggregate-sized grid): a grid built with MORE folds than the
+    caller's n_folds is caught here; a grid built with fewer is
+    indistinguishable from sparse fold occupancy without schema
+    metadata — callers own that side (the registry passes one shared
+    fit)."""
+    max_fold = grid.agg(F.max("fold")).first()[0]
+    if max_fold is not None and max_fold >= n_folds:
+        raise ValueError(
+            f"grid carries fold ids up to {max_fold} but the consumer "
+            f"re-derives folds mod n_folds={n_folds} — the grid was "
+            "fit under a different n_folds"
+        )
+
+
+def encoding_stump(
+    df: DataFrame,
+    cat_col: str,
+    key_col: Column,
+    label: Column,
+    n_folds: int = N_ENC_FOLDS,
+    m: float = ENC_SMOOTHING,
+    n_bins: int = ENC_RELIABILITY_BINS,
+    checkpoint: bool = True,
+    grid: DataFrame | None = None,
+) -> DataFrame:
+    """Decision stump trained on the ENCODED categorical feature — the
+    feature pipeline end to end: out-of-fold target encoding
+    (:func:`target_encoding`) → fixed centile binning (the
+    :func:`encoding_reliability` grid) → best ``bin <= t`` Gini split
+    (:func:`decision_stump`'s criterion). This is the question a
+    feature pipeline actually asks of a high-cardinality categorical:
+    after leakage-safe encoding, where does the learned risk ordering
+    split the label best — and is the gain worth shipping the
+    feature?
+
+    Distributed shape: the grid fit is the one cell-grid pass
+    (session-shared in the registry), the apply is one scan joined
+    against the aggregate-sized grid (AQE broadcast at test scale,
+    orderly shuffle join at 100 TB-category scale), and the split
+    search runs over the ≤ n_bins-row centile label histogram —
+    data-independent epilogue, exactly the
+    :func:`encoding_reliability` cost with a stump tail.
+
+    Returns every candidate boundary (empty-child splits dropped):
+    ``(feature, split_bin, n_left, pos_left, n_right, pos_right,
+    gain, is_best)`` — the winner by (gain DESC, split_bin), total
+    order over rounded-9 gains on exact BIGINT counts; the oracle
+    composes the encoding CTEs with the shared Gini expression."""
+    if grid is None:
+        grid = target_encoding(
+            df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
+        )
+    else:
+        _require_grid_folds(grid, n_folds)
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        _enc_fold(key_col, n_folds).alias("fold"),
+        label.cast("int").alias("y"),
+    )
+    joined = base.join(
+        grid.select("category", "fold", "encoding"), ["category", "fold"]
+    )
+    enc_bin = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col("encoding") * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    hist = joined.groupBy(enc_bin.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    bh = hist.select(
+        F.lit(f"{cat_col}_enc_q{n_bins}").alias("feature"),
+        "bin",
+        "n",
+        "pos",
+    )
+    gains = _split_gains(bh, [])
+    w_best = Window.orderBy(F.col("gain").desc(), "split_bin")
+    return gains.select(
+        "*", (F.row_number().over(w_best) == 1).alias("is_best")
+    )
+
+
+def lineitem_encoding_stump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the return-flag stump trained on the
+    supplier-key target encoding's centile bins — encode → bin →
+    split end to end, sharing the session-cached grid with the other
+    encoding entries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_stump(
+        li,
+        "l_suppkey",
+        _lineitem_enc_key(),
+        F.col("l_returnflag") == "R",
+        grid=_registry_encoding_grid(spark, sf_dir),
     )
 
 

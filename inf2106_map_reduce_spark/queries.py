@@ -6468,19 +6468,14 @@ _DLQ_CASE = (
     + " END"
 )
 
-def _enc_reliability_oracle(
-    per_fold: bool = False, segment: bool = False
-) -> str:
-    """Oracle for the encoding reliability audit — the target-encoding
-    CTEs, the row→cell re-join, and the fixed centile buckets;
-    ``per_fold=True`` renders the fold-variance form and
-    ``segment=True`` the per-l_linestatus form (one more grouping key
-    each) from the same template. The grid CTEs never see the segment:
-    the fit is the one unsplit map the pipeline ships."""
-    sel = ("seg, " if segment else "") + ("fold, " if per_fold else "")
+def _enc_grid_ctes(segment: bool = False) -> str:
+    """The target-encoding CTE chain shared by every encoding-family
+    oracle (reliability audits and the encoded-feature stump): base
+    rows with re-derived folds, the cell grid, and the out-of-fold
+    smoothed encoding. The grid CTEs never see the segment — the fit
+    is the one unsplit map the pipeline ships."""
     seg_base = "l_linestatus AS seg, " if segment else ""
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT {seg_base}l_suppkey AS category,
              CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
@@ -6519,15 +6514,77 @@ def _enc_reliability_oracle(
                    / ((n_c - n) + {stats.ENC_SMOOTHING}), 9)
                AS encoding
       FROM per_cat p JOIN fold_tot f USING (fold) CROSS JOIN tot
-    )
-    SELECT {sel}GREATEST(0, LEAST(CAST(FLOOR(encoding
-             * {stats.ENC_RELIABILITY_BINS}) AS INT),
-             {stats.ENC_RELIABILITY_BINS - 1})) AS bin,
+    )"""
+
+
+#: The oracle rendering of the fixed centile bucket every
+#: encoding-family consumer shares.
+_ENC_BIN_SQL = (
+    f"GREATEST(0, LEAST(CAST(FLOOR(encoding"
+    f" * {stats.ENC_RELIABILITY_BINS}) AS INT),"
+    f" {stats.ENC_RELIABILITY_BINS - 1}))"
+)
+
+
+def _enc_reliability_oracle(
+    per_fold: bool = False, segment: bool = False
+) -> str:
+    """Oracle for the encoding reliability audit — the shared
+    target-encoding CTEs (:func:`_enc_grid_ctes`), the row→cell
+    re-join, and the fixed centile buckets; ``per_fold=True`` renders
+    the fold-variance form and ``segment=True`` the per-l_linestatus
+    form (one more grouping key each) from the same template."""
+    sel = ("seg, " if segment else "") + ("fold, " if per_fold else "")
+    return f"""
+    WITH {_enc_grid_ctes(segment)}
+    SELECT {sel}{_ENC_BIN_SQL} AS bin,
            COUNT(*) AS n_rows,
            ROUND(SUM(encoding) / COUNT(*), 6) AS mean_encoding,
            ROUND(SUM(y) / COUNT(*), 6) AS frac_positive
     FROM base b JOIN grid g USING (category, fold)
     GROUP BY {sel}bin
+    """
+
+
+def _enc_stump_oracle() -> str:
+    """Oracle for the encoded-feature stump: the shared encoding CTEs
+    feed a centile label histogram, then the same cumulative/Gini
+    epilogue as the quantile-stump oracles."""
+    return f"""
+    WITH {_enc_grid_ctes()},
+    h AS (
+      SELECT {_ENC_BIN_SQL} AS bin,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM base b JOIN grid g USING (category, fold)
+      GROUP BY bin
+    ),
+    bh AS (
+      SELECT 'l_suppkey_enc_q{stats.ENC_RELIABILITY_BINS}' AS feature,
+             bin, n, pos
+      FROM h
+    ),
+    cum AS (
+      SELECT feature, bin AS split_bin,
+             SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+             SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+             SUM(n) OVER (PARTITION BY feature) AS nt,
+             SUM(pos) OVER (PARTITION BY feature) AS post
+      FROM bh
+    ),
+    gains AS (
+      SELECT feature, split_bin,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(posl AS BIGINT) AS pos_left,
+             CAST(nt - nl AS BIGINT) AS n_right,
+             CAST(post - posl AS BIGINT) AS pos_right,
+             {stats.gini_gain_sql()} AS gain
+      FROM cum WHERE nl < nt
+    )
+    SELECT feature, split_bin, n_left, pos_left,
+           n_right, pos_right, gain, (rb = 1) AS is_best
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY gain DESC, split_bin) AS rb
+          FROM gains)
     """
 
 
@@ -6872,6 +6929,16 @@ REGISTRY.update(
             "aggregate",
             ("events", "streaming", "sink"),
         ),
+        "lineitem_encoding_stump": QuerySpec(
+            stats.lineitem_encoding_stump,
+            _enc_stump_oracle(),
+            "the feature pipeline end to end: out-of-fold target "
+            "encoding -> fixed centile binning -> best Gini split "
+            "over the <= 100-row centile label histogram (shares the "
+            "session-cached grid; the split answers whether the "
+            "encoded categorical is worth shipping)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "streaming_dlq_retention": QuerySpec(
             stream_windows.streaming_dlq_retention,
             f"""
@@ -7045,12 +7112,20 @@ ROTATION_WINDOW = 50
 # adaptive bucket grids, still one scan) and the upsert-sink version
 # vacuum (the upsert family's lifecycle completion, mirroring the
 # DLQ retention pass) -> N = 248 = EXACTLY the S = 31 horizon cap
-# (ceil(248/31) = 8 holds); priority 5 <= 19-cap. ROUND 15 HAS ZERO
-# FREE SLOTS: any growth must first raise S to 32 (covers N <= 256,
-# priority cap 18) — re-derive explicitly, don't drift
-# (test_registry_rotation.py fails loudly at N = 249 under S = 31
+# (ceil(248/31) = 8 holds); priority 5 <= 19-cap.
+#
+# Round-14 FINAL block (after the FULL five-lane sweep went green at
+# N = 248 — the S-raise protocol round 13 established): raising S to
+# 32 widens the horizon cap to N <= 256 (ceil(256/32) = 8) and
+# shrinks the priority cap to WINDOW - S = 18. The final budget is
+# ONE entry — the encoded-feature stump (the top §7.9 candidate:
+# encode -> centile-bin -> Gini split, composing two existing CTE
+# templates and the session-cached grid) -> N = 249 <= 256
+# (ceil(249/32) = 8 holds); priority 6 <= 18. ROUND 15 HAS 7 FREE
+# SLOTS under S = 32 — re-derive explicitly, don't drift
+# (test_registry_rotation.py fails loudly at N = 257 under S = 32
 # regardless).
-ROTATION_STRIDE = 31
+ROTATION_STRIDE = 32
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
@@ -7073,6 +7148,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # version-retention vacuum over the merge-upsert sink — the
     # upsert lifecycle's maintenance member
     "streaming_upsert_vacuum",
+    # Round-14 FINAL block (S raised to 32 first — math in the
+    # ROTATION_STRIDE comment): encode -> centile-bin -> Gini split,
+    # the feature pipeline end to end
+    "lineitem_encoding_stump",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

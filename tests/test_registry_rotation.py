@@ -199,9 +199,11 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         # late block (§7.9 pull-forward after the green sweep)
         "lineitem_multi_binned_stump",
         "streaming_upsert_vacuum",
+        # final block (S raised to 32 after the five-lane sweep)
+        "lineitem_encoding_stump",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    assert len(q.REGISTRY) == 248
-    assert q.ROTATION_STRIDE == 31
+    assert len(q.REGISTRY) == 249
+    assert q.ROTATION_STRIDE == 32

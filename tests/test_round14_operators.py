@@ -355,6 +355,52 @@ def test_multi_stump_rejects_degenerate_widths(spark, sf_oracle):
 
 
 # ---------------------------------------------------------------------------
+# Encoded-feature stump (final block)
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_stump_boundaries_match_the_audit_margins(
+    spark, sf_oracle
+):
+    """Cross-entry consistency: the stump's cumulative left counts are
+    exactly the running sums of the reliability audit's per-centile
+    row counts (same grid, same routing, same binning — the stump is
+    the audit histogram with a split-search tail)."""
+    audit = {
+        r["bin"]: r["n_rows"]
+        for r in stats.lineitem_encoding_reliability(
+            spark, sf_oracle
+        ).collect()
+    }
+    rows = sorted(
+        stats.lineitem_encoding_stump(spark, sf_oracle).collect(),
+        key=lambda r: r["split_bin"],
+    )
+    running = 0
+    bins = sorted(audit)
+    for r in rows:
+        running = sum(audit[b] for b in bins if b <= r["split_bin"])
+        assert r["n_left"] == running, r["split_bin"]
+    total = sum(audit.values())
+    assert all(r["n_left"] + r["n_right"] == total for r in rows)
+    assert sum(1 for r in rows if r["is_best"]) == 1
+
+
+def test_encoding_stump_plan_shape(spark, sf_oracle):
+    """Registry plan: the apply side is the ONE live lineitem scan,
+    the grid arrives as the session-cached checkpointed fit
+    (ExistingRDD), and the split search adds NO scan (it runs over
+    the <= 100-row centile histogram) — identical cost model to the
+    reliability audit (whose round-13 pin documents the 4-scan raw
+    lineage the checkpoint collapses)."""
+    df = stats.lineitem_encoding_stump(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ExistingRDD" in plan
+    assert "CollectLimit" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Upsert-sink version vacuum (late block)
 # ---------------------------------------------------------------------------
 

@@ -1218,6 +1218,32 @@ def main() -> None:
         f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; "
         f"per-feature epilogues histogram-sized)"
     )
+
+    # Encoded-feature stump: the reliability audit's two-scan shape
+    # with a histogram split-search tail — 8x categories, same tek
+    # fixture as the encoding rows
+    from inf2106_map_reduce_spark.operators.stats import encoding_stump
+
+    def estump(li):
+        return encoding_stump(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+        )
+
+    timed(lambda: estump(li1))
+    t1 = min(timed(lambda: estump(li1)) for _ in range(3))
+    tk = min(timed(lambda: estump(tek)) for _ in range(3))
+    print(
+        f"  encoded-feature stump (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; split "
+        f"search over the <= 100-row centile histogram)"
+    )
     spark.stop()
 
 
