@@ -156,6 +156,7 @@ HEADLINE = (
     "lineitem_multi_binned_stump",
     "streaming_upsert_vacuum",
     "lineitem_encoding_stump",
+    "lineitem_status_multi_stump",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -2414,6 +2414,7 @@ def quantile_stump_multi(
     label: Column,
     n_fine: int = N_QTL_FINE,
     n_buckets: int = N_QTL_BUCKETS,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The full split search a histogram-GBDT level runs over
     SKEW-ROBUST features: every feature gets its own equi-depth
@@ -2434,13 +2435,22 @@ def quantile_stump_multi(
     Returns the best split per feature: ``(feature, split_bin,
     n_left, pos_left, n_right, pos_right, gain, is_root)`` ranked by
     (gain DESC, split_bin) within feature and (gain DESC, feature,
-    split_bin) globally — total orders over rounded-9 gains."""
+    split_bin) globally — total orders over rounded-9 gains.
+
+    With ``group_cols`` the ENTIRE search runs per group: each
+    segment gets its own adaptive bucket grids (edges fit to its own
+    distributions — the per-segment form of :func:`quantile_bins`),
+    its own per-feature winners, and its own root flag; every window
+    and aggregate gains the group key, so the histogram partitions
+    are per-group-sized — MORE parallel than the global form, never
+    less (one segment's skew cannot serialize another's epilogue)."""
     if n_fine < 1 or n_buckets < 2 or any(w <= 0 for _, _, w in features):
         raise ValueError(
             "quantile_stump_multi needs widths > 0, n_fine >= 1, "
             f"n_buckets >= 2 (got features={features}, n_fine={n_fine}, "
             f"n_buckets={n_buckets})"
         )
+    gc = list(group_cols)
     pairs = F.array(
         *[
             F.struct(
@@ -2459,24 +2469,27 @@ def quantile_stump_multi(
         ]
     )
     hist = (
-        df.select(F.explode(pairs).alias("p"), label.cast("int").alias("y"))
-        .groupBy("p.feature", "p.fb")
+        df.select(
+            *gc, F.explode(pairs).alias("p"), label.cast("int").alias("y")
+        )
+        .groupBy(*gc, "p.feature", "p.fb")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").cast("bigint").alias("pos"),
         )
     )
     w_cum = (
-        Window.partitionBy("feature")
+        Window.partitionBy(*gc, "feature")
         .orderBy("fb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = (
-        Window.partitionBy("feature")
+        Window.partitionBy(*gc, "feature")
         .orderBy("fb")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     c = hist.select(
+        *gc,
         "feature",
         "fb",
         "n",
@@ -2489,15 +2502,17 @@ def quantile_stump_multi(
         F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
     )
     bhist = (
-        c.select("feature", bucket.alias("bin"), "n", "pos")
-        .groupBy("feature", "bin")
+        c.select(*gc, "feature", bucket.alias("bin"), "n", "pos")
+        .groupBy(*gc, "feature", "bin")
         .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
     )
-    gains = _split_gains(bhist, [])
-    w_feat = Window.partitionBy("feature").orderBy(
+    gains = _split_gains(bhist, gc)
+    w_feat = Window.partitionBy(*gc, "feature").orderBy(
         F.col("gain").desc(), F.col("split_bin")
     )
-    w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
+    w_glob = Window.partitionBy(*gc).orderBy(
+        F.col("gain").desc(), "feature", "split_bin"
+    )
     return (
         gains.select(
             "*",
@@ -2506,6 +2521,7 @@ def quantile_stump_multi(
         )
         .filter(F.col("_rf") == 1)
         .select(
+            *gc,
             "feature",
             "split_bin",
             "n_left",
@@ -2529,6 +2545,29 @@ def lineitem_multi_binned_stump(
         load_table(spark, sf_dir, "lineitem"),
         QSTUMP_FEATURES,
         F.col("l_returnflag") == "R",
+    )
+
+
+def lineitem_status_multi_stump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the multi-feature adaptive split search PER
+    SEGMENT (l_linestatus) — each segment fits its own bucket grids
+    to its own feature distributions and elects its own root, the
+    per-segment form a depth-aware trainer runs on a partitioned
+    population (and the stump-family completion of the per-segment
+    matrix: calibration, encoding audit, and now the split search).
+    Same one exploded scan; every epilogue window gains the segment
+    key (aliased ``seg``, the per-segment family's column contract —
+    see :func:`lineitem_status_isotonic`)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    return quantile_stump_multi(
+        li,
+        QSTUMP_FEATURES,
+        F.col("l_returnflag") == "R",
+        group_cols=("seg",),
     )
 
 

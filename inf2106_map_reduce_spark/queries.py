@@ -6762,6 +6762,81 @@ REGISTRY.update(
 
 _BSTUMP_FEATURE = f"l_extendedprice_q{stats.N_QTL_BUCKETS}"
 
+
+def _multi_stump_oracle(segment: bool = False) -> str:
+    """Oracle for the multi-feature equi-depth stump — per-feature
+    fine histograms (UNION ALL explode), per-feature closed-form
+    bucket edges, the shared Gini expression, and per-feature +
+    root ranking; ``segment=True`` threads the l_linestatus key
+    through every CTE, window partition, and the root rank (the
+    grouped form: per-segment grids and per-segment roots)."""
+    s = "seg, " if segment else ""
+    sp = "PARTITION BY seg, " if segment else "PARTITION BY "
+    seg_sel = "l_linestatus AS seg, " if segment else ""
+    root_part = "PARTITION BY seg" if segment else ""
+    branches = " UNION ALL ".join(
+        f"""SELECT {seg_sel}'{name}' AS feature,
+             GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
+               CAST(FLOOR(CAST({col} AS DOUBLE) / {w})
+                    AS INT))) AS fb,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem"""
+        for name, col, w in stats.QSTUMP_FEATURES
+    )
+    return f"""
+    WITH pairs AS (
+      {branches}
+    ),
+    h AS (
+      SELECT {s}feature, fb, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM pairs GROUP BY {s}feature, fb
+    ),
+    c AS (
+      SELECT {s}feature, fb, n, pos,
+             SUM(n) OVER ({sp}feature ORDER BY fb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+               ROW) AS cum,
+             SUM(n) OVER ({sp}feature) AS nt
+      FROM h
+    ),
+    bh AS (
+      SELECT {s}feature,
+             LEAST({stats.N_QTL_BUCKETS - 1},
+               CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                    AS INT)) AS bin,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM c GROUP BY {s}feature, bin
+    ),
+    cum AS (
+      SELECT {s}feature, bin AS split_bin,
+             SUM(n) OVER ({sp}feature ORDER BY bin) AS nl,
+             SUM(pos) OVER ({sp}feature ORDER BY bin) AS posl,
+             SUM(n) OVER ({sp}feature) AS nt,
+             SUM(pos) OVER ({sp}feature) AS post
+      FROM bh
+    ),
+    gains AS (
+      SELECT {s}feature, split_bin,
+             CAST(nl AS BIGINT) AS n_left,
+             CAST(posl AS BIGINT) AS pos_left,
+             CAST(nt - nl AS BIGINT) AS n_right,
+             CAST(post - posl AS BIGINT) AS pos_right,
+             {stats.gini_gain_sql()} AS gain
+      FROM cum WHERE nl < nt
+    )
+    SELECT {s}feature, split_bin, n_left, pos_left,
+           n_right, pos_right, gain, (rg = 1) AS is_root
+    FROM (SELECT *,
+            ROW_NUMBER() OVER ({sp}feature
+              ORDER BY gain DESC, split_bin) AS rf,
+            ROW_NUMBER() OVER ({root_part}
+              ORDER BY gain DESC, feature, split_bin) AS rg
+          FROM gains)
+    WHERE rf = 1
+    """
+
 REGISTRY.update(
     {
         "lineitem_status_reliability": QuerySpec(
@@ -6836,69 +6911,7 @@ REGISTRY.update(
         ),
         "lineitem_multi_binned_stump": QuerySpec(
             stats.lineitem_multi_binned_stump,
-            f"""
-            WITH pairs AS (
-              {" UNION ALL ".join(
-                  f'''SELECT '{name}' AS feature,
-                     GREATEST(0, LEAST({stats.N_QTL_FINE - 1},
-                       CAST(FLOOR(CAST({col} AS DOUBLE) / {w})
-                            AS INT))) AS fb,
-                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-                  FROM lineitem'''
-                  for name, col, w in stats.QSTUMP_FEATURES
-              )}
-            ),
-            h AS (
-              SELECT feature, fb, COUNT(*) AS n,
-                     CAST(SUM(y) AS BIGINT) AS pos
-              FROM pairs GROUP BY feature, fb
-            ),
-            c AS (
-              SELECT feature, fb, n, pos,
-                     SUM(n) OVER (PARTITION BY feature ORDER BY fb
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-                       ROW) AS cum,
-                     SUM(n) OVER (PARTITION BY feature) AS nt
-              FROM h
-            ),
-            bh AS (
-              SELECT feature,
-                     LEAST({stats.N_QTL_BUCKETS - 1},
-                       CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
-                            AS INT)) AS bin,
-                     CAST(SUM(n) AS BIGINT) AS n,
-                     CAST(SUM(pos) AS BIGINT) AS pos
-              FROM c GROUP BY 1, 2
-            ),
-            cum AS (
-              SELECT feature, bin AS split_bin,
-                     SUM(n) OVER (PARTITION BY feature
-                       ORDER BY bin) AS nl,
-                     SUM(pos) OVER (PARTITION BY feature
-                       ORDER BY bin) AS posl,
-                     SUM(n) OVER (PARTITION BY feature) AS nt,
-                     SUM(pos) OVER (PARTITION BY feature) AS post
-              FROM bh
-            ),
-            gains AS (
-              SELECT feature, split_bin,
-                     CAST(nl AS BIGINT) AS n_left,
-                     CAST(posl AS BIGINT) AS pos_left,
-                     CAST(nt - nl AS BIGINT) AS n_right,
-                     CAST(post - posl AS BIGINT) AS pos_right,
-                     {stats.gini_gain_sql()} AS gain
-              FROM cum WHERE nl < nt
-            )
-            SELECT feature, split_bin, n_left, pos_left,
-                   n_right, pos_right, gain, (rg = 1) AS is_root
-            FROM (SELECT *,
-                    ROW_NUMBER() OVER (PARTITION BY feature
-                      ORDER BY gain DESC, split_bin) AS rf,
-                    ROW_NUMBER() OVER (
-                      ORDER BY gain DESC, feature, split_bin) AS rg
-                  FROM gains)
-            WHERE rf = 1
-            """,
+            _multi_stump_oracle(),
             "the full skew-robust split search: best equi-depth-decile "
             "Gini split per feature (each on its own adaptive bucket "
             "grid from its own fine-histogram closed form) with the "
@@ -6928,6 +6941,16 @@ REGISTRY.update(
             "audited from disk and still equal to the one-shot batch "
             "aggregate",
             ("events", "streaming", "sink"),
+        ),
+        "lineitem_status_multi_stump": QuerySpec(
+            stats.lineitem_status_multi_stump,
+            _multi_stump_oracle(segment=True),
+            "the multi-feature adaptive split search PER SEGMENT "
+            "(l_linestatus): each segment fits its own bucket grids "
+            "and elects its own root — per-segment grids, windows, "
+            "and root ranks threaded through the same closed forms; "
+            "completes the stump family's per-segment matrix",
+            ("stats", "model", "lineitem", "pipeline"),
         ),
         "lineitem_encoding_stump": QuerySpec(
             stats.lineitem_encoding_stump,
@@ -7118,11 +7141,13 @@ ROTATION_WINDOW = 50
 # N = 248 — the S-raise protocol round 13 established): raising S to
 # 32 widens the horizon cap to N <= 256 (ceil(256/32) = 8) and
 # shrinks the priority cap to WINDOW - S = 18. The final budget is
-# ONE entry — the encoded-feature stump (the top §7.9 candidate:
-# encode -> centile-bin -> Gini split, composing two existing CTE
-# templates and the session-cached grid) -> N = 249 <= 256
-# (ceil(249/32) = 8 holds); priority 6 <= 18. ROUND 15 HAS 7 FREE
-# SLOTS under S = 32 — re-derive explicitly, don't drift
+# the top two §7.9 candidates — the encoded-feature stump
+# (encode -> centile-bin -> Gini split, composing two existing CTE
+# templates and the session-cached grid) and the per-segment
+# multi-feature stump (group_cols threaded through the same closed
+# forms, the grouped-quantile_bins generalization path) -> N = 250
+# <= 256 (ceil(250/32) = 8 holds); priority 7 <= 18. ROUND 15 HAS 6
+# FREE SLOTS under S = 32 — re-derive explicitly, don't drift
 # (test_registry_rotation.py fails loudly at N = 257 under S = 32
 # regardless).
 ROTATION_STRIDE = 32
@@ -7152,6 +7177,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # ROTATION_STRIDE comment): encode -> centile-bin -> Gini split,
     # the feature pipeline end to end
     "lineitem_encoding_stump",
+    # per-segment multi-feature adaptive split search — per-segment
+    # grids and roots via group_cols on the same closed forms
+    "lineitem_status_multi_stump",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

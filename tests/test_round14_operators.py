@@ -345,6 +345,38 @@ def test_multi_stump_fuzz_vs_single_feature_runs(spark):
             ), (trial, name)
 
 
+def test_grouped_multi_stump_matches_per_segment_runs(spark, sf_oracle):
+    """The grouped form is definitionally the global form run on each
+    segment's filtered slice: per-segment grids, winners, and roots
+    must coincide row for row (the grouped-quantile_bins pin applied
+    to the stump search)."""
+    grouped = {
+        (r["seg"], r["feature"]): r
+        for r in stats.lineitem_status_multi_stump(
+            spark, sf_oracle
+        ).collect()
+    }
+    li = load_table(spark, sf_oracle, "lineitem")
+    segs = [r[0] for r in li.select("l_linestatus").distinct().collect()]
+    n_checked = 0
+    for seg in segs:
+        solo = stats.quantile_stump_multi(
+            li.filter(F.col("l_linestatus") == seg),
+            stats.QSTUMP_FEATURES,
+            F.col("l_returnflag") == "R",
+        ).collect()
+        for r in solo:
+            g = grouped[(seg, r["feature"])]
+            assert (
+                g["split_bin"], g["n_left"], g["pos_left"], g["is_root"]
+            ) == (
+                r["split_bin"], r["n_left"], r["pos_left"], r["is_root"]
+            ), (seg, r["feature"])
+            assert g["gain"] == pytest.approx(r["gain"], abs=1e-12)
+            n_checked += 1
+    assert n_checked == len(grouped)
+
+
 def test_multi_stump_rejects_degenerate_widths(spark, sf_oracle):
     li = load_table(spark, sf_oracle, "lineitem")
     with pytest.raises(ValueError, match="quantile_stump_multi needs"):

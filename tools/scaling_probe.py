@@ -1244,6 +1244,25 @@ def main() -> None:
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; split "
         f"search over the <= 100-row centile histogram)"
     )
+
+    # Per-segment multi-feature stump: the grouped form — every
+    # window gains the segment key, per-group histogram partitions
+    def gmstump(li):
+        return quantile_stump_multi(
+            li.withColumn("seg", F.col("l_linestatus")),
+            QSTUMP_FEATURES,
+            F.col("l_returnflag") == "R",
+            group_cols=("seg",),
+        )
+
+    timed(lambda: gmstump(li1))
+    t1 = min(timed(lambda: gmstump(li1)) for _ in range(3))
+    tk = min(timed(lambda: gmstump(lik)) for _ in range(3))
+    print(
+        f"  per-segment multi-feature stump: {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x; per-group histogram "
+        f"partitions, more parallel than the global form)"
+    )
     spark.stop()
 
 
