@@ -157,6 +157,7 @@ HEADLINE = (
     "streaming_upsert_vacuum",
     "lineitem_encoding_stump",
     "lineitem_status_multi_stump",
+    "lineitem_quantile_gbt",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

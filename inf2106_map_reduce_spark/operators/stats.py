@@ -1993,7 +1993,9 @@ def lineitem_gbt_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gbt_two_stage(load_table(spark, sf_dir, "lineitem"))
 
 
-def gbt_boost(df: DataFrame, n_stages: int) -> DataFrame:
+def gbt_boost(
+    df: DataFrame, n_stages: int, binned: DataFrame | None = None
+) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
     carried to arbitrary depth (§7.6's "deeper boosting": each extra
@@ -2034,7 +2036,13 @@ def gbt_boost(df: DataFrame, n_stages: int) -> DataFrame:
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
     names = [name for name, *_ in STUMP_BINS]
-    binned = _stump_binned(df)
+    # ``binned`` swaps the bin DEFINITION (e.g. the equi-depth
+    # bucket maps of _quantile_stump_binned) while the recursion,
+    # ranking, and carried-scalar arithmetic stay byte-identical —
+    # the frame must carry the _stump_binned contract
+    # (b_qty/b_disc/b_price ints + 0/1 y)
+    if binned is None:
+        binned = _stump_binned(df)
     nu = F.lit(GBT_SHRINKAGE)
     pairs = F.array(
         *[
@@ -2545,6 +2553,118 @@ def lineitem_multi_binned_stump(
         load_table(spark, sf_dir, "lineitem"),
         QSTUMP_FEATURES,
         F.col("l_returnflag") == "R",
+    )
+
+
+def _qtl_fine(col: str, width: float, n_fine: int = N_QTL_FINE) -> Column:
+    """The equi-width fine bin shared by every quantile-family stage
+    (one definition, mirrored textually by the oracles)."""
+    return F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_fine - 1),
+            F.floor(F.col(col).cast("double") / F.lit(width)).cast("int"),
+        ),
+    )
+
+
+def quantile_bucket_map(
+    df: DataFrame,
+    col: str,
+    width: float,
+    n_fine: int = N_QTL_FINE,
+    n_buckets: int = N_QTL_BUCKETS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The ``(fb, bucket)`` equi-depth assignment map for one feature:
+    the :func:`quantile_bins` closed form materialized as a ≤
+    n_fine-row frame, so PER-ROW bucket ids become one broadcast
+    equi-join instead of a second rank pass. This is the bridge that
+    lets row-level trainers (the GBT loop) consume adaptive bins: the
+    map is aggregate-sized, eagerly checkpointed (its one fine-
+    histogram scan runs once, not once per boosting stage), and exact
+    integers end to end — the oracle replays the identical map as a
+    CTE join."""
+    hist = (
+        df.select(_qtl_fine(col, width, n_fine).alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.orderBy("fb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    c = hist.select(
+        "fb",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+    m = c.select(
+        "fb",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
+        ).alias("bucket"),
+    )
+    return m.localCheckpoint(eager=True) if checkpoint else m
+
+
+def _quantile_stump_binned(
+    df: DataFrame,
+    features: tuple[tuple[str, str, float], ...] = QSTUMP_FEATURES,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The :func:`_stump_binned` contract (``b_qty/b_disc/b_price``
+    plus the 0/1 label) with EQUI-DEPTH buckets instead of the fixed
+    equi-width grid: each feature's per-row bucket arrives by a
+    broadcast join against its :func:`quantile_bucket_map` (inner
+    join loses nothing — every row's fine bin exists in the map by
+    construction: same expression, same data). Drop-in binned input
+    for :func:`gbt_boost`."""
+    out = df.select(
+        *[
+            _qtl_fine(col, w).alias(f"_fb_{name}")
+            for name, col, w in features
+        ],
+        F.expr(_STUMP_LABEL_SQL).alias("y"),
+    )
+    for name, col, w in features:
+        m = quantile_bucket_map(df, col, w, checkpoint=checkpoint)
+        out = out.join(
+            F.broadcast(
+                m.select(
+                    F.col("fb").alias(f"_fb_{name}"),
+                    F.col("bucket").alias(f"b_{name}"),
+                )
+            ),
+            f"_fb_{name}",
+        )
+    return out.select(
+        *[f"b_{name}" for name, *_ in STUMP_BINS], "y"
+    )
+
+
+def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: TWO-stage gradient boosting on EQUI-DEPTH
+    decile features — the LightGBM-shaped trainer: adaptive quantile
+    binning (the grid real histogram-GBDT implementations fit first)
+    feeding the closed-form residual boosting loop. Identical
+    recursion to :func:`lineitem_gbt_stages`' engine
+    (:func:`gbt_boost`); only the bin definition changes, arriving
+    per row via three aggregate-sized broadcast maps
+    (:func:`_quantile_stump_binned`), so each stage's scan stays one
+    data pass + three broadcast joins."""
+    return gbt_boost(
+        load_table(spark, sf_dir, "lineitem"),
+        2,
+        binned=_quantile_stump_binned(
+            load_table(spark, sf_dir, "lineitem")
+        ),
     )
 
 

@@ -6163,7 +6163,61 @@ REGISTRY.update(
 )
 
 
-def _gbt_boost_oracle(n_stages: int) -> str:
+def _qtl_fine_sql(col: str, width: float) -> str:
+    """Oracle rendering of the quantile family's equi-width fine bin
+    (``stats._qtl_fine``) — one definition, two mechanical
+    renderings."""
+    return (
+        f"GREATEST(0, LEAST({stats.N_QTL_FINE - 1}, "
+        f"CAST(FLOOR(CAST({col} AS DOUBLE) / {width}) AS INT)))"
+    )
+
+
+def _quantile_binned_base_cte() -> str:
+    """The ``base`` CTE chain for the quantile-binned GBT: per-feature
+    ``(fb, bucket)`` equi-depth maps (the quantile closed form) joined
+    back to each row's fine bin — mirrors
+    ``stats._quantile_stump_binned`` exactly."""
+    parts = []
+    joins = []
+    row_sel = []
+    for name, col, w in stats.QSTUMP_FEATURES:
+        parts.append(
+            f"""qh_{name} AS (
+      SELECT {_qtl_fine_sql(col, w)} AS fb, COUNT(*) AS n
+      FROM lineitem GROUP BY fb
+    ),
+    qm_{name} AS (
+      SELECT fb, LEAST({stats.N_QTL_BUCKETS - 1},
+               CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
+                    AS INT)) AS bucket
+      FROM (SELECT fb, n,
+                   SUM(n) OVER (ORDER BY fb ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(n) OVER () AS nt
+            FROM qh_{name})
+    )"""
+        )
+        row_sel.append(f"{_qtl_fine_sql(col, w)} AS fb_{name}")
+        joins.append(
+            f"JOIN qm_{name} m_{name} ON m_{name}.fb = r.fb_{name}"
+        )
+    bucket_sel = ", ".join(
+        f"m_{name}.bucket AS b_{name}"
+        for name, *_ in stats.QSTUMP_FEATURES
+    )
+    glue = ",\n    "
+    return f"""{glue.join(parts)},
+    base AS (
+      SELECT {bucket_sel}, r.y
+      FROM (SELECT {", ".join(row_sel)},
+                   {stats._STUMP_LABEL_SQL} AS y
+            FROM lineitem) r
+      {" ".join(joins)}
+    )"""
+
+
+def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
     """Oracle for the K-stage booster (stats.gbt_boost): a uniform CTE
     chain per stage mirroring the Spark loop exactly — stage k's left/
     total residual sums are the identical left-associated expression
@@ -6171,11 +6225,16 @@ def _gbt_boost_oracle(n_stages: int) -> str:
     RIGHT sum is (total − left) at EVERY stage (the uniform-loop
     formulation; the two-stage entry's stage 1 uses the algebraically
     equal direct form and may differ in the last ulp — each entry's
-    oracle mirrors its own function, see gbt_boost's docstring)."""
+    oracle mirrors its own function, see gbt_boost's docstring).
+    ``base_cte`` swaps the bin definition (the quantile-binned
+    variant) while the stage chain stays identical — the oracle-side
+    twin of gbt_boost's ``binned`` parameter."""
     feats = [name for name, *_ in stats.STUMP_BINS]
     nu = f"CAST({stats.GBT_SHRINKAGE} AS DOUBLE)"
     ctes = [
-        f"""base AS (
+        base_cte
+        if base_cte is not None
+        else f"""base AS (
       SELECT {_STUMP_BIN_SQL["qty"]} AS b_qty,
              {_STUMP_BIN_SQL["disc"]} AS b_disc,
              {_STUMP_BIN_SQL["price"]} AS b_price,
@@ -6942,6 +7001,16 @@ REGISTRY.update(
             "aggregate",
             ("events", "streaming", "sink"),
         ),
+        "lineitem_quantile_gbt": QuerySpec(
+            stats.lineitem_quantile_gbt,
+            _gbt_boost_oracle(2, base_cte=_quantile_binned_base_cte()),
+            "two-stage gradient boosting on EQUI-DEPTH decile "
+            "features — the LightGBM-shaped trainer: adaptive "
+            "quantile binning via aggregate-sized broadcast "
+            "fb->bucket maps feeding the identical closed-form "
+            "residual recursion (only the bin definition changes)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "lineitem_status_multi_stump": QuerySpec(
             stats.lineitem_status_multi_stump,
             _multi_stump_oracle(segment=True),
@@ -7141,13 +7210,16 @@ ROTATION_WINDOW = 50
 # N = 248 — the S-raise protocol round 13 established): raising S to
 # 32 widens the horizon cap to N <= 256 (ceil(256/32) = 8) and
 # shrinks the priority cap to WINDOW - S = 18. The final budget is
-# the top two §7.9 candidates — the encoded-feature stump
+# the top three §7.9 candidates — the encoded-feature stump
 # (encode -> centile-bin -> Gini split, composing two existing CTE
-# templates and the session-cached grid) and the per-segment
+# templates and the session-cached grid), the per-segment
 # multi-feature stump (group_cols threaded through the same closed
-# forms, the grouped-quantile_bins generalization path) -> N = 250
-# <= 256 (ceil(250/32) = 8 holds); priority 7 <= 18. ROUND 15 HAS 6
-# FREE SLOTS under S = 32 — re-derive explicitly, don't drift
+# forms, the grouped-quantile_bins generalization path), and the
+# quantile-binned GBT (the LightGBM shape: gbt_boost's binned
+# parameter + aggregate-sized broadcast bucket maps; oracle base CTE
+# swapped, stage chain identical) -> N = 251 <= 256 (ceil(251/32) =
+# 8 holds); priority 8 <= 18. ROUND 15 HAS 5 FREE SLOTS under
+# S = 32 — re-derive explicitly, don't drift
 # (test_registry_rotation.py fails loudly at N = 257 under S = 32
 # regardless).
 ROTATION_STRIDE = 32
@@ -7180,6 +7252,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # per-segment multi-feature adaptive split search — per-segment
     # grids and roots via group_cols on the same closed forms
     "lineitem_status_multi_stump",
+    # two-stage boosting on equi-depth deciles — the LightGBM shape
+    # (bin definition swapped via broadcast maps, recursion intact)
+    "lineitem_quantile_gbt",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

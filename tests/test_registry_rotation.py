@@ -202,9 +202,10 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         # final block (S raised to 32 after the five-lane sweep)
         "lineitem_encoding_stump",
         "lineitem_status_multi_stump",
+        "lineitem_quantile_gbt",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    assert len(q.REGISTRY) == 250
+    assert len(q.REGISTRY) == 251
     assert q.ROTATION_STRIDE == 32

@@ -433,6 +433,66 @@ def test_encoding_stump_plan_shape(spark, sf_oracle):
 
 
 # ---------------------------------------------------------------------------
+# Quantile-binned GBT (final block)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_gbt_stage1_matches_binned_stump_boundary(
+    spark, sf_oracle
+):
+    """Cross-entry consistency: stage 1 of the quantile-binned booster
+    minimizes squared loss over the SAME per-feature decile
+    histograms the stump entries search, so when the price feature
+    wins both, the boundary and child populations coincide (the
+    stump uses Gini, the booster SSE — both are monotone in the same
+    two-class counts for a single binary split)."""
+    gbt = stats.lineitem_quantile_gbt(spark, sf_oracle).collect()
+    s1 = [r for r in gbt if r["stage"] == 1][0]
+    multi = {
+        r["feature"]: r
+        for r in stats.lineitem_multi_binned_stump(
+            spark, sf_oracle
+        ).collect()
+    }
+    assert s1["feature"] in multi
+    m = multi[s1["feature"]]
+    assert s1["split_bin"] == m["split_bin"]
+    assert s1["n_left"] == m["n_left"]
+    assert s1["n_right"] == m["n_right"]
+
+
+def test_quantile_binned_frame_routes_every_row(spark, sf_oracle):
+    """The broadcast fb->bucket joins lose nothing (every row's fine
+    bin exists in its map by construction), and each bucket column is
+    a full 0..9 equi-depth assignment."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    binned = stats._quantile_stump_binned(li)
+    n = li.count()
+    assert binned.count() == n
+    from pyspark.sql import functions as sf
+
+    stats_row = binned.agg(
+        *[
+            sf.countDistinct(f"b_{name}").alias(name)
+            for name, *_ in stats.STUMP_BINS
+        ]
+    ).first()
+    assert stats_row["price"] == stats.N_QTL_BUCKETS
+    assert stats_row["qty"] == stats.N_QTL_BUCKETS
+
+
+def test_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
+    """The LightGBM cost model survives the bin swap: K = 2 stages =
+    exactly 2 live lineitem scans (the three bucket maps arrive as
+    checkpointed broadcasts, not rescans)."""
+    df = stats.lineitem_quantile_gbt(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "ExistingRDD" in plan  # the checkpointed bucket maps
+    assert "CollectLimit" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Upsert-sink version vacuum (late block)
 # ---------------------------------------------------------------------------
 

@@ -1263,6 +1263,25 @@ def main() -> None:
         f"ratio {tk / t1:.1f}x (ideal <= {k}x; per-group histogram "
         f"partitions, more parallel than the global form)"
     )
+
+    # Quantile-binned GBT: the boosting recursion on equi-depth
+    # features — per stage one scan + three checkpointed broadcast
+    # bucket-map joins; cost must track the fixed-bin GBT rows
+    from inf2106_map_reduce_spark.operators.stats import (
+        _quantile_stump_binned,
+    )
+
+    def qgbt(li):
+        return gbt_boost(li, 2, binned=_quantile_stump_binned(li))
+
+    timed(lambda: qgbt(li1))
+    t1 = min(timed(lambda: qgbt(li1)) for _ in range(3))
+    tk = min(timed(lambda: qgbt(lik)) for _ in range(3))
+    print(
+        f"  quantile-binned GBT (2 stages): {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x; scan + broadcast "
+        f"bucket maps per stage, split search histogram-sized)"
+    )
     spark.stop()
 
 
