@@ -158,6 +158,7 @@ HEADLINE = (
     "lineitem_encoding_stump",
     "lineitem_status_multi_stump",
     "lineitem_quantile_gbt",
+    "lineitem_quantile_tree",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -1728,7 +1728,9 @@ def lineitem_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_stump(load_table(spark, sf_dir, "lineitem"))
 
 
-def tree_depth2(df: DataFrame) -> DataFrame:
+def tree_depth2(
+    df: DataFrame, binned: DataFrame | None = None
+) -> DataFrame:
     """Greedy depth-2 histogram tree: choose the root split (as
     :func:`decision_stump`), route every row to its L/R child with the
     root choice joined in as a broadcast 1-row scalar (the
@@ -1745,8 +1747,14 @@ def tree_depth2(df: DataFrame) -> DataFrame:
 
     A child with no valid split (single occupied bin on every feature)
     would emit no row — deterministic on both engines; with 16 bins
-    over the generator's ranges both children always split."""
-    gains1 = _split_gains(_stump_hist(_stump_binned(df), []), [])
+    over the generator's ranges both children always split.
+
+    ``binned`` swaps the bin definition (the gbt_boost contract —
+    e.g. the equi-depth frame of :func:`_quantile_stump_binned`);
+    the routing, ranking, and leaf arithmetic stay identical."""
+    if binned is None:
+        binned = _stump_binned(df)
+    gains1 = _split_gains(_stump_hist(binned, []), [])
     w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
     root = (
         gains1.select(
@@ -1765,7 +1773,7 @@ def tree_depth2(df: DataFrame) -> DataFrame:
         )
         is_left = term if is_left is None else is_left | term
     leafed = (
-        _stump_binned(df)
+        binned
         .crossJoin(F.broadcast(root))
         .select(
             F.when(is_left, F.lit("L")).otherwise(F.lit("R")).alias("node"),
@@ -2666,6 +2674,18 @@ def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "lineitem")
         ),
     )
+
+
+def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the greedy DEPTH-2 tree on EQUI-DEPTH decile
+    features — :func:`tree_depth2`'s routing and per-child split
+    search with the adaptive bin definition swapped in via the same
+    broadcast bucket maps as :func:`lineitem_quantile_gbt`; completes
+    the model stack on adaptive grids (stump → multi-stump → GBT →
+    tree). One data scan per level plus the aggregate-sized map
+    joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return tree_depth2(li, binned=_quantile_stump_binned(li))
 
 
 def lineitem_status_multi_stump(

@@ -5774,17 +5774,25 @@ _STUMP_BIN_SQL = {
     for name, col, op, k in stats.STUMP_BINS
 }
 
-#: Shared level-1 CTE chain: binned base -> per-(feature, bin) label
-#: histogram -> cumulative prefix counts -> candidate-split Gini gains
-#: (stats.gini_gain_sql() mirrors the Spark expression term-for-term).
-_STUMP_CTES = f"""
-base AS (
+def _stump_ctes(base_cte: str | None = None) -> str:
+    """Shared level-1 CTE chain: binned base -> per-(feature, bin)
+    label histogram -> cumulative prefix counts -> candidate-split
+    Gini gains (stats.gini_gain_sql() mirrors the Spark expression
+    term-for-term). ``base_cte`` swaps the bin definition — the
+    oracle-side twin of the trainers' ``binned`` parameter."""
+    base = (
+        base_cte
+        if base_cte is not None
+        else f"""base AS (
   SELECT {_STUMP_BIN_SQL["qty"]} AS b_qty,
          {_STUMP_BIN_SQL["disc"]} AS b_disc,
          {_STUMP_BIN_SQL["price"]} AS b_price,
          {stats._STUMP_LABEL_SQL} AS y
   FROM lineitem
-),
+)"""
+    )
+    return f"""
+{base},
 pairs AS (
   SELECT 'qty' AS feature, b_qty AS bin, y FROM base
   UNION ALL SELECT 'disc', b_disc, y FROM base
@@ -5811,6 +5819,72 @@ gains AS (
   FROM cum WHERE nl < nt
 )
 """
+
+
+_STUMP_CTES = _stump_ctes()
+
+#: The depth-2 tree's level-2 CTE tail (root election, row routing,
+#: per-child histogram split search) — shared verbatim by the
+#: fixed-bin and quantile-binned tree oracles (only the base CTE in
+#: the level-1 chain differs).
+_TREE_TAIL_SQL = f"""root AS (
+              SELECT feature AS root_feature, split_bin AS root_bin
+              FROM (SELECT feature, split_bin,
+                      ROW_NUMBER() OVER (
+                        ORDER BY gain DESC, feature, split_bin) AS rg
+                    FROM gains)
+              WHERE rg = 1
+            ),
+            leafed AS (
+              SELECT CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
+                           OR (root_feature = 'disc' AND b_disc <= root_bin)
+                           OR (root_feature = 'price' AND b_price <= root_bin)
+                      THEN 'L' ELSE 'R' END AS node,
+                     root_feature, root_bin, b_qty, b_disc, b_price, y
+              FROM base, root
+            ),
+            pairs2 AS (
+              SELECT node, root_feature, root_bin,
+                     'qty' AS feature, b_qty AS bin, y FROM leafed
+              UNION ALL SELECT node, root_feature, root_bin,
+                     'disc', b_disc, y FROM leafed
+              UNION ALL SELECT node, root_feature, root_bin,
+                     'price', b_price, y FROM leafed
+            ),
+            hist2 AS (
+              SELECT node, root_feature, root_bin, feature, bin,
+                     COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+              FROM pairs2
+              GROUP BY node, root_feature, root_bin, feature, bin
+            ),
+            cum2 AS (
+              SELECT node, root_feature, root_bin, feature,
+                     bin AS split_bin,
+                     SUM(n) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature ORDER BY bin) AS nl,
+                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature ORDER BY bin) AS posl,
+                     SUM(n) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature) AS nt,
+                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                       root_bin, feature) AS post
+              FROM hist2
+            ),
+            gains2 AS (
+              SELECT node, root_feature, root_bin, feature, split_bin,
+                     CAST(nl AS BIGINT) AS n_left,
+                     CAST(posl AS BIGINT) AS pos_left,
+                     CAST(nt - nl AS BIGINT) AS n_right,
+                     CAST(post - posl AS BIGINT) AS pos_right,
+                     {stats.gini_gain_sql()} AS gain
+              FROM cum2 WHERE nl < nt
+            )
+            SELECT node, root_feature, root_bin, feature, split_bin,
+                   n_left, pos_left, n_right, pos_right, gain
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                    ORDER BY gain DESC, feature, split_bin) AS rn
+                  FROM gains2)
+            WHERE rn = 1"""
 
 
 def _backfill_oracle(n_spans: int) -> str:
@@ -5890,64 +5964,7 @@ REGISTRY.update(
             stats.lineitem_tree_depth2,
             f"""
             WITH {_STUMP_CTES},
-            root AS (
-              SELECT feature AS root_feature, split_bin AS root_bin
-              FROM (SELECT feature, split_bin,
-                      ROW_NUMBER() OVER (
-                        ORDER BY gain DESC, feature, split_bin) AS rg
-                    FROM gains)
-              WHERE rg = 1
-            ),
-            leafed AS (
-              SELECT CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
-                           OR (root_feature = 'disc' AND b_disc <= root_bin)
-                           OR (root_feature = 'price' AND b_price <= root_bin)
-                      THEN 'L' ELSE 'R' END AS node,
-                     root_feature, root_bin, b_qty, b_disc, b_price, y
-              FROM base, root
-            ),
-            pairs2 AS (
-              SELECT node, root_feature, root_bin,
-                     'qty' AS feature, b_qty AS bin, y FROM leafed
-              UNION ALL SELECT node, root_feature, root_bin,
-                     'disc', b_disc, y FROM leafed
-              UNION ALL SELECT node, root_feature, root_bin,
-                     'price', b_price, y FROM leafed
-            ),
-            hist2 AS (
-              SELECT node, root_feature, root_bin, feature, bin,
-                     COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
-              FROM pairs2
-              GROUP BY node, root_feature, root_bin, feature, bin
-            ),
-            cum2 AS (
-              SELECT node, root_feature, root_bin, feature,
-                     bin AS split_bin,
-                     SUM(n) OVER (PARTITION BY node, root_feature,
-                       root_bin, feature ORDER BY bin) AS nl,
-                     SUM(pos) OVER (PARTITION BY node, root_feature,
-                       root_bin, feature ORDER BY bin) AS posl,
-                     SUM(n) OVER (PARTITION BY node, root_feature,
-                       root_bin, feature) AS nt,
-                     SUM(pos) OVER (PARTITION BY node, root_feature,
-                       root_bin, feature) AS post
-              FROM hist2
-            ),
-            gains2 AS (
-              SELECT node, root_feature, root_bin, feature, split_bin,
-                     CAST(nl AS BIGINT) AS n_left,
-                     CAST(posl AS BIGINT) AS pos_left,
-                     CAST(nt - nl AS BIGINT) AS n_right,
-                     CAST(post - posl AS BIGINT) AS pos_right,
-                     {stats.gini_gain_sql()} AS gain
-              FROM cum2 WHERE nl < nt
-            )
-            SELECT node, root_feature, root_bin, feature, split_bin,
-                   n_left, pos_left, n_right, pos_right, gain
-            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
-                    ORDER BY gain DESC, feature, split_bin) AS rn
-                  FROM gains2)
-            WHERE rn = 1
+            {_TREE_TAIL_SQL}
             """,
             "greedy depth-2 histogram tree: root split + per-child "
             "splits carrying the four leaf populations, one data scan "
@@ -7011,6 +7028,18 @@ REGISTRY.update(
             "residual recursion (only the bin definition changes)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_quantile_tree": QuerySpec(
+            stats.lineitem_quantile_tree,
+            f"""
+            WITH {_stump_ctes(_quantile_binned_base_cte())},
+            {_TREE_TAIL_SQL}
+            """,
+            "greedy depth-2 tree on EQUI-DEPTH decile features — the "
+            "fixed-bin tree's routing and per-child split search with "
+            "the adaptive bin definition swapped in via broadcast "
+            "bucket maps; completes the model stack on adaptive grids",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "lineitem_status_multi_stump": QuerySpec(
             stats.lineitem_status_multi_stump,
             _multi_stump_oracle(segment=True),
@@ -7217,11 +7246,13 @@ ROTATION_WINDOW = 50
 # forms, the grouped-quantile_bins generalization path), and the
 # quantile-binned GBT (the LightGBM shape: gbt_boost's binned
 # parameter + aggregate-sized broadcast bucket maps; oracle base CTE
-# swapped, stage chain identical) -> N = 251 <= 256 (ceil(251/32) =
-# 8 holds); priority 8 <= 18. ROUND 15 HAS 5 FREE SLOTS under
-# S = 32 — re-derive explicitly, don't drift
-# (test_registry_rotation.py fails loudly at N = 257 under S = 32
-# regardless).
+# swapped, stage chain identical), and the depth-2 tree on the same
+# adaptive bins (tree_depth2 gains the identical binned parameter;
+# oracle = the shared level-2 tail over the swapped level-1 chain)
+# -> N = 252 <= 256 (ceil(252/32) = 8 holds); priority 9 <= 18.
+# ROUND 15 HAS 4 FREE SLOTS under S = 32 — re-derive explicitly,
+# don't drift (test_registry_rotation.py fails loudly at N = 257
+# under S = 32 regardless).
 ROTATION_STRIDE = 32
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7255,6 +7286,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # two-stage boosting on equi-depth deciles — the LightGBM shape
     # (bin definition swapped via broadcast maps, recursion intact)
     "lineitem_quantile_gbt",
+    # depth-2 tree on the same adaptive bins — completes the model
+    # stack on equi-depth grids
+    "lineitem_quantile_tree",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

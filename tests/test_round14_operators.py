@@ -493,6 +493,46 @@ def test_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
 
 
 # ---------------------------------------------------------------------------
+# Depth-2 tree on adaptive grids (final block)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_tree_root_is_the_stump_boundary(spark, sf_oracle):
+    """Level 1 of the quantile tree searches the same per-feature
+    decile histograms as the multi stump, so the elected root is the
+    multi stump's global winner."""
+    rows = stats.lineitem_quantile_tree(spark, sf_oracle).collect()
+    root_pick = {(r["root_feature"], r["root_bin"]) for r in rows}
+    assert len(root_pick) == 1
+    winner = [
+        r
+        for r in stats.lineitem_multi_binned_stump(
+            spark, sf_oracle
+        ).collect()
+        if r["is_root"]
+    ][0]
+    assert root_pick == {(winner["feature"], winner["split_bin"])}
+
+
+def test_quantile_tree_children_partition_the_data(spark, sf_oracle):
+    """The two child rows' grandchild populations sum to the table
+    size (routing is a partition, nothing dropped or doubled)."""
+    rows = stats.lineitem_quantile_tree(spark, sf_oracle).collect()
+    assert {r["node"] for r in rows} == {"L", "R"}
+    total = sum(r["n_left"] + r["n_right"] for r in rows)
+    n = load_table(spark, sf_oracle, "lineitem").count()
+    assert total == n
+
+
+def test_quantile_tree_plan_is_one_scan_per_level(spark, sf_oracle):
+    df = stats.lineitem_quantile_tree(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "ExistingRDD" in plan  # checkpointed bucket maps
+    assert "CollectLimit" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Upsert-sink version vacuum (late block)
 # ---------------------------------------------------------------------------
 

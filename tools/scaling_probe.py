@@ -1282,6 +1282,21 @@ def main() -> None:
         f"ratio {tk / t1:.1f}x (ideal <= {k}x; scan + broadcast "
         f"bucket maps per stage, split search histogram-sized)"
     )
+
+    # Depth-2 tree on the same adaptive bins — one scan per level
+    from inf2106_map_reduce_spark.operators.stats import tree_depth2
+
+    def qtree(li):
+        return tree_depth2(li, binned=_quantile_stump_binned(li))
+
+    timed(lambda: qtree(li1))
+    t1 = min(timed(lambda: qtree(li1)) for _ in range(3))
+    tk = min(timed(lambda: qtree(lik)) for _ in range(3))
+    print(
+        f"  quantile depth-2 tree: {t1:.3f}s -> {tk:.3f}s  ratio "
+        f"{tk / t1:.1f}x (ideal <= {k}x; one scan per level + "
+        f"broadcast maps)"
+    )
     spark.stop()
 
 
