@@ -69,6 +69,7 @@ WARMUP = (
     "streaming_dlq_redrive",
     "streaming_dlq_retention",
     "streaming_upsert_vacuum",
+    "streaming_upsert_retention",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -159,6 +160,7 @@ HEADLINE = (
     "lineitem_status_multi_stump",
     "lineitem_quantile_gbt",
     "lineitem_quantile_tree",
+    "streaming_upsert_retention",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6234,6 +6234,48 @@ def _quantile_binned_base_cte() -> str:
     )"""
 
 
+def _upsert_retention_oracle() -> str:
+    """Oracle for the time-travel upsert retention: replays every
+    RETAINED version snapshot's contents from the raw events via the
+    span-staging closed form (span = (epoch_us(ts) − min) // step,
+    step = range // n + 1 — the single definition in
+    ``stage_session_spans``), and renders the vacuumed version ids as
+    literals of the pinned 4-batch history."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    keep = stream_windows.UPSERT_KEEP_VERSIONS
+    retained = range(n - keep, n)
+    vacuumed = range(0, n - keep)
+    vac_rows = "\n    UNION ALL ".join(
+        f"SELECT 'vacuumed' AS disposition, {v} AS version, "
+        f"CAST(NULL AS BIGINT) AS n_keys, "
+        f"CAST(NULL AS BIGINT) AS sum_n_events, "
+        f"CAST(NULL AS TIMESTAMP) AS max_last_ts"
+        for v in vacuumed
+    )
+    ret_rows = "\n    UNION ALL ".join(
+        f"""SELECT 'retained', {v}, COUNT(*),
+           CAST(SUM(n) AS BIGINT), MAX(mx)
+    FROM (SELECT user_id, COUNT(*) AS n, MAX(ts) AS mx
+          FROM sp WHERE span <= {v} GROUP BY user_id)"""
+        for v in retained
+    )
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    )
+    {vac_rows}
+    UNION ALL {ret_rows}
+    """
+
+
 def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
     """Oracle for the K-stage booster (stats.gbt_boost): a uniform CTE
     chain per stage mirroring the Spark loop exactly — stage k's left/
@@ -7060,6 +7102,17 @@ REGISTRY.update(
             "encoded categorical is worth shipping)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "streaming_upsert_retention": QuerySpec(
+            stream_windows.streaming_upsert_retention,
+            _upsert_retention_oracle(),
+            "time-travel retention over the merge-upsert sink: a "
+            "4-version history keeps the trailing 2 snapshots and "
+            "ages the rest; every retained snapshot is audited from "
+            "disk and replayed by the oracle from the staging's own "
+            "span closed form (version v == running aggregate of "
+            "spans 0..v)",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_dlq_retention": QuerySpec(
             stream_windows.streaming_dlq_retention,
             f"""
@@ -7250,9 +7303,12 @@ ROTATION_WINDOW = 50
 # adaptive bins (tree_depth2 gains the identical binned parameter;
 # oracle = the shared level-2 tail over the swapped level-1 chain)
 # -> N = 252 <= 256 (ceil(252/32) = 8 holds); priority 9 <= 18.
-# ROUND 15 HAS 4 FREE SLOTS under S = 32 — re-derive explicitly,
-# don't drift (test_registry_rotation.py fails loudly at N = 257
-# under S = 32 regardless).
+# Plus the time-travel upsert retention (keep-last-R over a 4-batch
+# version history; the per-version oracle replays each retained
+# snapshot from the span-staging closed form) -> N = 253; priority
+# 10 <= 18. ROUND 15 HAS 3 FREE SLOTS under S = 32 — re-derive
+# explicitly, don't drift (test_registry_rotation.py fails loudly
+# at N = 257 under S = 32 regardless).
 ROTATION_STRIDE = 32
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7289,6 +7345,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # depth-2 tree on the same adaptive bins — completes the model
     # stack on equi-depth grids
     "lineitem_quantile_tree",
+    # keep-last-R time-travel retention over the upsert sink, every
+    # retained snapshot replayed from the span closed form
+    "streaming_upsert_retention",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

@@ -648,11 +648,20 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _upsert_drain(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int]:
-    """The versioned merge-upsert drain body (see
-    :func:`streaming_upsert_latest`); returns ``(table_root,
-    last_version)`` so the vacuum entry can run retention over a
-    fresh version history of its own."""
-    src = stream_stateful._session_source_dir(spark, sf_dir)
+    """The versioned merge-upsert drain over the shared session span
+    staging (see :func:`streaming_upsert_latest`)."""
+    return _upsert_drain_from(
+        spark, stream_stateful._session_source_dir(spark, sf_dir)
+    )
+
+
+def _upsert_drain_from(
+    spark: SparkSession, src: str
+) -> tuple[str, int]:
+    """The versioned merge-upsert drain body over any staged span
+    directory; returns ``(table_root, last_version)`` so the
+    vacuum/retention entries can run maintenance over fresh version
+    histories of their own."""
     table_root = tempfile.mkdtemp(prefix="upsert_table_")
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp")
@@ -752,6 +761,114 @@ def streaming_upsert_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("max_last_ts"),
     )
     return retained.unionByName(vacuumed)
+
+
+#: Span-file count for the retention entry's staging: MORE versions
+#: than the latest-only vacuum needs, so a keep-last-R window is a
+#: real time-travel policy (4 snapshots, keep 2, age 2).
+UPSERT_RETENTION_SPANS = 4
+
+#: The retention window: number of trailing version snapshots kept.
+UPSERT_KEEP_VERSIONS = 2
+
+
+def _upsert_retention_source(spark: SparkSession, sf_dir: str) -> str:
+    """_STAGED-guarded 4-span staging of (user_id, ts) for the
+    retention entry — same helper, same batch-order invariant as
+    every other staging (:func:`stream_stateful.stage_session_spans`)."""
+    base = os.path.join(
+        stream_stateful.WORK_ROOT,
+        "streaming",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"events_spans{UPSERT_RETENTION_SPANS}",
+    )
+    done = os.path.join(base, "_STAGED")
+    if not os.path.exists(done):
+        stream_stateful.stage_session_spans(
+            load_table(spark, sf_dir, "events"),
+            base,
+            cols=("user_id", "ts"),
+            n_files=UPSERT_RETENTION_SPANS,
+        )
+        open(done, "w").close()
+    return base
+
+
+def streaming_upsert_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: TIME-TRAVEL retention over the merge-upsert
+    sink — the keep-last-R generalization of
+    :func:`streaming_upsert_vacuum`: a 4-batch drain leaves version
+    snapshots ``v=0..3``; the policy keeps the trailing
+    :data:`UPSERT_KEEP_VERSIONS` (the rollback/debug window a real
+    pipeline retains) and ages out the rest. The audit carries ONE
+    ROW PER VERSION: retained versions are summarized FROM DISK
+    (keys, total merged events, newest timestamp — proving each
+    surviving snapshot is intact, not just the latest), vacuumed
+    versions by id with NULL contents (they are gone; that is the
+    point).
+
+    Oracle-exactness is the interesting part: version ``v``'s table
+    is by construction the running aggregate of spans ``0..v``, and
+    the span assignment is the staging's own closed form
+    (``(unix_micros(ts) − min) // step``, step = range // n + 1 —
+    one definition in :func:`stream_stateful.stage_session_spans`,
+    mirrored textually by the oracle), so DuckDB replays every
+    retained snapshot's contents from the raw events without seeing
+    a single sink file.
+
+    Scale: identical to the vacuum entry — deletion is driver
+    metadata, the audit scans only the retained snapshots; with
+    partition-scoped overwrites the aged versions are key-partition
+    files."""
+    src = _upsert_retention_source(spark, sf_dir)
+    table_root, last = _upsert_drain_from(spark, src)
+    keep = set(range(last - UPSERT_KEEP_VERSIONS + 1, last + 1))
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(table_root)
+        if n.startswith("v=")
+    )
+    parts = []
+    for v in versions:
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(table_root, f"v={v}"))
+        parts.append(
+            spark.range(1).select(
+                F.lit("vacuumed").alias("disposition"),
+                F.lit(v).alias("version"),
+                F.lit(None).cast("bigint").alias("n_keys"),
+                F.lit(None).cast("bigint").alias("sum_n_events"),
+                F.lit(None).cast("timestamp").alias("max_last_ts"),
+            )
+        )
+    survivors = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(table_root)
+        if n.startswith("v=")
+    )
+    assert survivors == sorted(keep), survivors
+    for v in survivors:
+        snap = spark.read.parquet(f"{table_root}/v={v}")
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n_events").cast("bigint").alias("sum_n_events"),
+                F.max("last_ts").alias("max_last_ts"),
+            ).select(
+                F.lit("retained").alias("disposition"),
+                F.lit(v).alias("version"),
+                "n_keys",
+                "sum_n_events",
+                "max_last_ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -204,9 +204,10 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         "lineitem_status_multi_stump",
         "lineitem_quantile_gbt",
         "lineitem_quantile_tree",
+        "streaming_upsert_retention",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    assert len(q.REGISTRY) == 252
+    assert len(q.REGISTRY) == 253
     assert q.ROTATION_STRIDE == 32

@@ -587,6 +587,58 @@ def test_upsert_vacuum_removes_the_superseded_versions(spark, sf_oracle):
     assert vac[1] == st.SESSION_SPAN_FILES - 1
 
 
+def test_upsert_retention_keeps_a_consistent_history(spark, sf_oracle):
+    """The keep-last-R audit: the newest retained snapshot equals the
+    one-shot batch aggregate (nothing lost through 4 merges + 2
+    deletions), every retained snapshot is a PREFIX state (counts
+    monotone, keys never shrink), and vacuumed rows are exactly the
+    aged version ids with no contents."""
+    rows = sorted(
+        stream_windows.streaming_upsert_retention(
+            spark, sf_oracle
+        ).collect(),
+        key=lambda r: r["version"],
+    )
+    n_spans = stream_windows.UPSERT_RETENTION_SPANS
+    keep = stream_windows.UPSERT_KEEP_VERSIONS
+    assert [r["version"] for r in rows] == list(range(n_spans))
+    vac = [r for r in rows if r["disposition"] == "vacuumed"]
+    ret = [r for r in rows if r["disposition"] == "retained"]
+    assert [r["version"] for r in vac] == list(range(n_spans - keep))
+    assert all(r["n_keys"] is None for r in vac)
+    ev = load_table(spark, sf_oracle, "events")
+    newest = ret[-1]
+    assert newest["sum_n_events"] == ev.count()
+    assert newest["n_keys"] == ev.select("user_id").distinct().count()
+    for a, b in zip(ret, ret[1:]):
+        assert a["sum_n_events"] <= b["sum_n_events"]
+        assert a["n_keys"] <= b["n_keys"]
+        assert a["max_last_ts"] <= b["max_last_ts"]
+
+
+def test_upsert_retention_is_deterministic_across_passes(spark, sf_oracle):
+    """Each pass drains and ages its own fresh version history, so
+    repeated runs report identical audits (no cross-run deletion
+    leakage)."""
+    a = sorted(
+        map(
+            tuple,
+            stream_windows.streaming_upsert_retention(
+                spark, sf_oracle
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            stream_windows.streaming_upsert_retention(
+                spark, sf_oracle
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_dlq_retention_ages_only_redrivable_reasons(spark, sf_oracle):
     """Aged rows carry their ORIGINAL quarantine reason, and only
     reasons the corrected rule table actually relaxed can age out

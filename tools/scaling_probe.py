@@ -1297,6 +1297,59 @@ def main() -> None:
         f"{tk / t1:.1f}x (ideal <= {k}x; one scan per level + "
         f"broadcast maps)"
     )
+
+    # Time-travel retention: 4-batch versioned drain + keep-last-2
+    # deletion + per-snapshot audits — flat like the other upsert
+    # rows (map-side delta aggregates; deletion is driver metadata)
+    from inf2106_map_reduce_spark.streaming.windows import (
+        UPSERT_KEEP_VERSIONS,
+        UPSERT_RETENTION_SPANS,
+        _upsert_drain_from,
+    )
+
+    def stage_ret(ev: DataFrame) -> str:
+        d = tempfile.mkdtemp(prefix="probe_ret4_")
+        st.stage_session_spans(
+            ev, d, cols=("user_id", "ts"),
+            n_files=UPSERT_RETENTION_SPANS,
+        )
+        return d
+
+    def run_retention(src: str) -> float:
+        import shutil as _sh
+
+        t0 = time.perf_counter()
+        root, last = _upsert_drain_from(spark, src)
+        keepset = set(
+            range(last - UPSERT_KEEP_VERSIONS + 1, last + 1)
+        )
+        for nm in list(os.listdir(root)):
+            if nm.startswith("v=") and int(
+                nm.split("=", 1)[1]
+            ) not in keepset:
+                _sh.rmtree(os.path.join(root, nm))
+        for v in sorted(keepset):
+            spark.read.parquet(f"{root}/v={v}").agg(
+                F.count(F.lit(1)), F.sum("n_events"), F.max("last_ts")
+            ).collect()
+        return time.perf_counter() - t0
+
+    ev1r = load_table(spark, sf, "events").select(
+        "user_id", "ts"
+    ).localCheckpoint(eager=True)
+    evkr = replicate(
+        load_table(spark, sf, "events").select("user_id", "ts"),
+        k,
+        ["user_id"],
+    ).localCheckpoint(eager=True)
+    sr1, srk = stage_ret(ev1r), stage_ret(evkr)
+    run_retention(sr1)
+    t1 = min(run_retention(sr1) for _ in range(2))
+    tk = min(run_retention(srk) for _ in range(2))
+    print(
+        f"  upsert 4-batch drain + keep-last-2 retention: {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
