@@ -161,6 +161,8 @@ HEADLINE = (
     "lineitem_quantile_gbt",
     "lineitem_quantile_tree",
     "streaming_upsert_retention",
+    "lineitem_status_encoding_stump",
+    "lineitem_quantile_gbt3",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -2676,6 +2676,21 @@ def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_quantile_gbt3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the quantile-binned booster carried to THREE
+    stages — the same ``binned`` bridge, one more closed-form residual
+    level (stage 3's scan carries both earlier memberships); the
+    depth knob of the LightGBM-shaped trainer exercised on adaptive
+    bins."""
+    return gbt_boost(
+        load_table(spark, sf_dir, "lineitem"),
+        3,
+        binned=_quantile_stump_binned(
+            load_table(spark, sf_dir, "lineitem")
+        ),
+    )
+
+
 def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: the greedy DEPTH-2 tree on EQUI-DEPTH decile
     features — :func:`tree_depth2`'s routing and per-child split
@@ -2838,6 +2853,7 @@ def encoding_stump(
     n_bins: int = ENC_RELIABILITY_BINS,
     checkpoint: bool = True,
     grid: DataFrame | None = None,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """Decision stump trained on the ENCODED categorical feature — the
     feature pipeline end to end: out-of-fold target encoding
@@ -2861,14 +2877,22 @@ def encoding_stump(
     ``(feature, split_bin, n_left, pos_left, n_right, pos_right,
     gain, is_best)`` — the winner by (gain DESC, split_bin), total
     order over rounded-9 gains on exact BIGINT counts; the oracle
-    composes the encoding CTEs with the shared Gini expression."""
+    composes the encoding CTEs with the shared Gini expression.
+    ``segment_col`` runs the split search PER SEGMENT (as ``seg``)
+    against the ONE unsplit grid — the per-segment-matrix contract of
+    :func:`lineitem_status_reliability` applied to the split search:
+    a segment whose best boundary (or gain) diverges is where the
+    shared encoding stops transferring."""
     if grid is None:
         grid = target_encoding(
             df, cat_col, key_col, label, n_folds, m, checkpoint=checkpoint
         )
     else:
         _require_grid_folds(grid, n_folds)
+    seg = [F.col(segment_col).alias("seg")] if segment_col else []
+    gc = ["seg"] if segment_col else []
     base = df.select(
+        *seg,
         F.col(cat_col).alias("category"),
         _enc_fold(key_col, n_folds).alias("fold"),
         label.cast("int").alias("y"),
@@ -2883,18 +2907,21 @@ def encoding_stump(
             F.lit(n_bins - 1),
         ),
     )
-    hist = joined.groupBy(enc_bin.alias("bin")).agg(
+    hist = joined.groupBy(*gc, enc_bin.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
     )
     bh = hist.select(
+        *gc,
         F.lit(f"{cat_col}_enc_q{n_bins}").alias("feature"),
         "bin",
         "n",
         "pos",
     )
-    gains = _split_gains(bh, [])
-    w_best = Window.orderBy(F.col("gain").desc(), "split_bin")
+    gains = _split_gains(bh, gc)
+    w_best = Window.partitionBy(*gc).orderBy(
+        F.col("gain").desc(), "split_bin"
+    )
     return gains.select(
         "*", (F.row_number().over(w_best) == 1).alias("is_best")
     )
@@ -2914,6 +2941,26 @@ def lineitem_encoding_stump(
         _lineitem_enc_key(),
         F.col("l_returnflag") == "R",
         grid=_registry_encoding_grid(spark, sf_dir),
+    )
+
+
+def lineitem_status_encoding_stump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the encoded-feature stump PER SEGMENT
+    (l_linestatus) — completes the stump leg of the per-segment
+    matrix: the one shipped supplier encoding, split-searched within
+    each segment (a diverging segment boundary or gain marks where
+    the shared encoding stops transferring). Shares the session
+    grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return encoding_stump(
+        li,
+        "l_suppkey",
+        _lineitem_enc_key(),
+        F.col("l_returnflag") == "R",
+        grid=_registry_encoding_grid(spark, sf_dir),
+        segment_col="l_linestatus",
     )
 
 

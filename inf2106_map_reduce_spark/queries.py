@@ -6664,33 +6664,39 @@ def _enc_reliability_oracle(
     """
 
 
-def _enc_stump_oracle() -> str:
+def _enc_stump_oracle(segment: bool = False) -> str:
     """Oracle for the encoded-feature stump: the shared encoding CTEs
     feed a centile label histogram, then the same cumulative/Gini
-    epilogue as the quantile-stump oracles."""
+    epilogue as the quantile-stump oracles; ``segment=True`` threads
+    the l_linestatus key through the histogram, every window
+    partition, and the winner rank (the grid CTEs stay unsplit)."""
+    s = "seg, " if segment else ""
+    sp = "PARTITION BY seg, " if segment else "PARTITION BY "
+    rb_part = "PARTITION BY seg" if segment else ""
     return f"""
-    WITH {_enc_grid_ctes()},
+    WITH {_enc_grid_ctes(segment)},
     h AS (
-      SELECT {_ENC_BIN_SQL} AS bin,
+      SELECT {s}{_ENC_BIN_SQL} AS bin,
              COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
       FROM base b JOIN grid g USING (category, fold)
-      GROUP BY bin
+      GROUP BY {s}bin
     ),
     bh AS (
-      SELECT 'l_suppkey_enc_q{stats.ENC_RELIABILITY_BINS}' AS feature,
+      SELECT {s}'l_suppkey_enc_q{stats.ENC_RELIABILITY_BINS}'
+               AS feature,
              bin, n, pos
       FROM h
     ),
     cum AS (
-      SELECT feature, bin AS split_bin,
-             SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
-             SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
-             SUM(n) OVER (PARTITION BY feature) AS nt,
-             SUM(pos) OVER (PARTITION BY feature) AS post
+      SELECT {s}feature, bin AS split_bin,
+             SUM(n) OVER ({sp}feature ORDER BY bin) AS nl,
+             SUM(pos) OVER ({sp}feature ORDER BY bin) AS posl,
+             SUM(n) OVER ({sp}feature) AS nt,
+             SUM(pos) OVER ({sp}feature) AS post
       FROM bh
     ),
     gains AS (
-      SELECT feature, split_bin,
+      SELECT {s}feature, split_bin,
              CAST(nl AS BIGINT) AS n_left,
              CAST(posl AS BIGINT) AS pos_left,
              CAST(nt - nl AS BIGINT) AS n_right,
@@ -6698,9 +6704,9 @@ def _enc_stump_oracle() -> str:
              {stats.gini_gain_sql()} AS gain
       FROM cum WHERE nl < nt
     )
-    SELECT feature, split_bin, n_left, pos_left,
+    SELECT {s}feature, split_bin, n_left, pos_left,
            n_right, pos_right, gain, (rb = 1) AS is_best
-    FROM (SELECT *, ROW_NUMBER() OVER (
+    FROM (SELECT *, ROW_NUMBER() OVER ({rb_part}
             ORDER BY gain DESC, split_bin) AS rb
           FROM gains)
     """
@@ -7102,6 +7108,24 @@ REGISTRY.update(
             "encoded categorical is worth shipping)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_status_encoding_stump": QuerySpec(
+            stats.lineitem_status_encoding_stump,
+            _enc_stump_oracle(segment=True),
+            "the encoded-feature stump PER SEGMENT against the one "
+            "unsplit shipped grid — completes the stump leg of the "
+            "per-segment matrix (a diverging segment boundary or gain "
+            "marks where the shared encoding stops transferring)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "lineitem_quantile_gbt3": QuerySpec(
+            stats.lineitem_quantile_gbt3,
+            _gbt_boost_oracle(3, base_cte=_quantile_binned_base_cte()),
+            "three-stage boosting on equi-depth deciles — the depth "
+            "knob of the LightGBM-shaped trainer exercised on "
+            "adaptive bins (same binned bridge, one more closed-form "
+            "residual level)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "streaming_upsert_retention": QuerySpec(
             stream_windows.streaming_upsert_retention,
             _upsert_retention_oracle(),
@@ -7305,10 +7329,16 @@ ROTATION_WINDOW = 50
 # -> N = 252 <= 256 (ceil(252/32) = 8 holds); priority 9 <= 18.
 # Plus the time-travel upsert retention (keep-last-R over a 4-batch
 # version history; the per-version oracle replays each retained
-# snapshot from the span-staging closed form) -> N = 253; priority
-# 10 <= 18. ROUND 15 HAS 3 FREE SLOTS under S = 32 — re-derive
-# explicitly, don't drift (test_registry_rotation.py fails loudly
-# at N = 257 under S = 32 regardless).
+# snapshot from the span-staging closed form) -> N = 253, and the
+# last two §7.9 template reuses — the per-segment encoding stump
+# (segment_col on encoding_stump, grid unsplit) and K = 3 boosting
+# on the adaptive bins (the existing 3-stage oracle chain over the
+# swapped base) -> N = 255 <= 256 (ceil(255/32) = 8 holds);
+# priority 12 <= 18. ROUND 15 HAS 1 FREE SLOT under S = 32; growth
+# beyond 256 must first raise S to 33 (covers N <= 264, priority
+# cap 17) — re-derive explicitly, don't drift
+# (test_registry_rotation.py fails loudly at N = 257 under S = 32
+# regardless).
 ROTATION_STRIDE = 32
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7348,6 +7378,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # keep-last-R time-travel retention over the upsert sink, every
     # retained snapshot replayed from the span closed form
     "streaming_upsert_retention",
+    # per-segment encoded-feature stump — the stump leg of the
+    # per-segment matrix, grid unsplit
+    "lineitem_status_encoding_stump",
+    # K = 3 boosting on adaptive bins — the depth knob on the
+    # quantile bridge
+    "lineitem_quantile_gbt3",
 )
 
 #: The round-13 priority block (12 carried + 7 new) as retired at

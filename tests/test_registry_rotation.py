@@ -205,9 +205,11 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         "lineitem_quantile_gbt",
         "lineitem_quantile_tree",
         "streaming_upsert_retention",
+        "lineitem_status_encoding_stump",
+        "lineitem_quantile_gbt3",
     )
     assert set(q._ROUND_PRIORITY) <= _window(12) and (
         set(q._ROUND_PRIORITY) <= _window(13)
     )
-    assert len(q.REGISTRY) == 253
+    assert len(q.REGISTRY) == 255
     assert q.ROTATION_STRIDE == 32

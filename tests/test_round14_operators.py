@@ -492,6 +492,54 @@ def test_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
     assert "CollectLimit" not in plan
 
 
+def test_segmented_encoding_stump_matches_per_segment_runs(
+    spark, sf_oracle
+):
+    """The grouped form is definitionally the global encoding stump
+    run on each segment's filtered rows AGAINST THE SAME unsplit
+    grid (the per-segment-matrix contract): candidates, counts, and
+    winners coincide per segment."""
+    grouped: dict = {}
+    for r in stats.lineitem_status_encoding_stump(
+        spark, sf_oracle
+    ).collect():
+        grouped[(r["seg"], r["split_bin"])] = r
+    li = load_table(spark, sf_oracle, "lineitem")
+    grid = stats._registry_encoding_grid(spark, sf_oracle)
+    segs = [r[0] for r in li.select("l_linestatus").distinct().collect()]
+    n_checked = 0
+    for seg in segs:
+        solo = stats.encoding_stump(
+            li.filter(F.col("l_linestatus") == seg),
+            "l_suppkey",
+            stats._lineitem_enc_key(),
+            F.col("l_returnflag") == "R",
+            grid=grid,
+        ).collect()
+        for r in solo:
+            g = grouped[(seg, r["split_bin"])]
+            assert (g["n_left"], g["pos_left"], g["is_best"]) == (
+                r["n_left"], r["pos_left"], r["is_best"],
+            ), (seg, r["split_bin"])
+            n_checked += 1
+    assert n_checked == len(grouped)
+
+
+def test_quantile_gbt3_extends_the_two_stage_run(spark, sf_oracle):
+    """Greedy boosting is prefix-stable: the K=3 trainer's first two
+    stages are exactly the K=2 trainer's output (same recursion, one
+    more level appended)."""
+    g2 = sorted(
+        map(tuple, stats.lineitem_quantile_gbt(spark, sf_oracle).collect())
+    )
+    g3 = stats.lineitem_quantile_gbt3(spark, sf_oracle).collect()
+    assert len(g3) == 3
+    g3_prefix = sorted(
+        map(tuple, (r for r in g3 if r["stage"] <= 2))
+    )
+    assert g2 == g3_prefix
+
+
 # ---------------------------------------------------------------------------
 # Depth-2 tree on adaptive grids (final block)
 # ---------------------------------------------------------------------------

@@ -1350,6 +1350,42 @@ def main() -> None:
         f"  upsert 4-batch drain + keep-last-2 retention: {t1:.3f}s "
         f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # Per-segment encoding stump: the encoding apply + per-segment
+    # split search (grid unsplit) — tracks the audit family
+    def ses(li):
+        return encoding_stump(
+            li,
+            "l_suppkey",
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            F.col("l_returnflag") == "R",
+            segment_col="l_linestatus",
+        )
+
+    timed(lambda: ses(li1))
+    t1 = min(timed(lambda: ses(li1)) for _ in range(3))
+    tk = min(timed(lambda: ses(tek)) for _ in range(3))
+    print(
+        f"  per-segment encoding stump (8x categories): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # K = 3 boosting on adaptive bins — the depth knob on the
+    # quantile bridge (expect the fixed-bin K-curve's cost model)
+    def qgbt3(li):
+        return gbt_boost(li, 3, binned=_quantile_stump_binned(li))
+
+    timed(lambda: qgbt3(li1))
+    t1 = min(timed(lambda: qgbt3(li1)) for _ in range(3))
+    tk = min(timed(lambda: qgbt3(lik)) for _ in range(3))
+    print(
+        f"  quantile-binned GBT (3 stages): {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
