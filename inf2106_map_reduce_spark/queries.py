@@ -7339,11 +7339,40 @@ ROTATION_WINDOW = 50
 # cap 17) — re-derive explicitly, don't drift
 # (test_registry_rotation.py fails loudly at N = 257 under S = 32
 # regardless).
-ROTATION_STRIDE = 32
+#
+# Round-15 budget (S RAISED FIRST, per the r12 verdict and the
+# protocol rounds 13/14 established — re-derived BEFORE adding
+# entries): CORRECTNESS_r12 carries a hard green row for every name
+# in the round-14 12-name block (verified at round open: 12/12
+# rows_match+schema_match+hash_match, err None), so the carry
+# protocol is satisfied and the block RETIRES to _ROUND14_PRIORITY
+# below. N = 255 sits at the S = 32 horizon cap minus one (one free
+# slot, three candidates), so S rises to 33: horizon cap becomes
+# N <= 264 (ceil(264/33) = 8 — the staleness bound holds), priority
+# cap shrinks to WINDOW - S = 50 - 33 = 17. The round-15 budget is
+# the three §7.9 candidates — the per-segment quantile GBT
+# (gbt_boost + group_cols on per-segment adaptive bucket maps), the
+# grouped time-travel retention (per-key-range version history,
+# partition-scoped vacuum), and the DLQ epoch-age retention (age
+# quarantine epochs by watermark age, not rule outcome) ->
+# N = 258 <= 264 (ceil(258/33) = 8 holds); priority 3 <= 17 with
+# room to spare. Growth beyond 264 must first raise S to 34 (covers
+# N <= 272, priority cap 16) — re-derive explicitly, don't drift
+# (test_registry_rotation.py fails loudly at N = 265 under S = 33
+# regardless).
+ROTATION_STRIDE = 33
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
-_ROUND_PRIORITY: tuple[str, ...] = (
+#: Round-15 block (§7.9 candidates, budget in the ROTATION_STRIDE
+#: comment) — names are appended as each entry lands.
+_ROUND_PRIORITY: tuple[str, ...] = ()
+
+#: The round-14 priority block (12 names) as retired at round-15
+#: open: CORRECTNESS_r12 carries a fully-green hard row for every
+#: name (the carry protocol's exit condition), kept as a named
+#: record for the staleness audit.
+_ROUND14_PRIORITY: tuple[str, ...] = (
     # Round-14 block (§7.8 candidates, budget in the ROTATION_STRIDE
     # comment): the encoding reliability audit split by data segment
     # against the one unsplit shipped grid — completes the

@@ -188,11 +188,13 @@ def test_round13_carried_block_retired_on_hard_rows():
         assert row["hash_match"] and row["err"] is None, (name, row)
 
 
-def test_round14_priority_is_exactly_the_budgeted_block():
-    # round-14 budget (ROTATION_STRIDE comment): the three §7.8
-    # candidates, nothing carried (the 19-name block retired above);
-    # N = 246 under the S=31 horizon cap of 248 leaves 2 free slots.
-    assert q._ROUND_PRIORITY == (
+def test_round15_priority_is_exactly_the_budgeted_block():
+    # round-15 budget (ROTATION_STRIDE comment): S raised to 33 FIRST
+    # (N = 255 sat at the S=32 cap minus one), the 12-name round-14
+    # block retired on its 12/12-green CORRECTNESS_r12 rows, and the
+    # live block is the three §7.9 candidates (appended as each
+    # lands, never anything else).
+    assert q._ROUND14_PRIORITY == (
         "lineitem_status_reliability",
         "lineitem_binned_stump",
         "streaming_dlq_retention",
@@ -208,8 +210,11 @@ def test_round14_priority_is_exactly_the_budgeted_block():
         "lineitem_status_encoding_stump",
         "lineitem_quantile_gbt3",
     )
-    assert set(q._ROUND_PRIORITY) <= _window(12) and (
-        set(q._ROUND_PRIORITY) <= _window(13)
+    budget = (
+        "lineitem_status_quantile_gbt",
+        "streaming_upsert_group_retention",
+        "streaming_dlq_age_retention",
     )
-    assert len(q.REGISTRY) == 255
-    assert q.ROTATION_STRIDE == 32
+    assert set(q._ROUND_PRIORITY) <= set(budget)
+    assert len(q.REGISTRY) == 255 + len(q._ROUND_PRIORITY)
+    assert q.ROTATION_STRIDE == 33
