@@ -242,6 +242,17 @@ def main() -> None:
     calibration_scan_start = _calibrate_scan()
 
     timings: dict[str, float] = {}
+    # intra-run weather probes: the r12 driver run's CPU probe moved
+    # 1.7x DURING the run (0.184 -> 0.108), so endpoint probes alone
+    # leave every per-query read an interval as wide as the whole
+    # drift. A probe every PROBE_EVERY timed queries (~5 s total
+    # overhead on a 256-entry run) brackets each query by its OWN
+    # segment's weather; positions record how many loop queries had
+    # been timed when each probe ran, so the gate can pair them.
+    PROBE_EVERY = 50
+    probes = [calibration_start]
+    probe_positions = [0]
+
     # shared dedup stage build gets its own honest line; every dedup
     # consumer below then times post-cache (its own derivation only)
     from inf2106_map_reduce_spark.functions.dedup import (
@@ -252,19 +263,27 @@ def main() -> None:
     build_registry_stage_cache(spark, sf_dir)
     timings["dedup_stage_build"] = round(time.perf_counter() - t0, 3)
 
+    n_timed = 0
     for name, spec in sorted(REGISTRY.items()):
+        if n_timed and n_timed % PROBE_EVERY == 0:
+            probes.append(_calibrate())
+            probe_positions.append(n_timed)
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        n_timed += 1
 
     # weather drifts over the ~3-minute run (BASELINE.md r06 measured
     # >2x swings within a session) — a second probe after the loop
     # makes the normalization read the run's weather, not the first
     # second's; calibration_sec stays the comparable scalar (mean of
-    # the two medians), both probes are reported raw
+    # the START/END medians — unchanged definition across rounds),
+    # all probes are reported raw
     calibration_end = _calibrate()
     calibration_scan_end = _calibrate_scan()
+    probes.append(calibration_end)
+    probe_positions.append(n_timed)
     calibration = round((calibration_start + calibration_end) / 2, 3)
     calibration_scan = round(
         (calibration_scan_start + calibration_scan_end) / 2, 3
@@ -282,10 +301,16 @@ def main() -> None:
         # the total (and the full map) but is not a query
         "n_queries": len(timings) - len(PSEUDO_STAGES),
         # fixed reference task (see _calibrate): host-weather gauge,
-        # independent of this repo's code; mean of the start/end
-        # probes, which are also reported raw for drift visibility
+        # independent of this repo's code; the scalar stays the mean
+        # of the START/END probes (unchanged cross-round definition).
+        # calibration_probes carries every probe in run order — start,
+        # one per PROBE_EVERY timed queries, end — and
+        # calibration_probe_positions the loop position of each, so
+        # the per-query gate brackets a query by its OWN segment's
+        # weather instead of the whole-run interval.
         "calibration_sec": calibration,
-        "calibration_probes": [calibration_start, calibration_end],
+        "calibration_probes": probes,
+        "calibration_probe_positions": probe_positions,
         # scan/shuffle weather axis (see _calibrate_scan) — additive
         # key; the normalization gates still divide by calibration_sec
         "calibration_scan_sec": calibration_scan,

@@ -25,6 +25,8 @@ MapReduce statistics job, re-expressed declaratively.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -939,7 +941,7 @@ def target_encoding(
     enc = (
         (F.col("pos_c") - F.col("pos")) + F.lit(m) * prior
     ) / ((F.col("n_c") - F.col("n")) + F.lit(m))
-    return g.select(
+    out = g.select(
         "category",
         "fold",
         "n",
@@ -947,6 +949,14 @@ def target_encoding(
         F.round(prior, 9).alias("prior"),
         F.round(enc, 9).alias("encoding"),
     )
+    # stamp the fit's fold count on the frame object itself (a plain
+    # Python attribute — deliberately NOT schema metadata, which the
+    # driver's schema compare could see) so _require_grid_folds can
+    # catch BOTH mismatch directions with no Spark job; a grid built
+    # elsewhere simply lacks the stamp and falls back to the
+    # necessary-condition scan
+    out._enc_n_folds = n_folds
+    return out
 
 
 def _lineitem_enc_key() -> Column:
@@ -1729,7 +1739,7 @@ def lineitem_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tree_depth2(
-    df: DataFrame, binned: DataFrame | None = None
+    df: DataFrame | None, binned: DataFrame | None = None
 ) -> DataFrame:
     """Greedy depth-2 histogram tree: choose the root split (as
     :func:`decision_stump`), route every row to its L/R child with the
@@ -1751,7 +1761,16 @@ def tree_depth2(
 
     ``binned`` swaps the bin definition (the gbt_boost contract —
     e.g. the equi-depth frame of :func:`_quantile_stump_binned`);
-    the routing, ranking, and leaf arithmetic stay identical."""
+    the routing, ranking, and leaf arithmetic stay identical. The two
+    frame parameters are mutually exclusive (r12 ADVICE): passing
+    both would silently ignore ``df``, mislabeling a result built
+    from a different table."""
+    if (df is None) == (binned is None):
+        raise ValueError(
+            "tree_depth2 takes exactly one input frame: df (fixed "
+            "equi-width bins) OR binned (a pre-binned _stump_binned-"
+            "contract frame), not both"
+        )
     if binned is None:
         binned = _stump_binned(df)
     gains1 = _split_gains(_stump_hist(binned, []), [])
@@ -2002,7 +2021,7 @@ def lineitem_gbt_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gbt_boost(
-    df: DataFrame, n_stages: int, binned: DataFrame | None = None
+    df: DataFrame | None, n_stages: int, binned: DataFrame | None = None
 ) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
@@ -2048,7 +2067,16 @@ def gbt_boost(
     # bucket maps of _quantile_stump_binned) while the recursion,
     # ranking, and carried-scalar arithmetic stay byte-identical —
     # the frame must carry the _stump_binned contract
-    # (b_qty/b_disc/b_price ints + 0/1 y)
+    # (b_qty/b_disc/b_price ints + 0/1 y). The two frame parameters
+    # are mutually exclusive (r12 ADVICE): passing both would
+    # silently ignore ``df``, mislabeling a result built from a
+    # different table.
+    if (df is None) == (binned is None):
+        raise ValueError(
+            "gbt_boost takes exactly one input frame: df (fixed "
+            "equi-width bins) OR binned (a pre-binned _stump_binned-"
+            "contract frame), not both"
+        )
     if binned is None:
         binned = _stump_binned(df)
     nu = F.lit(GBT_SHRINKAGE)
@@ -2189,6 +2217,47 @@ QTL_FINE_WIDTH = 32.0
 N_QTL_BUCKETS = 10
 
 
+#: Column names the quantile family (quantile_bins /
+#: quantile_stump_multi / grouped gbt_boost) manufactures internally;
+#: a caller-supplied group column with one of these names would
+#: resolve ambiguously in the histogram windows and group-bys (the
+#: _ISO_INTERNAL_NAMES guard idiom, extended per the r12 ADVICE).
+_QTL_INTERNAL_NAMES = frozenset(
+    {"feature", "fb", "bin", "n", "pos", "cum", "nt", "post", "nl",
+     "posl", "bucket", "split_bin", "gain", "y", "p", "score", "ybar",
+     "n_left", "pos_left", "n_right", "pos_right", "is_root", "is_best",
+     "n_fine_bins", "n_rows", "lo_bin", "hi_bin", "frac",
+     "cand_nl", "cand_nt", "cand_gl", "cand_gr", "stage",
+     "gamma_left", "gamma_right"}
+)
+
+#: Per-stage carried-column patterns of the boosting loop (f1/t1/
+#: m1/gl1/... for any stage index) — reserved by prefix, like the
+#: isotonic guard's ``_ga_`` prefix rule.
+_QTL_STAGE_NAME_RE = re.compile(r"^(?:f|t|m|gl|gr|sc|nw|nr)\d+s?$")
+
+
+def _require_safe_group_cols(fn: str, group_cols) -> None:
+    """Fail with intent on group columns that collide with the
+    quantile family's internal stage names (see _QTL_INTERNAL_NAMES):
+    Spark would either error late in an ambiguous window or silently
+    bind the wrong side of a histogram group-by."""
+    bad = sorted(
+        g
+        for g in group_cols
+        if g in _QTL_INTERNAL_NAMES
+        or g.startswith("b_")
+        or g.startswith("_")
+        or _QTL_STAGE_NAME_RE.match(g)
+    )
+    if bad:
+        raise ValueError(
+            f"{fn} group_cols collide with internal stage names: {bad} "
+            f"(reserved: {sorted(_QTL_INTERNAL_NAMES)}, the 'b_'/'_' "
+            "prefixes, and per-stage names like f1/t1/m2/gl3)"
+        )
+
+
 def quantile_bins(
     df: DataFrame,
     col: str,
@@ -2238,6 +2307,7 @@ def quantile_bins(
             "quantile_bins needs width > 0, n_fine >= 1, n_buckets >= 2 "
             f"(got width={width}, n_fine={n_fine}, n_buckets={n_buckets})"
         )
+    _require_safe_group_cols("quantile_bins", group_cols)
     gc = list(group_cols)
     fine = F.greatest(
         F.lit(0),
@@ -2466,6 +2536,7 @@ def quantile_stump_multi(
             f"n_buckets >= 2 (got features={features}, n_fine={n_fine}, "
             f"n_buckets={n_buckets})"
         )
+    _require_safe_group_cols("quantile_stump_multi", group_cols)
     gc = list(group_cols)
     pairs = F.array(
         *[
@@ -2583,6 +2654,7 @@ def quantile_bucket_map(
     n_fine: int = N_QTL_FINE,
     n_buckets: int = N_QTL_BUCKETS,
     checkpoint: bool = True,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The ``(fb, bucket)`` equi-depth assignment map for one feature:
     the :func:`quantile_bins` closed form materialized as a ≤
@@ -2592,27 +2664,40 @@ def quantile_bucket_map(
     map is aggregate-sized, eagerly checkpointed (its one fine-
     histogram scan runs once, not once per boosting stage), and exact
     integers end to end — the oracle replays the identical map as a
-    CTE join."""
+    CTE join.
+
+    With ``group_cols`` the map is fit PER GROUP (every group gets
+    bucket edges adapted to its own distribution — the per-segment
+    form of :func:`quantile_bins`): the histogram and both windows
+    gain the group key, the frame grows to ≤ groups × n_fine rows
+    (still aggregate-sized for the low-cardinality segment keys this
+    serves), and the consumer's join gains the group columns."""
+    _require_safe_group_cols("quantile_bucket_map", group_cols)
+    gc = list(group_cols)
     hist = (
-        df.select(_qtl_fine(col, width, n_fine).alias("fb"))
-        .groupBy("fb")
+        df.select(*gc, _qtl_fine(col, width, n_fine).alias("fb"))
+        .groupBy(*gc, "fb")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w_cum = (
-        Window.orderBy("fb")
+        Window.partitionBy(*gc)
+        .orderBy("fb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = (
-        Window.orderBy("fb")
+        Window.partitionBy(*gc)
+        .orderBy("fb")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     c = hist.select(
+        *gc,
         "fb",
         "n",
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_all).alias("nt"),
     )
     m = c.select(
+        *gc,
         "fb",
         F.least(
             F.lit(n_buckets - 1),
@@ -2668,7 +2753,7 @@ def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_quantile_stump_binned`), so each stage's scan stays one
     data pass + three broadcast joins."""
     return gbt_boost(
-        load_table(spark, sf_dir, "lineitem"),
+        None,
         2,
         binned=_quantile_stump_binned(
             load_table(spark, sf_dir, "lineitem")
@@ -2683,7 +2768,7 @@ def lineitem_quantile_gbt3(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth knob of the LightGBM-shaped trainer exercised on adaptive
     bins."""
     return gbt_boost(
-        load_table(spark, sf_dir, "lineitem"),
+        None,
         3,
         binned=_quantile_stump_binned(
             load_table(spark, sf_dir, "lineitem")
@@ -2700,7 +2785,7 @@ def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree). One data scan per level plus the aggregate-sized map
     joins."""
     li = load_table(spark, sf_dir, "lineitem")
-    return tree_depth2(li, binned=_quantile_stump_binned(li))
+    return tree_depth2(None, binned=_quantile_stump_binned(li))
 
 
 def lineitem_status_multi_stump(
@@ -2827,13 +2912,24 @@ def _require_grid_folds(grid: DataFrame, n_folds: int) -> None:
     """Fail with intent on a caller-supplied grid fit under a
     different fold count: the (category, fold) inner join silently
     drops every row whose re-derived fold has no grid cell, so a
-    mismatched grid corrupts the consumer instead of erroring. The
-    necessary-condition check is cheap (one job over the checkpointed
-    aggregate-sized grid): a grid built with MORE folds than the
-    caller's n_folds is caught here; a grid built with fewer is
-    indistinguishable from sparse fold occupancy without schema
-    metadata — callers own that side (the registry passes one shared
-    fit)."""
+    mismatched grid corrupts the consumer instead of erroring.
+
+    A grid from :func:`target_encoding` carries its fit-time fold
+    count as the ``_enc_n_folds`` frame attribute (r12 ADVICE): that
+    path catches BOTH mismatch directions (more folds AND fewer) with
+    no Spark job. A foreign grid without the stamp falls back to the
+    necessary-condition scan (one job over the checkpointed
+    aggregate-sized grid), which can only catch the more-folds side —
+    a grid fit with fewer folds is indistinguishable from sparse fold
+    occupancy; callers of unstamped grids own that side."""
+    fitted = getattr(grid, "_enc_n_folds", None)
+    if fitted is not None:
+        if fitted != n_folds:
+            raise ValueError(
+                f"grid was fit with n_folds={fitted} but the consumer "
+                f"re-derives folds mod n_folds={n_folds}"
+            )
+        return
     max_fold = grid.agg(F.max("fold")).first()[0]
     if max_fold is not None and max_fold >= n_folds:
         raise ValueError(

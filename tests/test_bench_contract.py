@@ -183,13 +183,43 @@ def test_per_query_anchor_gate():
     # the most code-favorable calibration consistent with the recorded
     # run: the worst endpoint probe (falls back to the mean scalar for
     # pre-r10 artifacts that carry no probe list)
-    cal_hi = max(payload.get("calibration_probes") or [cal])
+    probes = payload.get("calibration_probes") or [cal]
+    cal_hi = max(probes)
+    # r15 refinement (r12 ADVICE): with mid-run probes recorded
+    # (calibration_probe_positions, bench.py probes every ~50 timed
+    # queries), a query is bracketed by its OWN segment's probe pair —
+    # the gate's code-favorability shrinks from the whole-run drift
+    # (1.7x in r12) to the local segment's. Queries run in
+    # sorted-registry order, so a query's loop position is its rank in
+    # the sorted timing map; a name missing from the current registry
+    # sort (renamed since the artifact) falls back to the global worst
+    # probe. Without positions (pre-r15 artifacts) the whole-run rule
+    # applies unchanged — its sensitivity floor is 2x + recorded
+    # drift, by documented design.
+    positions = payload.get("calibration_probe_positions")
+    loop_order = sorted(n for n in REGISTRY)
+
+    def _cal_hi_for(name: str) -> float:
+        if not positions or len(positions) != len(probes):
+            return cal_hi
+        if name in bench.PSEUDO_STAGES:
+            p = 0  # the stage build runs right after the start probe
+        elif name in loop_order:
+            p = loop_order.index(name)
+        else:
+            return cal_hi
+
+        for i in range(len(positions) - 1):
+            if positions[i] <= p < positions[i + 1]:
+                return max(probes[i], probes[i + 1])
+        return max(probes[-2:]) if len(probes) >= 2 else cal_hi
+
     breaches = []
     for name, anchor_raw in PER_QUERY_ANCHORS.items():
         got = payload["queries"].get(name)
         if got is None:
             continue  # truncated tail payloads carry only a subset
-        adj = got * (CALIBRATION_ANCHOR / cal_hi)
+        adj = got * (CALIBRATION_ANCHOR / _cal_hi_for(name))
         anchor_adj = anchor_raw * (CALIBRATION_ANCHOR / R09_ANCHOR_CAL)
         gate = max(2 * anchor_adj, PER_QUERY_GATE_FLOOR_S)
         if adj > gate:

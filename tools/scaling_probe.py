@@ -1272,7 +1272,7 @@ def main() -> None:
     )
 
     def qgbt(li):
-        return gbt_boost(li, 2, binned=_quantile_stump_binned(li))
+        return gbt_boost(None, 2, binned=_quantile_stump_binned(li))
 
     timed(lambda: qgbt(li1))
     t1 = min(timed(lambda: qgbt(li1)) for _ in range(3))
@@ -1287,7 +1287,7 @@ def main() -> None:
     from inf2106_map_reduce_spark.operators.stats import tree_depth2
 
     def qtree(li):
-        return tree_depth2(li, binned=_quantile_stump_binned(li))
+        return tree_depth2(None, binned=_quantile_stump_binned(li))
 
     timed(lambda: qtree(li1))
     t1 = min(timed(lambda: qtree(li1)) for _ in range(3))
@@ -1377,7 +1377,7 @@ def main() -> None:
     # K = 3 boosting on adaptive bins — the depth knob on the
     # quantile bridge (expect the fixed-bin K-curve's cost model)
     def qgbt3(li):
-        return gbt_boost(li, 3, binned=_quantile_stump_binned(li))
+        return gbt_boost(None, 3, binned=_quantile_stump_binned(li))
 
     timed(lambda: qgbt3(li1))
     t1 = min(timed(lambda: qgbt3(li1)) for _ in range(3))
