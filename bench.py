@@ -163,6 +163,8 @@ HEADLINE = (
     "streaming_upsert_retention",
     "lineitem_status_encoding_stump",
     "lineitem_quantile_gbt3",
+    # round-15 new families
+    "lineitem_status_quantile_gbt",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

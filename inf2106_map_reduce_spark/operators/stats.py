@@ -2021,7 +2021,10 @@ def lineitem_gbt_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gbt_boost(
-    df: DataFrame | None, n_stages: int, binned: DataFrame | None = None
+    df: DataFrame | None,
+    n_stages: int,
+    binned: DataFrame | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
@@ -2059,9 +2062,26 @@ def gbt_boost(
     Returns one row per stage: ``(stage, feature, split_bin, n_left,
     n_right, gamma_left, gamma_right, score)``, γ rounded to 9,
     ranking by the rounded-9 score with (feature, split_bin)
-    tie-break."""
+    tie-break.
+
+    With ``group_cols`` the WHOLE recursion runs per group (the
+    per-segment trainer a partitioned population gets): the group key
+    rides every histogram group-by and cumulative window, each group
+    elects its own stage-k winner (the rank window partitions by
+    group), and stage k's scan joins the per-group winner frame back
+    by the group key — a broadcast hash join against a ≤ |groups|-row
+    frame instead of the 1-row crossJoin scalar. Still exactly K data
+    scans; the per-group histogram partitions are MORE parallel than
+    the global form, never less (one segment's skew cannot serialize
+    another's epilogue). The caller supplies a ``binned`` frame that
+    carries the group columns (grouped :func:`_quantile_stump_binned`
+    for per-group adaptive bucket grids, or any _stump_binned-contract
+    frame with the group key attached). Output gains the group
+    columns: one row per (group..., stage)."""
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
+    _require_safe_group_cols("gbt_boost", group_cols)
+    gc = list(group_cols)
     names = [name for name, *_ in STUMP_BINS]
     # ``binned`` swaps the bin DEFINITION (e.g. the equi-depth
     # bucket maps of _quantile_stump_binned) while the recursion,
@@ -2091,7 +2111,10 @@ def gbt_boost(
     winner: DataFrame | None = None
     for k in range(1, n_stages + 1):
         if k == 1:
-            cur, carry, mem_cols = binned, [], []
+            # the group key is carried from stage 1 (it partitions
+            # every histogram and window below exactly like the
+            # winner's carried columns do at k > 1)
+            cur, carry, mem_cols = binned, list(gc), []
         else:
             mems = []
             for i in range(1, k):
@@ -2104,7 +2127,15 @@ def gbt_boost(
                 mems.append(is_left.cast("int").alias(f"m{i}"))
             carry = list(winner.columns)
             mem_cols = [f"m{i}" for i in range(1, k)]
-            cur = binned.crossJoin(F.broadcast(winner)).select(
+            # grouped: equi-join the per-group winner frame back by
+            # the group key (broadcast — ≤ |groups| rows); ungrouped:
+            # the 1-row crossJoin scalar
+            staged_in = (
+                binned.join(F.broadcast(winner), gc)
+                if gc
+                else binned.crossJoin(F.broadcast(winner))
+            )
+            cur = staged_in.select(
                 *carry, *mems, *[f"b_{name}" for name in names], "y"
             )
         hist = (
@@ -2150,7 +2181,10 @@ def gbt_boost(
         if k == 1:
             staged_cols.append(yb.alias("ybar"))
         s = cum.select(*staged_cols)
-        w_glob = Window.orderBy(
+        # grouped: each group elects its own stage winner; ungrouped:
+        # the unpartitioned window runs over the histogram-sized
+        # candidate frame only (the accepted idiom)
+        w_glob = Window.partitionBy(*gc).orderBy(
             F.col("score").desc(), "feature", "split_bin"
         )
         keep = [c for c in carry if c != "ybar"]
@@ -2186,7 +2220,9 @@ def gbt_boost(
             for k in range(1, n_stages + 1)
         ]
     )
-    return winner.select(F.explode(rows).alias("s")).select("s.*")
+    return winner.select(*gc, F.explode(rows).alias("s")).select(
+        *gc, "s.*"
+    )
 
 
 def lineitem_gbt_stages3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2711,6 +2747,7 @@ def _quantile_stump_binned(
     df: DataFrame,
     features: tuple[tuple[str, str, float], ...] = QSTUMP_FEATURES,
     checkpoint: bool = True,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The :func:`_stump_binned` contract (``b_qty/b_disc/b_price``
     plus the 0/1 label) with EQUI-DEPTH buckets instead of the fixed
@@ -2718,8 +2755,16 @@ def _quantile_stump_binned(
     broadcast join against its :func:`quantile_bucket_map` (inner
     join loses nothing — every row's fine bin exists in the map by
     construction: same expression, same data). Drop-in binned input
-    for :func:`gbt_boost`."""
+    for :func:`gbt_boost`.
+
+    With ``group_cols`` each group gets its OWN per-feature bucket
+    maps (edges fit to the group's distributions — the per-segment
+    binning of grouped :func:`quantile_bucket_map`) and the map joins
+    gain the group key; the output carries the group columns, the
+    grouped-:func:`gbt_boost` input contract."""
+    gc = list(group_cols)
     out = df.select(
+        *gc,
         *[
             _qtl_fine(col, w).alias(f"_fb_{name}")
             for name, col, w in features
@@ -2727,18 +2772,21 @@ def _quantile_stump_binned(
         F.expr(_STUMP_LABEL_SQL).alias("y"),
     )
     for name, col, w in features:
-        m = quantile_bucket_map(df, col, w, checkpoint=checkpoint)
+        m = quantile_bucket_map(
+            df, col, w, checkpoint=checkpoint, group_cols=group_cols
+        )
         out = out.join(
             F.broadcast(
                 m.select(
+                    *gc,
                     F.col("fb").alias(f"_fb_{name}"),
                     F.col("bucket").alias(f"b_{name}"),
                 )
             ),
-            f"_fb_{name}",
+            [*gc, f"_fb_{name}"],
         )
     return out.select(
-        *[f"b_{name}" for name, *_ in STUMP_BINS], "y"
+        *gc, *[f"b_{name}" for name, *_ in STUMP_BINS], "y"
     )
 
 
@@ -2786,6 +2834,32 @@ def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins."""
     li = load_table(spark, sf_dir, "lineitem")
     return tree_depth2(None, binned=_quantile_stump_binned(li))
+
+
+def lineitem_status_quantile_gbt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the quantile-binned booster PER SEGMENT
+    (l_linestatus) — the grouped leg of the trainer family (SURVEY
+    §7.9): each segment fits its OWN equi-depth bucket maps to its
+    own feature distributions (grouped :func:`quantile_bucket_map`)
+    and runs its OWN two-stage closed-form residual recursion
+    (grouped :func:`gbt_boost` — per-segment histograms, windows,
+    and stage winners; stage scans join the per-segment winner frame
+    by the segment key). Definitionally equal to running the global
+    trainer on each segment's filtered slice — pinned in tests —
+    while still paying exactly one data scan per stage for ALL
+    segments. Segment key aliased ``seg``, the per-segment family's
+    column contract."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    return gbt_boost(
+        None,
+        2,
+        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        group_cols=("seg",),
+    )
 
 
 def lineitem_status_multi_stump(

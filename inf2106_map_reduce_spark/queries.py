@@ -6190,34 +6190,43 @@ def _qtl_fine_sql(col: str, width: float) -> str:
     )
 
 
-def _quantile_binned_base_cte() -> str:
+def _quantile_binned_base_cte(seg_sql: str | None = None) -> str:
     """The ``base`` CTE chain for the quantile-binned GBT: per-feature
     ``(fb, bucket)`` equi-depth maps (the quantile closed form) joined
     back to each row's fine bin — mirrors
-    ``stats._quantile_stump_binned`` exactly."""
+    ``stats._quantile_stump_binned`` exactly. ``seg_sql`` (a column
+    expression, e.g. ``l_linestatus``) renders the PER-SEGMENT form
+    from the same template: the segment key groups each fine
+    histogram, partitions the rank windows, and keys the map joins —
+    grouped ``quantile_bucket_map`` term for term."""
+    sel = "seg, " if seg_sql else ""
+    part = "PARTITION BY seg " if seg_sql else ""
+    segdef = f"{seg_sql} AS seg, " if seg_sql else ""
     parts = []
     joins = []
     row_sel = []
     for name, col, w in stats.QSTUMP_FEATURES:
         parts.append(
             f"""qh_{name} AS (
-      SELECT {_qtl_fine_sql(col, w)} AS fb, COUNT(*) AS n
-      FROM lineitem GROUP BY fb
+      SELECT {segdef}{_qtl_fine_sql(col, w)} AS fb, COUNT(*) AS n
+      FROM lineitem GROUP BY {sel}fb
     ),
     qm_{name} AS (
-      SELECT fb, LEAST({stats.N_QTL_BUCKETS - 1},
+      SELECT {sel}fb, LEAST({stats.N_QTL_BUCKETS - 1},
                CAST(((cum - n) * {stats.N_QTL_BUCKETS}) // nt
                     AS INT)) AS bucket
-      FROM (SELECT fb, n,
-                   SUM(n) OVER (ORDER BY fb ROWS BETWEEN UNBOUNDED
+      FROM (SELECT {sel}fb, n,
+                   SUM(n) OVER ({part}ORDER BY fb ROWS BETWEEN UNBOUNDED
                      PRECEDING AND CURRENT ROW) AS cum,
-                   SUM(n) OVER () AS nt
+                   SUM(n) OVER ({part}) AS nt
             FROM qh_{name})
     )"""
         )
         row_sel.append(f"{_qtl_fine_sql(col, w)} AS fb_{name}")
         joins.append(
-            f"JOIN qm_{name} m_{name} ON m_{name}.fb = r.fb_{name}"
+            f"JOIN qm_{name} m_{name} ON "
+            + (f"m_{name}.seg = r.seg AND " if seg_sql else "")
+            + f"m_{name}.fb = r.fb_{name}"
         )
     bucket_sel = ", ".join(
         f"m_{name}.bucket AS b_{name}"
@@ -6226,8 +6235,8 @@ def _quantile_binned_base_cte() -> str:
     glue = ",\n    "
     return f"""{glue.join(parts)},
     base AS (
-      SELECT {bucket_sel}, r.y
-      FROM (SELECT {", ".join(row_sel)},
+      SELECT {"r.seg, " if seg_sql else ""}{bucket_sel}, r.y
+      FROM (SELECT {segdef}{", ".join(row_sel)},
                    {stats._STUMP_LABEL_SQL} AS y
             FROM lineitem) r
       {" ".join(joins)}
@@ -6276,7 +6285,9 @@ def _upsert_retention_oracle() -> str:
     """
 
 
-def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
+def _gbt_boost_oracle(
+    n_stages: int, base_cte: str | None = None, seg: bool = False
+) -> str:
     """Oracle for the K-stage booster (stats.gbt_boost): a uniform CTE
     chain per stage mirroring the Spark loop exactly — stage k's left/
     total residual sums are the identical left-associated expression
@@ -6287,9 +6298,16 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
     oracle mirrors its own function, see gbt_boost's docstring).
     ``base_cte`` swaps the bin definition (the quantile-binned
     variant) while the stage chain stays identical — the oracle-side
-    twin of gbt_boost's ``binned`` parameter."""
+    twin of gbt_boost's ``binned`` parameter. ``seg=True`` renders the
+    PER-SEGMENT form from the same template (the grouped-gbt_boost
+    twin): the base CTE must then carry a ``seg`` column; the key
+    rides every group-by and carry list, partitions every window, and
+    keys the stage joins (equi-join on seg instead of the 1-row
+    cross join) — one definition, both entries."""
     feats = [name for name, *_ in stats.STUMP_BINS]
     nu = f"CAST({stats.GBT_SHRINKAGE} AS DOUBLE)"
+    wpart = "seg, " if seg else ""
+    segpart = "PARTITION BY seg " if seg else ""
     ctes = [
         base_cte
         if base_cte is not None
@@ -6302,7 +6320,7 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
     )"""
     ]
     for k in range(1, n_stages + 1):
-        carry: list[str] = []
+        carry: list[str] = ["seg"] if seg else []
         for i in range(1, k):
             carry += [
                 f"f{i}", f"t{i}", f"nw{i}", f"nr{i}",
@@ -6324,11 +6342,16 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
                 + f" THEN 1 ELSE 0 END AS m{i}"
                 for i in range(1, k)
             )
+            stage_join = (
+                f"FROM base b JOIN w{k - 1} w ON w.seg = b.seg"
+                if seg
+                else f"FROM base b, w{k - 1} w"
+            )
             ctes.append(
                 f"""st{k} AS (
       SELECT w.*, b.b_qty, b.b_disc, b.b_price, b.y,
              {mem_defs}
-      FROM base b, w{k - 1} w
+      {stage_join}
     )"""
             )
             src = f"st{k}"
@@ -6355,19 +6378,19 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
     )"""
         )
         mem_wins = "".join(
-            f",\n             SUM(m{i}s) OVER (PARTITION BY feature"
+            f",\n             SUM(m{i}s) OVER (PARTITION BY {wpart}feature"
             f" ORDER BY bin) AS m{i}sl"
-            f",\n             SUM(m{i}s) OVER (PARTITION BY feature)"
+            f",\n             SUM(m{i}s) OVER (PARTITION BY {wpart}feature)"
             f" AS m{i}st"
             for i in range(1, k)
         )
         ctes.append(
             f"""c{k} AS (
       SELECT {pre}feature, bin AS split_bin,
-             SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
-             SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
-             SUM(n) OVER (PARTITION BY feature) AS nt,
-             SUM(pos) OVER (PARTITION BY feature) AS post{mem_wins}
+             SUM(n) OVER (PARTITION BY {wpart}feature ORDER BY bin) AS nl,
+             SUM(pos) OVER (PARTITION BY {wpart}feature ORDER BY bin) AS posl,
+             SUM(n) OVER (PARTITION BY {wpart}feature) AS nt,
+             SUM(pos) OVER (PARTITION BY {wpart}feature) AS post{mem_wins}
       FROM h{k}
     )"""
         )
@@ -6396,15 +6419,17 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
       SELECT {keep_sql}feature AS f{k}, split_bin AS t{k},
              nl AS nw{k}, nt - nl AS nr{k}, score AS sc{k},
              cand_gl AS gl{k}, cand_gr AS gr{k}, ybar
-      FROM (SELECT *, ROW_NUMBER() OVER (
+      FROM (SELECT *, ROW_NUMBER() OVER ({segpart}
               ORDER BY score DESC, feature, split_bin) AS rg
             FROM s{k})
       WHERE rg = 1
     )"""
         )
+    segsel = "seg, " if seg else ""
     stage_rows = " UNION ALL ".join(
         (
-            f"SELECT {k} AS stage, f{k} AS feature, t{k} AS split_bin,"
+            f"SELECT {segsel}{k} AS stage, f{k} AS feature,"
+            f" t{k} AS split_bin,"
             f" nw{k} AS n_left, nr{k} AS n_right,"
             f" ROUND(gl{k}, 9) AS gamma_left,"
             f" ROUND(gr{k}, 9) AS gamma_right, sc{k} AS score"
@@ -6412,7 +6437,8 @@ def _gbt_boost_oracle(n_stages: int, base_cte: str | None = None) -> str:
         )
         if k == 1
         else (
-            f"SELECT {k}, f{k}, t{k}, nw{k}, nr{k}, ROUND(gl{k}, 9),"
+            f"SELECT {segsel}{k}, f{k}, t{k}, nw{k}, nr{k},"
+            f" ROUND(gl{k}, 9),"
             f" ROUND(gr{k}, 9), sc{k} FROM w{n_stages}"
         )
         for k in range(1, n_stages + 1)
@@ -7117,6 +7143,21 @@ REGISTRY.update(
             "marks where the shared encoding stops transferring)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_status_quantile_gbt": QuerySpec(
+            stats.lineitem_status_quantile_gbt,
+            _gbt_boost_oracle(
+                2,
+                base_cte=_quantile_binned_base_cte(seg_sql="l_linestatus"),
+                seg=True,
+            ),
+            "the quantile-binned two-stage booster PER SEGMENT "
+            "(l_linestatus): each segment fits its own equi-depth "
+            "bucket maps and elects its own stage winners — the "
+            "grouped leg of the trainer family, definitionally equal "
+            "to the global trainer on each segment's filtered slice "
+            "while paying one data scan per stage for all segments",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "lineitem_quantile_gbt3": QuerySpec(
             stats.lineitem_quantile_gbt3,
             _gbt_boost_oracle(3, base_cte=_quantile_binned_base_cte()),
@@ -7366,7 +7407,12 @@ ROTATION_STRIDE = 33
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 #: Round-15 block (§7.9 candidates, budget in the ROTATION_STRIDE
 #: comment) — names are appended as each entry lands.
-_ROUND_PRIORITY: tuple[str, ...] = ()
+_ROUND_PRIORITY: tuple[str, ...] = (
+    # per-segment quantile-binned boosting — the grouped leg of the
+    # trainer family (per-segment adaptive maps + per-segment stage
+    # winners via group_cols through the same closed forms)
+    "lineitem_status_quantile_gbt",
+)
 
 #: The round-14 priority block (12 names) as retired at round-15
 #: open: CORRECTNESS_r12 carries a fully-green hard row for every

@@ -1386,6 +1386,28 @@ def main() -> None:
         f"  quantile-binned GBT (3 stages): {t1:.3f}s -> {tk:.3f}s  "
         f"ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # Per-segment quantile GBT (round 15): grouped bucket maps +
+    # grouped stage winners — still one scan per stage for ALL
+    # segments, per-group histogram partitions (more parallel than
+    # the global form); expect the qgbt rows' curve
+    def sqgbt(li):
+        seg = li.withColumn("seg", F.col("l_linestatus"))
+        return gbt_boost(
+            None,
+            2,
+            binned=_quantile_stump_binned(seg, group_cols=("seg",)),
+            group_cols=("seg",),
+        )
+
+    timed(lambda: sqgbt(li1))
+    t1 = min(timed(lambda: sqgbt(li1)) for _ in range(3))
+    tk = min(timed(lambda: sqgbt(lik)) for _ in range(3))
+    print(
+        f"  per-segment quantile GBT (2 stages): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; grouped "
+        f"maps + grouped winners, one scan per stage)"
+    )
     spark.stop()
 
 
