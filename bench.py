@@ -70,6 +70,7 @@ WARMUP = (
     "streaming_dlq_retention",
     "streaming_upsert_vacuum",
     "streaming_upsert_retention",
+    "streaming_upsert_group_retention",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -165,6 +166,7 @@ HEADLINE = (
     "lineitem_quantile_gbt3",
     # round-15 new families
     "lineitem_status_quantile_gbt",
+    "streaming_upsert_group_retention",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6285,6 +6285,57 @@ def _upsert_retention_oracle() -> str:
     """
 
 
+def _grouped_upsert_retention_oracle() -> str:
+    """Oracle for the grouped (per-key-range) time-travel retention:
+    derives, entirely from the span-staging closed form, (a) which
+    (group, version) partitions EXIST (a group writes version v iff
+    span v contains one of its rows), (b) the per-group keep-last-R
+    retention split (a rank over each group's own write set — robust
+    to sparse touching, no literal version lists), and (c) every
+    retained partition's contents (group g's snapshot at v == the
+    running aggregate of spans 0..v restricted to user_id % G = g).
+    user_id is non-negative in the corpus, so ``%`` matches Spark's
+    pmod-free ``%`` exactly."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    keep = stream_windows.UPSERT_KEEP_VERSIONS
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts, CAST(user_id % {g} AS INT) AS grp,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    ),
+    wrote AS (SELECT DISTINCT grp, span AS v FROM sp),
+    ranked AS (
+      SELECT grp, v,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC) AS rk
+      FROM wrote
+    ),
+    ret AS (SELECT grp, v FROM ranked WHERE rk <= {keep}),
+    vac AS (SELECT grp, v FROM ranked WHERE rk > {keep}),
+    ret_user AS (
+      SELECT r.grp, r.v, s.user_id, COUNT(*) AS n, MAX(s.ts) AS mx
+      FROM ret r JOIN sp s ON s.grp = r.grp AND s.span <= r.v
+      GROUP BY r.grp, r.v, s.user_id
+    )
+    SELECT 'vacuumed' AS disposition, grp AS g, v AS version,
+           CAST(NULL AS BIGINT) AS n_keys,
+           CAST(NULL AS BIGINT) AS sum_n_events,
+           CAST(NULL AS TIMESTAMP) AS max_last_ts
+    FROM vac
+    UNION ALL
+    SELECT 'retained', grp, v, COUNT(*), CAST(SUM(n) AS BIGINT),
+           MAX(mx)
+    FROM ret_user GROUP BY grp, v
+    """
+
+
 def _gbt_boost_oracle(
     n_stages: int, base_cte: str | None = None, seg: bool = False
 ) -> str:
@@ -7178,6 +7229,19 @@ REGISTRY.update(
             "spans 0..v)",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_group_retention": QuerySpec(
+            stream_windows.streaming_upsert_group_retention,
+            _grouped_upsert_retention_oracle(),
+            "grouped (per-key-range) time-travel retention over the "
+            "PARTITION-SCOPED merge-upsert sink: each batch writes "
+            "only the key-group partitions its delta touches, each "
+            "group keeps the trailing 2 versions of its own write "
+            "history, and every retained (group, version) partition "
+            "is audited from disk and replayed by the oracle from "
+            "the span closed form — the lakehouse partitioned-VACUUM "
+            "shape over plain parquet",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_dlq_retention": QuerySpec(
             stream_windows.streaming_dlq_retention,
             f"""
@@ -7412,6 +7476,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # trainer family (per-segment adaptive maps + per-segment stage
     # winners via group_cols through the same closed forms)
     "lineitem_status_quantile_gbt",
+    # grouped time-travel retention — partition-scoped versioning
+    # (each batch writes only touched key-group partitions; per-group
+    # keep-last-R over each group's own write history)
+    "streaming_upsert_group_retention",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

@@ -581,27 +581,35 @@ def backfill_lag_over(
 # ---------------------------------------------------------------------------
 
 
-def merge_latest(cur: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_latest(
+    cur: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
     """MERGE semantics for the per-user latest-table: full-outer on
     the key; counts accumulate, first/last timestamps take the
     null-skipping extremes (Spark's least/greatest ignore NULLs, so
     insert-new-key and update-existing collapse into one expression).
     Pure column algebra — the same transform serves every batch and
-    the idempotence test."""
+    the idempotence test. ``keys`` widens the merge key (the grouped
+    retention entry merges on (g, user_id) so the key-group column
+    survives the full-outer as a join key, never a NULL-able side
+    column)."""
+    ks = list(keys)
     c = cur.select(
-        F.col("user_id"),
+        *ks,
         F.col("n_events").alias("_cn"),
         F.col("first_ts").alias("_cf"),
         F.col("last_ts").alias("_cl"),
     )
     d = delta.select(
-        F.col("user_id"),
+        *ks,
         F.col("n_events").alias("_dn"),
         F.col("first_ts").alias("_df"),
         F.col("last_ts").alias("_dl"),
     )
-    return c.join(d, "user_id", "full_outer").select(
-        "user_id",
+    return c.join(d, ks, "full_outer").select(
+        *ks,
         (
             F.coalesce(F.col("_cn"), F.lit(0))
             + F.coalesce(F.col("_dn"), F.lit(0))
@@ -865,6 +873,215 @@ def streaming_upsert_retention(
                 "max_last_ts",
             )
         )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+#: Key-group count for the GROUPED (partition-scoped) retention
+#: entry: the latest-table is hash-partitioned by ``user_id %
+#: UPSERT_KEY_GROUPS`` (user_id is non-negative in the corpus, so
+#: ``%`` and pmod agree across engines) and every version snapshot,
+#: overwrite, and retention decision is scoped to one key-group
+#: partition. 4 groups keeps the test-scale audit readable; at 100 TB
+#: the same code runs with thousands of groups (the partition count
+#: of the serving table).
+UPSERT_KEY_GROUPS = 4
+
+
+def _grouped_upsert_drain_from(
+    spark: SparkSession, src: str, n_groups: int = UPSERT_KEY_GROUPS
+) -> tuple[str, int]:
+    """The PARTITION-SCOPED versioned merge-upsert drain — the
+    at-scale shape :func:`streaming_upsert_vacuum`'s docstring
+    describes ("overwrite only the key partitions the delta
+    touches"), made concrete: the serving table lives at
+    ``root/v=<epoch>/g=<group>`` and batch ``e`` writes ONLY the
+    key-group partitions its delta touches — each touched group's new
+    snapshot merges the group's delta into that group's LATEST
+    EXISTING snapshot (any version < e, not necessarily e−1: an
+    untouched group's state simply does not advance). Reconstructing
+    "the table as of e" is, per group, the newest version ≤ e that
+    wrote the group — the lakehouse time-travel read path over plain
+    parquet.
+
+    The touched-group list is a bounded driver collect (≤ n_groups
+    rows — the adjudicated bounded-probe idiom); which prior version
+    holds each group's state is driver-side directory metadata. Both
+    are metastore-shaped costs, never data.
+
+    Returns ``(table_root, last_epoch)``."""
+    table_root = tempfile.mkdtemp(prefix="upsert_grouped_")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+    )
+    empty = spark.createDataFrame(
+        [],
+        "g int, user_id bigint, n_events bigint, "
+        "first_ts timestamp, last_ts timestamp",
+    )
+
+    def _latest_dir_for(g: int, before: int) -> str | None:
+        versions = sorted(
+            (
+                int(n.split("=", 1)[1])
+                for n in os.listdir(table_root)
+                if n.startswith("v=")
+                and os.path.isdir(
+                    os.path.join(table_root, n, f"g={g}")
+                )
+                and int(n.split("=", 1)[1]) < before
+            ),
+            reverse=True,
+        )
+        return (
+            os.path.join(table_root, f"v={versions[0]}", f"g={g}")
+            if versions
+            else None
+        )
+
+    def _merge_batch(batch_df, epoch):
+        delta = (
+            batch_df.withColumn(
+                "g", (F.col("user_id") % UPSERT_KEY_GROUPS).cast("int")
+            )
+            .groupBy("g", "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+        touched = sorted(
+            r[0] for r in delta.select("g").distinct().collect()
+        )
+        if not touched:
+            return  # an empty micro-batch advances no partition
+        parts = [empty]
+        for g in touched:
+            d = _latest_dir_for(g, epoch)
+            if d is not None:
+                parts.append(
+                    spark.read.parquet(d).select(
+                        F.lit(g).cast("int").alias("g"),
+                        "user_id",
+                        "n_events",
+                        "first_ts",
+                        "last_ts",
+                    )
+                )
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.unionByName(p)
+        merged = merge_latest(cur, delta, keys=("g", "user_id"))
+        merged.repartition(1).write.partitionBy("g").mode(
+            "overwrite"
+        ).parquet(f"{table_root}/v={epoch}")
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(table_root)
+        if name.startswith("v=")
+    )
+    return table_root, last
+
+
+def streaming_upsert_group_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: GROUPED (per-key-range) time-travel retention
+    over the partition-scoped merge-upsert sink — the at-scale
+    generalization of :func:`streaming_upsert_retention` (SURVEY
+    §7.9): the serving table is hash-partitioned into
+    :data:`UPSERT_KEY_GROUPS` key groups, each version snapshot holds
+    only the key-group partitions its batch touched, and the
+    retention policy runs PER GROUP — each group keeps the trailing
+    :data:`UPSERT_KEEP_VERSIONS` versions OF ITS OWN WRITE HISTORY
+    (a group untouched by a batch has no snapshot at that version to
+    age: retention windows are per-partition, exactly like lakehouse
+    VACUUM over a partitioned table). Aged (group, version) partition
+    directories are deleted; the audit carries one row per (group,
+    version): retained partitions summarized FROM DISK (keys, merged
+    events, newest timestamp — each surviving snapshot proven
+    intact), vacuumed ones by id with NULL contents.
+
+    Oracle-exactness: group ``g``'s snapshot at version ``v`` is by
+    construction the running aggregate of spans ``0..v`` restricted
+    to ``user_id % G = g``, a group writes version ``v`` iff span
+    ``v`` contains at least one of its rows, and the per-group
+    keep-last-R window is a rank over exactly that write set — all
+    derivable in SQL from the span-staging closed form
+    (``span = (unix_micros(ts) − min) // step``, the single
+    definition in :func:`stream_stateful.stage_session_spans`), so
+    DuckDB replays every retained partition's contents and BOTH
+    retention sets without seeing a sink file, dense or sparse
+    touching alike.
+
+    Scale: deletion is driver/metastore metadata (partition dirs);
+    the audit scans only retained partitions; per batch the merge
+    reads only touched groups' latest snapshots — the partition-
+    scoped write amplification a 100 TB serving table requires
+    (a full-table rewrite per version is the thing this entry
+    retires)."""
+    src = _upsert_retention_source(spark, sf_dir)
+    table_root, last = _grouped_upsert_drain_from(spark, src)
+    wrote: dict[int, list[int]] = {}
+    for name in sorted(os.listdir(table_root)):
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        for sub in os.listdir(os.path.join(table_root, name)):
+            if sub.startswith("g="):
+                wrote.setdefault(int(sub.split("=", 1)[1]), []).append(v)
+    parts = []
+    for g, versions in sorted(wrote.items()):
+        versions = sorted(versions)
+        keep = set(versions[-UPSERT_KEEP_VERSIONS:])
+        for v in versions:
+            gdir = os.path.join(table_root, f"v={v}", f"g={g}")
+            if v not in keep:
+                shutil.rmtree(gdir)
+                parts.append(
+                    spark.range(1).select(
+                        F.lit("vacuumed").alias("disposition"),
+                        F.lit(g).alias("g"),
+                        F.lit(v).alias("version"),
+                        F.lit(None).cast("bigint").alias("n_keys"),
+                        F.lit(None).cast("bigint").alias("sum_n_events"),
+                        F.lit(None).cast("timestamp").alias("max_last_ts"),
+                    )
+                )
+            else:
+                snap = spark.read.parquet(gdir)
+                parts.append(
+                    snap.agg(
+                        F.count(F.lit(1)).alias("n_keys"),
+                        F.sum("n_events").cast("bigint").alias(
+                            "sum_n_events"
+                        ),
+                        F.max("last_ts").alias("max_last_ts"),
+                    ).select(
+                        F.lit("retained").alias("disposition"),
+                        F.lit(g).alias("g"),
+                        F.lit(v).alias("version"),
+                        "n_keys",
+                        "sum_n_events",
+                        "max_last_ts",
+                    )
+                )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

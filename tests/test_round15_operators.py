@@ -124,3 +124,127 @@ def test_grouped_gbt_rejects_reserved_group_cols(spark, sf_oracle):
     binned = stats._stump_binned(li).withColumn("f1", F.lit("x"))
     with pytest.raises(ValueError, match="collide with internal"):
         stats.gbt_boost(None, 2, binned=binned, group_cols=("f1",))
+
+
+# ---------------------------------------------------------------------------
+# Grouped (per-key-range) time-travel retention
+# ---------------------------------------------------------------------------
+
+
+import os
+
+from inf2106_map_reduce_spark.streaming import windows as stream_windows
+
+
+def test_group_retention_prefix_state_is_monotone(spark, sf_oracle):
+    """Per group, snapshot v is the running aggregate of spans 0..v:
+    retained versions must be monotone in keys and event counts, the
+    newest retained snapshot must equal the group's one-shot batch
+    aggregate, and each group keeps at most UPSERT_KEEP_VERSIONS
+    versions of its own write history."""
+    rows = stream_windows.streaming_upsert_group_retention(
+        spark, sf_oracle
+    ).collect()
+    ev = load_table(spark, sf_oracle, "events").withColumn(
+        "g",
+        (F.col("user_id") % stream_windows.UPSERT_KEY_GROUPS).cast("int"),
+    )
+    want = {
+        r["g"]: (r["n_keys"], r["sum_n_events"], r["max_last_ts"])
+        for r in ev.groupBy("g")
+        .agg(
+            F.countDistinct("user_id").alias("n_keys"),
+            F.count(F.lit(1)).alias("sum_n_events"),
+            F.max("ts").alias("max_last_ts"),
+        )
+        .collect()
+    }
+    groups = {r["g"] for r in rows}
+    assert groups == set(want)
+    for g in groups:
+        ret = sorted(
+            (r for r in rows if r["g"] == g and
+             r["disposition"] == "retained"),
+            key=lambda r: r["version"],
+        )
+        assert 1 <= len(ret) <= stream_windows.UPSERT_KEEP_VERSIONS
+        for a, b in zip(ret, ret[1:]):
+            assert a["n_keys"] <= b["n_keys"]
+            assert a["sum_n_events"] <= b["sum_n_events"]
+            assert a["max_last_ts"] <= b["max_last_ts"]
+        newest = ret[-1]
+        assert (
+            newest["n_keys"],
+            newest["sum_n_events"],
+            newest["max_last_ts"],
+        ) == want[g]
+        # vacuumed versions strictly precede every retained one
+        vac = [r["version"] for r in rows
+               if r["g"] == g and r["disposition"] == "vacuumed"]
+        assert all(v < ret[0]["version"] for v in vac)
+
+
+def test_group_retention_layout_is_partition_scoped(spark, sf_oracle):
+    """The drain writes version snapshots partitioned by key group
+    (v=<e>/g=<grp> directories), and each group's snapshot at its
+    latest version <= e equals the running aggregate of the staged
+    span files 0..e for that group — the time-travel read path."""
+    src = stream_windows._upsert_retention_source(spark, sf_oracle)
+    root, last = stream_windows._grouped_upsert_drain_from(spark, src)
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(root)
+        if n.startswith("v=")
+    )
+    assert versions[-1] == last
+    # every version dir holds only g=<int> partition dirs
+    for v in versions:
+        subs = sorted(os.listdir(os.path.join(root, f"v={v}")))
+        gdirs = [s for s in subs if s.startswith("g=")]
+        assert gdirs, (v, subs)
+        for s in gdirs:
+            int(s.split("=", 1)[1])
+    # time-travel read: pick the middle version; per group, the
+    # latest snapshot <= v must equal the one-shot aggregate of the
+    # span files 0..v restricted to the group
+    mid = versions[len(versions) // 2]
+    spans = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[: mid + 1]
+    ev = spark.read.parquet(*[os.path.join(src, f) for f in spans])
+    want = {
+        (r["g"], r["user_id"]): (r["n"], r["first_ts"], r["last_ts"])
+        for r in ev.withColumn(
+            "g",
+            (F.col("user_id") % stream_windows.UPSERT_KEY_GROUPS)
+            .cast("int"),
+        )
+        .groupBy("g", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    got = {}
+    for gdir in sorted(os.listdir(os.path.join(root, f"v={mid}"))):
+        if not gdir.startswith("g="):
+            continue
+        g = int(gdir.split("=", 1)[1])
+        # dense or sparse: the group's state as of mid is its newest
+        # snapshot at version <= mid
+        best = max(
+            v for v in versions
+            if v <= mid
+            and os.path.isdir(os.path.join(root, f"v={v}", f"g={g}"))
+        )
+        snap = spark.read.parquet(
+            os.path.join(root, f"v={best}", f"g={g}")
+        )
+        for r in snap.collect():
+            got[(g, r["user_id"])] = (
+                r["n_events"], r["first_ts"], r["last_ts"],
+            )
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert set(got) == set(want)

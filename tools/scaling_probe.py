@@ -1351,6 +1351,53 @@ def main() -> None:
         f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
 
+    # Grouped (partition-scoped) retention (round 15): the drain
+    # writes only touched key-group partitions per version; retention
+    # is per group over its own write history — expect the flat
+    # retention curve (per-batch merge reads are partition-scoped,
+    # deletion is driver metadata)
+    from inf2106_map_reduce_spark.streaming.windows import (
+        _grouped_upsert_drain_from,
+    )
+
+    def run_group_retention(src: str) -> float:
+        import shutil as _sh
+
+        t0 = time.perf_counter()
+        root, _last = _grouped_upsert_drain_from(spark, src)
+        wrote: dict[int, list[int]] = {}
+        for nm in sorted(os.listdir(root)):
+            if not nm.startswith("v="):
+                continue
+            v = int(nm.split("=", 1)[1])
+            for sub in os.listdir(os.path.join(root, nm)):
+                if sub.startswith("g="):
+                    wrote.setdefault(
+                        int(sub.split("=", 1)[1]), []
+                    ).append(v)
+        for g, vers in sorted(wrote.items()):
+            vers = sorted(vers)
+            keepset = set(vers[-UPSERT_KEEP_VERSIONS:])
+            for v in vers:
+                gdir = os.path.join(root, f"v={v}", f"g={g}")
+                if v not in keepset:
+                    _sh.rmtree(gdir)
+                else:
+                    spark.read.parquet(gdir).agg(
+                        F.count(F.lit(1)),
+                        F.sum("n_events"),
+                        F.max("last_ts"),
+                    ).collect()
+        return time.perf_counter() - t0
+
+    run_group_retention(sr1)
+    t1 = min(run_group_retention(sr1) for _ in range(2))
+    tk = min(run_group_retention(srk) for _ in range(2))
+    print(
+        f"  grouped partition-scoped retention (8x keys): {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
     # Per-segment encoding stump: the encoding apply + per-segment
     # split search (grid unsplit) — tracks the audit family
     def ses(li):
