@@ -68,6 +68,7 @@ WARMUP = (
     "streaming_dlq_split",
     "streaming_dlq_redrive",
     "streaming_dlq_retention",
+    "streaming_dlq_age_retention",
     "streaming_upsert_vacuum",
     "streaming_upsert_retention",
     "streaming_upsert_group_retention",
@@ -167,6 +168,7 @@ HEADLINE = (
     # round-15 new families
     "lineitem_status_quantile_gbt",
     "streaming_upsert_group_retention",
+    "streaming_dlq_age_retention",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -7269,6 +7269,49 @@ REGISTRY.update(
             "compacted files themselves",
             ("events", "streaming", "sink"),
         ),
+        "streaming_dlq_age_retention": QuerySpec(
+            stream_windows.streaming_dlq_age_retention,
+            f"""
+            WITH b AS (
+              SELECT MIN(epoch_us(ts)) AS lo2,
+                     ((MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                       // {stream_windows.DLQ_SPAN_FILES} + 1) AS step
+              FROM events
+            ),
+            qr AS (
+              SELECT e.*, {_DLQ_CASE} AS reason,
+                     CAST((epoch_us(ts) - lo2) // step AS INT) AS epoch,
+                     epoch_us(ts) AS us
+              FROM events e, b
+              WHERE {_DLQ_CASE} IS NOT NULL
+            ),
+            bounds AS (SELECT MIN(us) AS lo, MAX(us) AS wm FROM qr),
+            disp AS (
+              SELECT epoch,
+                     CASE WHEN MAX(us) <
+                            wm - ((wm - lo) * {stream_windows.DLQ_AGE_NUM})
+                                 // {stream_windows.DLQ_AGE_DEN}
+                          THEN 'aged_out' ELSE 'retained'
+                     END AS disposition
+              FROM qr, bounds GROUP BY epoch, wm, lo
+            )
+            SELECT d.disposition, q.epoch, q.reason, q.event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT q.user_id) AS n_users,
+                   CAST(SUM(q.event_id) AS BIGINT) AS sum_event_id
+            FROM qr q JOIN disp d ON d.epoch = q.epoch
+            GROUP BY 1, 2, 3, 4
+            """,
+            "DLQ retention with an EPOCH-AGE policy: whole ingest "
+            "epochs age out once their newest event falls behind the "
+            "watermark by half the quarantine's observed time range "
+            "(BIGINT-microsecond cutoff arithmetic, exactly "
+            "replayable); retained epochs are rewritten compacted "
+            "with epoch preserved and summarized from the compacted "
+            "tree — the time-based complement of the rule-outcome "
+            "retention entry",
+            ("events", "streaming", "sink"),
+        ),
     }
 )
 
@@ -7480,6 +7523,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # (each batch writes only touched key-group partitions; per-group
     # keep-last-R over each group's own write history)
     "streaming_upsert_group_retention",
+    # DLQ epoch-age retention — whole ingest epochs age by watermark
+    # age (time-based policy), the rule-outcome entry's complement
+    "streaming_dlq_age_retention",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

@@ -1383,6 +1383,132 @@ def streaming_dlq_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+#: Age-policy knob for the epoch-age retention entry: an epoch ages
+#: out when its NEWEST event is older than the watermark minus
+#: AGE_NUM/AGE_DEN of the quarantine's observed time range. 1/2 is a
+#: data-relative cutoff (the staging's span width varies with the
+#: corpus), and the arithmetic is pure BIGINT microseconds — floor
+#: division of non-negative integers, bit-identical across engines.
+DLQ_AGE_NUM = 1
+DLQ_AGE_DEN = 2
+
+
+def streaming_dlq_age_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: DLQ retention with an EPOCH-AGE policy (SURVEY
+    §7.9) — the time-based complement of
+    :func:`streaming_dlq_retention`'s rule-outcome policy: a real
+    quarantine ages out WHOLE INGEST EPOCHS once they fall behind the
+    stream's watermark (rows nobody re-triaged in time are dead, not
+    pending), regardless of what the current rule table would say.
+    The policy: an epoch is aged out iff its newest event timestamp
+    is older than ``watermark − (range · AGE_NUM/AGE_DEN)``, where
+    the watermark is the quarantine's global max event time and
+    range its observed time span — the same progress telemetry
+    `streaming_backfill_lag` reports per batch, consumed here as a
+    retention cutoff. All cutoff arithmetic is BIGINT microseconds
+    (floor division), so the oracle replays it exactly.
+
+    Distributed shape — NOTHING here is a driver decision: the
+    epoch-scoped sink tree reads back with ``epoch`` as a partition
+    column; the (≤ epochs)-row per-epoch max-timestamp frame joins
+    the 1-row bounds frame (broadcast crossJoin — the pagerank-scalar
+    idiom) into a per-epoch disposition, which joins back to the
+    rows by epoch (broadcast). Aged rows reduce to the audit
+    directly; retained epochs are rewritten as the next-generation
+    queue — compacted to ``bytes / 128 MB`` files with epoch
+    preserved as a data column — and summarized FROM the compacted
+    tree, proving the rewrite. The source tree is kept (the three
+    sibling DLQ entries share the session-cached quarantine; the
+    swap is a rename the audit cannot see, as in the rule-outcome
+    entry).
+
+    Returns one row per (disposition, epoch, reason, event_type)
+    with counts, distinct users, and the event-id checksum — the
+    quarantine conserved: aged + retained == the whole queue, pinned
+    in tests."""
+    _, dlq_root = _dlq_sink_roots(spark, sf_dir)
+    summary, _ = dlq_age_retention_pass(spark, dlq_root)
+    return summary
+
+
+def dlq_age_retention_pass(
+    spark: SparkSession, dlq_root: str
+) -> tuple[DataFrame, str]:
+    """The epoch-age retention body over one quarantine tree; returns
+    ``(audit_summary, compacted_root)`` — the root surfaced so tests
+    can pin the rewrite itself (file count, exact retained rows), the
+    :func:`dlq_retention_pass` contract."""
+    q = (
+        spark.read.schema(_DLQ_EVENT_SCHEMA + ", reason string")
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("epoch", F.col("epoch").cast("int"))
+        .withColumn("_us", F.unix_micros("ts"))
+    )
+    bounds = q.agg(
+        F.min("_us").alias("_lo"), F.max("_us").alias("_wm")
+    )
+    cutoff = F.expr(
+        f"_wm - ((_wm - _lo) * {DLQ_AGE_NUM}) DIV {DLQ_AGE_DEN}"
+    )
+    disposition = (
+        q.groupBy("epoch")
+        .agg(F.max("_us").alias("_emax"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "epoch",
+            F.when(F.col("_emax") < cutoff, F.lit("aged_out"))
+            .otherwise(F.lit("retained"))
+            .alias("disposition"),
+        )
+    )
+    tagged = q.join(F.broadcast(disposition), "epoch").localCheckpoint(
+        eager=True
+    )
+    aged = tagged.filter(F.col("disposition") == "aged_out")
+    retained = tagged.filter(F.col("disposition") == "retained").drop(
+        "disposition", "_us"
+    )
+    tree_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(dlq_root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(tree_bytes / COMPACT_TARGET_BYTES))
+    compact_root = tempfile.mkdtemp(prefix="dlq_age_retained_")
+    retained.repartition(n_out).write.mode("overwrite").parquet(
+        compact_root
+    )
+
+    def _summ(df, disposition_col):
+        return df.groupBy("epoch", "reason", "event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        ).select(
+            disposition_col.alias("disposition"),
+            "epoch",
+            "reason",
+            "event_type",
+            "n_rows",
+            "n_users",
+            "sum_event_id",
+        )
+
+    kept = spark.read.schema(
+        _DLQ_EVENT_SCHEMA + ", reason string, epoch int"
+    ).parquet(compact_root)
+    return (
+        _summ(aged, F.lit("aged_out")).unionByName(
+            _summ(kept, F.lit("retained"))
+        ),
+        compact_root,
+    )
+
+
 def dlq_retention_pass(
     spark: SparkSession, dlq_root: str
 ) -> tuple[DataFrame, str]:

@@ -248,3 +248,122 @@ def test_group_retention_layout_is_partition_scoped(spark, sf_oracle):
             )
     assert got == {k: v for k, v in want.items() if k in got}
     assert set(got) == set(want)
+
+
+# ---------------------------------------------------------------------------
+# DLQ epoch-age retention
+# ---------------------------------------------------------------------------
+
+
+def test_dlq_age_retention_conserves_the_quarantine(spark, sf_oracle):
+    """The time-based policy must conserve the queue exactly like the
+    rule-based one: aged + retained == quarantine, per (reason,
+    event_type), in rows, users, and event-id checksum (the epoch
+    split marginalizes out)."""
+    rows = stream_windows.streaming_dlq_age_retention(
+        spark, sf_oracle
+    ).collect()
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dlq_root)
+    )
+    want = {
+        (r["reason"], r["event_type"]): (r["n"], r["s"])
+        for r in q.groupBy("reason", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    got: dict = {}
+    for r in rows:
+        k = (r["reason"], r["event_type"])
+        n, s = got.get(k, (0, 0))
+        got[k] = (n + r["n_rows"], s + r["sum_event_id"])
+    assert got == want
+
+
+def test_dlq_age_retention_ages_by_watermark_age(spark, sf_oracle):
+    """Policy semantics: epoch dispositions are a pure function of
+    per-epoch max event time vs the integer-microsecond cutoff, aged
+    epochs strictly precede retained ones in event time, and both
+    dispositions are non-trivial on the 3-span staging (epoch 0 falls
+    behind the half-range watermark cutoff by construction)."""
+    rows = stream_windows.streaming_dlq_age_retention(
+        spark, sf_oracle
+    ).collect()
+    disp = {}
+    for r in rows:
+        prev = disp.setdefault(r["epoch"], r["disposition"])
+        assert prev == r["disposition"]  # one disposition per epoch
+    assert "aged_out" in disp.values() and "retained" in disp.values()
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    emax = {
+        r["epoch"]: r["m"]
+        for r in q.groupBy("epoch").agg(F.max("us").alias("m")).collect()
+    }
+    lo, wm = q.agg(F.min("us"), F.max("us")).first()
+    cutoff = wm - (
+        (wm - lo) * stream_windows.DLQ_AGE_NUM
+    ) // stream_windows.DLQ_AGE_DEN
+    for e, d in disp.items():
+        assert d == (
+            "aged_out" if emax[e] < cutoff else "retained"
+        ), (e, emax[e], cutoff)
+    assert max(
+        emax[e] for e, d in disp.items() if d == "aged_out"
+    ) < min(emax[e] for e, d in disp.items() if d == "retained")
+
+
+def test_dlq_age_retention_rewrite_is_compacted_and_exact(
+    spark, sf_oracle
+):
+    """The rewrite is real: the compacted tree holds EXACTLY the
+    retained epochs' rows (reason and epoch preserved), in the
+    right-sized file count (one file at test scale)."""
+    import glob
+
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    summary, compact_root = stream_windows.dlq_age_retention_pass(
+        spark, dlq_root
+    )
+    files = glob.glob(os.path.join(compact_root, "*.parquet"))
+    assert len(files) == 1, files
+    kept = spark.read.schema(
+        stream_windows._DLQ_EVENT_SCHEMA + ", reason string, epoch int"
+    ).parquet(compact_root)
+    retained_epochs = {
+        r["epoch"]
+        for r in summary.collect()
+        if r["disposition"] == "retained"
+    }
+    src = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("epoch", F.col("epoch").cast("int"))
+        .filter(F.col("epoch").isin(retained_epochs))
+    )
+    assert kept.count() == src.count()
+    assert (
+        kept.select("event_id", "reason", "epoch")
+        .exceptAll(src.select("event_id", "reason", "epoch"))
+        .count()
+        == 0
+    )

@@ -1198,6 +1198,52 @@ def main() -> None:
         f"+ CASE + compacted rewrite, no streaming machinery)"
     )
 
+    # DLQ epoch-age retention (round 15): same batch-maintenance
+    # shape (one quarantine scan + a broadcast per-epoch disposition
+    # join + compacted rewrite) with the cutoff computed lazily from
+    # the tree's own bounds; fixture splits the quarantine into 3
+    # ts-range epochs to exercise both dispositions
+    from inf2106_map_reduce_spark.streaming.windows import (
+        dlq_age_retention_pass,
+    )
+
+    def dlq_bad_root3(path: str) -> str:
+        bad = tempfile.mkdtemp(prefix="probe_dlq_agebad_")
+        ev = (
+            spark.read.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double"
+            )
+            .parquet(path)
+            .withColumn("reason", dlq_reason())
+            .filter(F.col("reason").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        step = (hi - lo) // 3 + 1
+        for e in range(3):
+            ev.filter(
+                (F.unix_micros("ts") >= lo + e * step)
+                & (F.unix_micros("ts") < lo + (e + 1) * step)
+            ).write.mode("overwrite").parquet(f"{bad}/epoch={e}")
+        return bad
+
+    def age_retention(bad):
+        summary, _ = dlq_age_retention_pass(spark, bad)
+        return summary
+
+    agebad1, agebadk = dlq_bad_root3(dp1), dlq_bad_root3(dpk)
+    timed(lambda: age_retention(agebad1))
+    t1 = min(timed(lambda: age_retention(agebad1)) for _ in range(2))
+    tk = min(timed(lambda: age_retention(agebadk)) for _ in range(2))
+    print(
+        f"  DLQ epoch-age retention (8x quarantine): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; quarantine "
+        f"scan + broadcast epoch disposition + compacted rewrite)"
+    )
+
     # Multi-feature equi-depth stump: one exploded scan for all
     # features, per-feature histogram epilogues — must stay flat
     from inf2106_map_reduce_spark.operators.stats import (
