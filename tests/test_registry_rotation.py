@@ -210,11 +210,10 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "lineitem_status_encoding_stump",
         "lineitem_quantile_gbt3",
     )
-    budget = (
+    assert q._ROUND_PRIORITY == (
         "lineitem_status_quantile_gbt",
         "streaming_upsert_group_retention",
         "streaming_dlq_age_retention",
     )
-    assert set(q._ROUND_PRIORITY) <= set(budget)
-    assert len(q.REGISTRY) == 255 + len(q._ROUND_PRIORITY)
+    assert len(q.REGISTRY) == 258  # N = 258 <= 264 = the S=33 cap
     assert q.ROTATION_STRIDE == 33
