@@ -169,6 +169,8 @@ HEADLINE = (
     "lineitem_status_quantile_gbt",
     "streaming_upsert_group_retention",
     "streaming_dlq_age_retention",
+    # round-15 late block
+    "lineitem_status_quantile_tree",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -1739,7 +1739,9 @@ def lineitem_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tree_depth2(
-    df: DataFrame | None, binned: DataFrame | None = None
+    df: DataFrame | None,
+    binned: DataFrame | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy depth-2 histogram tree: choose the root split (as
     :func:`decision_stump`), route every row to its L/R child with the
@@ -1764,23 +1766,36 @@ def tree_depth2(
     the routing, ranking, and leaf arithmetic stay identical. The two
     frame parameters are mutually exclusive (r12 ADVICE): passing
     both would silently ignore ``df``, mislabeling a result built
-    from a different table."""
+    from a different table.
+
+    With ``group_cols`` the whole tree fits per group (the grouped-
+    :func:`gbt_boost` contract applied to the tree): each group
+    elects its own root (the rank window partitions by group), the
+    routing join becomes a broadcast equi-join against the
+    ≤ |groups|-row root frame, and the per-child split search
+    partitions by (group, node) — still one data scan per level for
+    ALL groups. ``binned`` must carry the group columns."""
     if (df is None) == (binned is None):
         raise ValueError(
             "tree_depth2 takes exactly one input frame: df (fixed "
             "equi-width bins) OR binned (a pre-binned _stump_binned-"
             "contract frame), not both"
         )
+    _require_safe_group_cols("tree_depth2", group_cols)
+    gc = list(group_cols)
     if binned is None:
         binned = _stump_binned(df)
-    gains1 = _split_gains(_stump_hist(binned, []), [])
-    w_glob = Window.orderBy(F.col("gain").desc(), "feature", "split_bin")
+    gains1 = _split_gains(_stump_hist(binned, gc), gc)
+    w_glob = Window.partitionBy(*gc).orderBy(
+        F.col("gain").desc(), "feature", "split_bin"
+    )
     root = (
         gains1.select(
             "*", F.row_number().over(w_glob).alias("_rg")
         )
         .filter(F.col("_rg") == 1)
         .select(
+            *gc,
             F.col("feature").alias("root_feature"),
             F.col("split_bin").alias("root_bin"),
         )
@@ -1791,28 +1806,29 @@ def tree_depth2(
             F.col(f"b_{name}") <= F.col("root_bin")
         )
         is_left = term if is_left is None else is_left | term
-    leafed = (
-        binned
-        .crossJoin(F.broadcast(root))
-        .select(
-            F.when(is_left, F.lit("L")).otherwise(F.lit("R")).alias("node"),
-            "root_feature",
-            "root_bin",
-            *[f"b_{name}" for name, *_ in STUMP_BINS],
-            "y",
-        )
+    routed = (
+        binned.join(F.broadcast(root), gc)
+        if gc
+        else binned.crossJoin(F.broadcast(root))
     )
-    gains2 = _split_gains(
-        _stump_hist(leafed, ["node", "root_feature", "root_bin"]),
-        ["node", "root_feature", "root_bin"],
+    leafed = routed.select(
+        *gc,
+        F.when(is_left, F.lit("L")).otherwise(F.lit("R")).alias("node"),
+        "root_feature",
+        "root_bin",
+        *[f"b_{name}" for name, *_ in STUMP_BINS],
+        "y",
     )
-    w_node = Window.partitionBy("node").orderBy(
+    node_cols = [*gc, "node", "root_feature", "root_bin"]
+    gains2 = _split_gains(_stump_hist(leafed, node_cols), node_cols)
+    w_node = Window.partitionBy(*gc, "node").orderBy(
         F.col("gain").desc(), "feature", "split_bin"
     )
     return (
         gains2.select("*", F.row_number().over(w_node).alias("_rn"))
         .filter(F.col("_rn") == 1)
         .select(
+            *gc,
             "node",
             "root_feature",
             "root_bin",
@@ -2834,6 +2850,28 @@ def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins."""
     li = load_table(spark, sf_dir, "lineitem")
     return tree_depth2(None, binned=_quantile_stump_binned(li))
+
+
+def lineitem_status_quantile_tree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the greedy DEPTH-2 tree on equi-depth decile
+    features PER SEGMENT (l_linestatus) — completes the per-segment
+    model matrix on adaptive grids (stump → multi-stump → GBT →
+    tree, each now with a grouped leg): every segment fits its own
+    bucket maps, elects its own root, and split-searches its own two
+    children; the routing crossJoin becomes a broadcast equi-join on
+    the segment key. Still one data scan per level for all segments;
+    pinned definitionally equal to the global tree on each segment's
+    filtered slice. Segment key aliased ``seg``."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    return tree_depth2(
+        None,
+        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        group_cols=("seg",),
+    )
 
 
 def lineitem_status_quantile_gbt(

@@ -5774,12 +5774,16 @@ _STUMP_BIN_SQL = {
     for name, col, op, k in stats.STUMP_BINS
 }
 
-def _stump_ctes(base_cte: str | None = None) -> str:
+def _stump_ctes(base_cte: str | None = None, seg: bool = False) -> str:
     """Shared level-1 CTE chain: binned base -> per-(feature, bin)
     label histogram -> cumulative prefix counts -> candidate-split
     Gini gains (stats.gini_gain_sql() mirrors the Spark expression
     term-for-term). ``base_cte`` swaps the bin definition — the
-    oracle-side twin of the trainers' ``binned`` parameter."""
+    oracle-side twin of the trainers' ``binned`` parameter.
+    ``seg=True`` threads a segment key the base CTE must carry
+    through every group-by and window (the grouped-trainer twin)."""
+    s = "seg, " if seg else ""
+    sp = "PARTITION BY seg, " if seg else "PARTITION BY "
     base = (
         base_cte
         if base_cte is not None
@@ -5794,24 +5798,24 @@ def _stump_ctes(base_cte: str | None = None) -> str:
     return f"""
 {base},
 pairs AS (
-  SELECT 'qty' AS feature, b_qty AS bin, y FROM base
-  UNION ALL SELECT 'disc', b_disc, y FROM base
-  UNION ALL SELECT 'price', b_price, y FROM base
+  SELECT {s}'qty' AS feature, b_qty AS bin, y FROM base
+  UNION ALL SELECT {s}'disc', b_disc, y FROM base
+  UNION ALL SELECT {s}'price', b_price, y FROM base
 ),
 hist AS (
-  SELECT feature, bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
-  FROM pairs GROUP BY feature, bin
+  SELECT {s}feature, bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM pairs GROUP BY {s}feature, bin
 ),
 cum AS (
-  SELECT feature, bin AS split_bin,
-         SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
-         SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
-         SUM(n) OVER (PARTITION BY feature) AS nt,
-         SUM(pos) OVER (PARTITION BY feature) AS post
+  SELECT {s}feature, bin AS split_bin,
+         SUM(n) OVER ({sp}feature ORDER BY bin) AS nl,
+         SUM(pos) OVER ({sp}feature ORDER BY bin) AS posl,
+         SUM(n) OVER ({sp}feature) AS nt,
+         SUM(pos) OVER ({sp}feature) AS post
   FROM hist
 ),
 gains AS (
-  SELECT feature, split_bin,
+  SELECT {s}feature, split_bin,
          CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
          CAST(nt - nl AS BIGINT) AS n_right,
          CAST(post - posl AS BIGINT) AS pos_right,
@@ -5823,55 +5827,67 @@ gains AS (
 
 _STUMP_CTES = _stump_ctes()
 
-#: The depth-2 tree's level-2 CTE tail (root election, row routing,
-#: per-child histogram split search) — shared verbatim by the
-#: fixed-bin and quantile-binned tree oracles (only the base CTE in
-#: the level-1 chain differs).
-_TREE_TAIL_SQL = f"""root AS (
-              SELECT feature AS root_feature, split_bin AS root_bin
-              FROM (SELECT feature, split_bin,
-                      ROW_NUMBER() OVER (
+def _tree_tail_sql(seg: bool = False) -> str:
+    """The depth-2 tree's level-2 CTE tail (root election, row
+    routing, per-child histogram split search) — shared by the
+    fixed-bin and quantile-binned tree oracles (only the base CTE in
+    the level-1 chain differs). ``seg=True`` renders the PER-SEGMENT
+    form: the key partitions the root election, keys the routing
+    join, and rides every level-2 group-by and window — the
+    grouped-``tree_depth2`` twin."""
+    s = "seg, " if seg else ""
+    root_join = (
+        "FROM base JOIN root ON root.seg = base.seg"
+        if seg
+        else "FROM base, root"
+    )
+    rootpart = "PARTITION BY seg " if seg else ""
+    return f"""root AS (
+              SELECT {s}root_feature, root_bin
+              FROM (SELECT {s}feature AS root_feature,
+                      split_bin AS root_bin,
+                      ROW_NUMBER() OVER ({rootpart}
                         ORDER BY gain DESC, feature, split_bin) AS rg
                     FROM gains)
               WHERE rg = 1
             ),
             leafed AS (
-              SELECT CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
+              SELECT {("base.seg AS seg, " if seg else "")}CASE WHEN (root_feature = 'qty' AND b_qty <= root_bin)
                            OR (root_feature = 'disc' AND b_disc <= root_bin)
                            OR (root_feature = 'price' AND b_price <= root_bin)
                       THEN 'L' ELSE 'R' END AS node,
                      root_feature, root_bin, b_qty, b_disc, b_price, y
-              FROM base, root
+              {root_join}
             ),
             pairs2 AS (
-              SELECT node, root_feature, root_bin,
+              SELECT {s}node, root_feature, root_bin,
                      'qty' AS feature, b_qty AS bin, y FROM leafed
-              UNION ALL SELECT node, root_feature, root_bin,
+              UNION ALL SELECT {s}node, root_feature, root_bin,
                      'disc', b_disc, y FROM leafed
-              UNION ALL SELECT node, root_feature, root_bin,
+              UNION ALL SELECT {s}node, root_feature, root_bin,
                      'price', b_price, y FROM leafed
             ),
             hist2 AS (
-              SELECT node, root_feature, root_bin, feature, bin,
+              SELECT {s}node, root_feature, root_bin, feature, bin,
                      COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
               FROM pairs2
-              GROUP BY node, root_feature, root_bin, feature, bin
+              GROUP BY {s}node, root_feature, root_bin, feature, bin
             ),
             cum2 AS (
-              SELECT node, root_feature, root_bin, feature,
+              SELECT {s}node, root_feature, root_bin, feature,
                      bin AS split_bin,
-                     SUM(n) OVER (PARTITION BY node, root_feature,
+                     SUM(n) OVER (PARTITION BY {s}node, root_feature,
                        root_bin, feature ORDER BY bin) AS nl,
-                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                     SUM(pos) OVER (PARTITION BY {s}node, root_feature,
                        root_bin, feature ORDER BY bin) AS posl,
-                     SUM(n) OVER (PARTITION BY node, root_feature,
+                     SUM(n) OVER (PARTITION BY {s}node, root_feature,
                        root_bin, feature) AS nt,
-                     SUM(pos) OVER (PARTITION BY node, root_feature,
+                     SUM(pos) OVER (PARTITION BY {s}node, root_feature,
                        root_bin, feature) AS post
               FROM hist2
             ),
             gains2 AS (
-              SELECT node, root_feature, root_bin, feature, split_bin,
+              SELECT {s}node, root_feature, root_bin, feature, split_bin,
                      CAST(nl AS BIGINT) AS n_left,
                      CAST(posl AS BIGINT) AS pos_left,
                      CAST(nt - nl AS BIGINT) AS n_right,
@@ -5879,12 +5895,15 @@ _TREE_TAIL_SQL = f"""root AS (
                      {stats.gini_gain_sql()} AS gain
               FROM cum2 WHERE nl < nt
             )
-            SELECT node, root_feature, root_bin, feature, split_bin,
+            SELECT {s}node, root_feature, root_bin, feature, split_bin,
                    n_left, pos_left, n_right, pos_right, gain
-            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {s}node
                     ORDER BY gain DESC, feature, split_bin) AS rn
                   FROM gains2)
             WHERE rn = 1"""
+
+
+_TREE_TAIL_SQL = _tree_tail_sql()
 
 
 def _backfill_oracle(n_spans: int) -> str:
@@ -7194,6 +7213,22 @@ REGISTRY.update(
             "marks where the shared encoding stops transferring)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_status_quantile_tree": QuerySpec(
+            stats.lineitem_status_quantile_tree,
+            f"""
+            WITH {_stump_ctes(
+                _quantile_binned_base_cte(seg_sql="l_linestatus"),
+                seg=True,
+            )},
+            {_tree_tail_sql(seg=True)}
+            """,
+            "the greedy depth-2 tree on EQUI-DEPTH decile features "
+            "PER SEGMENT (l_linestatus): per-segment bucket maps, "
+            "roots, and child split searches through the same closed "
+            "forms — completes the per-segment model matrix on "
+            "adaptive grids (stump / multi-stump / GBT / tree)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "lineitem_status_quantile_gbt": QuerySpec(
             stats.lineitem_status_quantile_gbt,
             _gbt_boost_oracle(
@@ -7504,10 +7539,22 @@ ROTATION_WINDOW = 50
 # partition-scoped vacuum), and the DLQ epoch-age retention (age
 # quarantine epochs by watermark age, not rule outcome) ->
 # N = 258 <= 264 (ceil(258/33) = 8 holds); priority 3 <= 17 with
-# room to spare. Growth beyond 264 must first raise S to 34 (covers
-# N <= 272, priority cap 16) — re-derive explicitly, don't drift
-# (test_registry_rotation.py fails loudly at N = 265 under S = 33
-# regardless).
+# room to spare.
+#
+# Round-15 LATE block (decided mid-round AFTER the full five-lane
+# sweep went green at N = 258 — the round-13/14 pull-forward
+# protocol, math re-derived): the three §7.10 candidates, all thin
+# compositions over machinery landed this round — the per-segment
+# depth-2 tree on adaptive bins (tree_depth2 gains the group_cols
+# generalization gbt_boost just got), the time-travel AS-OF read
+# over the partition-scoped sink (the read path the grouped drain
+# enables; oracle = the span prefix aggregate per group), and the
+# per-reason DLQ age policy (the epoch-age cutoff driven by a
+# reason -> max-age table) -> N = 261 <= 264 (ceil(261/33) = 8
+# holds); priority 6 <= 17. Growth beyond 264 must first raise S to
+# 34 (covers N <= 272, priority cap 16) — re-derive explicitly,
+# don't drift (test_registry_rotation.py fails loudly at N = 265
+# under S = 33 regardless).
 ROTATION_STRIDE = 33
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7526,6 +7573,10 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # DLQ epoch-age retention — whole ingest epochs age by watermark
     # age (time-based policy), the rule-outcome entry's complement
     "streaming_dlq_age_retention",
+    # Round-15 LATE block (§7.10 pull-forward after the green sweep,
+    # math in the ROTATION_STRIDE comment): per-segment depth-2 tree
+    # on adaptive bins — completes the grouped model matrix
+    "lineitem_status_quantile_tree",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

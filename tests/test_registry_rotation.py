@@ -214,6 +214,8 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "lineitem_status_quantile_gbt",
         "streaming_upsert_group_retention",
         "streaming_dlq_age_retention",
+        # late block (§7.10 pull-forward after the green sweep)
+        "lineitem_status_quantile_tree",
     )
-    assert len(q.REGISTRY) == 258  # N = 258 <= 264 = the S=33 cap
+    assert len(q.REGISTRY) == 259  # N = 259 <= 264 = the S=33 cap
     assert q.ROTATION_STRIDE == 33

@@ -119,6 +119,43 @@ def test_grouped_binned_frame_routes_every_row(spark, sf_oracle):
     assert got == want
 
 
+def test_status_quantile_tree_matches_per_segment_runs(spark, sf_oracle):
+    """The grouped depth-2 tree is definitionally the global tree on
+    each segment's filtered slice with slice-fit maps — roots, child
+    splits, and the four leaf populations coincide exactly."""
+    grouped = {
+        (r["seg"], r["node"]): tuple(r)
+        for r in stats.lineitem_status_quantile_tree(
+            spark, sf_oracle
+        ).collect()
+    }
+    li = load_table(spark, sf_oracle, "lineitem")
+    segs = [r[0] for r in li.select("l_linestatus").distinct().collect()]
+    n_checked = 0
+    for seg in segs:
+        sl = li.filter(F.col("l_linestatus") == seg)
+        for r in stats.tree_depth2(
+            None, binned=stats._quantile_stump_binned(sl)
+        ).collect():
+            assert grouped[(seg, r["node"])][1:] == tuple(r), (seg, r)
+            n_checked += 1
+    assert n_checked == len(grouped) == 2 * len(segs)
+
+
+def test_status_quantile_tree_plan_is_one_scan_per_level(
+    spark, sf_oracle
+):
+    """Two levels = exactly 2 live lineitem scans for ALL segments
+    (per-segment maps are checkpointed broadcasts; the routing join
+    broadcasts the per-segment root frame)."""
+    df = stats.lineitem_status_quantile_tree(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "ExistingRDD" in plan
+    assert "CollectLimit" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_grouped_gbt_rejects_reserved_group_cols(spark, sf_oracle):
     li = load_table(spark, sf_oracle, "lineitem")
     binned = stats._stump_binned(li).withColumn("f1", F.lit("x"))

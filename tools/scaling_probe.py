@@ -1501,6 +1501,24 @@ def main() -> None:
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x; grouped "
         f"maps + grouped winners, one scan per stage)"
     )
+
+    # Per-segment quantile tree (round-15 late block): the grouped
+    # depth-2 tree on the same grouped maps — one scan per level
+    def sqtree(li):
+        seg = li.withColumn("seg", F.col("l_linestatus"))
+        return tree_depth2(
+            None,
+            binned=_quantile_stump_binned(seg, group_cols=("seg",)),
+            group_cols=("seg",),
+        )
+
+    timed(lambda: sqtree(li1))
+    t1 = min(timed(lambda: sqtree(li1)) for _ in range(3))
+    tk = min(timed(lambda: sqtree(lik)) for _ in range(3))
+    print(
+        f"  per-segment quantile tree (2 levels): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
