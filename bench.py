@@ -72,6 +72,7 @@ WARMUP = (
     "streaming_upsert_vacuum",
     "streaming_upsert_retention",
     "streaming_upsert_group_retention",
+    "streaming_upsert_asof_read",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -171,6 +172,7 @@ HEADLINE = (
     "streaming_dlq_age_retention",
     # round-15 late block
     "lineitem_status_quantile_tree",
+    "streaming_upsert_asof_read",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6355,6 +6355,36 @@ def _grouped_upsert_retention_oracle() -> str:
     """
 
 
+def _asof_read_oracle() -> str:
+    """Oracle for the time-travel AS-OF read: the whole historical
+    keyed table at the pinned version, replayed as one filtered
+    aggregate over the span closed form (group g's latest snapshot
+    ≤ v holds exactly the aggregate of spans 0..v restricted to g —
+    see the entry's docstring for why sparse touching changes
+    nothing)."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    v = stream_windows.UPSERT_AS_OF_VERSION
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    )
+    SELECT CAST(user_id % {g} AS INT) AS g, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM sp WHERE span <= {v}
+    GROUP BY 1, 2
+    """
+
+
 def _gbt_boost_oracle(
     n_stages: int, base_cte: str | None = None, seg: bool = False
 ) -> str:
@@ -7264,6 +7294,18 @@ REGISTRY.update(
             "spans 0..v)",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_asof_read": QuerySpec(
+            stream_windows.streaming_upsert_asof_read,
+            _asof_read_oracle(),
+            "the TIME-TRAVEL AS-OF READ over the partition-scoped "
+            "merge-upsert sink: the table as of a pinned historical "
+            "version, reconstructed per key group from that group's "
+            "newest snapshot <= v (per-group latest-dir resolution is "
+            "driver metadata; the scan touches only resolved snapshot "
+            "files) — the oracle replays the whole historical keyed "
+            "table from the span closed form",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_upsert_group_retention": QuerySpec(
             stream_windows.streaming_upsert_group_retention,
             _grouped_upsert_retention_oracle(),
@@ -7577,6 +7619,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # math in the ROTATION_STRIDE comment): per-segment depth-2 tree
     # on adaptive bins — completes the grouped model matrix
     "lineitem_status_quantile_tree",
+    # time-travel AS-OF read — the partition-scoped sink's read path
+    # (per-group latest <= v), the whole historical table replayed
+    "streaming_upsert_asof_read",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

@@ -999,6 +999,97 @@ def _grouped_upsert_drain_from(
     return table_root, last
 
 
+#: The pinned AS-OF version for the time-travel read entry: one
+#: version INSIDE the 4-version history (neither first nor last), so
+#: the read genuinely resolves per-group latest-<= semantics rather
+#: than "newest" or "oldest".
+UPSERT_AS_OF_VERSION = UPSERT_RETENTION_SPANS - 2
+
+#: Session cache of the AS-OF entry's drained partition-scoped tree
+#: (the encoding-grid accounting idiom): the read entry never deletes
+#: anything, so one drain per (session, sf_dir) serves every call —
+#: unlike the retention entry, which drains FRESH per call because
+#: its vacuum mutates the tree (a shared tree would make a second
+#: audit report zero deletions).
+_GROUPED_DRAIN_CACHE: dict[tuple, tuple[str, int]] = {}
+
+
+def streaming_upsert_asof_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the TIME-TRAVEL AS-OF READ over the
+    partition-scoped merge-upsert sink — the read path the grouped
+    drain exists for (SURVEY §7.10): "the table as of version v" is,
+    PER KEY GROUP, that group's newest snapshot at version ≤ v (a
+    group untouched by batch v simply serves its older snapshot —
+    exactly how a lakehouse reconstructs a partitioned table at a
+    historical version from per-partition file logs). Returns the
+    reconstructed keyed table itself — ``(g, user_id, n_events,
+    first_ts, last_ts)`` as of :data:`UPSERT_AS_OF_VERSION` — so the
+    oracle checks every row of the historical state, not a summary.
+
+    Resolving "latest version ≤ v per group" is driver/metastore
+    directory metadata; the read scans only the resolved snapshot
+    files (one per group), never the history. The drain is session-
+    cached (this entry never mutates the tree; the retention sibling
+    drains fresh per call because its vacuum deletes).
+
+    Oracle-exactness: group g's snapshot at its latest write ≤ v
+    contains, by the merge recursion, exactly the aggregate of spans
+    0..v restricted to the group (spans between the group's last
+    write and v contributed no rows to it, by definition of "last
+    write") — so DuckDB replays the whole historical table as one
+    filtered aggregate over the span closed form, sparse or dense
+    touching alike."""
+    src = _upsert_retention_source(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GROUPED_DRAIN_CACHE:
+        _GROUPED_DRAIN_CACHE[key] = _grouped_upsert_drain_from(spark, src)
+    table_root, _last = _GROUPED_DRAIN_CACHE[key]
+    v = UPSERT_AS_OF_VERSION
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(table_root)
+        if n.startswith("v=")
+    )
+    parts = []
+    groups = sorted(
+        {
+            int(sub.split("=", 1)[1])
+            for ver in versions
+            for sub in os.listdir(os.path.join(table_root, f"v={ver}"))
+            if sub.startswith("g=")
+        }
+    )
+    for g in groups:
+        best = [
+            ver
+            for ver in versions
+            if ver <= v
+            and os.path.isdir(
+                os.path.join(table_root, f"v={ver}", f"g={g}")
+            )
+        ]
+        if not best:
+            continue  # group born after v — absent from the as-of state
+        snap = spark.read.parquet(
+            os.path.join(table_root, f"v={best[-1]}", f"g={g}")
+        )
+        parts.append(
+            snap.select(
+                F.lit(g).cast("int").alias("g"),
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "first_ts",
+                "last_ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def streaming_upsert_group_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

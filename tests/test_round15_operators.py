@@ -288,6 +288,78 @@ def test_group_retention_layout_is_partition_scoped(spark, sf_oracle):
 
 
 # ---------------------------------------------------------------------------
+# Time-travel AS-OF read
+# ---------------------------------------------------------------------------
+
+
+def test_asof_read_equals_span_prefix_aggregate(spark, sf_oracle):
+    """The reconstructed historical table equals the one-shot
+    aggregate of the staged span files 0..v — replayed here from the
+    files themselves, independently of the sink (the oracle replays
+    the same thing from the closed form)."""
+    rows = {
+        (r["g"], r["user_id"]): (
+            r["n_events"], r["first_ts"], r["last_ts"],
+        )
+        for r in stream_windows.streaming_upsert_asof_read(
+            spark, sf_oracle
+        ).collect()
+    }
+    src = stream_windows._upsert_retention_source(spark, sf_oracle)
+    v = stream_windows.UPSERT_AS_OF_VERSION
+    spans = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[: v + 1]
+    ev = spark.read.parquet(*[os.path.join(src, f) for f in spans])
+    want = {
+        (r["g"], r["user_id"]): (r["n"], r["f"], r["l"])
+        for r in ev.withColumn(
+            "g",
+            (F.col("user_id") % stream_windows.UPSERT_KEY_GROUPS)
+            .cast("int"),
+        )
+        .groupBy("g", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("f"),
+            F.max("ts").alias("l"),
+        )
+        .collect()
+    }
+    assert rows == want
+
+
+def test_asof_read_is_historical_not_latest(spark, sf_oracle):
+    """Time travel is real: the as-of state differs from the final
+    state (later spans added events), and the drain is session-cached
+    so a second read returns the identical frame without re-draining."""
+    first = stream_windows.streaming_upsert_asof_read(
+        spark, sf_oracle
+    ).collect()
+    key = (spark.sparkContext.applicationId, sf_oracle)
+    assert key in stream_windows._GROUPED_DRAIN_CACHE
+    root, last = stream_windows._GROUPED_DRAIN_CACHE[key]
+    assert last > stream_windows.UPSERT_AS_OF_VERSION
+    second = stream_windows.streaming_upsert_asof_read(
+        spark, sf_oracle
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    # the final (latest-version) state has strictly more events
+    n_asof = sum(r["n_events"] for r in first)
+    latest_total = 0
+    for gdir in sorted(os.listdir(os.path.join(root, f"v={last}"))):
+        if gdir.startswith("g="):
+            latest_total += (
+                spark.read.parquet(
+                    os.path.join(root, f"v={last}", gdir)
+                )
+                .agg(F.sum("n_events"))
+                .first()[0]
+            )
+    assert latest_total > n_asof
+
+
+# ---------------------------------------------------------------------------
 # DLQ epoch-age retention
 # ---------------------------------------------------------------------------
 

@@ -1444,6 +1444,58 @@ def main() -> None:
         f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
 
+    # Time-travel AS-OF read (round-15 late block): post-drain, the
+    # read path alone — per-group latest-dir resolution (driver
+    # metadata) + one snapshot scan per group; measured separately
+    # from its drain (session-cached in the registry entry, so the
+    # bench line measures exactly this)
+    from inf2106_map_reduce_spark.streaming.windows import (
+        UPSERT_AS_OF_VERSION,
+    )
+
+    def asof_read(root: str):
+        versions = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(root)
+            if n.startswith("v=")
+        )
+        parts = []
+        groups = sorted(
+            {
+                int(sub.split("=", 1)[1])
+                for ver in versions
+                for sub in os.listdir(os.path.join(root, f"v={ver}"))
+                if sub.startswith("g=")
+            }
+        )
+        for g in groups:
+            best = [
+                ver
+                for ver in versions
+                if ver <= UPSERT_AS_OF_VERSION
+                and os.path.isdir(os.path.join(root, f"v={ver}", f"g={g}"))
+            ]
+            if best:
+                parts.append(
+                    spark.read.parquet(
+                        os.path.join(root, f"v={best[-1]}", f"g={g}")
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    root1, _ = _grouped_upsert_drain_from(spark, sr1)
+    rootk, _ = _grouped_upsert_drain_from(spark, srk)
+    timed(lambda: asof_read(root1))
+    t1 = min(timed(lambda: asof_read(root1)) for _ in range(3))
+    tk = min(timed(lambda: asof_read(rootk)) for _ in range(3))
+    print(
+        f"  time-travel as-of read (8x keys, post-drain): {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
     # Per-segment encoding stump: the encoding apply + per-segment
     # split search (grid unsplit) — tracks the audit family
     def ses(li):
