@@ -69,6 +69,7 @@ WARMUP = (
     "streaming_dlq_redrive",
     "streaming_dlq_retention",
     "streaming_dlq_age_retention",
+    "streaming_dlq_policy_retention",
     "streaming_upsert_vacuum",
     "streaming_upsert_retention",
     "streaming_upsert_group_retention",
@@ -173,6 +174,7 @@ HEADLINE = (
     # round-15 late block
     "lineitem_status_quantile_tree",
     "streaming_upsert_asof_read",
+    "streaming_dlq_policy_retention",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6712,6 +6712,20 @@ _DLQ_CASE = (
     + " END"
 )
 
+#: The per-reason age cutoff (BIGINT microseconds over the oracle's
+#: ``wm``/``lo`` bounds columns), folded from the SAME
+#: ``DLQ_AGE_POLICY`` tuple as the Spark-side ``_policy_cutoff_expr``
+#: — one definition, two mechanical renderings.
+_DLQ_POLICY_CUTOFF_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN reason = '{reason}' THEN wm - ((wm - lo) * {num}) // {den}"
+        for reason, num, den in stream_windows.DLQ_AGE_POLICY
+    )
+    + f" ELSE wm - ((wm - lo) * {stream_windows.DLQ_AGE_NUM})"
+    f" // {stream_windows.DLQ_AGE_DEN} END"
+)
+
 def _enc_grid_ctes(segment: bool = False) -> str:
     """The target-encoding CTE chain shared by every encoding-family
     oracle (reliability audits and the encoded-feature stump): base
@@ -7389,6 +7403,47 @@ REGISTRY.update(
             "retention entry",
             ("events", "streaming", "sink"),
         ),
+        "streaming_dlq_policy_retention": QuerySpec(
+            stream_windows.streaming_dlq_policy_retention,
+            f"""
+            WITH b AS (
+              SELECT MIN(epoch_us(ts)) AS lo2,
+                     ((MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                       // {stream_windows.DLQ_SPAN_FILES} + 1) AS step
+              FROM events
+            ),
+            qr AS (
+              SELECT e.*, {_DLQ_CASE} AS reason,
+                     CAST((epoch_us(ts) - lo2) // step AS INT) AS epoch,
+                     epoch_us(ts) AS us
+              FROM events e, b
+              WHERE {_DLQ_CASE} IS NOT NULL
+            ),
+            bounds AS (SELECT MIN(us) AS lo, MAX(us) AS wm FROM qr),
+            disp AS (
+              SELECT epoch, reason,
+                     CASE WHEN MAX(us) < {_DLQ_POLICY_CUTOFF_SQL}
+                          THEN 'aged_out' ELSE 'retained'
+                     END AS disposition
+              FROM qr, bounds GROUP BY epoch, reason, wm, lo
+            )
+            SELECT d.disposition, q.epoch, q.reason, q.event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT q.user_id) AS n_users,
+                   CAST(SUM(q.event_id) AS BIGINT) AS sum_event_id
+            FROM qr q JOIN disp d
+              ON d.epoch = q.epoch AND d.reason = q.reason
+            GROUP BY 1, 2, 3, 4
+            """,
+            "DLQ retention under a PER-REASON age policy: each "
+            "quarantine reason carries its own maximum age (error "
+            "telemetry ages at 1/4 of the observed range, "
+            "out-of-range values kept 3x longer), ageing at (epoch, "
+            "reason) granularity — the policy-table generalization "
+            "of the epoch-age entry, same lazy broadcast-disposition "
+            "shape and compacted rewrite",
+            ("events", "streaming", "sink"),
+        ),
     }
 )
 
@@ -7622,6 +7677,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # time-travel AS-OF read — the partition-scoped sink's read path
     # (per-group latest <= v), the whole historical table replayed
     "streaming_upsert_asof_read",
+    # per-reason DLQ age policy — the policy-table generalization of
+    # the epoch-age entry at (epoch, reason) granularity
+    "streaming_dlq_policy_retention",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

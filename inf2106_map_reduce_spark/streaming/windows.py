@@ -1600,6 +1600,135 @@ def dlq_age_retention_pass(
     )
 
 
+#: Per-reason age policy for the POLICY retention entry: (reason,
+#: age numerator, age denominator) — a (epoch, reason) group ages out
+#: once its newest event is older than ``watermark − range·num/den``.
+#: Error telemetry is short-lived (ages at 1/4 of the range);
+#: out-of-range values are kept longer for inspection (3/4). Reasons
+#: outside the table fall back to the global DLQ_AGE_NUM/DLQ_AGE_DEN.
+#: ONE definition — the router column and the oracle CASE both fold
+#: from this tuple, like DLQ_RULES.
+DLQ_AGE_POLICY: tuple[tuple[str, int, int], ...] = (
+    ("error_event", 1, 4),
+    ("value_out_of_range", 3, 4),
+)
+
+
+def _policy_cutoff_expr() -> F.Column:
+    """The per-reason cutoff (BIGINT microseconds) folded from
+    :data:`DLQ_AGE_POLICY` over ``(_wm, _lo, reason)`` columns —
+    mirrored textually by the oracle's CASE."""
+    cutoff = F.expr(
+        f"_wm - ((_wm - _lo) * {DLQ_AGE_NUM}) DIV {DLQ_AGE_DEN}"
+    )
+    for reason, num, den in reversed(DLQ_AGE_POLICY):
+        cutoff = F.when(
+            F.col("reason") == reason,
+            F.expr(f"_wm - ((_wm - _lo) * {num}) DIV {den}"),
+        ).otherwise(cutoff)
+    return cutoff
+
+
+def streaming_dlq_policy_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: DLQ retention under a PER-REASON age policy
+    (SURVEY §7.10) — the policy-table generalization of
+    :func:`streaming_dlq_age_retention`: each quarantine reason gets
+    its own maximum age (:data:`DLQ_AGE_POLICY` — short-lived error
+    telemetry ages at 1/4 of the observed range, out-of-range values
+    are kept 3× longer for inspection), and the ageing granularity
+    refines from whole epochs to (epoch, reason) groups — the same
+    groups the quarantine audit alerts on. Everything else keeps the
+    age entry's shape: dispositions are a broadcast (≤ epochs ×
+    reasons)-row join computed lazily from the tree's own bounds (no
+    driver decision), retained groups are rewritten compacted and
+    summarized FROM the compacted tree, the source tree is kept (the
+    DLQ siblings share the session-cached quarantine), and all
+    cutoff arithmetic is BIGINT microseconds so the oracle replays
+    it exactly. Conservation (aged + retained == quarantine) pinned
+    in tests."""
+    _, dlq_root = _dlq_sink_roots(spark, sf_dir)
+    summary, _ = dlq_policy_retention_pass(spark, dlq_root)
+    return summary
+
+
+def dlq_policy_retention_pass(
+    spark: SparkSession, dlq_root: str
+) -> tuple[DataFrame, str]:
+    """The per-reason age retention body over one quarantine tree;
+    returns ``(audit_summary, compacted_root)`` — the
+    :func:`dlq_retention_pass` contract."""
+    q = (
+        spark.read.schema(_DLQ_EVENT_SCHEMA + ", reason string")
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("epoch", F.col("epoch").cast("int"))
+        .withColumn("_us", F.unix_micros("ts"))
+    )
+    bounds = q.agg(
+        F.min("_us").alias("_lo"), F.max("_us").alias("_wm")
+    )
+    disposition = (
+        q.groupBy("epoch", "reason")
+        .agg(F.max("_us").alias("_gmax"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "epoch",
+            "reason",
+            F.when(
+                F.col("_gmax") < _policy_cutoff_expr(),
+                F.lit("aged_out"),
+            )
+            .otherwise(F.lit("retained"))
+            .alias("disposition"),
+        )
+    )
+    tagged = q.join(
+        F.broadcast(disposition), ["epoch", "reason"]
+    ).localCheckpoint(eager=True)
+    aged = tagged.filter(F.col("disposition") == "aged_out")
+    retained = tagged.filter(F.col("disposition") == "retained").drop(
+        "disposition", "_us"
+    )
+    tree_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(dlq_root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(tree_bytes / COMPACT_TARGET_BYTES))
+    compact_root = tempfile.mkdtemp(prefix="dlq_policy_retained_")
+    retained.repartition(n_out).write.mode("overwrite").parquet(
+        compact_root
+    )
+
+    def _summ(df, disposition_col):
+        return df.groupBy("epoch", "reason", "event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        ).select(
+            disposition_col.alias("disposition"),
+            "epoch",
+            "reason",
+            "event_type",
+            "n_rows",
+            "n_users",
+            "sum_event_id",
+        )
+
+    kept = spark.read.schema(
+        _DLQ_EVENT_SCHEMA + ", reason string, epoch int"
+    ).parquet(compact_root)
+    return (
+        _summ(aged, F.lit("aged_out")).unionByName(
+            _summ(kept, F.lit("retained"))
+        ),
+        compact_root,
+    )
+
+
 def dlq_retention_pass(
     spark: SparkSession, dlq_root: str
 ) -> tuple[DataFrame, str]:

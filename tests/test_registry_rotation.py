@@ -217,6 +217,7 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         # late block (§7.10 pull-forward after the green sweep)
         "lineitem_status_quantile_tree",
         "streaming_upsert_asof_read",
+        "streaming_dlq_policy_retention",
     )
-    assert len(q.REGISTRY) == 260  # N = 260 <= 264 = the S=33 cap
+    assert len(q.REGISTRY) == 261  # N = 261 <= 264 = the S=33 cap
     assert q.ROTATION_STRIDE == 33

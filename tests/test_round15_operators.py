@@ -438,6 +438,128 @@ def test_dlq_age_retention_ages_by_watermark_age(spark, sf_oracle):
     ) < min(emax[e] for e, d in disp.items() if d == "retained")
 
 
+def test_dlq_policy_retention_conserves_the_quarantine(
+    spark, sf_oracle
+):
+    """Per-reason ageing still conserves the queue exactly: aged +
+    retained == quarantine per (reason, event_type)."""
+    rows = stream_windows.streaming_dlq_policy_retention(
+        spark, sf_oracle
+    ).collect()
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dlq_root)
+    )
+    want = {
+        (r["reason"], r["event_type"]): (r["n"], r["s"])
+        for r in q.groupBy("reason", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    got: dict = {}
+    for r in rows:
+        k = (r["reason"], r["event_type"])
+        n, s = got.get(k, (0, 0))
+        got[k] = (n + r["n_rows"], s + r["sum_event_id"])
+    assert got == want
+
+
+def test_dlq_policy_retention_applies_per_reason_cutoffs(
+    spark, sf_oracle
+):
+    """Dispositions are the pure per-reason cutoff function of each
+    (epoch, reason) group's max event time — and the policy table
+    actually differentiates: the slow-ageing reason outlives the
+    fast-ageing one on the same epochs wherever both occur."""
+    rows = stream_windows.streaming_dlq_policy_retention(
+        spark, sf_oracle
+    ).collect()
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    q = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    lo, wm = q.agg(F.min("us"), F.max("us")).first()
+    policy = dict(
+        (r, (n, d)) for r, n, d in stream_windows.DLQ_AGE_POLICY
+    )
+    gmax = {
+        (r["epoch"], r["reason"]): r["m"]
+        for r in q.groupBy("epoch", "reason")
+        .agg(F.max("us").alias("m"))
+        .collect()
+    }
+    seen = set()
+    for r in rows:
+        k = (r["epoch"], r["reason"])
+        num, den = policy[r["reason"]]
+        cutoff = wm - ((wm - lo) * num) // den
+        assert r["disposition"] == (
+            "aged_out" if gmax[k] < cutoff else "retained"
+        ), (k, gmax[k], cutoff)
+        seen.add(k)
+    assert seen == set(gmax)
+    # the fast policy must age at least one group the slow one's
+    # cutoff would have kept (the table is not vacuous)
+    fast_aged = [
+        k for k in gmax
+        if k[1] == "error_event"
+        and gmax[k] < wm - ((wm - lo) * 1) // 4
+        and gmax[k] >= wm - ((wm - lo) * 3) // 4
+    ]
+    assert fast_aged
+
+
+def test_dlq_policy_retention_rewrite_is_exact(spark, sf_oracle):
+    """The compacted rewrite holds exactly the retained (epoch,
+    reason) groups' rows, in one right-sized file."""
+    import glob
+
+    _, dlq_root = stream_windows._dlq_sink_roots(spark, sf_oracle)
+    summary, compact_root = stream_windows.dlq_policy_retention_pass(
+        spark, dlq_root
+    )
+    files = glob.glob(os.path.join(compact_root, "*.parquet"))
+    assert len(files) == 1, files
+    retained = {
+        (r["epoch"], r["reason"])
+        for r in summary.collect()
+        if r["disposition"] == "retained"
+    }
+    kept = spark.read.schema(
+        stream_windows._DLQ_EVENT_SCHEMA + ", reason string, epoch int"
+    ).parquet(compact_root)
+    got = {
+        (r["epoch"], r["reason"])
+        for r in kept.select("epoch", "reason").distinct().collect()
+    }
+    assert got == retained
+    src = (
+        spark.read.schema(
+            stream_windows._DLQ_EVENT_SCHEMA + ", reason string"
+        )
+        .option("basePath", dlq_root)
+        .parquet(dlq_root)
+        .withColumn("epoch", F.col("epoch").cast("int"))
+    )
+    n_src_retained = src.join(
+        kept.select("epoch", "reason").distinct(), ["epoch", "reason"]
+    ).count()
+    assert kept.count() == n_src_retained
+
+
 def test_dlq_age_retention_rewrite_is_compacted_and_exact(
     spark, sf_oracle
 ):

@@ -1244,6 +1244,24 @@ def main() -> None:
         f"scan + broadcast epoch disposition + compacted rewrite)"
     )
 
+    # Per-reason age policy (round-15 late block): identical shape,
+    # disposition frame refines to (epoch, reason) rows
+    from inf2106_map_reduce_spark.streaming.windows import (
+        dlq_policy_retention_pass,
+    )
+
+    def policy_retention(bad):
+        summary, _ = dlq_policy_retention_pass(spark, bad)
+        return summary
+
+    timed(lambda: policy_retention(agebad1))
+    t1 = min(timed(lambda: policy_retention(agebad1)) for _ in range(2))
+    tk = min(timed(lambda: policy_retention(agebadk)) for _ in range(2))
+    print(
+        f"  DLQ per-reason age retention (8x quarantine): {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
     # Multi-feature equi-depth stump: one exploded scan for all
     # features, per-feature histogram epilogues — must stay flat
     from inf2106_map_reduce_spark.operators.stats import (
