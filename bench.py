@@ -74,6 +74,7 @@ WARMUP = (
     "streaming_upsert_retention",
     "streaming_upsert_group_retention",
     "streaming_upsert_asof_read",
+    "streaming_upsert_changes",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -175,6 +176,7 @@ HEADLINE = (
     "lineitem_status_quantile_tree",
     "streaming_upsert_asof_read",
     "streaming_dlq_policy_retention",
+    "streaming_upsert_changes",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6385,6 +6385,55 @@ def _asof_read_oracle() -> str:
     """
 
 
+def _upsert_changes_oracle() -> str:
+    """Oracle for the CDC change feed: both historical states rebuilt
+    from the span closed form (state at u == spans 0..u per group),
+    then diffed — inserts (keys absent before) and update pre/post
+    image pairs (keys whose exact event count differs; count
+    monotonicity makes that the complete change test)."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    v = stream_windows.UPSERT_AS_OF_VERSION
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts, CAST(user_id % {g} AS INT) AS grp,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    ),
+    news AS (
+      SELECT grp, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(ts) AS f, MAX(ts) AS l
+      FROM sp WHERE span <= {v} GROUP BY grp, user_id
+    ),
+    prevs AS (
+      SELECT grp, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(ts) AS f, MAX(ts) AS l
+      FROM sp WHERE span <= {v - 1} GROUP BY grp, user_id
+    )
+    SELECT nw.grp AS g, nw.user_id, 'insert' AS change_type,
+           nw.n AS n_events, nw.f AS first_ts, nw.l AS last_ts
+    FROM news nw LEFT JOIN prevs p
+      ON p.grp = nw.grp AND p.user_id = nw.user_id
+    WHERE p.user_id IS NULL
+    UNION ALL
+    SELECT p.grp, p.user_id, 'update_preimage', p.n, p.f, p.l
+    FROM news nw JOIN prevs p
+      ON p.grp = nw.grp AND p.user_id = nw.user_id
+    WHERE nw.n != p.n
+    UNION ALL
+    SELECT nw.grp, nw.user_id, 'update_postimage', nw.n, nw.f, nw.l
+    FROM news nw JOIN prevs p
+      ON p.grp = nw.grp AND p.user_id = nw.user_id
+    WHERE nw.n != p.n
+    """
+
+
 def _gbt_boost_oracle(
     n_stages: int, base_cte: str | None = None, seg: bool = False
 ) -> str:
@@ -7320,6 +7369,18 @@ REGISTRY.update(
             "table from the span closed form",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_changes": QuerySpec(
+            stream_windows.streaming_upsert_changes,
+            _upsert_changes_oracle(),
+            "the CDC CHANGE FEED between two versions of the "
+            "partition-scoped merge-upsert sink: per-key deltas "
+            "v-1 -> v as insert rows plus update pre/post image "
+            "pairs (the lakehouse Change Data Feed row protocol); "
+            "both historical states resolve per group from directory "
+            "metadata and the diff is one key-co-located join + a "
+            "codegen CASE exploding 0-2 change rows per key",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_upsert_group_retention": QuerySpec(
             stream_windows.streaming_upsert_group_retention,
             _grouped_upsert_retention_oracle(),
@@ -7648,10 +7709,18 @@ ROTATION_WINDOW = 50
 # enables; oracle = the span prefix aggregate per group), and the
 # per-reason DLQ age policy (the epoch-age cutoff driven by a
 # reason -> max-age table) -> N = 261 <= 264 (ceil(261/33) = 8
-# holds); priority 6 <= 17. Growth beyond 264 must first raise S to
-# 34 (covers N <= 272, priority cap 16) — re-derive explicitly,
-# don't drift (test_registry_rotation.py fails loudly at N = 265
-# under S = 33 regardless).
+# holds); priority 6 <= 17.
+#
+# Round-15 FINAL block (decided AFTER the SECOND full five-lane
+# sweep went green at N = 261 — the same protocol, math re-derived):
+# the top §7.10 candidate — the CDC change feed between versions
+# (per-group delta v-1 -> v over the partition-scoped sink: inserts
+# + update pre/post images, the lakehouse Change Data Feed read
+# path; oracle diffs the span prefix aggregates) -> N = 262 <= 264
+# (ceil(262/33) = 8 holds); priority 7 <= 17. Growth beyond 264
+# must first raise S to 34 (covers N <= 272, priority cap 16) —
+# re-derive explicitly, don't drift (test_registry_rotation.py
+# fails loudly at N = 265 under S = 33 regardless).
 ROTATION_STRIDE = 33
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7680,6 +7749,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # per-reason DLQ age policy — the policy-table generalization of
     # the epoch-age entry at (epoch, reason) granularity
     "streaming_dlq_policy_retention",
+    # Round-15 FINAL block (§7.10 pull-forward after the SECOND green
+    # sweep): CDC change feed v-1 -> v over the partition-scoped sink
+    "streaming_upsert_changes",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

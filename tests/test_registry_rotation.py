@@ -218,6 +218,8 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "lineitem_status_quantile_tree",
         "streaming_upsert_asof_read",
         "streaming_dlq_policy_retention",
+        # final block (second green sweep)
+        "streaming_upsert_changes",
     )
-    assert len(q.REGISTRY) == 261  # N = 261 <= 264 = the S=33 cap
+    assert len(q.REGISTRY) == 262  # N = 262 <= 264 = the S=33 cap
     assert q.ROTATION_STRIDE == 33

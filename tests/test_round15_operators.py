@@ -360,6 +360,108 @@ def test_asof_read_is_historical_not_latest(spark, sf_oracle):
 
 
 # ---------------------------------------------------------------------------
+# CDC change feed
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_changes_replays_onto_previous_state(spark, sf_oracle):
+    """The feed is a complete, exact delta: applying it to the v−1
+    state (inserts add keys, postimages replace values, everything
+    else carries over) must reproduce the v state byte-for-byte —
+    and every update key carries exactly one preimage equal to its
+    old row and one postimage equal to its new row."""
+    feed = stream_windows.streaming_upsert_changes(
+        spark, sf_oracle
+    ).collect()
+    root = stream_windows._cached_grouped_drain(spark, sf_oracle)
+    v = stream_windows.UPSERT_AS_OF_VERSION
+    prev = {
+        (r["g"], r["user_id"]): (
+            r["n_events"], r["first_ts"], r["last_ts"],
+        )
+        for r in stream_windows._asof_state(spark, root, v - 1).collect()
+    }
+    new = {
+        (r["g"], r["user_id"]): (
+            r["n_events"], r["first_ts"], r["last_ts"],
+        )
+        for r in stream_windows._asof_state(spark, root, v).collect()
+    }
+    by_type: dict = {"insert": {}, "update_preimage": {},
+                     "update_postimage": {}}
+    for r in feed:
+        k = (r["g"], r["user_id"])
+        assert k not in by_type[r["change_type"]]  # no duplicates
+        by_type[r["change_type"]][k] = (
+            r["n_events"], r["first_ts"], r["last_ts"],
+        )
+    # pairing + image exactness
+    assert set(by_type["update_preimage"]) == set(
+        by_type["update_postimage"]
+    )
+    for k, val in by_type["update_preimage"].items():
+        assert val == prev[k], k
+    for k, val in by_type["update_postimage"].items():
+        assert val == new[k], k
+    for k, val in by_type["insert"].items():
+        assert k not in prev and val == new[k], k
+    # completeness: replaying the feed onto prev reproduces new
+    replayed = dict(prev)
+    replayed.update(by_type["insert"])
+    replayed.update(by_type["update_postimage"])
+    assert replayed == new
+    # unchanged keys are NOT emitted
+    emitted = set(by_type["insert"]) | set(by_type["update_postimage"])
+    unchanged = {
+        k for k in prev if k in new and prev[k] == new[k]
+    }
+    assert not (emitted & unchanged)
+
+
+def test_upsert_changes_change_test_is_count_monotone(spark, sf_oracle):
+    """'Changed' is exactly 'event count differs' (count grows with
+    every touch, so no double comparison is needed): the update key
+    set equals the keys whose span-v slice is non-empty among
+    pre-existing keys, computed independently from the staged span
+    files."""
+    feed = stream_windows.streaming_upsert_changes(
+        spark, sf_oracle
+    ).collect()
+    src = stream_windows._upsert_retention_source(spark, sf_oracle)
+    v = stream_windows.UPSERT_AS_OF_VERSION
+    spans = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    g = stream_windows.UPSERT_KEY_GROUPS
+    touched_v = {
+        (r["user_id"] % g, r["user_id"])
+        for r in spark.read.parquet(
+            os.path.join(src, spans[v])
+        ).collect()
+    }
+    prev_keys = {
+        (r["user_id"] % g, r["user_id"])
+        for r in spark.read.parquet(
+            *[os.path.join(src, f) for f in spans[:v]]
+        ).collect()
+    }
+    want_updates = touched_v & prev_keys
+    want_inserts = touched_v - prev_keys
+    got_updates = {
+        (r["g"], r["user_id"])
+        for r in feed
+        if r["change_type"] == "update_postimage"
+    }
+    got_inserts = {
+        (r["g"], r["user_id"])
+        for r in feed
+        if r["change_type"] == "insert"
+    }
+    assert got_updates == want_updates
+    assert got_inserts == want_inserts
+
+
+# ---------------------------------------------------------------------------
 # DLQ epoch-age retention
 # ---------------------------------------------------------------------------
 

@@ -1514,6 +1514,35 @@ def main() -> None:
         f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
 
+    # CDC change feed (round-15 final block): two as-of state
+    # resolutions + one key-co-located diff join + the 0-2-row CASE
+    # explode — post-drain like the as-of row
+    from inf2106_map_reduce_spark.streaming.windows import (
+        UPSERT_AS_OF_VERSION as _V,
+        _asof_state,
+    )
+
+    def cdc_read(root: str):
+        new = _asof_state(spark, root, _V)
+        prev = _asof_state(spark, root, _V - 1).select(
+            "g",
+            "user_id",
+            F.col("n_events").alias("_pn"),
+            F.col("first_ts").alias("_pf"),
+            F.col("last_ts").alias("_pl"),
+        )
+        return new.join(prev, ["g", "user_id"], "left_outer").filter(
+            F.col("_pn").isNull() | (F.col("n_events") != F.col("_pn"))
+        )
+
+    timed(lambda: cdc_read(root1))
+    t1 = min(timed(lambda: cdc_read(root1)) for _ in range(3))
+    tk = min(timed(lambda: cdc_read(rootk)) for _ in range(3))
+    print(
+        f"  CDC change feed (8x keys, post-drain): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
     # Per-segment encoding stump: the encoding apply + per-segment
     # split search (grid unsplit) — tracks the audit family
     def ses(li):
