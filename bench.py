@@ -177,6 +177,7 @@ HEADLINE = (
     "streaming_upsert_asof_read",
     "streaming_dlq_policy_retention",
     "streaming_upsert_changes",
+    "lineitem_status_quantile_gbt3",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

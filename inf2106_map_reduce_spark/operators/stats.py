@@ -2900,6 +2900,28 @@ def lineitem_status_quantile_gbt(
     )
 
 
+def lineitem_status_quantile_gbt3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the per-segment quantile-binned booster at
+    K = 3 — the depth knob on the GROUPED recursion: stage 3's scan
+    joins the per-segment winner frame carrying BOTH earlier
+    memberships (per-segment m1/m2 columns through the per-segment
+    histograms), exercising the carried-membership arithmetic under
+    grouping. Pinned greedy-prefix-stable against the K = 2
+    per-segment entry (its first two stages equal
+    :func:`lineitem_status_quantile_gbt` exactly, per segment)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    return gbt_boost(
+        None,
+        3,
+        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        group_cols=("seg",),
+    )
+
+
 def lineitem_status_multi_stump(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

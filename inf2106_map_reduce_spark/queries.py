@@ -7337,6 +7337,20 @@ REGISTRY.update(
             "while paying one data scan per stage for all segments",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_status_quantile_gbt3": QuerySpec(
+            stats.lineitem_status_quantile_gbt3,
+            _gbt_boost_oracle(
+                3,
+                base_cte=_quantile_binned_base_cte(seg_sql="l_linestatus"),
+                seg=True,
+            ),
+            "the per-segment quantile-binned booster at K = 3 — the "
+            "depth knob on the grouped recursion (stage 3 carries "
+            "both earlier per-segment memberships through the "
+            "per-segment histograms); pinned greedy-prefix-stable "
+            "against the per-segment K = 2 entry",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "lineitem_quantile_gbt3": QuerySpec(
             stats.lineitem_quantile_gbt3,
             _gbt_boost_oracle(3, base_cte=_quantile_binned_base_cte()),
@@ -7717,8 +7731,12 @@ ROTATION_WINDOW = 50
 # (per-group delta v-1 -> v over the partition-scoped sink: inserts
 # + update pre/post images, the lakehouse Change Data Feed read
 # path; oracle diffs the span prefix aggregates) -> N = 262 <= 264
-# (ceil(262/33) = 8 holds); priority 7 <= 17. Growth beyond 264
-# must first raise S to 34 (covers N <= 272, priority cap 16) —
+# (ceil(262/33) = 8 holds); priority 7 <= 17 — plus the K = 3
+# per-segment booster (the depth knob on the grouped recursion,
+# pinned greedy-prefix-stable against the grouped K = 2 entry) ->
+# N = 263 <= 264 (ceil(263/33) = 8 holds); priority 8 <= 17.
+# ROUND 16 HAS 1 FREE SLOT under S = 33; growth beyond 264 must
+# first raise S to 34 (covers N <= 272, priority cap 16) —
 # re-derive explicitly, don't drift (test_registry_rotation.py
 # fails loudly at N = 265 under S = 33 regardless).
 ROTATION_STRIDE = 33
@@ -7752,6 +7770,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # Round-15 FINAL block (§7.10 pull-forward after the SECOND green
     # sweep): CDC change feed v-1 -> v over the partition-scoped sink
     "streaming_upsert_changes",
+    # K = 3 per-segment boosting — the depth knob on the grouped
+    # recursion (carried memberships per segment)
+    "lineitem_status_quantile_gbt3",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

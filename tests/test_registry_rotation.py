@@ -220,6 +220,7 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "streaming_dlq_policy_retention",
         # final block (second green sweep)
         "streaming_upsert_changes",
+        "lineitem_status_quantile_gbt3",
     )
-    assert len(q.REGISTRY) == 262  # N = 262 <= 264 = the S=33 cap
+    assert len(q.REGISTRY) == 263  # N = 263 <= 264 = the S=33 cap
     assert q.ROTATION_STRIDE == 33

@@ -156,6 +156,42 @@ def test_status_quantile_tree_plan_is_one_scan_per_level(
     assert "BatchEvalPython" not in plan
 
 
+def test_status_quantile_gbt3_is_greedy_prefix_stable(spark, sf_oracle):
+    """The grouped K = 3 booster's first two stages equal the grouped
+    K = 2 entry exactly, per segment (greedy boosting is
+    prefix-stable; a divergence would mean the carried-membership
+    arithmetic broke under grouping), and stage 3 exists per segment
+    with non-degenerate leaves."""
+    k2 = {
+        (r["seg"], r["stage"]): tuple(r)
+        for r in stats.lineitem_status_quantile_gbt(
+            spark, sf_oracle
+        ).collect()
+    }
+    k3 = {
+        (r["seg"], r["stage"]): tuple(r)
+        for r in stats.lineitem_status_quantile_gbt3(
+            spark, sf_oracle
+        ).collect()
+    }
+    assert len(k3) == len(k2) // 2 * 3
+    for key, val in k2.items():
+        assert k3[key] == val, key
+    for (seg, stage), val in k3.items():
+        if stage == 3:
+            assert val[4] > 0 and val[5] > 0  # n_left, n_right
+
+
+def test_status_quantile_gbt3_plan_is_one_scan_per_stage(
+    spark, sf_oracle
+):
+    df = stats.lineitem_status_quantile_gbt3(spark, sf_oracle)
+    plan = explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") == 3, plan
+    assert "CollectLimit" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_grouped_gbt_rejects_reserved_group_cols(spark, sf_oracle):
     li = load_table(spark, sf_oracle, "lineitem")
     binned = stats._stump_binned(li).withColumn("f1", F.lit("x"))

@@ -1618,6 +1618,25 @@ def main() -> None:
         f"  per-segment quantile tree (2 levels): {t1:.3f}s -> "
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # K = 3 per-segment boosting (round-15 final block): the depth
+    # knob on the grouped recursion — expect the global K = 3 curve
+    def sqgbt3(li):
+        seg = li.withColumn("seg", F.col("l_linestatus"))
+        return gbt_boost(
+            None,
+            3,
+            binned=_quantile_stump_binned(seg, group_cols=("seg",)),
+            group_cols=("seg",),
+        )
+
+    timed(lambda: sqgbt3(li1))
+    t1 = min(timed(lambda: sqgbt3(li1)) for _ in range(3))
+    tk = min(timed(lambda: sqgbt3(lik)) for _ in range(3))
+    print(
+        f"  per-segment quantile GBT (3 stages): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
