@@ -1102,6 +1102,15 @@ def _asof_state(
                 "last_ts",
             )
         )
+    if not parts:
+        # fail with intent: no group had written by version v, so
+        # there IS no table at that point in history — an empty-frame
+        # fallback would silently conflate "before the first write"
+        # with "a table with zero keys"
+        raise ValueError(
+            f"no snapshot exists at or before version {v} under "
+            f"{table_root} — the sink's history starts later"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -454,6 +454,15 @@ def test_upsert_changes_replays_onto_previous_state(spark, sf_oracle):
     assert not (emitted & unchanged)
 
 
+def test_asof_state_fails_with_intent_before_history(spark, sf_oracle):
+    """Asking for the table before the sink's first write is an
+    error, not an empty table — the two mean different things to a
+    time-travel consumer."""
+    root = stream_windows._cached_grouped_drain(spark, sf_oracle)
+    with pytest.raises(ValueError, match="history starts later"):
+        stream_windows._asof_state(spark, root, -1)
+
+
 def test_upsert_changes_change_test_is_count_monotone(spark, sf_oracle):
     """'Changed' is exactly 'event count differs' (count grows with
     every touch, so no double comparison is needed): the update key
