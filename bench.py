@@ -75,6 +75,7 @@ WARMUP = (
     "streaming_upsert_group_retention",
     "streaming_upsert_asof_read",
     "streaming_upsert_changes",
+    "streaming_upsert_changes_window",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -178,6 +179,7 @@ HEADLINE = (
     "streaming_dlq_policy_retention",
     "streaming_upsert_changes",
     "lineitem_status_quantile_gbt3",
+    "streaming_upsert_changes_window",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6385,15 +6385,21 @@ def _asof_read_oracle() -> str:
     """
 
 
-def _upsert_changes_oracle() -> str:
+def _upsert_changes_oracle(
+    v0: int | None = None, v1: int | None = None
+) -> str:
     """Oracle for the CDC change feed: both historical states rebuilt
     from the span closed form (state at u == spans 0..u per group),
     then diffed — inserts (keys absent before) and update pre/post
     image pairs (keys whose exact event count differs; count
-    monotonicity makes that the complete change test)."""
+    monotonicity makes that the complete change test). Defaults to
+    the stepwise (v-1, v) window at the pinned AS-OF version; pass
+    (v0, v1) for the net-effect window entry."""
     n = stream_windows.UPSERT_RETENTION_SPANS
     g = stream_windows.UPSERT_KEY_GROUPS
     v = stream_windows.UPSERT_AS_OF_VERSION
+    if v1 is None:
+        v0, v1 = v - 1, v
     return f"""
     WITH b AS (
       SELECT MIN(epoch_us(ts)) AS lo,
@@ -6409,12 +6415,12 @@ def _upsert_changes_oracle() -> str:
     news AS (
       SELECT grp, user_id, CAST(COUNT(*) AS BIGINT) AS n,
              MIN(ts) AS f, MAX(ts) AS l
-      FROM sp WHERE span <= {v} GROUP BY grp, user_id
+      FROM sp WHERE span <= {v1} GROUP BY grp, user_id
     ),
     prevs AS (
       SELECT grp, user_id, CAST(COUNT(*) AS BIGINT) AS n,
              MIN(ts) AS f, MAX(ts) AS l
-      FROM sp WHERE span <= {v - 1} GROUP BY grp, user_id
+      FROM sp WHERE span <= {v0} GROUP BY grp, user_id
     )
     SELECT nw.grp AS g, nw.user_id, 'insert' AS change_type,
            nw.n AS n_events, nw.f AS first_ts, nw.l AS last_ts
@@ -7395,6 +7401,19 @@ REGISTRY.update(
             "codegen CASE exploding 0-2 change rows per key",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_changes_window": QuerySpec(
+            stream_windows.streaming_upsert_changes_window,
+            _upsert_changes_oracle(
+                0, stream_windows.UPSERT_RETENTION_SPANS - 1
+            ),
+            "the NET-EFFECT CDC feed over the whole version window "
+            "(0 -> final) of the partition-scoped sink: keys born "
+            "mid-history collapse to single inserts carrying final "
+            "values, surviving keys to one pre/post pair spanning "
+            "the window — pinned equal to the composition of the "
+            "stepwise feeds; same span-diff oracle with two literals",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_upsert_group_retention": QuerySpec(
             stream_windows.streaming_upsert_group_retention,
             _grouped_upsert_retention_oracle(),
@@ -7734,11 +7753,15 @@ ROTATION_WINDOW = 50
 # (ceil(262/33) = 8 holds); priority 7 <= 17 — plus the K = 3
 # per-segment booster (the depth knob on the grouped recursion,
 # pinned greedy-prefix-stable against the grouped K = 2 entry) ->
-# N = 263 <= 264 (ceil(263/33) = 8 holds); priority 8 <= 17.
-# ROUND 16 HAS 1 FREE SLOT under S = 33; growth beyond 264 must
-# first raise S to 34 (covers N <= 272, priority cap 16) —
-# re-derive explicitly, don't drift (test_registry_rotation.py
-# fails loudly at N = 265 under S = 33 regardless).
+# N = 263 <= 264 (ceil(263/33) = 8 holds); priority 8 <= 17 — plus
+# the version-WINDOW net-effect CDC feed (the v0 -> v1
+# generalization of the stepwise entry; pinned equal to the
+# composition of stepwise feeds) -> N = 264 = EXACTLY the S = 33
+# horizon cap (ceil(264/33) = 8 holds); priority 9 <= 17.
+# ROUND 16 HAS 0 FREE SLOTS under S = 33; ANY growth must first
+# raise S to 34 (covers N <= 272, priority cap 16) — re-derive
+# explicitly, don't drift (test_registry_rotation.py fails loudly
+# at N = 265 under S = 33 regardless).
 ROTATION_STRIDE = 33
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7773,6 +7796,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # K = 3 per-segment boosting — the depth knob on the grouped
     # recursion (carried memberships per segment)
     "lineitem_status_quantile_gbt3",
+    # net-effect CDC over the whole version window — the v0 -> v1
+    # generalization, pinned equal to composed stepwise feeds
+    "streaming_upsert_changes_window",
 )
 
 #: The round-14 priority block (12 names) as retired at round-15

@@ -1148,8 +1148,27 @@ def streaming_upsert_changes(
     change row, both images, exactly."""
     table_root = _cached_grouped_drain(spark, sf_dir)
     v = UPSERT_AS_OF_VERSION
-    new = _asof_state(spark, table_root, v)
-    prev = _asof_state(spark, table_root, v - 1).select(
+    return upsert_changes_between(spark, table_root, v - 1, v)
+
+
+def upsert_changes_between(
+    spark: SparkSession, table_root: str, v0: int, v1: int
+) -> DataFrame:
+    """The NET-EFFECT change feed between any two versions v0 < v1 of
+    a partition-scoped tree — the general CDF read the stepwise entry
+    pins at (v−1, v): inserts are keys absent at v0, updates are keys
+    whose exact event count differs (count monotonicity — the
+    complete change test), and intermediate churn collapses (a key
+    inserted after v0 then updated repeatedly reads as ONE insert
+    carrying its v1 values; the net feed equals the COMPOSITION of
+    the stepwise feeds, pinned in tests). Same one key-co-located
+    join + codegen CASE."""
+    if not (0 <= v0 < v1):
+        raise ValueError(
+            f"upsert_changes_between needs 0 <= v0 < v1 (got {v0}, {v1})"
+        )
+    new = _asof_state(spark, table_root, v1)
+    prev = _asof_state(spark, table_root, v0).select(
         "g",
         "user_id",
         F.col("n_events").alias("_pn"),
@@ -1187,6 +1206,24 @@ def streaming_upsert_changes(
     )
     return j.select("g", "user_id", F.explode(rows).alias("c")).select(
         "g", "user_id", "c.*"
+    )
+
+
+def streaming_upsert_changes_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the NET-EFFECT CDC feed over the WHOLE version
+    window (v0 = 0 → v1 = the final version) of the partition-scoped
+    sink (SURVEY §7.10) — :func:`upsert_changes_between`'s general
+    form exercised at the widest window: keys born after version 0
+    read as single inserts carrying their final values (intermediate
+    churn collapses — the net feed equals the composition of the
+    stepwise feeds, pinned in tests), keys alive at version 0 whose
+    counts grew read as one pre/post image pair spanning the whole
+    window. Same session-cached drain, same key-co-located join."""
+    table_root = _cached_grouped_drain(spark, sf_dir)
+    return upsert_changes_between(
+        spark, table_root, 0, UPSERT_RETENTION_SPANS - 1
     )
 
 

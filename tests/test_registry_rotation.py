@@ -221,6 +221,7 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         # final block (second green sweep)
         "streaming_upsert_changes",
         "lineitem_status_quantile_gbt3",
+        "streaming_upsert_changes_window",
     )
-    assert len(q.REGISTRY) == 263  # N = 263 <= 264 = the S=33 cap
+    assert len(q.REGISTRY) == 264  # N = 264 == the S=33 cap exactly
     assert q.ROTATION_STRIDE == 33

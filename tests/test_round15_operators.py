@@ -454,6 +454,63 @@ def test_upsert_changes_replays_onto_previous_state(spark, sf_oracle):
     assert not (emitted & unchanged)
 
 
+def test_window_changes_equal_composed_stepwise_feeds(spark, sf_oracle):
+    """The net-effect window feed (0 → final) equals the COMPOSITION
+    of the stepwise feeds: fold each stepwise feed into a running
+    state-delta (insert-then-update collapses to insert with the
+    final values; updates chain their postimages; preimages come
+    from the first touch) and compare — net semantics, exactly."""
+    root = stream_windows._cached_grouped_drain(spark, sf_oracle)
+    last = stream_windows.UPSERT_RETENTION_SPANS - 1
+    window = stream_windows.streaming_upsert_changes_window(
+        spark, sf_oracle
+    ).collect()
+    # compose stepwise feeds 0->1, 1->2, ..., (last-1)->last
+    born: dict = {}       # key -> final values (inserted after v0)
+    pre: dict = {}        # key -> first preimage (alive at v0)
+    post: dict = {}       # key -> latest postimage
+    for v in range(1, last + 1):
+        step = stream_windows.upsert_changes_between(
+            spark, root, v - 1, v
+        ).collect()
+        for r in step:
+            k = (r["g"], r["user_id"])
+            val = (r["n_events"], r["first_ts"], r["last_ts"])
+            if r["change_type"] == "insert":
+                assert k not in born and k not in pre
+                born[k] = val
+            elif r["change_type"] == "update_preimage":
+                if k not in born and k not in pre:
+                    pre[k] = val
+            else:  # update_postimage
+                if k in born:
+                    born[k] = val
+                else:
+                    post[k] = val
+    want_inserts = born
+    want_pre = {k: v for k, v in pre.items() if k in post}
+    want_post = post
+    got_inserts, got_pre, got_post = {}, {}, {}
+    for r in window:
+        k = (r["g"], r["user_id"])
+        val = (r["n_events"], r["first_ts"], r["last_ts"])
+        {"insert": got_inserts, "update_preimage": got_pre,
+         "update_postimage": got_post}[r["change_type"]][k] = val
+    assert got_inserts == want_inserts
+    assert got_pre == want_pre
+    assert got_post == want_post
+
+
+def test_window_changes_rejects_bad_versions(spark, sf_oracle):
+    root = stream_windows._cached_grouped_drain(spark, sf_oracle)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs 0 <= v0 < v1"):
+        stream_windows.upsert_changes_between(spark, root, 2, 2)
+    with _pytest.raises(ValueError, match="needs 0 <= v0 < v1"):
+        stream_windows.upsert_changes_between(spark, root, -1, 2)
+
+
 def test_asof_state_fails_with_intent_before_history(spark, sf_oracle):
     """Asking for the table before the sink's first write is an
     error, not an empty table — the two mean different things to a
