@@ -7762,13 +7762,39 @@ ROTATION_WINDOW = 50
 # raise S to 34 (covers N <= 272, priority cap 16) — re-derive
 # explicitly, don't drift (test_registry_rotation.py fails loudly
 # at N = 265 under S = 33 regardless).
-ROTATION_STRIDE = 33
+#
+# Round-16 budget (S RAISED FIRST, per the r13 verdict item #2 and
+# the established protocol — re-derived BEFORE adding entries):
+# CORRECTNESS_r13 carries a hard green row for every name in the
+# round-15 9-name block (verified at round open: 9/9
+# rows_match+schema_match+hash_match, err None), so the carry
+# protocol is satisfied and the block RETIRES to _ROUND15_PRIORITY
+# below. N = 264 sits EXACTLY at the S = 33 horizon cap (zero free
+# slots), so S rises to 34: horizon cap becomes N <= 272
+# (ceil(272/34) = 8 — the staleness bound holds), priority cap
+# shrinks to WINDOW - S = 50 - 34 = 16. The round-16 budget is the
+# three §7.10 candidates from the r13 verdict (items #4-6) — the
+# grouped-sink small-file compaction audit (maintenance_compaction
+# composed with the partition-scoped (g, version) layout), the
+# per-segment isotonic calibration of the grouped quantile-GBT
+# margin (isotonic_calibration(group_cols) over the grouped
+# trainer's session-cached trajectory), and the mid-history CDC
+# window (upsert_changes_between with v0 > 0, pinned equal to
+# composed stepwise feeds) -> N = 267 <= 272 (ceil(267/34) = 8
+# holds); priority 3 <= 16 with room to spare.
+ROTATION_STRIDE = 34
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
-#: Round-15 block (§7.9 candidates, budget in the ROTATION_STRIDE
+#: Round-16 block (§7.10 candidates, budget in the ROTATION_STRIDE
 #: comment) — names are appended as each entry lands.
-_ROUND_PRIORITY: tuple[str, ...] = (
+_ROUND_PRIORITY: tuple[str, ...] = ()
+
+#: The round-15 priority block (9 names) as retired at round-16
+#: open: CORRECTNESS_r13 carries a fully-green hard row for every
+#: name (the carry protocol's exit condition), kept as a named
+#: record for the staleness audit.
+_ROUND15_PRIORITY: tuple[str, ...] = (
     # per-segment quantile-binned boosting — the grouped leg of the
     # trainer family (per-segment adaptive maps + per-segment stage
     # winners via group_cols through the same closed forms)

@@ -191,9 +191,7 @@ def test_round13_carried_block_retired_on_hard_rows():
 def test_round15_priority_is_exactly_the_budgeted_block():
     # round-15 budget (ROTATION_STRIDE comment): S raised to 33 FIRST
     # (N = 255 sat at the S=32 cap minus one), the 12-name round-14
-    # block retired on its 12/12-green CORRECTNESS_r12 rows, and the
-    # live block is the three §7.9 candidates (appended as each
-    # lands, never anything else).
+    # block retired on its 12/12-green CORRECTNESS_r12 rows.
     assert q._ROUND14_PRIORITY == (
         "lineitem_status_reliability",
         "lineitem_binned_stump",
@@ -210,7 +208,7 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "lineitem_status_encoding_stump",
         "lineitem_quantile_gbt3",
     )
-    assert q._ROUND_PRIORITY == (
+    assert q._ROUND15_PRIORITY == (
         "lineitem_status_quantile_gbt",
         "streaming_upsert_group_retention",
         "streaming_dlq_age_retention",
@@ -223,5 +221,31 @@ def test_round15_priority_is_exactly_the_budgeted_block():
         "lineitem_status_quantile_gbt3",
         "streaming_upsert_changes_window",
     )
-    assert len(q.REGISTRY) == 264  # N = 264 == the S=33 cap exactly
-    assert q.ROTATION_STRIDE == 33
+
+
+def test_round15_carried_block_retired_on_hard_rows():
+    # The carry protocol's exit condition for the round-15 block,
+    # settled by the hard artifact at round-16 open: every name of
+    # the retired 9-name block must carry a fully-green
+    # CORRECTNESS_r13 row — only then may the live priority drop to
+    # round-16's new entries and the stride rise past the N = 264
+    # cap the block filled.
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r13.json")) as f:
+        r13 = json.load(f)
+    for name in q._ROUND15_PRIORITY:
+        row = r13[name]
+        assert row["hash_match"] and row["err"] is None, (name, row)
+
+
+def test_round16_stride_budget():
+    # round-16 budget (ROTATION_STRIDE comment): N = 264 sat EXACTLY
+    # at the S = 33 horizon cap, so S rose to 34 FIRST (r13 verdict
+    # item #2) BEFORE any growth; the new cap is 272 with priority
+    # cap 16, and the round budget is the three §7.10 candidates.
+    assert q.ROTATION_STRIDE == 34
+    assert 264 <= len(q.REGISTRY) <= 272
+    assert math.ceil(len(q.REGISTRY) / q.ROTATION_STRIDE) <= 8
+    assert len(q._ROUND_PRIORITY) <= 16
