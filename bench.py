@@ -43,6 +43,13 @@ WARMUP = (
     # docs_hybrid_rrf_lsh: 5.7 s cold vs 1.6 s warm)
     "udf_arrow_norms",
     "docs_bm25_topk",
+    # exchange/codegen first-touch on the cosine near-dup self-join:
+    # measured 2.11 s first-touch vs 0.36-0.61 s warm on identical
+    # plans (r13 judge settle protocol, BASELINE.md round-16 open) —
+    # the gap is per-plan first-touch, not per-query work, the same
+    # accounting that warms every streaming_* entry; its timed line
+    # now measures the warm plan like the rest of the batch family
+    "dedup_embedding_cosine",
     # every streaming query warms ITS OWN plan: unlike batch (where
     # q1's codegen warm-up covers most of the family), each
     # Structured Streaming query pays ~0.6-1.5 s of per-plan
@@ -258,6 +265,10 @@ def main() -> None:
     calibration_start = _calibrate()
     calibration_scan_start = _calibrate_scan()
 
+    # NOTE: insertion order of `timings` IS the measurement loop order
+    # (pseudo stages first, then the sorted-registry loop) — the
+    # per-query bench gate recovers each query's probe segment from
+    # the BENCH_FULL snapshot's key order, so don't reorder inserts
     timings: dict[str, float] = {}
     # intra-run weather probes: the r12 driver run's CPU probe moved
     # 1.7x DURING the run (0.184 -> 0.108), so endpoint probes alone

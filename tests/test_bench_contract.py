@@ -57,7 +57,45 @@ HARD_GATE_S_PER_Q = 1.43  # 2x the 0.713 r01 anchor (BASELINE.md)
 TARGET_S_PER_Q = 0.80
 
 
+def _snapshot_payload_for(root, round_tag: str, tail: str):
+    """The round-open snapshot ``BENCH_FULL_{round_tag}.json`` (the
+    round-open checklist copies the driver's ``BENCH_FULL.json`` there
+    before any in-round bench overwrites it), cross-checked against
+    the driver's tail: every per-query timing parseable from the tail
+    must match the snapshot exactly, or the snapshot is not this
+    round's payload and must not gate."""
+    import json
+    import os
+    import re
+
+    path = os.path.join(root, f"BENCH_FULL_{round_tag}.json")
+    try:
+        with open(path) as f:
+            full = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None, None
+    if not (full.get("calibration_sec") and full.get("n_queries")):
+        return None, None
+    qmap = full.get("queries") or {}
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', tail)
+    matched = [k for k, v in pairs if k in qmap and float(v) == qmap[k]]
+    mismatched = [k for k, v in pairs if k in qmap and float(v) != qmap[k]]
+    if mismatched or len(matched) < 5:
+        return None, None
+    return path, full
+
+
 def _latest_driver_bench():
+    """Newest driver bench artifact with a usable payload.
+
+    r13 verdict finding #1: the driver truncates the r12/r13 `tail`
+    mid-payload, so the `{"metric"` regex never matches and the old
+    resolver silently walked back to BENCH_r11 — the gates tested a
+    two-round-old artifact. A truncated round now resolves through
+    its round-open snapshot (``BENCH_FULL_r{N}.json``), validated
+    against the tail; the snapshot is also PREFERRED when the tail
+    does parse, because it carries the full per-query map in loop
+    order (the printed line carries only the headline subset)."""
     import glob
     import json
     import os
@@ -73,6 +111,11 @@ def _latest_driver_bench():
             continue
         # the driver wraps bench.py's one-line JSON inside `tail`
         tail = wrapper.get("tail") or ""
+        tag_m = re.search(r"BENCH_(r\d+)\.json$", path)
+        if tag_m:
+            snap_path, snap = _snapshot_payload_for(root, tag_m.group(1), tail)
+            if snap is not None:
+                return snap_path, snap
         m = re.search(r'\{"metric".*\}', tail)
         if not m:
             continue
@@ -80,6 +123,32 @@ def _latest_driver_bench():
         if payload.get("calibration_sec") and payload.get("n_queries"):
             return path, payload
     return None, None
+
+
+def test_bench_resolver_returns_current_round():
+    """Pin the r13 finding closed: the resolver must gate the NEWEST
+    round's artifact, never silently walk back (it returned
+    BENCH_r11.json before this fix, because the r12/r13 tails are
+    truncated and no fallback existed)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    newest = max(
+        int(m.group(1))
+        for m in (re.search(r"BENCH_r(\d+)\.json$", p) for p in arts)
+        if m  # the glob also matches e.g. BENCH_r05code_reweather.json
+    )
+    path, payload = _latest_driver_bench()
+    assert payload is not None
+    got = int(re.search(r"_r(\d+)\.json$", path).group(1))
+    assert got == newest, (
+        f"resolver gates round {got}, newest artifact is round {newest}"
+    )
+    # the r13 payload resolves through the snapshot with the full map
+    assert payload["n_queries"] >= 243
 
 
 def test_normalized_bench_gate():
@@ -148,6 +217,45 @@ PER_QUERY_ANCHORS = {
 #: above this floor can gate, so noise on a 0.06 s row never fails
 PER_QUERY_GATE_FLOOR_S = 1.0
 
+#: Per-ARTIFACT rows formally breaching the gate but closed as
+#: weather by the settle protocol (BASELINE.md: git log -L shows zero
+#: code diffs on the path since the anchor run, AND a fresh-session
+#: re-measure with probes on both sides reads inside the gate). Keyed
+#: by (round tag, query) so a closure never carries to the NEXT
+#: artifact — if the same row breaches again it fails normally and
+#: must be either fixed or re-settled with new evidence. Each value
+#: cites the evidence record.
+WEATHER_SETTLED = {
+    ("r13", "dedup_embedding_cosine"): (
+        "judge-run settle protocol, VERDICT.md r13 / BASELINE.md "
+        "round-16 open: zero diffs on functions/dedup.py:1496 since "
+        "the r12 bench; fresh-session first-touch 2.107 s -> adjusted "
+        "1.83 INSIDE the 2.233 gate, warm 0.36-0.61 s (probes cpu "
+        "0.111-0.123, scan 0.195-0.214); closed going forward by the "
+        "bench.py WARMUP pre-warm"
+    ),
+}
+
+
+def test_weather_settled_rows_cite_existing_artifacts():
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = {
+        m.group(1)
+        for m in (
+            re.search(r"BENCH_(r\d+)\.json$", p)
+            for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        )
+        if m  # the glob also matches e.g. BENCH_r05code_reweather.json
+    }
+    for (tag, name), evidence in WEATHER_SETTLED.items():
+        assert tag in rounds, (tag, name)
+        assert name in PER_QUERY_ANCHORS, name
+        assert "BASELINE.md" in evidence, (tag, name)
+
 
 def test_per_query_anchor_gate():
     """A per-query breach must hold across the run's whole RECORDED
@@ -189,23 +297,31 @@ def test_per_query_anchor_gate():
     # (calibration_probe_positions, bench.py probes every ~50 timed
     # queries), a query is bracketed by its OWN segment's probe pair —
     # the gate's code-favorability shrinks from the whole-run drift
-    # (1.7x in r12) to the local segment's. Queries run in
-    # sorted-registry order, so a query's loop position is its rank in
-    # the sorted timing map; a name missing from the current registry
-    # sort (renamed since the artifact) falls back to the global worst
-    # probe. Without positions (pre-r15 artifacts) the whole-run rule
-    # applies unchanged — its sensitivity floor is 2x + recorded
-    # drift, by documented design.
+    # (1.7x in r12) to the local segment's. r16 fix (r13 ADVICE):
+    # probe positions were recorded against the ARTIFACT's registry,
+    # not the current one — an entry added/removed since the artifact
+    # shifts every later name's rank and silently brackets those
+    # queries with the wrong segment. The artifact's own loop order is
+    # recoverable exactly when the payload carries the FULL timing map
+    # (the BENCH_FULL snapshot: bench.py inserts timings in loop
+    # order and JSON preserves it — pseudo stages first, then the
+    # sorted-registry loop); headline-only payloads (HEADLINE-tuple
+    # order, not loop order) and pre-r15 artifacts fall back to the
+    # global worst probe, per the documented whole-run rule.
     positions = payload.get("calibration_probe_positions")
-    loop_order = sorted(n for n in REGISTRY)
+    artifact_loop = [
+        n for n in payload["queries"] if n not in bench.PSEUDO_STAGES
+    ]
+    if len(artifact_loop) != payload["n_queries"]:
+        artifact_loop = []  # headline subset — loop order unknowable
 
     def _cal_hi_for(name: str) -> float:
         if not positions or len(positions) != len(probes):
             return cal_hi
         if name in bench.PSEUDO_STAGES:
             p = 0  # the stage build runs right after the start probe
-        elif name in loop_order:
-            p = loop_order.index(name)
+        elif name in artifact_loop:
+            p = artifact_loop.index(name)
         else:
             return cal_hi
 
@@ -214,11 +330,17 @@ def test_per_query_anchor_gate():
                 return max(probes[i], probes[i + 1])
         return max(probes[-2:]) if len(probes) >= 2 else cal_hi
 
+    import re
+
+    round_tag_m = re.search(r"_r(\d+)\.json$", path)
+    round_tag = f"r{round_tag_m.group(1)}" if round_tag_m else ""
     breaches = []
     for name, anchor_raw in PER_QUERY_ANCHORS.items():
         got = payload["queries"].get(name)
         if got is None:
             continue  # truncated tail payloads carry only a subset
+        if (round_tag, name) in WEATHER_SETTLED:
+            continue  # closed with recorded settle evidence (above)
         adj = got * (CALIBRATION_ANCHOR / _cal_hi_for(name))
         anchor_adj = anchor_raw * (CALIBRATION_ANCHOR / R09_ANCHOR_CAL)
         gate = max(2 * anchor_adj, PER_QUERY_GATE_FLOOR_S)
