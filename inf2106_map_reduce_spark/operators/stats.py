@@ -981,6 +981,15 @@ _ENCODING_GRID_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _registry_encoding_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FRAGILITY CONTRACT (r13 ADVICE): the ``_enc_n_folds`` stamp is
+    # a plain Python attribute on the DataFrame OBJECT — any
+    # transformation (select/filter/localCheckpoint/persist-reread)
+    # returns a new object WITHOUT it, silently degrading
+    # _require_grid_folds to the one-sided fallback scan. Registry
+    # paths therefore cache and hand out the fit's frame UNTOUCHED
+    # (target_encoding checkpoints internally, pre-stamp);
+    # tests/test_round16_fixes.py pins that the cached frame stays
+    # stamped. Consumers must not wrap it before passing it on.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ENCODING_GRID_CACHE:
         li = load_table(spark, sf_dir, "lineitem")
@@ -3055,7 +3064,15 @@ def _require_grid_folds(grid: DataFrame, n_folds: int) -> None:
     necessary-condition scan (one job over the checkpointed
     aggregate-sized grid), which can only catch the more-folds side —
     a grid fit with fewer folds is indistinguishable from sparse fold
-    occupancy; callers of unstamped grids own that side."""
+    occupancy; callers of unstamped grids own that side.
+
+    The stamp is a plain Python attribute, NOT part of the plan: any
+    transformation of the grid frame (``select``/``filter``/
+    ``localCheckpoint``/persist-reread) returns a new object without
+    it and silently lands here in the weaker fallback (r13 ADVICE).
+    Pass the fit's frame untransformed — the registry cache does
+    (see :func:`_registry_encoding_grid`), pinned in
+    tests/test_round16_fixes.py."""
     fitted = getattr(grid, "_enc_n_folds", None)
     if fitted is not None:
         if fitted != n_folds:

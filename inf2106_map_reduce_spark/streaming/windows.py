@@ -948,7 +948,7 @@ def _grouped_upsert_drain_from(
     def _merge_batch(batch_df, epoch):
         delta = (
             batch_df.withColumn(
-                "g", (F.col("user_id") % UPSERT_KEY_GROUPS).cast("int")
+                "g", (F.col("user_id") % n_groups).cast("int")
             )
             .groupBy("g", "user_id")
             .agg(
@@ -979,9 +979,20 @@ def _grouped_upsert_drain_from(
         for p in parts[1:]:
             cur = cur.unionByName(p)
         merged = merge_latest(cur, delta, keys=("g", "user_id"))
-        merged.repartition(1).write.partitionBy("g").mode(
-            "overwrite"
-        ).parquet(f"{table_root}/v={epoch}")
+        # repartition BY the partition column, not to one task: each
+        # touched key group's snapshot is then written by its own
+        # task in parallel (same v=<e>/g=<k> file layout — one task
+        # per group, partitionBy splits the directories). The former
+        # repartition(1) funneled every touched group through a
+        # single writer — correct, but the drain's bottleneck once
+        # groups number in the thousands (r13 verdict item #7).
+        # Range partitioning, not hash: murmur3 collides badly at
+        # small group counts (g ∈ {0,1,3} all hash to the same
+        # partition mod 4), while contiguous-range bounds give every
+        # distinct g its own task whenever groups <= partitions.
+        merged.repartitionByRange(n_groups, "g").write.partitionBy(
+            "g"
+        ).mode("overwrite").parquet(f"{table_root}/v={epoch}")
 
     q = (
         stream.writeStream.foreachBatch(_merge_batch)
@@ -1265,7 +1276,9 @@ def streaming_upsert_group_retention(
     (a full-table rewrite per version is the thing this entry
     retires)."""
     src = _upsert_retention_source(spark, sf_dir)
-    table_root, last = _grouped_upsert_drain_from(spark, src)
+    # per-group retention derives versions from the directory walk
+    # below; the drain's last-epoch return is not needed here
+    table_root, _ = _grouped_upsert_drain_from(spark, src)
     wrote: dict[int, list[int]] = {}
     for name in sorted(os.listdir(table_root)):
         if not name.startswith("v="):
@@ -1667,7 +1680,38 @@ def dlq_age_retention_pass(
     """The epoch-age retention body over one quarantine tree; returns
     ``(audit_summary, compacted_root)`` — the root surfaced so tests
     can pin the rewrite itself (file count, exact retained rows), the
-    :func:`dlq_retention_pass` contract."""
+    :func:`dlq_retention_pass` contract. The global-cutoff
+    specialization of :func:`_dlq_grouped_age_retention_pass` at
+    whole-epoch granularity."""
+    return _dlq_grouped_age_retention_pass(
+        spark,
+        dlq_root,
+        group_cols=("epoch",),
+        cutoff=F.expr(
+            f"_wm - ((_wm - _lo) * {DLQ_AGE_NUM}) DIV {DLQ_AGE_DEN}"
+        ),
+        prefix="dlq_age_retained_",
+    )
+
+
+def _dlq_grouped_age_retention_pass(
+    spark: SparkSession,
+    dlq_root: str,
+    group_cols: tuple[str, ...],
+    cutoff: F.Column,
+    prefix: str,
+) -> tuple[DataFrame, str]:
+    """Shared age-retention body (r13 ADVICE: the age and policy
+    passes were ~80 duplicated lines differing only here): a
+    ``group_cols`` group of the quarantine ages out iff its newest
+    event timestamp falls below ``cutoff``, an expression over the
+    tree's global bounds ``(_lo, _wm)`` — plus the group columns
+    themselves for per-group policies. Dispositions are a broadcast
+    (≤ groups)-row join computed lazily from the tree's own bounds;
+    retained rows are rewritten compacted (``bytes / 128 MB`` files)
+    and summarized FROM the compacted tree, proving the rewrite; the
+    source tree is kept (the DLQ siblings share the session-cached
+    quarantine)."""
     q = (
         spark.read.schema(_DLQ_EVENT_SCHEMA + ", reason string")
         .option("basePath", dlq_root)
@@ -1678,23 +1722,20 @@ def dlq_age_retention_pass(
     bounds = q.agg(
         F.min("_us").alias("_lo"), F.max("_us").alias("_wm")
     )
-    cutoff = F.expr(
-        f"_wm - ((_wm - _lo) * {DLQ_AGE_NUM}) DIV {DLQ_AGE_DEN}"
-    )
     disposition = (
-        q.groupBy("epoch")
-        .agg(F.max("_us").alias("_emax"))
+        q.groupBy(*group_cols)
+        .agg(F.max("_us").alias("_gmax"))
         .crossJoin(F.broadcast(bounds))
         .select(
-            "epoch",
-            F.when(F.col("_emax") < cutoff, F.lit("aged_out"))
+            *group_cols,
+            F.when(F.col("_gmax") < cutoff, F.lit("aged_out"))
             .otherwise(F.lit("retained"))
             .alias("disposition"),
         )
     )
-    tagged = q.join(F.broadcast(disposition), "epoch").localCheckpoint(
-        eager=True
-    )
+    tagged = q.join(
+        F.broadcast(disposition), list(group_cols)
+    ).localCheckpoint(eager=True)
     aged = tagged.filter(F.col("disposition") == "aged_out")
     retained = tagged.filter(F.col("disposition") == "retained").drop(
         "disposition", "_us"
@@ -1706,7 +1747,7 @@ def dlq_age_retention_pass(
         if f.endswith(".parquet")
     )
     n_out = max(1, math.ceil(tree_bytes / COMPACT_TARGET_BYTES))
-    compact_root = tempfile.mkdtemp(prefix="dlq_age_retained_")
+    compact_root = tempfile.mkdtemp(prefix=prefix)
     retained.repartition(n_out).write.mode("overwrite").parquet(
         compact_root
     )
@@ -1795,74 +1836,15 @@ def dlq_policy_retention_pass(
 ) -> tuple[DataFrame, str]:
     """The per-reason age retention body over one quarantine tree;
     returns ``(audit_summary, compacted_root)`` — the
-    :func:`dlq_retention_pass` contract."""
-    q = (
-        spark.read.schema(_DLQ_EVENT_SCHEMA + ", reason string")
-        .option("basePath", dlq_root)
-        .parquet(dlq_root)
-        .withColumn("epoch", F.col("epoch").cast("int"))
-        .withColumn("_us", F.unix_micros("ts"))
-    )
-    bounds = q.agg(
-        F.min("_us").alias("_lo"), F.max("_us").alias("_wm")
-    )
-    disposition = (
-        q.groupBy("epoch", "reason")
-        .agg(F.max("_us").alias("_gmax"))
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "epoch",
-            "reason",
-            F.when(
-                F.col("_gmax") < _policy_cutoff_expr(),
-                F.lit("aged_out"),
-            )
-            .otherwise(F.lit("retained"))
-            .alias("disposition"),
-        )
-    )
-    tagged = q.join(
-        F.broadcast(disposition), ["epoch", "reason"]
-    ).localCheckpoint(eager=True)
-    aged = tagged.filter(F.col("disposition") == "aged_out")
-    retained = tagged.filter(F.col("disposition") == "retained").drop(
-        "disposition", "_us"
-    )
-    tree_bytes = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(dlq_root)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_out = max(1, math.ceil(tree_bytes / COMPACT_TARGET_BYTES))
-    compact_root = tempfile.mkdtemp(prefix="dlq_policy_retained_")
-    retained.repartition(n_out).write.mode("overwrite").parquet(
-        compact_root
-    )
-
-    def _summ(df, disposition_col):
-        return df.groupBy("epoch", "reason", "event_type").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum("event_id").cast("bigint").alias("sum_event_id"),
-        ).select(
-            disposition_col.alias("disposition"),
-            "epoch",
-            "reason",
-            "event_type",
-            "n_rows",
-            "n_users",
-            "sum_event_id",
-        )
-
-    kept = spark.read.schema(
-        _DLQ_EVENT_SCHEMA + ", reason string, epoch int"
-    ).parquet(compact_root)
-    return (
-        _summ(aged, F.lit("aged_out")).unionByName(
-            _summ(kept, F.lit("retained"))
-        ),
-        compact_root,
+    :func:`dlq_retention_pass` contract. The per-reason-cutoff
+    specialization of :func:`_dlq_grouped_age_retention_pass` at
+    (epoch, reason) granularity."""
+    return _dlq_grouped_age_retention_pass(
+        spark,
+        dlq_root,
+        group_cols=("epoch", "reason"),
+        cutoff=_policy_cutoff_expr(),
+        prefix="dlq_policy_retained_",
     )
 
 
