@@ -83,6 +83,12 @@ WARMUP = (
     "streaming_upsert_asof_read",
     "streaming_upsert_changes",
     "streaming_upsert_changes_window",
+    "streaming_upsert_changes_midwindow",
+    # the compaction audit's staging (per-partition fragment+rewrite
+    # of the whole drained tree) is a one-time session cost like the
+    # other write-once layouts; its timed line measures the audit
+    # scan + metadata join
+    "streaming_upsert_compaction",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -187,6 +193,10 @@ HEADLINE = (
     "streaming_upsert_changes",
     "lineitem_status_quantile_gbt3",
     "streaming_upsert_changes_window",
+    # round-16 new entries
+    "streaming_upsert_changes_midwindow",
+    "streaming_upsert_compaction",
+    "lineitem_status_gbt_isotonic",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

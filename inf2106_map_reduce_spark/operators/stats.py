@@ -2050,6 +2050,7 @@ def gbt_boost(
     n_stages: int,
     binned: DataFrame | None = None,
     group_cols: tuple[str, ...] = (),
+    wide: bool = False,
 ) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
@@ -2102,7 +2103,15 @@ def gbt_boost(
     carries the group columns (grouped :func:`_quantile_stump_binned`
     for per-group adaptive bucket grids, or any _stump_binned-contract
     frame with the group key attached). Output gains the group
-    columns: one row per (group..., stage)."""
+    columns: one row per (group..., stage).
+
+    ``wide=True`` returns the final WINNER frame instead of the
+    exploded per-stage rows: one row per group carrying every stage's
+    unrounded columns (``f1, t1, nw1, nr1, sc1, gl1, gr1, …, ybar``)
+    — the model a downstream SCORER needs whole (per-row prediction
+    = ybar + Σ ν·γ routed by the carried memberships), consumed by
+    :func:`lineitem_status_gbt_isotonic`. Same K scans, no extra
+    work — the exploded form is a projection of this frame."""
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
     _require_safe_group_cols("gbt_boost", group_cols)
@@ -2228,6 +2237,8 @@ def gbt_boost(
                 "ybar",
             )
         )
+    if wide:
+        return winner
     # all stage rows explode out of the ONE winning row (the two-stage
     # rationale: a unionAll would duplicate the whole K-scan subtree)
     rows = F.array(
@@ -2929,6 +2940,64 @@ def lineitem_status_quantile_gbt3(
         binned=_quantile_stump_binned(li, group_cols=("seg",)),
         group_cols=("seg",),
     )
+
+
+def lineitem_status_gbt_isotonic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: PER-SEGMENT ISOTONIC CALIBRATION of the
+    grouped quantile-GBT's margin (SURVEY §7.10) — the standard
+    deployment step after training: the shipped model's raw
+    predictions (ybar + Σ ν·γ over the stage winners' leaves, the
+    squared-loss booster's piecewise-constant margin) are fit to a
+    monotone score→P(y=1) map PER SEGMENT via the same minimax
+    closed form as :func:`lineitem_status_isotonic`. Composes the
+    grouped trainer (:func:`gbt_boost` ``wide=True`` over the
+    per-segment equi-depth bins) with
+    :func:`isotonic_calibration(group_cols)` — each segment
+    calibrates its OWN model's scores on its own rows.
+
+    Determinism: per-row scores use the SHIPPED (round-9) leaf
+    values and round the sum to 9 before binning, so the oracle
+    replays the identical IEEE expression tree through the same
+    trainer CTE chain; the margin takes ≤ 4 distinct values per
+    segment (2 stages × 2 leaves), so each segment's calibration is
+    PAV over at most 4 occupied histogram bins — exactly the
+    score-resolution a 2-stage stump ensemble ships.
+
+    Scale: the trainer is the 2-scan grouped recursion; scoring is
+    ONE more scan joined broadcast against the ≤ |segments|-row wide
+    winner frame; the isotonic epilogue is histogram-sized. 3 row
+    scans + the 3 aggregate-sized bucket-map scans, all
+    map-side-combined."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    binned = _quantile_stump_binned(li, group_cols=("seg",))
+    w = gbt_boost(
+        None, 2, binned=binned, group_cols=("seg",), wide=True
+    )
+    names = [name for name, *_ in STUMP_BINS]
+    nu = F.lit(GBT_SHRINKAGE)
+
+    def leaf(k: int) -> Column:
+        # the row's stage-k leaf value, routed exactly like the
+        # trainer's carried membership (gbt_boost's m_i definition)
+        is_left = None
+        for name in names:
+            term = (F.col(f"f{k}") == name) & (
+                F.col(f"b_{name}") <= F.col(f"t{k}")
+            )
+            is_left = term if is_left is None else is_left | term
+        return F.when(is_left, F.round(F.col(f"gl{k}"), 9)).otherwise(
+            F.round(F.col(f"gr{k}"), 9)
+        )
+
+    p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
+    scored = binned.join(F.broadcast(w), ["seg"]).select(
+        "seg", p.alias("p"), F.col("y")
+    )
+    return isotonic_calibration(scored, group_cols=("seg",))
 
 
 def lineitem_status_multi_stump(

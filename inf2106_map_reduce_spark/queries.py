@@ -6440,9 +6440,24 @@ def _upsert_changes_oracle(
     """
 
 
-def _gbt_boost_oracle(
+def _gbt_boost_ctes(
     n_stages: int, base_cte: str | None = None, seg: bool = False
-) -> str:
+) -> list[str]:
+    """The K-stage booster oracle's CTE chain (``base, p1..wK``) —
+    shared by :func:`_gbt_boost_oracle` (which appends the exploded
+    stage-row select) and :func:`_status_qgbt_isotonic_oracle` (which
+    instead SCORES rows against the final winner CTE ``w{K}`` — the
+    SQL twin of gbt_boost's ``wide=True``). One definition of the
+    trainer arithmetic, every consumer."""
+    return _gbt_boost_oracle(n_stages, base_cte, seg, ctes_only=True)
+
+
+def _gbt_boost_oracle(
+    n_stages: int,
+    base_cte: str | None = None,
+    seg: bool = False,
+    ctes_only: bool = False,
+) -> str | list[str]:
     """Oracle for the K-stage booster (stats.gbt_boost): a uniform CTE
     chain per stage mirroring the Spark loop exactly — stage k's left/
     total residual sums are the identical left-associated expression
@@ -6580,6 +6595,8 @@ def _gbt_boost_oracle(
       WHERE rg = 1
     )"""
         )
+    if ctes_only:
+        return ctes
     segsel = "seg, " if seg else ""
     stage_rows = " UNION ALL ".join(
         (
@@ -6601,22 +6618,32 @@ def _gbt_boost_oracle(
     return "WITH " + ",\n    ".join(ctes) + "\n    " + stage_rows
 
 
-def _isotonic_oracle(n_bins: int = stats.ROC_BINS, seg: bool = False) -> str:
+def _isotonic_oracle(
+    n_bins: int = stats.ROC_BINS,
+    seg: bool = False,
+    scored_cte: str | None = None,
+) -> str:
     """Oracle for the isotonic calibrator: same trajectory + round-9
     score + fixed binning as the AUC oracle, then the minimax closed
     form over occupied-bin prefix sums — every Av(h, j) is one IEEE
     division of exact BIGINT differences, and the two window passes
     (suffix-min per h, prefix-max per j) mirror stats.
     isotonic_calibration term for term. ``seg=True`` renders the
-    PER-SEGMENT form from the same template: the l_linestatus key
-    rides the scored CTE, partitions every window, and keys the pair
-    join — one definition, both entries."""
+    PER-SEGMENT form from the same template: the segment key rides
+    the scored CTE, partitions every window, and keys the pair join
+    — one definition, every entry. ``scored_cte`` swaps the SCORER
+    (a CTE chain whose last member defines ``scored`` with columns
+    ``[seg,] p, y``) while the PAV tail stays byte-identical — the
+    default is the registry logreg model; the quantile-GBT margin
+    entry passes its trainer chain (:func:`_status_qgbt_isotonic_oracle`)."""
     sel = "seg, " if seg else ""
     part = "PARTITION BY seg " if seg else ""
     joinseg = "b.seg = a.seg AND " if seg else ""
     segcol = "l_linestatus AS seg, " if seg else ""
+    if scored_cte is None:
+        scored_cte = _logreg_scored_cte(extra=segcol)
     return f"""
-    WITH {_logreg_scored_cte(extra=segcol)},
+    WITH {scored_cte},
     hist AS (
       SELECT {sel}GREATEST(0, LEAST(CAST(FLOOR(p * {n_bins}) AS INT),
                                 {n_bins - 1})) AS bin,
@@ -6655,6 +6682,84 @@ def _isotonic_oracle(n_bins: int = stats.ROC_BINS, seg: bool = False) -> str:
     SELECT {sel}bin, n AS n_rows, pos,
            ROUND(pos / n, 9) AS rate, ROUND(mx, 9) AS iso
     FROM u WHERE h = j
+    """
+
+
+def _status_qgbt_isotonic_oracle() -> str:
+    """Oracle for the per-segment isotonic calibration of the grouped
+    quantile-GBT margin: the trainer's CTE chain
+    (:func:`_gbt_boost_ctes` — per-segment equi-depth maps + the
+    2-stage residual recursion) feeds a SCORED CTE that routes every
+    row through its segment's winner leaves exactly like the Spark
+    scorer (shipped round-9 leaf values, ν = the shrinkage literal,
+    left-associated sum rounded to 9 before binning), then the shared
+    PAV tail from :func:`_isotonic_oracle` fits each segment's
+    monotone map — the whole pipeline one declarative replay."""
+    ctes = _gbt_boost_ctes(
+        2,
+        base_cte=_quantile_binned_base_cte(seg_sql="l_linestatus"),
+        seg=True,
+    )
+    feats = [name for name, *_ in stats.STUMP_BINS]
+    nu = f"CAST({stats.GBT_SHRINKAGE} AS DOUBLE)"
+
+    def leaf(k: int) -> str:
+        memb = " OR ".join(
+            f"(w.f{k} = '{f}' AND b.b_{f} <= w.t{k})" for f in feats
+        )
+        return (
+            f"(CASE WHEN {memb} THEN ROUND(w.gl{k}, 9) "
+            f"ELSE ROUND(w.gr{k}, 9) END)"
+        )
+
+    scored = f"""scored AS (
+      SELECT b.seg,
+             ROUND(w.ybar + {nu}*{leaf(1)} + {nu}*{leaf(2)}, 9) AS p,
+             b.y
+      FROM base b JOIN w2 w ON w.seg = b.seg
+    )"""
+    return _isotonic_oracle(
+        seg=True, scored_cte=",\n    ".join(ctes + [scored])
+    )
+
+
+def _grouped_compaction_oracle() -> str:
+    """Oracle for the grouped-sink small-file compaction audit: the
+    (group, version) partition matrix and every partition's contents
+    replay from the span closed form (the grouped-retention
+    argument); ``files_before`` is the staging's
+    ``LEAST(FRAG, n_keys)`` closed form (range partitioning on the
+    snapshot's unique key — one range per distinct key up to FRAG)
+    and ``files_after`` is 1 at every test SF (partition bytes ≪ the
+    128 MB target — the sizing rule's floor)."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    frag = stream_windows.UPSERT_COMPACT_FRAG
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts, CAST(user_id % {g} AS INT) AS grp,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    ),
+    wrote AS (SELECT DISTINCT grp, span AS v FROM sp),
+    snap_user AS (
+      SELECT w.grp, w.v, s.user_id, COUNT(*) AS n, MAX(s.ts) AS mx
+      FROM wrote w JOIN sp s ON s.grp = w.grp AND s.span <= w.v
+      GROUP BY w.grp, w.v, s.user_id
+    )
+    SELECT grp AS g, v AS version,
+           CAST(LEAST({frag}, COUNT(*)) AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS sum_n_events,
+           MAX(mx) AS max_last_ts
+    FROM snap_user GROUP BY grp, v
     """
 
 
@@ -7414,6 +7519,46 @@ REGISTRY.update(
             "stepwise feeds; same span-diff oracle with two literals",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_changes_midwindow": QuerySpec(
+            stream_windows.streaming_upsert_changes_midwindow,
+            _upsert_changes_oracle(
+                stream_windows.UPSERT_AS_OF_VERSION - 1,
+                stream_windows.UPSERT_RETENTION_SPANS - 1,
+            ),
+            "the NET-EFFECT CDC feed over a MID-HISTORY window "
+            "(v0 > 0 -> final) of the partition-scoped sink — both "
+            "endpoints resolve per group through the latest-<=-v "
+            "directory walk and the window spans multiple batches "
+            "without reaching back to birth (the replay a consumer "
+            "several versions behind runs); pinned equal to composed "
+            "stepwise feeds; same span-diff oracle with two literals",
+            ("events", "streaming", "sink"),
+        ),
+        "streaming_upsert_compaction": QuerySpec(
+            stream_windows.streaming_upsert_compaction,
+            _grouped_compaction_oracle(),
+            "the small-file compaction audit over the partition-"
+            "scoped sink: every (version, group) partition's batch-"
+            "accumulated fragments rewritten to right-sized files "
+            "under the same layout, with per-partition file counts "
+            "before/after AND the compacted contents proven intact — "
+            "the weekly lakehouse maintenance job; file accounting "
+            "is directory metadata, contents replay from the span "
+            "closed form",
+            ("events", "streaming", "sink", "maintenance"),
+        ),
+        "lineitem_status_gbt_isotonic": QuerySpec(
+            stats.lineitem_status_gbt_isotonic,
+            _status_qgbt_isotonic_oracle(),
+            "per-segment isotonic (PAV) calibration of the grouped "
+            "quantile-GBT margin — the deployment step after "
+            "training: each segment's shipped leaf predictions "
+            "(round-9, <= 4 distinct values) fit to a monotone "
+            "score->probability map over the same 1024-bin "
+            "histogram; trainer chain + scorer + PAV tail all one "
+            "declarative replay",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
         "streaming_upsert_group_retention": QuerySpec(
             stream_windows.streaming_upsert_group_retention,
             _grouped_upsert_retention_oracle(),
@@ -7788,7 +7933,18 @@ ROTATION_STRIDE = 34
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 #: Round-16 block (§7.10 candidates, budget in the ROTATION_STRIDE
 #: comment) — names are appended as each entry lands.
-_ROUND_PRIORITY: tuple[str, ...] = ()
+_ROUND_PRIORITY: tuple[str, ...] = (
+    # mid-history CDC window — the (v0 > 0, v1 < birth-window) class
+    # the stepwise and whole-window feeds leave unexercised
+    "streaming_upsert_changes_midwindow",
+    # grouped-sink small-file compaction audit — the maintenance_
+    # compaction recipe composed with the partition-scoped layout
+    "streaming_upsert_compaction",
+    # per-segment isotonic on the grouped quantile-GBT margin — the
+    # deployment calibration step composed from the grouped trainer
+    # (wide winner frame) and isotonic_calibration(group_cols)
+    "lineitem_status_gbt_isotonic",
+)
 
 #: The round-15 priority block (9 names) as retired at round-16
 #: open: CORRECTNESS_r13 carries a fully-green hard row for every
