@@ -2970,10 +2970,25 @@ def lineitem_status_gbt_isotonic(
     winner frame; the isotonic epilogue is histogram-sized. 3 row
     scans + the 3 aggregate-sized bucket-map scans, all
     map-side-combined."""
+    return isotonic_calibration(
+        _status_qgbt_scored(spark, sf_dir), group_cols=("seg",)
+    )
+
+
+def _status_qgbt_scored(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The grouped quantile-GBT's per-row scored frame ``(seg, p,
+    y)`` — every row routed through its segment's winner leaves
+    exactly like the trainer's carried membership (gbt_boost's m_i
+    definition), using the SHIPPED round-9 leaf values with the sum
+    rounded to 9 (the oracle's identical IEEE tree)."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "seg", F.col("l_linestatus")
     )
-    binned = _quantile_stump_binned(li, group_cols=("seg",))
+    binned = _quantile_stump_binned(
+        li, checkpoint=checkpoint, group_cols=("seg",)
+    )
     w = gbt_boost(
         None, 2, binned=binned, group_cols=("seg",), wide=True
     )
@@ -2981,8 +2996,6 @@ def lineitem_status_gbt_isotonic(
     nu = F.lit(GBT_SHRINKAGE)
 
     def leaf(k: int) -> Column:
-        # the row's stage-k leaf value, routed exactly like the
-        # trainer's carried membership (gbt_boost's m_i definition)
         is_left = None
         for name in names:
             term = (F.col(f"f{k}") == name) & (
@@ -2994,10 +3007,22 @@ def lineitem_status_gbt_isotonic(
         )
 
     p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
-    scored = binned.join(F.broadcast(w), ["seg"]).select(
+    return binned.join(F.broadcast(w), ["seg"]).select(
         "seg", p.alias("p"), F.col("y")
     )
-    return isotonic_calibration(scored, group_cols=("seg",))
+
+
+def lineitem_status_gbt_isotonic_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): bucket-map and
+    histogram-stage checkpoints disabled so the dumped plan shows the
+    real scan lineage; see :func:`lineitem_isotonic_calibration_plan`."""
+    return isotonic_calibration(
+        _status_qgbt_scored(spark, sf_dir, checkpoint=False),
+        checkpoint=False,
+        group_cols=("seg",),
+    )
 
 
 def lineitem_status_multi_stump(

@@ -1543,6 +1543,84 @@ def main() -> None:
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
 
+    # Mid-history CDC window (round 16): the (v0 > 0 -> final) net
+    # feed — BOTH endpoints resolve via the latest-<=-v walk; same
+    # co-located join, so expect the stepwise CDC row's curve
+    from inf2106_map_reduce_spark.streaming.windows import (
+        UPSERT_RETENTION_SPANS as _NSPANS,
+        upsert_changes_between,
+    )
+
+    def cdc_mid(root: str):
+        return upsert_changes_between(
+            spark, root, _V - 1, _NSPANS - 1
+        )
+
+    timed(lambda: cdc_mid(root1))
+    t1 = min(timed(lambda: cdc_mid(root1)) for _ in range(3))
+    tk = min(timed(lambda: cdc_mid(rootk)) for _ in range(3))
+    print(
+        f"  mid-history CDC window (8x keys, post-drain): {t1:.3f}s "
+        f"-> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # Grouped-sink compaction audit (round 16): per-(version, group)
+    # fragment + right-sized rewrite + one audit scan — rewrite bytes
+    # scale with keys, partition/job count stays fixed, so expect a
+    # sub-8x curve dominated by per-job fixed cost at this scale
+    import math as _math
+    import tempfile as _tf
+
+    from inf2106_map_reduce_spark.streaming.windows import (
+        COMPACT_TARGET_BYTES,
+        UPSERT_COMPACT_FRAG,
+    )
+
+    def compact_pass(root: str) -> float:
+        t0 = time.perf_counter()
+        compact_root = _tf.mkdtemp(prefix="probe_upsert_compact_")
+        for vname in sorted(os.listdir(root)):
+            if not vname.startswith("v="):
+                continue
+            for gname in sorted(os.listdir(os.path.join(root, vname))):
+                if not gname.startswith("g="):
+                    continue
+                snap = spark.read.parquet(
+                    os.path.join(root, vname, gname)
+                )
+                frag_dir = _tf.mkdtemp(prefix="probe_upsert_frag_")
+                snap.repartitionByRange(
+                    UPSERT_COMPACT_FRAG, "user_id"
+                ).write.mode("overwrite").parquet(frag_dir)
+                fb = sum(
+                    os.path.getsize(os.path.join(frag_dir, f))
+                    for f in os.listdir(frag_dir)
+                    if f.endswith(".parquet")
+                )
+                n_out = max(1, _math.ceil(fb / COMPACT_TARGET_BYTES))
+                spark.read.parquet(frag_dir).repartition(
+                    n_out
+                ).write.mode("overwrite").parquet(
+                    os.path.join(compact_root, vname, gname)
+                )
+        spark.read.option("basePath", compact_root).parquet(
+            compact_root
+        ).groupBy("g", "v").agg(
+            F.count(F.lit(1)),
+            F.sum("n_events"),
+            F.max("last_ts"),
+        ).collect()
+        return time.perf_counter() - t0
+
+    compact_pass(root1)
+    t1 = min(compact_pass(root1) for _ in range(2))
+    tk = min(compact_pass(rootk) for _ in range(2))
+    print(
+        f"  grouped-sink compaction audit (8x keys, post-drain): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= "
+        f"{k}x; per-partition rewrites + one audit scan)"
+    )
+
     # Per-segment encoding stump: the encoding apply + per-segment
     # split search (grid unsplit) — tracks the audit family
     def ses(li):
@@ -1636,6 +1714,50 @@ def main() -> None:
     print(
         f"  per-segment quantile GBT (3 stages): {t1:.3f}s -> "
         f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # Per-segment isotonic on the quantile-GBT margin (round 16):
+    # trainer (2 scans) + shipped-leaf scoring scan + histogram-sized
+    # PAV epilogue — expect the per-segment GBT curve plus one scan
+    from inf2106_map_reduce_spark.operators.stats import (
+        GBT_SHRINKAGE,
+        STUMP_BINS,
+        isotonic_calibration,
+    )
+
+    def sqiso(li):
+        seg = li.withColumn("seg", F.col("l_linestatus"))
+        binned = _quantile_stump_binned(seg, group_cols=("seg",))
+        w = gbt_boost(
+            None, 2, binned=binned, group_cols=("seg",), wide=True
+        )
+        names = [name for name, *_ in STUMP_BINS]
+        nu = F.lit(GBT_SHRINKAGE)
+
+        def leaf(kk):
+            is_left = None
+            for name in names:
+                term = (F.col(f"f{kk}") == name) & (
+                    F.col(f"b_{name}") <= F.col(f"t{kk}")
+                )
+                is_left = term if is_left is None else is_left | term
+            return F.when(
+                is_left, F.round(F.col(f"gl{kk}"), 9)
+            ).otherwise(F.round(F.col(f"gr{kk}"), 9))
+
+        p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
+        scored = binned.join(F.broadcast(w), ["seg"]).select(
+            "seg", p.alias("p"), F.col("y")
+        )
+        return isotonic_calibration(scored, group_cols=("seg",))
+
+    timed(lambda: sqiso(li1))
+    t1 = min(timed(lambda: sqiso(li1)) for _ in range(3))
+    tk = min(timed(lambda: sqiso(lik)) for _ in range(3))
+    print(
+        f"  per-segment GBT-margin isotonic: {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x; trainer + scoring "
+        f"scan + PAV epilogue)"
     )
     spark.stop()
 
