@@ -89,6 +89,7 @@ WARMUP = (
     # other write-once layouts; its timed line measures the audit
     # scan + metadata join
     "streaming_upsert_compaction",
+    "streaming_upsert_write_amplification",
     # headline plan-shape entry: without warm-up its timed line
     # included first-run session warm-up (codegen, footer reads),
     # unlike every other headline entry (r10 ADVICE item)
@@ -197,6 +198,10 @@ HEADLINE = (
     "streaming_upsert_changes_midwindow",
     "streaming_upsert_compaction",
     "lineitem_status_gbt_isotonic",
+    # round-16 late block
+    "lineitem_gbt_isotonic",
+    "lineitem_table_stats",
+    "streaming_upsert_write_amplification",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -2983,15 +2983,32 @@ def _status_qgbt_scored(
     exactly like the trainer's carried membership (gbt_boost's m_i
     definition), using the SHIPPED round-9 leaf values with the sum
     rounded to 9 (the oracle's identical IEEE tree)."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "seg", F.col("l_linestatus")
+    return _qgbt_scored(
+        spark, sf_dir, checkpoint=checkpoint, grouped=True
     )
+
+
+def _qgbt_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool = True,
+    grouped: bool = False,
+) -> DataFrame:
+    """The quantile-GBT per-row scored frame, global or per-segment:
+    ``grouped=True`` fits per-segment maps and per-segment winners
+    (scores joined back by the segment key, output ``(seg, p, y)``);
+    ``grouped=False`` uses the global maps and the 1-row winner frame
+    (crossJoin scalar idiom, output ``(p, y)``). One scorer
+    definition, both calibration entries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gc: tuple[str, ...] = ()
+    if grouped:
+        li = li.withColumn("seg", F.col("l_linestatus"))
+        gc = ("seg",)
     binned = _quantile_stump_binned(
-        li, checkpoint=checkpoint, group_cols=("seg",)
+        li, checkpoint=checkpoint, group_cols=gc
     )
-    w = gbt_boost(
-        None, 2, binned=binned, group_cols=("seg",), wide=True
-    )
+    w = gbt_boost(None, 2, binned=binned, group_cols=gc, wide=True)
     names = [name for name, *_ in STUMP_BINS]
     nu = F.lit(GBT_SHRINKAGE)
 
@@ -3007,8 +3024,102 @@ def _status_qgbt_scored(
         )
 
     p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
-    return binned.join(F.broadcast(w), ["seg"]).select(
-        "seg", p.alias("p"), F.col("y")
+    joined = (
+        binned.join(F.broadcast(w), list(gc))
+        if gc
+        else binned.crossJoin(F.broadcast(w))
+    )
+    return joined.select(*gc, p.alias("p"), F.col("y"))
+
+
+def lineitem_gbt_isotonic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: isotonic (PAV) calibration of the GLOBAL
+    quantile-GBT margin — the ungrouped twin of
+    :func:`lineitem_status_gbt_isotonic`, completing the trainer ↔
+    calibration matrix (global trainer → global calibration,
+    per-segment trainer → per-segment calibration): the shipped
+    2-stage booster's raw predictions (≤ 4 distinct round-9 leaf
+    sums) fit to one monotone score→P(y=1) map over the 1024-bin
+    histogram. Same scorer definition, 1-row broadcast winner frame,
+    global PAV tail."""
+    return isotonic_calibration(_qgbt_scored(spark, sf_dir))
+
+
+#: Column set for the registry ANALYZE entry — lineitem's numeric
+#: columns (ints and doubles; min/max canonicalized to round-9
+#: doubles so both engines agree bit-for-bit).
+LINEITEM_STATS_COLS: tuple[str, ...] = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+
+
+def table_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE scan — the
+    metastore stats a cost-based optimizer consumes (row count,
+    null count, min/max bounds, exact NDV per column), computed as
+    one aggregate over the table and exploded to one row per column.
+
+    Distributed shape: multiple exact ``count(distinct col)`` in a
+    single aggregate plan through Spark's Expand operator — still ONE
+    data scan (plan-pinned), with the scan's rows duplicated
+    |cols|+1-fold between scan and partial aggregate. That trade is
+    right for an ANALYZE pass (it runs rarely, reads everything
+    anyway, and exactness feeds the oracle); a 100 TB pipeline that
+    refreshes stats continuously swaps ``approx_count_distinct``
+    (HLL++, one expand-free pass, ~2% error) — the sketch sibling in
+    functions/sketches.py — keeping this operator's shape.
+
+    Returns one row per column: ``(col_name, n_rows, n_nulls,
+    min_val, max_val, ndv)`` with min/max cast to round-9 doubles
+    (numeric columns only — the canonical cross-engine form)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.min(c).cast("double").alias(f"_mn_{c}"),
+            F.max(c).cast("double").alias(f"_mx_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.round(F.col(f"_mn_{c}"), 9).alias("min_val"),
+            F.round(F.col(f"_mx_{c}"), 9).alias("max_val"),
+            F.col(f"_nd_{c}").alias("ndv"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.*"
+    )
+
+
+def lineitem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: ANALYZE-style table statistics over lineitem's
+    numeric columns — see :func:`table_stats`."""
+    return table_stats(
+        load_table(spark, sf_dir, "lineitem"), LINEITEM_STATS_COLS
+    )
+
+
+def lineitem_gbt_isotonic_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLAN-INSPECTION variant (tools/dump_plans): checkpoints
+    disabled; see :func:`lineitem_status_gbt_isotonic_plan`."""
+    return isotonic_calibration(
+        _qgbt_scored(spark, sf_dir, checkpoint=False),
+        checkpoint=False,
     )
 
 

@@ -6687,18 +6687,27 @@ def _isotonic_oracle(
 
 def _status_qgbt_isotonic_oracle() -> str:
     """Oracle for the per-segment isotonic calibration of the grouped
-    quantile-GBT margin: the trainer's CTE chain
-    (:func:`_gbt_boost_ctes` — per-segment equi-depth maps + the
-    2-stage residual recursion) feeds a SCORED CTE that routes every
-    row through its segment's winner leaves exactly like the Spark
-    scorer (shipped round-9 leaf values, ν = the shrinkage literal,
-    left-associated sum rounded to 9 before binning), then the shared
-    PAV tail from :func:`_isotonic_oracle` fits each segment's
-    monotone map — the whole pipeline one declarative replay."""
+    quantile-GBT margin — see :func:`_qgbt_isotonic_oracle`."""
+    return _qgbt_isotonic_oracle(seg=True)
+
+
+def _qgbt_isotonic_oracle(seg: bool) -> str:
+    """Oracle for the isotonic calibration of the quantile-GBT
+    margin, global or per-segment: the trainer's CTE chain
+    (:func:`_gbt_boost_ctes` — equi-depth maps + the 2-stage residual
+    recursion, per-segment when ``seg``) feeds a SCORED CTE that
+    routes every row through the winner's leaves exactly like the
+    Spark scorer (shipped round-9 leaf values, ν = the shrinkage
+    literal, left-associated sum rounded to 9 before binning), then
+    the shared PAV tail from :func:`_isotonic_oracle` fits the
+    monotone map — the whole pipeline one declarative replay, one
+    definition for both entries."""
     ctes = _gbt_boost_ctes(
         2,
-        base_cte=_quantile_binned_base_cte(seg_sql="l_linestatus"),
-        seg=True,
+        base_cte=_quantile_binned_base_cte(
+            seg_sql="l_linestatus" if seg else None
+        ),
+        seg=seg,
     )
     feats = [name for name, *_ in stats.STUMP_BINS]
     nu = f"CAST({stats.GBT_SHRINKAGE} AS DOUBLE)"
@@ -6712,15 +6721,85 @@ def _status_qgbt_isotonic_oracle() -> str:
             f"ELSE ROUND(w.gr{k}, 9) END)"
         )
 
+    seg_sel = "b.seg,\n             " if seg else ""
+    join = (
+        "FROM base b JOIN w2 w ON w.seg = b.seg"
+        if seg
+        else "FROM base b, w2 w"
+    )
     scored = f"""scored AS (
-      SELECT b.seg,
-             ROUND(w.ybar + {nu}*{leaf(1)} + {nu}*{leaf(2)}, 9) AS p,
+      SELECT {seg_sel}ROUND(w.ybar + {nu}*{leaf(1)} + {nu}*{leaf(2)}, 9) AS p,
              b.y
-      FROM base b JOIN w2 w ON w.seg = b.seg
+      {join}
     )"""
     return _isotonic_oracle(
-        seg=True, scored_cte=",\n    ".join(ctes + [scored])
+        seg=seg, scored_cte=",\n    ".join(ctes + [scored])
     )
+
+
+def _table_stats_oracle(cols: tuple[str, ...]) -> str:
+    """Oracle for the ANALYZE entry: one UNION ALL branch per column
+    — count/nulls/min/max/exact-NDV, min/max canonicalized to round-9
+    doubles exactly like stats.table_stats."""
+    branches = []
+    for i, c in enumerate(cols):
+        head = (
+            "SELECT CAST('{c}' AS VARCHAR) AS col_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+            "ROUND(CAST(MIN({c}) AS DOUBLE), 9) AS min_val, "
+            "ROUND(CAST(MAX({c}) AS DOUBLE), 9) AS max_val, "
+            "CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv "
+            "FROM lineitem"
+            if i == 0
+            else "SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), "
+            "ROUND(CAST(MIN({c}) AS DOUBLE), 9), "
+            "ROUND(CAST(MAX({c}) AS DOUBLE), 9), "
+            "COUNT(DISTINCT {c}) FROM lineitem"
+        )
+        branches.append(head.format(c=c))
+    return "\n    UNION ALL\n    ".join(branches)
+
+
+def _write_amplification_oracle() -> str:
+    """Oracle for the upsert write-amplification audit: a version's
+    written rows are its touched groups' snapshot sizes (the span
+    closed form — the grouped-retention argument), its changed keys
+    the span's distinct users; the ratio is one exact BIGINT/BIGINT
+    IEEE division rounded to 9 on both engines."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, CAST(user_id % {g} AS INT) AS grp,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    ),
+    wrote AS (SELECT DISTINCT grp, span AS v FROM sp),
+    snap_user AS (
+      SELECT w.grp, w.v, s.user_id
+      FROM wrote w JOIN sp s ON s.grp = w.grp AND s.span <= w.v
+      GROUP BY w.grp, w.v, s.user_id
+    ),
+    written AS (
+      SELECT v AS version, CAST(COUNT(*) AS BIGINT) AS rows_written
+      FROM snap_user GROUP BY v
+    ),
+    changed AS (
+      SELECT span AS version,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS keys_changed
+      FROM sp GROUP BY span
+    )
+    SELECT w.version, w.rows_written, c.keys_changed,
+           ROUND(w.rows_written / c.keys_changed, 9) AS amplification
+    FROM written w JOIN changed c ON c.version = w.version
+    """
 
 
 def _grouped_compaction_oracle() -> str:
@@ -7559,6 +7638,39 @@ REGISTRY.update(
             "declarative replay",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "lineitem_gbt_isotonic": QuerySpec(
+            stats.lineitem_gbt_isotonic,
+            _qgbt_isotonic_oracle(seg=False),
+            "isotonic (PAV) calibration of the GLOBAL quantile-GBT "
+            "margin — the ungrouped twin completing the trainer <-> "
+            "calibration matrix: the shipped 2-stage booster's "
+            "round-9 leaf sums fit to one monotone map over the "
+            "1024-bin histogram (1-row broadcast winner frame, "
+            "global PAV tail, same scorer definition)",
+            ("stats", "model", "lineitem", "pipeline"),
+        ),
+        "lineitem_table_stats": QuerySpec(
+            stats.lineitem_table_stats,
+            _table_stats_oracle(stats.LINEITEM_STATS_COLS),
+            "ANALYZE-style per-column table statistics in ONE scan "
+            "(count / nulls / min / max / exact NDV over lineitem's "
+            "numeric columns via the multi-count-distinct Expand "
+            "plan) — the metastore stats a cost-based optimizer "
+            "consumes; the approx (HLL++) swap for continuous "
+            "refresh lives in functions/sketches.py",
+            ("stats", "lineitem", "maintenance"),
+        ),
+        "streaming_upsert_write_amplification": QuerySpec(
+            stream_windows.streaming_upsert_write_amplification,
+            _write_amplification_oracle(),
+            "per-version WRITE-AMPLIFICATION audit of the partition-"
+            "scoped sink: rows the storage layer rewrote (touched "
+            "groups' full snapshots) vs keys the batch changed (the "
+            "delta's distinct users) — the copy-on-write layout's "
+            "headline metric, one basePath tree scan + the span "
+            "deltas, read-only over the session-cached drain",
+            ("events", "streaming", "sink", "maintenance"),
+        ),
         "streaming_upsert_group_retention": QuerySpec(
             stream_windows.streaming_upsert_group_retention,
             _grouped_upsert_retention_oracle(),
@@ -7927,6 +8039,22 @@ ROTATION_WINDOW = 50
 # window (upsert_changes_between with v0 > 0, pinned equal to
 # composed stepwise feeds) -> N = 267 <= 272 (ceil(267/34) = 8
 # holds); priority 3 <= 16 with room to spare.
+#
+# Round-16 LATE block (decided mid-round AFTER the full five-lane
+# sweep went green at N = 267 — the rounds-13..15 pull-forward
+# protocol, math re-derived): three thin compositions over landed
+# machinery — the GLOBAL GBT-margin isotonic (the ungrouped twin of
+# the per-segment entry: same scorer, 1-row winner frame, global PAV
+# tail — completes the trainer/calibration matrix), ANALYZE-style
+# per-column table statistics (one-scan count/nulls/min/max/exact-
+# NDV over lineitem's numeric columns — the metastore stats a CBO
+# consumes), and the upsert sink's per-version WRITE-AMPLIFICATION
+# audit (rows written per version vs delta keys changed — the
+# partition-scoped layout's headline metric, read-only over the
+# session-cached drain) -> N = 270 <= 272 (ceil(270/34) = 8 holds);
+# priority 6 <= 16. Two free slots remain under S = 34; growth past
+# 272 must first raise S to 35 (covers N <= 280, priority cap 15) —
+# re-derive explicitly, don't drift.
 ROTATION_STRIDE = 34
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -7944,6 +8072,14 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # deployment calibration step composed from the grouped trainer
     # (wide winner frame) and isotonic_calibration(group_cols)
     "lineitem_status_gbt_isotonic",
+    # Round-16 LATE block (pull-forward after the green five-lane
+    # sweep, math in the ROTATION_STRIDE comment): the global
+    # GBT-margin isotonic — the ungrouped twin completing the matrix
+    "lineitem_gbt_isotonic",
+    # ANALYZE-style one-scan per-column table statistics
+    "lineitem_table_stats",
+    # per-version write-amplification audit of the grouped sink
+    "streaming_upsert_write_amplification",
 )
 
 #: The round-15 priority block (9 names) as retired at round-16

@@ -1387,6 +1387,65 @@ def streaming_upsert_compaction(
     )
 
 
+def streaming_upsert_write_amplification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the WRITE-AMPLIFICATION audit of the
+    partition-scoped merge-upsert sink (SURVEY §7.11) — the headline
+    metric of any copy-on-write lakehouse layout: per version, how
+    many rows the storage layer REWROTE (every touched key group's
+    full merged snapshot) versus how many keys the batch actually
+    CHANGED (the delta's distinct keys). The ratio is the price of
+    copy-on-write reads; partition scoping exists precisely to bound
+    it (only touched groups rewrite — an untouched group's state
+    costs nothing), and a merge-on-read layout would trade this
+    ratio for read-side merge cost.
+
+    Returns one row per version: ``(version, rows_written,
+    keys_changed, amplification)`` with the ratio an exact
+    BIGINT/BIGINT IEEE division rounded to 9.
+
+    Shape: rows_written is ONE basePath scan of the whole versioned
+    tree (both partition columns projected from paths, counts
+    map-side combined); keys_changed reads the staged span files
+    (the deltas themselves). Read-only — shares the session-cached
+    drain with the other read-only sink entries.
+
+    Oracle-exactness: a version's written rows are the touched
+    groups' snapshot sizes, replayable from the span closed form
+    (the grouped-retention argument); its changed keys are the
+    span's distinct users."""
+    table_root = _cached_grouped_drain(spark, sf_dir)
+    src = _upsert_retention_source(spark, sf_dir)
+    written = (
+        spark.read.option("basePath", table_root)
+        .parquet(table_root)
+        .groupBy(F.col("v").cast("int").alias("version"))
+        .agg(F.count(F.lit(1)).alias("rows_written"))
+    )
+    spans = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    parts = [
+        spark.read.parquet(os.path.join(src, fname)).select(
+            F.lit(v).cast("int").alias("version"), "user_id"
+        )
+        for v, fname in enumerate(spans)
+    ]
+    deltas = parts[0]
+    for p in parts[1:]:
+        deltas = deltas.unionByName(p)
+    changed = deltas.groupBy("version").agg(
+        F.countDistinct("user_id").alias("keys_changed")
+    )
+    return written.join(changed, "version").select(
+        "version",
+        "rows_written",
+        "keys_changed",
+        F.round(
+            F.col("rows_written") / F.col("keys_changed"), 9
+        ).alias("amplification"),
+    )
+
+
 def streaming_upsert_changes_midwindow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
