@@ -296,3 +296,125 @@ def test_gbt_wide_is_a_projection_of_the_exploded_form(
                 round(r[f"gl{k}"], 9), round(r[f"gr{k}"], 9),
             )
     assert derived == exploded
+
+
+# ---------------------------------------------------------------------------
+# Round-16 LATE block
+# ---------------------------------------------------------------------------
+
+
+def test_global_gbt_isotonic_is_the_single_segment_form(
+    spark, sf_oracle
+):
+    """The global calibration is exactly the grouped pipeline run on
+    ONE segment containing everything: per-bin rows match the
+    independent recomputation from the global trainer's shipped
+    winner (collected) scored in pandas, with a reference PAV
+    (minimax closed form) over the histogram."""
+    import math
+
+    got = {
+        r["bin"]: (r["n_rows"], r["pos"], r["rate"], r["iso"])
+        for r in stats.lineitem_gbt_isotonic(spark, sf_oracle).collect()
+    }
+    # independent scoring: collect the 1-row wide winner, bin the
+    # scored rows, PAV in plain python over the tiny histogram
+    li = stats.load_table(spark, sf_oracle, "lineitem")
+    binned = stats._quantile_stump_binned(li)
+    w = stats.gbt_boost(None, 2, binned=binned, wide=True).first()
+    names = [name for name, *_ in stats.STUMP_BINS]
+    rows = binned.select(
+        *[f"b_{n}" for n in names], "y"
+    ).collect()
+    nu = stats.GBT_SHRINKAGE
+
+    def leaf(r, k):
+        left = any(
+            w[f"f{k}"] == n and r[f"b_{n}"] <= w[f"t{k}"]
+            for n in names
+        )
+        return round(w[f"gl{k}"], 9) if left else round(w[f"gr{k}"], 9)
+
+    hist: dict = {}
+    n_bins = stats.ROC_BINS
+    for r in rows:
+        p = round(w["ybar"] + nu * leaf(r, 1) + nu * leaf(r, 2), 9)
+        b = max(0, min(int(math.floor(p * n_bins)), n_bins - 1))
+        n, pos = hist.get(b, (0, 0))
+        hist[b] = (n + 1, pos + r["y"])
+    occupied = sorted(hist)
+    want = {}
+    for i, b in enumerate(occupied):
+
+        def av(h, j):
+            n = sum(hist[occupied[x]][0] for x in range(h, j + 1))
+            pos = sum(hist[occupied[x]][1] for x in range(h, j + 1))
+            return pos / n
+
+        iso = max(
+            min(av(h, j) for j in range(i, len(occupied)))
+            for h in range(0, i + 1)
+        )
+        n, pos = hist[b]
+        want[b] = (n, pos, round(pos / n, 9), round(iso, 9))
+    assert got == want
+
+
+def test_table_stats_one_scan_and_values(spark, sf_oracle):
+    """One data scan (the Expand-based multi-distinct plan), and
+    every statistic matches a per-column independent recomputation."""
+    df = stats.lineitem_table_stats(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    got = {r["col_name"]: r for r in df.collect()}
+    li = stats.load_table(spark, sf_oracle, "lineitem")
+    n_rows = li.count()
+    for c in stats.LINEITEM_STATS_COLS:
+        want = li.agg(
+            F.count(c), F.min(c), F.max(c), F.countDistinct(c)
+        ).first()
+        r = got[c]
+        assert r["n_rows"] == n_rows
+        assert r["n_nulls"] == n_rows - want[0]
+        assert r["min_val"] == round(float(want[1]), 9)
+        assert r["max_val"] == round(float(want[2]), 9)
+        assert r["ndv"] == want[3]
+
+
+def test_write_amplification_matches_disk_and_deltas(
+    spark, sf_oracle
+):
+    """rows_written per version equals a fresh walk of the drained
+    tree's v=<e> directories; keys_changed equals each staged span
+    file's distinct users; amplification >= 1 everywhere (a snapshot
+    contains at least its delta's keys)."""
+    rows = stream_windows.streaming_upsert_write_amplification(
+        spark, sf_oracle
+    ).collect()
+    root = stream_windows._cached_grouped_drain(spark, sf_oracle)
+    src = stream_windows._upsert_retention_source(spark, sf_oracle)
+    spans = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    by_v = {r["version"]: r for r in rows}
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(root)
+        if n.startswith("v=")
+    )
+    assert sorted(by_v) == versions
+    for v in versions:
+        written = spark.read.option(
+            "basePath", os.path.join(root, f"v={v}")
+        ).parquet(os.path.join(root, f"v={v}")).count()
+        changed = (
+            spark.read.parquet(os.path.join(src, spans[v]))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        r = by_v[v]
+        assert r["rows_written"] == written
+        assert r["keys_changed"] == changed
+        assert r["amplification"] == round(written / changed, 9)
+        assert r["amplification"] >= 1.0

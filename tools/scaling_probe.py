@@ -1759,6 +1759,103 @@ def main() -> None:
         f"ratio {tk / t1:.1f}x (ideal <= {k}x; trainer + scoring "
         f"scan + PAV epilogue)"
     )
+
+    # Global GBT-margin isotonic (round-16 late block): the ungrouped
+    # twin — same scorer with the 1-row winner crossJoin scalar
+    def giso(li):
+        binned = _quantile_stump_binned(li)
+        w = gbt_boost(None, 2, binned=binned, wide=True)
+        names = [name for name, *_ in STUMP_BINS]
+        nu = F.lit(GBT_SHRINKAGE)
+
+        def leaf(kk):
+            is_left = None
+            for name in names:
+                term = (F.col(f"f{kk}") == name) & (
+                    F.col(f"b_{name}") <= F.col(f"t{kk}")
+                )
+                is_left = term if is_left is None else is_left | term
+            return F.when(
+                is_left, F.round(F.col(f"gl{kk}"), 9)
+            ).otherwise(F.round(F.col(f"gr{kk}"), 9))
+
+        p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
+        scored = binned.crossJoin(F.broadcast(w)).select(
+            p.alias("p"), F.col("y")
+        )
+        return isotonic_calibration(scored)
+
+    timed(lambda: giso(li1))
+    t1 = min(timed(lambda: giso(li1)) for _ in range(3))
+    tk = min(timed(lambda: giso(lik)) for _ in range(3))
+    print(
+        f"  global GBT-margin isotonic: {t1:.3f}s -> {tk:.3f}s  "
+        f"ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # ANALYZE-style table stats (round-16 late block): one scan, the
+    # multi-count-distinct Expand plan — data duplicated |cols|+1-fold
+    # between scan and partial agg, all map-side combined
+    from inf2106_map_reduce_spark.operators.stats import (
+        LINEITEM_STATS_COLS,
+        table_stats,
+    )
+
+    timed(lambda: table_stats(li1, LINEITEM_STATS_COLS))
+    t1 = min(
+        timed(lambda: table_stats(li1, LINEITEM_STATS_COLS))
+        for _ in range(3)
+    )
+    tk = min(
+        timed(lambda: table_stats(lik, LINEITEM_STATS_COLS))
+        for _ in range(3)
+    )
+    print(
+        f"  table stats (6-col exact NDV, Expand plan): {t1:.3f}s -> "
+        f"{tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
+
+    # Write-amplification audit (round-16 late block): one basePath
+    # scan of the versioned tree + the span deltas — post-drain like
+    # the as-of/CDC rows
+    def write_amp(root: str, src: str):
+        written = (
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .groupBy(F.col("v").cast("int").alias("version"))
+            .agg(F.count(F.lit(1)).alias("rows_written"))
+        )
+        spans = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        parts = [
+            spark.read.parquet(os.path.join(src, fname)).select(
+                F.lit(v).cast("int").alias("version"), "user_id"
+            )
+            for v, fname in enumerate(spans)
+        ]
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p)
+        changed = deltas.groupBy("version").agg(
+            F.countDistinct("user_id").alias("keys_changed")
+        )
+        return written.join(changed, "version").select(
+            "version",
+            "rows_written",
+            "keys_changed",
+            F.round(
+                F.col("rows_written") / F.col("keys_changed"), 9
+            ).alias("amplification"),
+        )
+
+    timed(lambda: write_amp(root1, sr1))
+    t1 = min(timed(lambda: write_amp(root1, sr1)) for _ in range(3))
+    tk = min(timed(lambda: write_amp(rootk, srk)) for _ in range(3))
+    print(
+        f"  write-amplification audit (8x keys, post-drain): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
