@@ -202,6 +202,9 @@ HEADLINE = (
     "lineitem_gbt_isotonic",
     "lineitem_table_stats",
     "streaming_upsert_write_amplification",
+    # round-16 final block
+    "docs_leakage_safe_split",
+    "events_table_stats",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -1465,6 +1465,60 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+#: Holdout modulus for the leakage-safe split: cluster roots with
+#: ``root % 5 == 0`` go to holdout (~20%), the rest to train. The
+#: rule is engine-agnostic integer arithmetic on the CLUSTER ROOT
+#: (min doc_id of the near-dup cluster; a singleton's root is
+#: itself) — deterministic, oracle-replayable, and leakage-safe by
+#: construction: every member of a cluster shares its root, so
+#: near-duplicate documents can never straddle the split.
+SPLIT_HOLDOUT_MOD = 5
+
+
+def docs_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the LEAKAGE-SAFE train/holdout split (SURVEY
+    §7.11) — the contamination guard a training pipeline runs before
+    any evaluation: a naive per-document split leaks whenever two
+    near-duplicate documents land on opposite sides (the model is
+    then evaluated on paraphrases of its training data), so the
+    split assigns BY DEDUP CLUSTER — each document inherits its
+    cluster root (the canonical min-doc_id survivor; singletons are
+    their own root) and the whole cluster goes where its root goes
+    (holdout iff ``root % SPLIT_HOLDOUT_MOD == 0``).
+
+    Returns one row per side: ``(side, n_docs, n_clusters,
+    sum_doc_id)`` — the checksum makes the oracle verify the exact
+    per-document assignment, not just the counts.
+
+    Shape: the cluster mapping is the session-cached component stage
+    (aggregate-sized, its build cost is the `dedup_stage_build`
+    line); the split is one broadcast-ish left join of documents
+    against that mapping plus a map-side-combined two-group
+    aggregate. At 100 TB the mapping join shuffles on doc_id like
+    every other stage consumer; the assignment rule itself moves no
+    data (pure arithmetic on the root)."""
+    comp = dedup_cluster_assignments(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    allmap = docs.join(comp, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("root"),
+    )
+    side = (
+        F.when(
+            F.col("root") % SPLIT_HOLDOUT_MOD == 0, F.lit("holdout")
+        )
+        .otherwise(F.lit("train"))
+        .alias("side")
+    )
+    return allmap.groupBy(side).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("root").alias("n_clusters"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
 def dedup_cluster_assignments_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate-cluster semantics as
     :func:`dedup_cluster_assignments`, resolved by the large-star/

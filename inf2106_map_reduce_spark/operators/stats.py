@@ -3112,6 +3112,21 @@ def lineitem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The events table's numeric columns (ts is a timestamp and stays
+#: outside the canonical-double min/max contract).
+EVENTS_STATS_COLS: tuple[str, ...] = ("event_id", "user_id", "value")
+
+
+def events_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: ANALYZE-style table statistics over the events
+    table — the :func:`table_stats` operator on a second table,
+    proving the renderer is table-generic (same one-scan Expand
+    plan, same canonical round-9 double bounds)."""
+    return table_stats(
+        load_table(spark, sf_dir, "events"), EVENTS_STATS_COLS
+    )
+
+
 def lineitem_gbt_isotonic_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -6737,10 +6737,14 @@ def _qgbt_isotonic_oracle(seg: bool) -> str:
     )
 
 
-def _table_stats_oracle(cols: tuple[str, ...]) -> str:
-    """Oracle for the ANALYZE entry: one UNION ALL branch per column
-    — count/nulls/min/max/exact-NDV, min/max canonicalized to round-9
-    doubles exactly like stats.table_stats."""
+def _table_stats_oracle(
+    cols: tuple[str, ...], table: str = "lineitem"
+) -> str:
+    """Oracle for the ANALYZE entries: one UNION ALL branch per
+    column — count/nulls/min/max/exact-NDV, min/max canonicalized to
+    round-9 doubles exactly like stats.table_stats; ``table`` makes
+    the renderer table-generic (lineitem and events entries share
+    it)."""
     branches = []
     for i, c in enumerate(cols):
         head = (
@@ -6750,14 +6754,14 @@ def _table_stats_oracle(cols: tuple[str, ...]) -> str:
             "ROUND(CAST(MIN({c}) AS DOUBLE), 9) AS min_val, "
             "ROUND(CAST(MAX({c}) AS DOUBLE), 9) AS max_val, "
             "CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv "
-            "FROM lineitem"
+            "FROM {t}"
             if i == 0
             else "SELECT '{c}', COUNT(*), COUNT(*) - COUNT({c}), "
             "ROUND(CAST(MIN({c}) AS DOUBLE), 9), "
             "ROUND(CAST(MAX({c}) AS DOUBLE), 9), "
-            "COUNT(DISTINCT {c}) FROM lineitem"
+            "COUNT(DISTINCT {c}) FROM {t}"
         )
-        branches.append(head.format(c=c))
+        branches.append(head.format(c=c, t=table))
     return "\n    UNION ALL\n    ".join(branches)
 
 
@@ -7649,6 +7653,40 @@ REGISTRY.update(
             "global PAV tail, same scorer definition)",
             ("stats", "model", "lineitem", "pipeline"),
         ),
+        "events_table_stats": QuerySpec(
+            stats.events_table_stats,
+            _table_stats_oracle(stats.EVENTS_STATS_COLS, "events"),
+            "the ANALYZE operator on a SECOND table (events' numeric "
+            "columns) — same one-scan Expand plan, same canonical "
+            "round-9 double bounds; proves table_stats and its "
+            "oracle renderer are table-generic",
+            ("stats", "events", "maintenance"),
+        ),
+        "docs_leakage_safe_split": QuerySpec(
+            dedup.docs_leakage_safe_split,
+            _CC_CTES
+            + """, comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ),
+    allmap AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT CASE WHEN root % """
+            + str(dedup.SPLIT_HOLDOUT_MOD)
+            + """ = 0 THEN 'holdout' ELSE 'train' END AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM allmap GROUP BY side""",
+            "LEAKAGE-SAFE train/holdout split: every document "
+            "inherits its dedup-cluster root (singletons are their "
+            "own), the whole cluster goes where its root goes — "
+            "near-duplicates can never straddle the split (the "
+            "contamination guard before any eval); per-side counts + "
+            "doc_id checksum verify the exact assignment",
+            ("docs", "dedup", "pipeline"),
+        ),
         "lineitem_table_stats": QuerySpec(
             stats.lineitem_table_stats,
             _table_stats_oracle(stats.LINEITEM_STATS_COLS),
@@ -8055,6 +8093,22 @@ ROTATION_WINDOW = 50
 # priority 6 <= 16. Two free slots remain under S = 34; growth past
 # 272 must first raise S to 35 (covers N <= 280, priority cap 15) —
 # re-derive explicitly, don't drift.
+#
+# Round-16 FINAL block (decided AFTER the SECOND full five-lane
+# sweep went green at N = 270 — the same protocol, math re-derived):
+# the two remaining free slots take the LEAKAGE-SAFE train/holdout
+# split (assignment by the dedup CLUSTER root, not the doc — near-
+# duplicate documents can never straddle the split, the
+# contamination guard every training pipeline needs; composes the
+# session-cached dedup component stage and wraps the dedup_clusters
+# oracle's _CC_CTES) and the events-table ANALYZE entry (the
+# table_stats operator exercised on a second table's numeric
+# columns, proving the renderer is table-generic) -> N = 272 =
+# EXACTLY the S = 34 horizon cap (ceil(272/34) = 8 holds); priority
+# 8 <= 16. ROUND 17 HAS 0 FREE SLOTS under S = 34; ANY growth must
+# first raise S to 35 (covers N <= 280, priority cap 15) —
+# re-derive explicitly, don't drift (test_registry_rotation.py
+# fails loudly at N = 273 under S = 34 regardless).
 ROTATION_STRIDE = 34
 
 #: Entries added or semantically changed in the CURRENT round. Keep
@@ -8080,6 +8134,12 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     "lineitem_table_stats",
     # per-version write-amplification audit of the grouped sink
     "streaming_upsert_write_amplification",
+    # Round-16 FINAL block (after the SECOND green sweep, math in
+    # the ROTATION_STRIDE comment): cluster-root train/holdout split
+    # — the contamination guard composing the dedup component stage
+    "docs_leakage_safe_split",
+    # the ANALYZE operator proven table-generic on events
+    "events_table_stats",
 )
 
 #: The round-15 priority block (9 names) as retired at round-16
