@@ -418,3 +418,95 @@ def test_write_amplification_matches_disk_and_deltas(
         assert r["keys_changed"] == changed
         assert r["amplification"] == round(written / changed, 9)
         assert r["amplification"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-16 FINAL block
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_no_cluster_straddles_and_covers_all(
+    spark, sf_oracle
+):
+    """The defining property: every document of a dedup cluster lands
+    on its root's side — no near-dup pair can straddle the split —
+    and the two sides partition the corpus exactly (counts, cluster
+    counts, and the doc_id checksum all conserve)."""
+    from inf2106_map_reduce_spark.functions import dedup
+    from inf2106_map_reduce_spark.tables import load_table
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_cluster_assignments(
+            spark, sf_oracle
+        ).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_oracle, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    mod = dedup.SPLIT_HOLDOUT_MOD
+    want: dict = {}
+    roots: dict = {}
+    for d in docs:
+        root = comp.get(d, d)
+        side = "holdout" if root % mod == 0 else "train"
+        n, clus, s = want.get(side, (0, set(), 0))
+        clus = clus | {root}
+        want[side] = (n + 1, clus, s + d)
+        roots.setdefault(root, set()).add(side)
+    # no cluster straddles (structural on the reference computation,
+    # and the entry's checksum pins the same assignment)
+    assert all(len(sides) == 1 for sides in roots.values())
+    got = {
+        r["side"]: (r["n_docs"], r["n_clusters"], r["sum_doc_id"])
+        for r in dedup.docs_leakage_safe_split(
+            spark, sf_oracle
+        ).collect()
+    }
+    assert got == {
+        side: (n, len(clus), s)
+        for side, (n, clus, s) in want.items()
+    }
+    assert sum(v[0] for v in got.values()) == len(docs)
+
+
+def test_leakage_split_guard_actually_changes_assignments(
+    spark, sf_oracle
+):
+    """The guard does work at the oracle SF: at least one clustered
+    document's naive per-doc side (doc_id % MOD) differs from its
+    cluster-root side — a naive split WOULD have leaked that
+    near-dup pair across sides."""
+    from inf2106_map_reduce_spark.functions import dedup
+
+    mod = dedup.SPLIT_HOLDOUT_MOD
+    moved = [
+        r
+        for r in dedup.dedup_cluster_assignments(
+            spark, sf_oracle
+        ).collect()
+        if (r["doc_id"] % mod == 0) != (r["component"] % mod == 0)
+    ]
+    assert moved, "corpus has no doc whose naive side differs"
+
+
+def test_events_table_stats_one_scan_and_values(spark, sf_oracle):
+    df = stats.events_table_stats(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    got = {r["col_name"]: r for r in df.collect()}
+    ev = stats.load_table(spark, sf_oracle, "events")
+    n_rows = ev.count()
+    for c in stats.EVENTS_STATS_COLS:
+        want = ev.agg(
+            F.count(c), F.min(c), F.max(c), F.countDistinct(c)
+        ).first()
+        r = got[c]
+        assert r["n_rows"] == n_rows
+        assert r["n_nulls"] == n_rows - want[0]
+        assert r["min_val"] == round(float(want[1]), 9)
+        assert r["max_val"] == round(float(want[2]), 9)
+        assert r["ndv"] == want[3]

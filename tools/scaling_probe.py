@@ -1856,6 +1856,47 @@ def main() -> None:
         f"  write-amplification audit (8x keys, post-drain): "
         f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # Leakage-safe split (round-16 final block): post-stage shape —
+    # one left join of docs against the aggregate-sized component
+    # mapping + a two-group aggregate (the stage build itself is the
+    # dedup_stage_build rows above). Synthetic mapping: every 10th
+    # doc clustered to the preceding multiple of 10.
+    from inf2106_map_reduce_spark.functions.dedup import (
+        SPLIT_HOLDOUT_MOD,
+    )
+
+    def split_shape(n_docs: int):
+        docs = spark.range(n_docs).selectExpr("id AS doc_id")
+        comp = spark.range(n_docs // 10).selectExpr(
+            "id * 10 + 5 AS doc_id", "id * 10 AS component"
+        )
+        allmap = docs.join(comp, "doc_id", "left_outer").select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("root"),
+        )
+        side = (
+            F.when(
+                F.col("root") % SPLIT_HOLDOUT_MOD == 0,
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("side")
+        )
+        return allmap.groupBy(side).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("root").alias("n_clusters"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+
+    n_base = 2_000_000
+    timed(lambda: split_shape(n_base))
+    t1 = min(timed(lambda: split_shape(n_base)) for _ in range(3))
+    tk = min(timed(lambda: split_shape(n_base * k)) for _ in range(3))
+    print(
+        f"  leakage-safe split (post-stage join + 2-group agg): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
