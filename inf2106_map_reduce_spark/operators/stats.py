@@ -2719,6 +2719,20 @@ def _qtl_fine(col: str, width: float, n_fine: int = N_QTL_FINE) -> Column:
     )
 
 
+#: Session cache of REGISTRY bucket maps (the encoding-grid
+#: accounting idiom, _ENCODING_GRID_CACHE): every quantile-family
+#: registry entry fits the same (lineitem, feature, group_cols) maps
+#: — 3 eager aggregate scans per entry call before this cache, paid
+#: once per session after it (whichever entry runs first pays the
+#: fit; each later entry's bench line measures only its own
+#: trainer/scoring work). Keyed by the caller-supplied cache_key
+#: (applicationId, sf_dir) plus every fit parameter; callers passing
+#: a cache_key assert the input frame's CONTENT is a pure function
+#: of that key (true for the registry's load_table frames). Direct
+#: calls without a cache_key never cache.
+_QTL_MAP_CACHE: dict[tuple, DataFrame] = {}
+
+
 def quantile_bucket_map(
     df: DataFrame,
     col: str,
@@ -2727,6 +2741,7 @@ def quantile_bucket_map(
     n_buckets: int = N_QTL_BUCKETS,
     checkpoint: bool = True,
     group_cols: tuple[str, ...] = (),
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """The ``(fb, bucket)`` equi-depth assignment map for one feature:
     the :func:`quantile_bins` closed form materialized as a ≤
@@ -2745,6 +2760,16 @@ def quantile_bucket_map(
     (still aggregate-sized for the low-cardinality segment keys this
     serves), and the consumer's join gains the group columns."""
     _require_safe_group_cols("quantile_bucket_map", group_cols)
+    # session cache (see _QTL_MAP_CACHE): only checkpointed maps are
+    # cacheable — an unexecuted lineage (checkpoint=False, the plan-
+    # inspection path) must stay per-call
+    full_key = None
+    if cache_key is not None and checkpoint:
+        full_key = (
+            cache_key, col, width, n_fine, n_buckets, tuple(group_cols),
+        )
+        if full_key in _QTL_MAP_CACHE:
+            return _QTL_MAP_CACHE[full_key]
     gc = list(group_cols)
     hist = (
         df.select(*gc, _qtl_fine(col, width, n_fine).alias("fb"))
@@ -2776,7 +2801,10 @@ def quantile_bucket_map(
             F.expr(f"CAST(((cum - n) * {n_buckets}) DIV nt AS INT)"),
         ).alias("bucket"),
     )
-    return m.localCheckpoint(eager=True) if checkpoint else m
+    out = m.localCheckpoint(eager=True) if checkpoint else m
+    if full_key is not None:
+        _QTL_MAP_CACHE[full_key] = out
+    return out
 
 
 def _quantile_stump_binned(
@@ -2784,6 +2812,7 @@ def _quantile_stump_binned(
     features: tuple[tuple[str, str, float], ...] = QSTUMP_FEATURES,
     checkpoint: bool = True,
     group_cols: tuple[str, ...] = (),
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """The :func:`_stump_binned` contract (``b_qty/b_disc/b_price``
     plus the 0/1 label) with EQUI-DEPTH buckets instead of the fixed
@@ -2809,7 +2838,12 @@ def _quantile_stump_binned(
     )
     for name, col, w in features:
         m = quantile_bucket_map(
-            df, col, w, checkpoint=checkpoint, group_cols=group_cols
+            df,
+            col,
+            w,
+            checkpoint=checkpoint,
+            group_cols=group_cols,
+            cache_key=cache_key,
         )
         out = out.join(
             F.broadcast(
@@ -2840,7 +2874,8 @@ def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         2,
         binned=_quantile_stump_binned(
-            load_table(spark, sf_dir, "lineitem")
+            load_table(spark, sf_dir, "lineitem"),
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
         ),
     )
 
@@ -2855,7 +2890,8 @@ def lineitem_quantile_gbt3(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         3,
         binned=_quantile_stump_binned(
-            load_table(spark, sf_dir, "lineitem")
+            load_table(spark, sf_dir, "lineitem"),
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
         ),
     )
 
@@ -2869,7 +2905,13 @@ def lineitem_quantile_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree). One data scan per level plus the aggregate-sized map
     joins."""
     li = load_table(spark, sf_dir, "lineitem")
-    return tree_depth2(None, binned=_quantile_stump_binned(li))
+    return tree_depth2(
+        None,
+        binned=_quantile_stump_binned(
+            li,
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
+        ),
+    )
 
 
 def lineitem_status_quantile_tree(
@@ -2889,7 +2931,11 @@ def lineitem_status_quantile_tree(
     )
     return tree_depth2(
         None,
-        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        binned=_quantile_stump_binned(
+            li,
+            group_cols=("seg",),
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
+        ),
         group_cols=("seg",),
     )
 
@@ -2915,7 +2961,11 @@ def lineitem_status_quantile_gbt(
     return gbt_boost(
         None,
         2,
-        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        binned=_quantile_stump_binned(
+            li,
+            group_cols=("seg",),
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
+        ),
         group_cols=("seg",),
     )
 
@@ -2937,7 +2987,11 @@ def lineitem_status_quantile_gbt3(
     return gbt_boost(
         None,
         3,
-        binned=_quantile_stump_binned(li, group_cols=("seg",)),
+        binned=_quantile_stump_binned(
+            li,
+            group_cols=("seg",),
+            cache_key=(spark.sparkContext.applicationId, sf_dir),
+        ),
         group_cols=("seg",),
     )
 
@@ -3006,7 +3060,10 @@ def _qgbt_scored(
         li = li.withColumn("seg", F.col("l_linestatus"))
         gc = ("seg",)
     binned = _quantile_stump_binned(
-        li, checkpoint=checkpoint, group_cols=gc
+        li,
+        checkpoint=checkpoint,
+        group_cols=gc,
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
     )
     w = gbt_boost(None, 2, binned=binned, group_cols=gc, wide=True)
     names = [name for name, *_ in STUMP_BINS]

@@ -250,3 +250,49 @@ def test_round_open_snapshot_exists_for_newest_artifact():
         "round-open checklist: cp BENCH_FULL.json BENCH_FULL_r{N}.json "
         "when adopting the driver artifact"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucket-map session cache (round-16 perf item)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_map_cache_contract(spark, sf_smoke):
+    """The registry bucket-map cache follows the encoding-grid
+    idiom: same cache_key + parameters → the SAME checkpointed
+    frame object (no refit); different group_cols → different fits;
+    checkpoint=False (the plan-inspection path) and keyless calls
+    never cache."""
+    from inf2106_map_reduce_spark.tables import load_table
+
+    li = stats.load_table(spark, sf_smoke, "lineitem")
+    key = (spark.sparkContext.applicationId, sf_smoke)
+    m1 = stats.quantile_bucket_map(
+        li, "l_extendedprice", stats.QSTUMP_FEATURES[2][2],
+        cache_key=key,
+    )
+    m2 = stats.quantile_bucket_map(
+        li, "l_extendedprice", stats.QSTUMP_FEATURES[2][2],
+        cache_key=key,
+    )
+    assert m2 is m1
+    seg = li.withColumn("seg", F.col("l_linestatus"))
+    mg = stats.quantile_bucket_map(
+        seg, "l_extendedprice", stats.QSTUMP_FEATURES[2][2],
+        group_cols=("seg",), cache_key=key,
+    )
+    assert mg is not m1
+    n_before = len(stats._QTL_MAP_CACHE)
+    lazy = stats.quantile_bucket_map(
+        li, "l_extendedprice", stats.QSTUMP_FEATURES[2][2],
+        checkpoint=False, cache_key=key,
+    )
+    keyless = stats.quantile_bucket_map(
+        li, "l_extendedprice", stats.QSTUMP_FEATURES[2][2],
+    )
+    assert len(stats._QTL_MAP_CACHE) == n_before
+    assert lazy is not m1 and keyless is not m1
+    # the cached fit is the same map a fresh keyless fit produces
+    assert sorted(map(tuple, m1.collect())) == sorted(
+        map(tuple, keyless.collect())
+    )
