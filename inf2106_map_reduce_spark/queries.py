@@ -8109,13 +8109,41 @@ ROTATION_WINDOW = 50
 # first raise S to 35 (covers N <= 280, priority cap 15) —
 # re-derive explicitly, don't drift (test_registry_rotation.py
 # fails loudly at N = 273 under S = 34 regardless).
-ROTATION_STRIDE = 34
+#
+# Round-17 budget (S RAISED FIRST, per the r14 verdict item #4 and
+# the established protocol — re-derived BEFORE adding entries):
+# CORRECTNESS_r14 carries a hard green row for every name in the
+# round-16 8-name block (verified at round open: 8/8
+# rows_match+schema_match+hash_match, err None), so the carry
+# protocol is satisfied and the block RETIRES to _ROUND16_PRIORITY
+# below. N = 272 sits EXACTLY at the S = 34 horizon cap (zero free
+# slots), so S rises to 35: horizon cap becomes N <= 280
+# (ceil(280/35) = 8 — the staleness bound holds), priority cap
+# shrinks to WINDOW - S = 50 - 35 = 15. The round-17 budget is the
+# three candidates the r14 verdict pre-scoped (items #5-7) — the
+# stream-stream FULL OUTER join (both-side null extension at
+# watermark proof, the one join-type hole in the streaming matrix),
+# SCD2 history composed ON the upsert sink's CDC change feed (the
+# type-2 validity-interval table the batch orders_scd2_priority
+# entry builds, derived instead from the sink's version changelog),
+# and the incremental table-stats refresh via mergeable sketches
+# (per-partition partial stats merged == stats-of-whole, the
+# continuous-refresh swap the lineitem_table_stats docstring names)
+# -> N = 275 <= 280 (ceil(275/35) = 8 holds); priority 3 <= 15 with
+# room to spare.
+ROTATION_STRIDE = 35
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
-#: Round-16 block (§7.10 candidates, budget in the ROTATION_STRIDE
-#: comment) — names are appended as each entry lands.
-_ROUND_PRIORITY: tuple[str, ...] = (
+#: Round-17 block (r14 verdict items #5-7, budget in the
+#: ROTATION_STRIDE comment) — names are appended as each entry lands.
+_ROUND_PRIORITY: tuple[str, ...] = ()
+
+#: The round-16 priority block (8 names) as retired at round-17
+#: open: CORRECTNESS_r14 carries a fully-green hard row for every
+#: name (the carry protocol's exit condition), kept as a named
+#: record for the staleness audit.
+_ROUND16_PRIORITY: tuple[str, ...] = (
     # mid-history CDC window — the (v0 > 0, v1 < birth-window) class
     # the stepwise and whole-window feeds leave unexercised
     "streaming_upsert_changes_midwindow",

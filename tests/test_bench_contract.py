@@ -236,6 +236,31 @@ PER_QUERY_ANCHORS_R13 = {
     "lineitem_status_quantile_tree": 3.613,
 }
 
+# r17 refresh (r14 verdict item #3): the r14 driver run showed a 4x
+# swing across the documents-scan family (loop positions ~60-105,
+# bracketed by the run's worst probe) that NO existing anchor could
+# see — docs_bm25_topk read 1.0 -> 5.2 s with zero code diffs and no
+# gate fired. Anchor the family at its r13 DRIVER lines
+# (BENCH_FULL_r13.json: 264 q / 282.673 s, calibration 0.099), which
+# the round-17 settle protocol re-confirmed as the rows' true lines
+# (BASELINE.md round-17 open: fresh-session warm reads at/below every
+# one of these). Same weather-adjusted 2x rule; sub-second rows gate
+# at the 1.0 s floor.
+#: raw r13 driver seconds at calibration 0.099 (R13_ANCHOR_CAL)
+PER_QUERY_ANCHORS_R14 = {
+    "docs_bm25_topk": 0.998,
+    "docs_bigram_logprob": 2.248,
+    "docs_chunk_dedup": 1.308,
+    "docs_boilerplate": 0.899,
+    # re-anchor at current reality: the r09 row (2.640) predates four
+    # rounds of corpus/stage growth on the semantic-dedup path
+    "dedup_semantic": 2.992,
+    "dedup_simhash64_pairs": 1.455,
+    # sub-second row — gates at the 1.0 s floor, which the r14 run's
+    # 1.57 s reading would have tripped
+    "source_binaryfile_ingest": 0.216,
+}
+
 #: sub-second entries swing ±25%+ run-to-run; only adjusted times
 #: above this floor can gate, so noise on a 0.06 s row never fails
 PER_QUERY_GATE_FLOOR_S = 1.0
@@ -257,6 +282,32 @@ WEATHER_SETTLED = {
         "0.111-0.123, scan 0.195-0.214); closed going forward by the "
         "bench.py WARMUP pre-warm"
     ),
+    # r14's three `weak` rows (VERDICT.md r14), all closed by the
+    # round-17 settle run (BASELINE.md round-17 open; tools/
+    # settle_r15.py, fresh session, probes both sides: before cpu
+    # 0.237 / scan 0.352 — a stall window — after cpu 0.113 / scan
+    # 0.191): zero code diffs on every path (git log -L: retrieval.py
+    # BM25 last touched pre-r10, pipeline.py bigram pre-r10,
+    # roundtrip.py binaryFile pre-r09).
+    ("r14", "docs_bm25_topk"): (
+        "settle run (BASELINE.md round-17 open): warm 0.959-1.215 s "
+        "== its 0.998 r13 line (it is a bench.py WARMUP entry, so the "
+        "driver times the warm plan); the 5.23 s driver reading sat "
+        "in the position-50-105 window bracketed by the run's worst "
+        "probe 0.176"
+    ),
+    ("r14", "docs_bigram_logprob"): (
+        "settle run (BASELINE.md round-17 open): first-touch 3.72 s, "
+        "warm 1.418-2.217 s vs its 2.248 r13 line — at/below the "
+        "line; same stall-window position class as docs_bm25_topk"
+    ),
+    ("r14", "source_binaryfile_ingest"): (
+        "settle run (BASELINE.md round-17 open): first-touch 0.295 s, "
+        "warm 0.150-0.165 s vs its 0.216 r13 line — the 1.57 s "
+        "driver reading does not reproduce; the path stages nothing "
+        "(reads sf_dir/*.parquet via binaryFile directly), so there "
+        "is no layout cost to move into WARMUP"
+    ),
 }
 
 
@@ -276,7 +327,11 @@ def test_weather_settled_rows_cite_existing_artifacts():
     }
     for (tag, name), evidence in WEATHER_SETTLED.items():
         assert tag in rounds, (tag, name)
-        assert name in PER_QUERY_ANCHORS, name
+        assert (
+            name in PER_QUERY_ANCHORS
+            or name in PER_QUERY_ANCHORS_R13
+            or name in PER_QUERY_ANCHORS_R14
+        ), name
         assert "BASELINE.md" in evidence, (tag, name)
 
 
@@ -367,6 +422,12 @@ def test_per_query_anchor_gate():
         (name, (raw, R13_ANCHOR_CAL))
         for name, raw in PER_QUERY_ANCHORS_R13.items()
     )
+    # the r14 cohort is also measured at the r13 driver calibration
+    # (its raw lines come from BENCH_FULL_r13.json) and wins on overlap
+    anchored.update(
+        (name, (raw, R13_ANCHOR_CAL))
+        for name, raw in PER_QUERY_ANCHORS_R14.items()
+    )
     breaches = []
     for name, (anchor_raw, anchor_cal) in anchored.items():
         got = payload["queries"].get(name)
@@ -390,7 +451,9 @@ def test_anchor_names_exist_in_registry():
     known = set(REGISTRY) | set(bench.PSEUDO_STAGES)
     missing = [
         n
-        for n in list(PER_QUERY_ANCHORS) + list(PER_QUERY_ANCHORS_R13)
+        for n in list(PER_QUERY_ANCHORS)
+        + list(PER_QUERY_ANCHORS_R13)
+        + list(PER_QUERY_ANCHORS_R14)
         if n not in known
     ]
     assert not missing, missing

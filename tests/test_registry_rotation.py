@@ -240,12 +240,50 @@ def test_round15_carried_block_retired_on_hard_rows():
         assert row["hash_match"] and row["err"] is None, (name, row)
 
 
-def test_round16_stride_budget():
-    # round-16 budget (ROTATION_STRIDE comment): N = 264 sat EXACTLY
-    # at the S = 33 horizon cap, so S rose to 34 FIRST (r13 verdict
-    # item #2) BEFORE any growth; the new cap is 272 with priority
-    # cap 16, and the round budget is the three §7.10 candidates.
-    assert q.ROTATION_STRIDE == 34
-    assert 264 <= len(q.REGISTRY) <= 272
+def test_round16_priority_is_the_archived_budgeted_block():
+    # round-16 budget (ROTATION_STRIDE comment): S raised to 34 FIRST,
+    # then the three §7.10 candidates plus the late/final pull-forward
+    # blocks — archived at round-17 open once CORRECTNESS_r14 landed
+    # hard rows for all eight.
+    assert q._ROUND16_PRIORITY == (
+        "streaming_upsert_changes_midwindow",
+        "streaming_upsert_compaction",
+        "lineitem_status_gbt_isotonic",
+        # late block (pull-forward after the green five-lane sweep)
+        "lineitem_gbt_isotonic",
+        "lineitem_table_stats",
+        "streaming_upsert_write_amplification",
+        # final block (second green sweep)
+        "docs_leakage_safe_split",
+        "events_table_stats",
+    )
+
+
+def test_round16_carried_block_retired_on_hard_rows():
+    # The carry protocol's exit condition for the round-16 block,
+    # settled by the hard artifact at round-17 open: every name of
+    # the retired 8-name block must carry a fully-green
+    # CORRECTNESS_r14 row — only then may the live priority drop to
+    # round-17's new entries and the stride rise past the N = 272
+    # cap the block filled.
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "CORRECTNESS_r14.json")) as f:
+        r14 = json.load(f)
+    for name in q._ROUND16_PRIORITY:
+        row = r14[name]
+        assert row["hash_match"] and row["err"] is None, (name, row)
+
+
+def test_round17_stride_budget():
+    # round-17 budget (ROTATION_STRIDE comment): N = 272 sat EXACTLY
+    # at the S = 34 horizon cap, so S rose to 35 FIRST (r14 verdict
+    # item #4) BEFORE any growth; the new cap is 280 with priority
+    # cap 15, and the round budget is the three r14-verdict
+    # candidates (stream-stream FULL OUTER, sink SCD2, sketch-merged
+    # table stats).
+    assert q.ROTATION_STRIDE == 35
+    assert 272 <= len(q.REGISTRY) <= 280
     assert math.ceil(len(q.REGISTRY) / q.ROTATION_STRIDE) <= 8
-    assert len(q._ROUND_PRIORITY) <= 16
+    assert len(q._ROUND_PRIORITY) <= 15
