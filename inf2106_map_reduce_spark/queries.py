@@ -6813,8 +6813,14 @@ def _grouped_compaction_oracle() -> str:
     argument); ``files_before`` is the staging's
     ``LEAST(FRAG, n_keys)`` closed form (range partitioning on the
     snapshot's unique key — one range per distinct key up to FRAG)
-    and ``files_after`` is 1 at every test SF (partition bytes ≪ the
-    128 MB target — the sizing rule's floor)."""
+    and ``files_after`` is the LITERAL 1 — valid ONLY while every
+    partition's staged bytes stay under the 128 MB target (true at
+    every test SF by orders of magnitude). At a larger SF the engine
+    moves to ``ceil(bytes/target)``; the staging helper
+    (``_compacted_grouped_tree``) asserts this bound at STAGE time
+    with a message naming this oracle, so the drift fails loudly
+    there instead of as an inscrutable value-hash mismatch here
+    (r14 ADVICE)."""
     n = stream_windows.UPSERT_RETENTION_SPANS
     g = stream_windows.UPSERT_KEY_GROUPS
     frag = stream_windows.UPSERT_COMPACT_FRAG

@@ -1313,6 +1313,23 @@ def _compacted_grouped_tree(
                 for f in frag_files
             )
             n_out = max(1, math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
+            # ORACLE CONTRACT (fail at stage time, not oracle-diff
+            # time): _grouped_compaction_oracle pins files_after to
+            # the literal 1, valid only while every partition's
+            # staged bytes stay under COMPACT_TARGET_BYTES. A larger
+            # SF silently moves the engine to ceil(bytes/target)
+            # while the oracle stays at 1 — surface THAT here, where
+            # the message can say what to change.
+            if n_out != 1:
+                shutil.rmtree(frag_dir, ignore_errors=True)
+                raise AssertionError(
+                    f"compaction staging: partition v={v}/g={g} holds "
+                    f"{frag_bytes} bytes > target {COMPACT_TARGET_BYTES}"
+                    f" -> {n_out} output files, but the DuckDB oracle "
+                    "(_grouped_compaction_oracle) pins files_after=1; "
+                    "teach the oracle the ceil(bytes/target) closed "
+                    "form before running this entry at this SF"
+                )
             out_dir = os.path.join(compact_root, vname, gname)
             spark.read.parquet(frag_dir).repartition(n_out).write.mode(
                 "overwrite"
@@ -1321,6 +1338,11 @@ def _compacted_grouped_tree(
                 [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
             )
             meta.append((g, v, len(frag_files), n_after))
+            # frag accounting (frag_files/frag_bytes) is captured and
+            # the compacted rewrite is durable — the staging fragments
+            # are dead; without this the per-(version, group) temp
+            # dirs accumulate for the session lifetime (r14 ADVICE)
+            shutil.rmtree(frag_dir, ignore_errors=True)
     _COMPACTED_TREE_CACHE[key] = (compact_root, meta)
     return compact_root, meta
 

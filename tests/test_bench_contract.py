@@ -78,8 +78,20 @@ def _snapshot_payload_for(root, round_tag: str, tail: str):
         return None, None
     qmap = full.get("queries") or {}
     pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)[,}]', tail)
-    matched = [k for k, v in pairs if k in qmap and float(v) == qmap[k]]
-    mismatched = [k for k, v in pairs if k in qmap and float(v) != qmap[k]]
+    # tolerance, not exact float equality (r14 ADVICE): a future
+    # change to the driver's tail float FORMATTING (rounding or
+    # truncation at print time) must not silently disqualify every
+    # snapshot and walk the resolver back a round — bench.py rounds
+    # timings to 3 decimals, so half an ulp at that precision
+    # (5e-4) separates "same measurement reformatted" from "a
+    # different run's numbers"
+    TOL = 5e-4
+    matched = [
+        k for k, v in pairs if k in qmap and abs(float(v) - qmap[k]) <= TOL
+    ]
+    mismatched = [
+        k for k, v in pairs if k in qmap and abs(float(v) - qmap[k]) > TOL
+    ]
     if mismatched or len(matched) < 5:
         return None, None
     return path, full
