@@ -60,6 +60,7 @@ WARMUP = (
     # fully covered here)
     "streaming_click_attribution",
     "streaming_click_attribution_outer",
+    "streaming_click_attribution_full",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_session_windows",
@@ -205,6 +206,8 @@ HEADLINE = (
     # round-16 final block
     "docs_leakage_safe_split",
     "events_table_stats",
+    # round-17 new entries
+    "streaming_click_attribution_full",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -4512,6 +4512,54 @@ REGISTRY: dict[str, QuerySpec] = {
         "only when the watermark proves no match can arrive",
         ("streaming", "join", "events"),
     ),
+    "streaming_click_attribution_full": QuerySpec(
+        stream_joins.streaming_click_attribution_full,
+        # BOTH eviction semantics are oracle-encoded (r14 verdict item
+        # #5): unmatched clicks null-extend once the watermark passes
+        # click_ts + horizon (cts < wm − 1 h, the LEFT OUTER cutoff),
+        # and unmatched purchases null-extend once the CLICK-side
+        # watermark passes their event time (pts < wm — a matching
+        # click needs cts ≤ pts, so watermark > pts proves
+        # matchlessness); wm = least(max click ts, max purchase ts)
+        # − 1 h under the AvailableNow drain. Rows in each side's
+        # trailing uncertainty window stay buffered and are absent.
+        """
+        WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT LEAST((SELECT MAX(cts) FROM c),
+                            (SELECT MAX(pts) FROM p))
+                      - INTERVAL 1 HOUR AS wm),
+        matched AS (
+          SELECT c.user_id, c.click_id, p.purchase_id FROM c JOIN p
+            ON c.user_id = p.user_id
+           AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR),
+        unmatched_c AS (
+          SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+          FROM c CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM p
+                            WHERE p.user_id = c.user_id
+                              AND p.pts >= c.cts
+                              AND p.pts <= c.cts + INTERVAL 1 HOUR)
+            AND c.cts + INTERVAL 1 HOUR < wm.wm),
+        unmatched_p AS (
+          SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+                 p.purchase_id
+          FROM p CROSS JOIN wm
+          WHERE NOT EXISTS (SELECT 1 FROM c
+                            WHERE c.user_id = p.user_id
+                              AND p.pts >= c.cts
+                              AND p.pts <= c.cts + INTERVAL 1 HOUR)
+            AND p.pts < wm.wm)
+        SELECT user_id, click_id, purchase_id FROM matched
+        UNION ALL SELECT * FROM unmatched_c
+        UNION ALL SELECT * FROM unmatched_p
+        """,
+        "FULL OUTER stream-stream join: both sides null-extend only "
+        "at watermark proof of matchlessness",
+        ("streaming", "join", "events"),
+    ),
 }
 
 
@@ -8143,7 +8191,11 @@ ROTATION_STRIDE = 35
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
 #: Round-17 block (r14 verdict items #5-7, budget in the
 #: ROTATION_STRIDE comment) — names are appended as each entry lands.
-_ROUND_PRIORITY: tuple[str, ...] = ()
+_ROUND_PRIORITY: tuple[str, ...] = (
+    # FULL OUTER stream-stream join — the last join-type hole in the
+    # streaming matrix; both null-extension semantics oracle-encoded
+    "streaming_click_attribution_full",
+)
 
 #: The round-16 priority block (8 names) as retired at round-17
 #: open: CORRECTNESS_r14 carries a fully-green hard row for every

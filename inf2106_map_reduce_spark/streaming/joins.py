@@ -43,7 +43,11 @@ def click_purchase_pairs(
     streaming inputs — the streaming binding just adds watermarks.
     ``how="left_outer"`` additionally keeps unattributed clicks with a
     NULL purchase; on a stream those rows emit only once the
-    purchase-side watermark proves no match can still arrive."""
+    purchase-side watermark proves no match can still arrive.
+    ``how="full_outer"`` also keeps unattributed purchases (NULL
+    click), null-extended once the CLICK-side watermark passes their
+    event time; the user key is coalesced across sides so every row
+    carries it."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -64,8 +68,17 @@ def click_purchase_pairs(
         ),
         how,
     )
+    user = (
+        # full outer: unmatched purchases carry a NULL click side, so
+        # the user key must come from whichever side is present (for
+        # inner/left_outer c_user is never null — the plans there are
+        # untouched)
+        F.coalesce(F.col("c_user"), F.col("p_user"))
+        if how == "full_outer"
+        else F.col("c_user")
+    )
     return joined.select(
-        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        user.alias("user_id"), "click_id", "purchase_id"
     )
 
 
@@ -95,6 +108,32 @@ def streaming_click_attribution_outer(
     trailing no-data micro-batch (runtime.needs_no_data_batch detects
     the outer-join shape structurally)."""
     return _attribution_drain(spark, sf_dir, how="left_outer")
+
+
+def streaming_click_attribution_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: FULL OUTER stream-stream join (SURVEY §7.11) —
+    the one join type the streaming matrix still lacked. Matched
+    pairs emit on arrival (the inner part); unattributed CLICKS
+    null-extend once the purchase watermark proves no match can still
+    arrive (the LEFT OUTER semantics,
+    :func:`streaming_click_attribution_outer`); unattributed
+    PURCHASES null-extend once the CLICK-side watermark passes their
+    event time — a click matching purchase ``p`` must have
+    ``click_ts ∈ [p.ts − horizon, p.ts]``, so once the watermark
+    exceeds ``p.ts`` no qualifying click can arrive and the purchase
+    is provably matchless. Under the AvailableNow drain the final
+    watermark is ``least(max click ts, max purchase ts) − horizon``
+    (the global watermark is the min across both filtered inputs), so
+    the oracle's two null-side cutoffs are ``click_ts < wm − horizon``
+    and ``purchase_ts < wm`` — BOTH eviction semantics are
+    hash-checked, not just the batch join. Rows inside the trailing
+    uncertainty window stay buffered and are correctly absent.
+    Requires the trailing no-data micro-batch
+    (runtime.needs_no_data_batch matches ``Join FullOuter``
+    structurally)."""
+    return _attribution_drain(spark, sf_dir, how="full_outer")
 
 
 def _attribution_drain(

@@ -1897,6 +1897,75 @@ def main() -> None:
         f"  leakage-safe split (post-stage join + 2-group agg): "
         f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # ---- round-17 shapes --------------------------------------------
+    # FULL OUTER stream-stream join: replicated USERS multiply both
+    # join buffers' state keys (same ts range, so watermark advance
+    # and the trailing no-data batch structure are identical). The
+    # claim under test: the drain tracks the data with state
+    # partitions data-derived, and the full-outer null-extension adds
+    # no super-linear term over the inner join (both sides' eviction
+    # scans are state-sized).
+    from inf2106_map_reduce_spark.streaming.joins import (
+        click_purchase_pairs,
+    )
+
+    # own staging: the join needs event_id (the shared `srcs` fixture
+    # projects it away); event_id offsets keep replicated ids distinct
+    fo1 = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    fok = replicate(fo1, k, ["user_id", "event_id"])
+    fo_srcs = {}
+    for tag, df in (("1x", fo1), (f"{k}x", fok)):
+        path = tempfile.mkdtemp(prefix=f"probe_fo_{tag}_")
+        df.write.mode("overwrite").parquet(path)
+        fo_srcs[tag] = path
+
+    def full_outer_drain(path: str) -> tuple[float, int]:
+        batch = spark.read.parquet(path)
+        n_parts = state_partitions_for(batch.select("user_id"))
+
+        def side(t):
+            return (
+                spark.readStream.schema(batch.schema)
+                .parquet(path)
+                .withWatermark("ts", "1 hour")
+                .filter(F.col("event_type") == t)
+            )
+
+        out = click_purchase_pairs(
+            side("click"), side("purchase"), how="full_outer"
+        )
+        t0 = time.perf_counter()
+        with scoped_state_partitions(
+            spark, n=n_parts, out=out, output_mode="append"
+        ):
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _e: df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="probe_fo_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return time.perf_counter() - t0, n_parts
+
+    full_outer_drain(fo_srcs["1x"])  # warm the plan family
+    f1, fp1 = min(full_outer_drain(fo_srcs["1x"]) for _ in range(2))
+    fk, fpk = min(full_outer_drain(fo_srcs[f"{k}x"]) for _ in range(2))
+    print(
+        f"  FULL OUTER stream-stream drain: {f1:.3f}s -> {fk:.3f}s  "
+        f"ratio {fk / f1:.1f}x (ideal <= {k}x; state partitions "
+        f"{fp1} -> {fpk}, both-side eviction state-sized)"
+    )
     spark.stop()
 
 
