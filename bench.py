@@ -85,6 +85,7 @@ WARMUP = (
     "streaming_upsert_changes",
     "streaming_upsert_changes_window",
     "streaming_upsert_changes_midwindow",
+    "streaming_upsert_scd2",
     # the compaction audit's staging (per-partition fragment+rewrite
     # of the whole drained tree) is a one-time session cost like the
     # other write-once layouts; its timed line measures the audit
@@ -208,6 +209,7 @@ HEADLINE = (
     "events_table_stats",
     # round-17 new entries
     "streaming_click_attribution_full",
+    "streaming_upsert_scd2",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -6488,6 +6488,59 @@ def _upsert_changes_oracle(
     """
 
 
+def _upsert_scd2_oracle() -> str:
+    """Oracle for the sink-changelog SCD2 build: every per-version
+    keyed state rebuilt from the span closed form (state at v ==
+    spans 0..v per group — the same template every sink oracle
+    shares), change rows kept by the count-monotonicity test (a
+    key's interval opens exactly where its exact event count first
+    differs from the previous version — LAG over the per-key version
+    order), and intervals closed by LEAD (open-ended ⇒ is_current).
+    This replays the ENGINE's changelog composition exactly: a
+    stepwise CDC feed emits a key at v iff its count changed at v,
+    which is the kept-row condition here."""
+    n = stream_windows.UPSERT_RETENTION_SPANS
+    g = stream_windows.UPSERT_KEY_GROUPS
+    return f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo,
+             ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {n} + 1)
+               AS step
+      FROM events
+    ),
+    sp AS (
+      SELECT user_id, ts, CAST(user_id % {g} AS INT) AS grp,
+             CAST((epoch_us(ts) - lo) // step AS INT) AS span
+      FROM events, b
+    ),
+    vs AS (SELECT DISTINCT span AS v FROM sp),
+    states AS (
+      SELECT v.v, s.grp AS g, s.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(s.ts) AS first_ts, MAX(s.ts) AS last_ts
+      FROM vs v JOIN sp s ON s.span <= v.v
+      GROUP BY v.v, s.grp, s.user_id
+    ),
+    chg AS (
+      SELECT *,
+             LAG(n_events) OVER (
+               PARTITION BY g, user_id ORDER BY v
+             ) AS pn
+      FROM states
+    ),
+    keep AS (SELECT * FROM chg WHERE pn IS NULL OR n_events != pn)
+    SELECT g, user_id, n_events, first_ts, last_ts,
+           CAST(v AS INT) AS valid_from,
+           CAST(LEAD(v) OVER (
+             PARTITION BY g, user_id ORDER BY v
+           ) AS INT) AS valid_to,
+           (LEAD(v) OVER (
+             PARTITION BY g, user_id ORDER BY v
+           ) IS NULL) AS is_current
+    FROM keep
+    """
+
+
 def _gbt_boost_ctes(
     n_stages: int, base_cte: str | None = None, seg: bool = False
 ) -> list[str]:
@@ -7671,6 +7724,19 @@ REGISTRY.update(
             "stepwise feeds; same span-diff oracle with two literals",
             ("events", "streaming", "sink"),
         ),
+        "streaming_upsert_scd2": QuerySpec(
+            stream_windows.streaming_upsert_scd2,
+            _upsert_scd2_oracle(),
+            "TYPE-2 (SCD2) history built ON the sink's version "
+            "changelog: the birth state unioned with each stepwise "
+            "CDC feed's insert/postimage rows, one key-partitioned "
+            "window pass closing each validity interval at the next "
+            "change — work scales with change volume, not versions x "
+            "table size; the oracle rebuilds every per-version state "
+            "from the span closed form and applies the same "
+            "count-monotonicity change test + lead() closure",
+            ("events", "streaming", "sink"),
+        ),
         "streaming_upsert_compaction": QuerySpec(
             stream_windows.streaming_upsert_compaction,
             _grouped_compaction_oracle(),
@@ -8195,6 +8261,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # FULL OUTER stream-stream join — the last join-type hole in the
     # streaming matrix; both null-extension semantics oracle-encoded
     "streaming_click_attribution_full",
+    # SCD2 history composed ON the upsert sink's CDC changelog —
+    # validity intervals from the stepwise feeds, one window pass
+    "streaming_upsert_scd2",
 )
 
 #: The round-16 priority block (8 names) as retired at round-17

@@ -14,7 +14,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
@@ -1235,6 +1235,75 @@ def streaming_upsert_changes_window(
     table_root = _cached_grouped_drain(spark, sf_dir)
     return upsert_changes_between(
         spark, table_root, 0, UPSERT_RETENTION_SPANS - 1
+    )
+
+
+def streaming_upsert_scd2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: TYPE-2 (SCD2) HISTORY built ON the
+    partition-scoped merge-upsert sink's version changelog (SURVEY
+    §7.12, r14 verdict item #6) — the warehouse dimension-history
+    shape (:func:`~inf2106_map_reduce_spark.operators.relational.scd2_history`
+    builds it from a batch update stream) derived instead from the
+    sink's own CDC change feeds: the per-key validity-interval table
+    answering "what was this key's aggregate state AS OF version v?"
+    with ``[valid_from, valid_to)`` version intervals and a current
+    flag.
+
+    Construction IS the changelog composition: the birth state
+    (every key alive at the first version, its interval opening
+    there) unioned with each stepwise change feed's ``insert`` /
+    ``update_postimage`` rows (:func:`upsert_changes_between` at
+    (v−1, v) — exactly the keys whose state changed at v, carrying
+    their new values), then ONE window pass per key closes each
+    interval at the next change (``valid_to = lead(valid_from)``,
+    open-ended ⇒ ``is_current``). No dedupe filter is needed — a CDC
+    feed only emits changed keys (n_events grows with every touch),
+    which is precisely SCD2's no-change collapse rule enforced at
+    the source.
+
+    Scale: this is the IDIOMATIC at-scale SCD2 maintenance path —
+    work scales with the CHANGE VOLUME (Σ|feed_v|), not versions ×
+    table-size (the naive per-version state-union rebuild); the
+    window pass shuffles once on the key, and each feed's join is
+    key-group co-located by the sink's own layout. Read-only over
+    the session-cached drain (the read-only-sink accounting idiom).
+
+    Pinned equal to the batch SCD2 of the replayed per-version state
+    stream (tests), and oracle-exact: DuckDB rebuilds every
+    per-version state from the span closed form, keeps change rows
+    by the same count-monotonicity test, and closes intervals with
+    the same lead()."""
+    table_root = _cached_grouped_drain(spark, sf_dir)
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(table_root)
+        if n.startswith("v=")
+    )
+    cols = ["g", "user_id", "n_events", "first_ts", "last_ts"]
+    birth = (
+        _asof_state(spark, table_root, versions[0])
+        .select(*cols)
+        .withColumn("valid_from", F.lit(versions[0]).cast("int"))
+    )
+    parts = [birth]
+    for v0, v1 in zip(versions, versions[1:]):
+        feed = upsert_changes_between(spark, table_root, v0, v1)
+        parts.append(
+            feed.filter(F.col("change_type") != "update_preimage")
+            .select(*cols)
+            .withColumn("valid_from", F.lit(v1).cast("int"))
+        )
+    hist = parts[0]
+    for p in parts[1:]:
+        hist = hist.unionByName(p)
+    w = Window.partitionBy("g", "user_id").orderBy("valid_from")
+    return hist.select(
+        *cols,
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
     )
 
 

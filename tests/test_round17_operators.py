@@ -126,3 +126,101 @@ def test_full_outer_plan_shape_and_no_data_batch(spark, sf_oracle):
     assert stream_runtime.needs_no_data_batch(out, "append")
     # the user key survives both null sides
     assert "user_id" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history ON the upsert sink's changelog (r14 verdict item #6)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_scd2_equals_batch_scd2_of_replayed_stream(
+    spark, sf_oracle
+):
+    """The verdict's pin: composing the sink's CDC feeds must equal
+    the BATCH SCD2 operator (operators.relational.scd2_history)
+    applied to the replayed per-version state stream — same keys,
+    same attribute versions, same validity intervals, same current
+    flags."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from inf2106_map_reduce_spark.operators.relational import scd2_history
+    from inf2106_map_reduce_spark.streaming import windows as sw
+
+    root = sw._cached_grouped_drain(spark, sf_oracle)
+    versions = sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(root)
+        if n.startswith("v=")
+    )
+    # the replayed update stream: every key's state at every version
+    replay = None
+    for v in versions:
+        st = sw._asof_state(spark, root, v).select(
+            F.concat_ws(
+                "|", F.col("g").cast("string"), F.col("user_id")
+            ).alias("key"),
+            # unix_micros, not string casts: Spark's timestamp->string
+            # cast trims trailing zero micros (".73809" vs Python's
+            # ".738090"), which would fail the compare on formatting
+            F.concat_ws(
+                "|",
+                F.col("n_events").cast("string"),
+                F.unix_micros("first_ts").cast("string"),
+                F.unix_micros("last_ts").cast("string"),
+            ).alias("attr"),
+            F.lit(v).cast("int").alias("v"),
+        )
+        replay = st if replay is None else replay.unionByName(st)
+    batch = scd2_history(replay, "key", "attr", "v", "v").collect()
+    want = {
+        (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in batch
+    }
+    got_rows = sw.streaming_upsert_scd2(spark, sf_oracle).collect()
+    import datetime as dt
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    got = {
+        (
+            f"{r.g}|{r.user_id}",
+            f"{r.n_events}|{us(r.first_ts)}|{us(r.last_ts)}",
+            r.valid_from,
+            r.valid_to,
+            r.is_current,
+        )
+        for r in got_rows
+    }
+    assert len(got) == len(got_rows)
+    assert got == want
+
+
+def test_upsert_scd2_interval_structure(spark, sf_oracle):
+    """Type-2 invariants: per key the intervals tile the history
+    (each valid_to equals the next valid_from), exactly one open
+    current row per key, and n_events strictly increases across a
+    key's versions (the sink never deletes)."""
+    from collections import defaultdict
+
+    from inf2106_map_reduce_spark.streaming import windows as sw
+
+    rows = sw.streaming_upsert_scd2(spark, sf_oracle).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[(r.g, r.user_id)].append(r)
+    assert by_key
+    multi = 0
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1, key
+        assert ivs[-1].is_current and ivs[-1].valid_to is None, key
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, key
+            assert not a.is_current, key
+            assert b.n_events > a.n_events, key
+        multi += len(ivs) > 1
+    # the fixture genuinely exercises multi-version histories
+    assert multi > 0

@@ -1966,6 +1966,47 @@ def main() -> None:
         f"ratio {fk / f1:.1f}x (ideal <= {k}x; state partitions "
         f"{fp1} -> {fpk}, both-side eviction state-sized)"
     )
+
+    # SCD2 on the sink changelog: birth state + Σ stepwise-feed
+    # postimages + ONE key-partitioned window pass — post-drain over
+    # the same root1/rootk trees as the as-of/CDC rows; work scales
+    # with the change volume, never versions x table size
+    from pyspark.sql import Window as _W
+
+    def scd2_read(root: str):
+        versions = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(root)
+            if n.startswith("v=")
+        )
+        cols = ["g", "user_id", "n_events", "first_ts", "last_ts"]
+        hist = (
+            _asof_state(spark, root, versions[0])
+            .select(*cols)
+            .withColumn("valid_from", F.lit(versions[0]).cast("int"))
+        )
+        for v0, v1 in zip(versions, versions[1:]):
+            feed = upsert_changes_between(spark, root, v0, v1)
+            hist = hist.unionByName(
+                feed.filter(F.col("change_type") != "update_preimage")
+                .select(*cols)
+                .withColumn("valid_from", F.lit(v1).cast("int"))
+            )
+        w = _W.partitionBy("g", "user_id").orderBy("valid_from")
+        return hist.select(
+            *cols,
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+            F.lead("valid_from").over(w).isNull().alias("is_current"),
+        )
+
+    timed(lambda: scd2_read(root1))
+    t1 = min(timed(lambda: scd2_read(root1)) for _ in range(3))
+    tk = min(timed(lambda: scd2_read(rootk)) for _ in range(3))
+    print(
+        f"  SCD2 on the sink changelog (8x keys, post-drain): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
