@@ -210,6 +210,7 @@ HEADLINE = (
     # round-17 new entries
     "streaming_click_attribution_full",
     "streaming_upsert_scd2",
+    "lineitem_stats_incremental",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

@@ -3184,6 +3184,113 @@ def events_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Ingest-batch count for the incremental-stats entry: the table is
+#: treated as STATS_INGEST_BATCHES arrived batches (split on
+#: l_orderkey residue — deterministic, all residues occupied at every
+#: test SF), each contributing one mergeable partial-stats row.
+STATS_INGEST_BATCHES = 4
+
+#: Relative envelope for the merged-HLL NDV certification (same
+#: 5-sigma-generous bound the sketch rollup entry uses: DataSketches
+#: HLL at default lgConfigK=12 has rsd ~1.6%).
+STATS_NDV_REL_BOUND = 0.10
+
+
+def table_stats_incremental(
+    df: DataFrame, cols: tuple[str, ...], batch: Column
+) -> DataFrame:
+    """The CONTINUOUS-REFRESH form of :func:`table_stats` — the swap
+    its docstring names: per ingest batch, each column's statistics
+    reduce to a MERGEABLE partial (row/null counts, min/max bounds,
+    and a DataSketches HLL sketch for NDV — ``hll_sketch_agg``
+    binary state, the same machinery as
+    :func:`~inf2106_map_reduce_spark.functions.sketches.sketch_rollup_orders`);
+    refreshing the table's stats after a new batch merges fixed-size
+    partials (sums / min / max / ``hll_union_agg``) without ever
+    rescanning history. This entry computes the partials for every
+    batch and MERGES them, then certifies the merge against the
+    whole-table truth:
+
+    - counts and bounds merge EXACTLY (sum of partial counts, min of
+      mins, max of maxes) — the oracle computes them straight off the
+      whole table, so the hash match IS the merge-of-parts ==
+      stats-of-whole proof for every exact field;
+    - NDV merges as a sketch: the merged estimate is certified
+      in-plan against a :data:`STATS_NDV_REL_BOUND` envelope of the
+      exact distinct count (the audit scan a production refresh
+      drops), emitted as a boolean the oracle pins TRUE.
+
+    Scale: the refresh path touches ONE new batch + |cols| KB-sized
+    sketches per merge — the Expand-plan exact-NDV pass (the one
+    scan-row-duplicating cost of :func:`table_stats`) disappears
+    from the steady state entirely. Returns one row per column:
+    ``(col_name, n_batches, n_rows, n_nulls, min_val, max_val,
+    ndv_exact, merged_within_bound)``."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.min(c).cast("double").alias(f"_mn_{c}"),
+            F.max(c).cast("double").alias(f"_mx_{c}"),
+            # string canonicalization: hll_sketch_agg takes
+            # int/long/string/binary, not double — the cast is
+            # injective over the corpus's non-negative numerics
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"_sk_{c}"),
+        ]
+    partials = df.withColumn("_b", batch).groupBy("_b").agg(*aggs)
+    m_aggs = [
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_n").alias("_n"),
+    ]
+    for c in cols:
+        m_aggs += [
+            F.sum(f"_nn_{c}").alias(f"_nn_{c}"),
+            F.min(f"_mn_{c}").alias(f"_mn_{c}"),
+            F.max(f"_mx_{c}").alias(f"_mx_{c}"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(f"_sk_{c}")
+            ).alias(f"_est_{c}"),
+        ]
+    merged = partials.agg(*m_aggs)
+    exact = df.agg(
+        *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols]
+    )
+    row = merged.crossJoin(F.broadcast(exact))
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_nb").cast("bigint").alias("n_batches"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.round(F.col(f"_mn_{c}"), 9).alias("min_val"),
+            F.round(F.col(f"_mx_{c}"), 9).alias("max_val"),
+            F.col(f"_nd_{c}").alias("ndv_exact"),
+            (
+                F.abs(F.col(f"_est_{c}") - F.col(f"_nd_{c}"))
+                <= F.lit(STATS_NDV_REL_BOUND) * F.col(f"_nd_{c}")
+            ).alias("merged_within_bound"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.*"
+    )
+
+
+def lineitem_stats_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry query: the incremental (sketch-merged) table-stats
+    refresh over lineitem's numeric columns — see
+    :func:`table_stats_incremental`; batches split on the
+    l_orderkey residue mod :data:`STATS_INGEST_BATCHES`."""
+    return table_stats_incremental(
+        load_table(spark, sf_dir, "lineitem"),
+        LINEITEM_STATS_COLS,
+        F.pmod(F.col("l_orderkey"), F.lit(STATS_INGEST_BATCHES)),
+    )
+
+
 def lineitem_gbt_isotonic_plan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

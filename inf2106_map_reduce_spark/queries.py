@@ -6488,6 +6488,35 @@ def _upsert_changes_oracle(
     """
 
 
+def _stats_incremental_oracle(
+    table: str, cols: tuple[str, ...]
+) -> str:
+    """Oracle for the incremental (sketch-merged) table-stats
+    refresh: every EXACT field comes straight off the whole table —
+    the hash match against the engine's merge-of-batch-partials IS
+    the merge == whole proof for counts and bounds — and the merged-
+    HLL NDV certification is pinned TRUE (the engine computes
+    |estimate − exact| ≤ bound·exact in-plan; the oracle asserts the
+    envelope holds by emitting the literal)."""
+    n = stats.STATS_INGEST_BATCHES
+    key = {"lineitem": "l_orderkey", "events": "event_id"}[table]
+    parts = [
+        f"""
+    SELECT '{c}' AS col_name,
+           (SELECT COUNT(DISTINCT {key} % {n}) FROM {table})
+             AS n_batches,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 9) AS min_val,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 9) AS max_val,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_exact,
+           TRUE AS merged_within_bound
+    FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _upsert_scd2_oracle() -> str:
     """Oracle for the sink-changelog SCD2 build: every per-version
     keyed state rebuilt from the span closed form (state at v ==
@@ -7818,6 +7847,21 @@ REGISTRY.update(
             "refresh lives in functions/sketches.py",
             ("stats", "lineitem", "maintenance"),
         ),
+        "lineitem_stats_incremental": QuerySpec(
+            stats.lineitem_stats_incremental,
+            _stats_incremental_oracle(
+                "lineitem", stats.LINEITEM_STATS_COLS
+            ),
+            "the INCREMENTAL (sketch-merged) table-stats refresh: "
+            "per ingest batch each column reduces to a mergeable "
+            "partial (counts, bounds, DataSketches HLL sketch), the "
+            "refresh merges fixed-size partials (sum/min/max/"
+            "hll_union_agg) without rescanning history; exact fields "
+            "hash-match the whole-table truth (the merge == whole "
+            "proof) and the merged NDV estimate is certified in-plan "
+            "against a 10% envelope of the exact distinct",
+            ("stats", "lineitem", "maintenance", "sketch"),
+        ),
         "streaming_upsert_write_amplification": QuerySpec(
             stream_windows.streaming_upsert_write_amplification,
             _write_amplification_oracle(),
@@ -8264,6 +8308,9 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # SCD2 history composed ON the upsert sink's CDC changelog —
     # validity intervals from the stepwise feeds, one window pass
     "streaming_upsert_scd2",
+    # incremental table-stats refresh via mergeable HLL partials —
+    # the merge-of-parts == stats-of-whole contract, envelope-audited
+    "lineitem_stats_incremental",
 )
 
 #: The round-16 priority block (8 names) as retired at round-17

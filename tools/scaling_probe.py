@@ -2007,6 +2007,32 @@ def main() -> None:
         f"  SCD2 on the sink changelog (8x keys, post-drain): "
         f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
     )
+
+    # Incremental table stats: per-batch mergeable partials (counts/
+    # bounds/HLL sketches) + fixed-size merge + the exact-NDV audit
+    # scan — both passes linear in rows, epilogue sketch-sized. The
+    # steady-state refresh (one NEW batch + KB merges) is the claim;
+    # the probe times the full build incl. the audit.
+    from inf2106_map_reduce_spark.operators.stats import (
+        LINEITEM_STATS_COLS,
+        STATS_INGEST_BATCHES,
+        table_stats_incremental,
+    )
+
+    def inc_stats(li):
+        return table_stats_incremental(
+            li,
+            LINEITEM_STATS_COLS,
+            F.pmod(F.col("l_orderkey"), F.lit(STATS_INGEST_BATCHES)),
+        )
+
+    timed(lambda: inc_stats(li1))
+    t1 = min(timed(lambda: inc_stats(li1)) for _ in range(3))
+    tk = min(timed(lambda: inc_stats(lik)) for _ in range(3))
+    print(
+        f"  incremental table stats (HLL partials + merge + audit): "
+        f"{t1:.3f}s -> {tk:.3f}s  ratio {tk / t1:.1f}x (ideal <= {k}x)"
+    )
     spark.stop()
 
 
