@@ -1751,6 +1751,7 @@ def tree_depth2(
     df: DataFrame | None,
     binned: DataFrame | None = None,
     group_cols: tuple[str, ...] = (),
+    checkpoint: bool | None = None,
 ) -> DataFrame:
     """Greedy depth-2 histogram tree: choose the root split (as
     :func:`decision_stump`), route every row to its L/R child with the
@@ -1809,6 +1810,13 @@ def tree_depth2(
             F.col("split_bin").alias("root_bin"),
         )
     )
+    # materialize the ≤ |groups|-row root frame before the level-2
+    # scan joins it back (see MATERIALIZE_STAGE_WINNERS — same values,
+    # the level-2 plan compiles against a tiny ExistingRDD instead of
+    # re-nesting the level-1 histogram subtree in its broadcast)
+    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
+    if ck:
+        root = root.localCheckpoint(eager=True)
     is_left = None
     for name, *_ in STUMP_BINS:
         term = (F.col("root_feature") == name) & (
@@ -1867,8 +1875,29 @@ def lineitem_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stage-2 residual expression stays bit-identical across engines.
 GBT_SHRINKAGE = 0.5
 
+#: r15 OPTIMIZATION: materialize each boosting stage's winner frame
+#: (1 row ungrouped, ≤ |groups| rows grouped) with an eager
+#: localCheckpoint before the next stage's scan joins it back.
+#: The values are unchanged — the winner is the same rounded-9 ranked
+#: row either way — but the lazy form nests every earlier stage's
+#: whole subtree (scan → explode → histogram → window) inside stage
+#: k's broadcast, and the optimizer/codegen cost of that chain grew
+#: SUPERLINEARLY with depth: measured at sf0.1 warm (median of 3),
+#: K=3 cost 5.26 s lazy while stage increments were 1.52/0.74 s for
+#: K=1/2 — the third stage alone paid ~3 s, far above its share of
+#: scan work. With per-stage materialization the plan each stage
+#: compiles is ONE scan joined to a tiny ExistingRDD.
+#: At 100 TB the trade is the same or better: the winner frame is
+#: aggregate-sized (never data), and K sequential scans execute
+#: identically — only the nested re-analysis/codegen is removed.
+#: False = PLAN-INSPECTION lineage (tools/dump_plans flips the module
+#: flag so PLANS.md keeps showing the full unexecuted scan chain).
+MATERIALIZE_STAGE_WINNERS = True
 
-def gbt_two_stage(df: DataFrame) -> DataFrame:
+
+def gbt_two_stage(
+    df: DataFrame, checkpoint: bool | None = None
+) -> DataFrame:
     """Two-stage gradient boosting with stump base learners under
     SQUARED loss — the GBDT outer loop the histogram primitive exists
     for, in its exactly-replayable form.
@@ -1934,6 +1963,11 @@ def gbt_two_stage(df: DataFrame) -> DataFrame:
             "ybar",
         )
     )
+    # materialize the 1-row stage-1 winner before stage 2's scan
+    # joins it back (see MATERIALIZE_STAGE_WINNERS)
+    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
+    if ck:
+        r1 = r1.localCheckpoint(eager=True)
     is_left = None
     for name, *_ in STUMP_BINS:
         term = (F.col("root_feature") == name) & (
@@ -2051,6 +2085,7 @@ def gbt_boost(
     binned: DataFrame | None = None,
     group_cols: tuple[str, ...] = (),
     wide: bool = False,
+    checkpoint: bool | None = None,
 ) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
@@ -2115,6 +2150,7 @@ def gbt_boost(
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
     _require_safe_group_cols("gbt_boost", group_cols)
+    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
     gc = list(group_cols)
     names = [name for name, *_ in STUMP_BINS]
     # ``binned`` swaps the bin DEFINITION (e.g. the equi-depth
@@ -2237,6 +2273,11 @@ def gbt_boost(
                 "ybar",
             )
         )
+        # materialize the aggregate-sized winner so stage k+1's scan
+        # joins an ExistingRDD instead of re-nesting the whole earlier
+        # subtree in its broadcast (see MATERIALIZE_STAGE_WINNERS)
+        if ck and k < n_stages:
+            winner = winner.localCheckpoint(eager=True)
     if wide:
         return winner
     # all stage rows explode out of the ONE winning row (the two-stage
@@ -2826,7 +2867,27 @@ def _quantile_stump_binned(
     maps (edges fit to the group's distributions — the per-segment
     binning of grouped :func:`quantile_bucket_map`) and the map joins
     gain the group key; the output carries the group columns, the
-    grouped-:func:`gbt_boost` input contract."""
+    grouped-:func:`gbt_boost` input contract.
+
+    r15 OPTIMIZATION (guide §2.4/§3: remove the join outright): on
+    the executed path (``checkpoint=True``) the per-row bucket is a
+    pure CODEGEN STEP-COUNT EXPRESSION instead of a broadcast join —
+    bucket(fb) = Σ over the map's bucket EDGES of ``fb >= edge``,
+    each edge repeated (bucket step) times so skipped buckets (one
+    fine bin straddling several equi-depth boundaries) count
+    correctly. Identical values to the join (the edges come from the
+    SAME session-cached map; equality pinned in
+    tests/test_round17_fixes.py) with three broadcast hash joins per
+    trainer scan replaced by ≤ (n_buckets−1) integer comparisons per
+    feature per row — at any scale the scan no longer pays exchange
+    or build-side latency for aggregate-sized maps. The collect that
+    derives the edges is the map itself (already eagerly
+    materialized, ≤ |groups|·n_fine rows — the adjudicated
+    bounded-probe idiom) and is session-cached beside it. Groups
+    beyond :data:`_QTL_EXPR_MAX_GROUPS` fall back to the broadcast
+    join (a CASE with thousands of branches would blow up codegen);
+    ``checkpoint=False`` (plan inspection) keeps the join form so
+    PLANS.md shows the full map-derivation lineage."""
     gc = list(group_cols)
     out = df.select(
         *gc,
@@ -2845,19 +2906,117 @@ def _quantile_stump_binned(
             group_cols=group_cols,
             cache_key=cache_key,
         )
-        out = out.join(
-            F.broadcast(
-                m.select(
-                    *gc,
-                    F.col("fb").alias(f"_fb_{name}"),
-                    F.col("bucket").alias(f"b_{name}"),
-                )
-            ),
-            [*gc, f"_fb_{name}"],
+        edges = (
+            _bucket_edges(
+                m,
+                gc,
+                cache_key=(
+                    (cache_key, tuple(gc), name)
+                    if cache_key is not None
+                    else None
+                ),
+            )
+            if checkpoint
+            else None
         )
+        if edges is not None:
+            out = out.withColumn(
+                f"b_{name}",
+                _bucket_step_expr(F.col(f"_fb_{name}"), edges, gc),
+            )
+        else:
+            out = out.join(
+                F.broadcast(
+                    m.select(
+                        *gc,
+                        F.col("fb").alias(f"_fb_{name}"),
+                        F.col("bucket").alias(f"b_{name}"),
+                    )
+                ),
+                [*gc, f"_fb_{name}"],
+            )
     return out.select(
         *gc, *[f"b_{name}" for name, *_ in STUMP_BINS], "y"
     )
+
+
+#: Group-count cap for the bucket-edge CASE expression: one branch
+#: per group is ideal codegen for segment-like keys (a handful of
+#: values) but a thousand-branch CASE would regress compile time —
+#: past the cap the broadcast-join form is the right plan anyway.
+_QTL_EXPR_MAX_GROUPS = 64
+
+#: Session cache of collected bucket edges, keyed like _QTL_MAP_CACHE
+#: plus the feature name — the collect is bounded (the map is already
+#: an eagerly-materialized aggregate-sized frame) but need not repeat
+#: per trainer call.
+_QTL_EDGE_CACHE: dict[tuple, dict[tuple, list[int]]] = {}
+
+
+def _bucket_edges(
+    m: DataFrame, gc: list[str], cache_key: tuple | None = None
+) -> dict[tuple, list[int]] | None:
+    """Collect a quantile bucket map into per-group EDGE lists with
+    step multiplicity: for each group, edge fb ``f_j`` of occupied
+    bucket ``B_j`` appears ``B_j − B_{j−1}`` times (``B_0`` times for
+    the first), so ``Σ [fb >= f_j] = bucket(fb)`` exactly for every
+    OCCUPIED fine bin — including histories where one huge fine bin
+    skips whole buckets. Returns None past
+    :data:`_QTL_EXPR_MAX_GROUPS` (caller falls back to the join)."""
+    if cache_key is not None and cache_key in _QTL_EDGE_CACHE:
+        return _QTL_EDGE_CACHE[cache_key]
+    rows = m.collect()
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in rows:
+        key = tuple(r[g] for g in gc)
+        per_group.setdefault(key, []).append((r["fb"], r["bucket"]))
+    if len(per_group) > _QTL_EXPR_MAX_GROUPS:
+        return None
+    edges: dict[tuple, list[int]] = {}
+    for key, pairs in per_group.items():
+        pairs.sort()
+        es: list[int] = []
+        prev_bucket = 0
+        for fb, bucket in pairs:
+            if bucket > prev_bucket:
+                es.extend([fb] * (bucket - prev_bucket))
+                prev_bucket = bucket
+        edges[key] = es
+    if cache_key is not None:
+        _QTL_EDGE_CACHE[cache_key] = edges
+    return edges
+
+
+def _bucket_step_expr(
+    fb: Column, edges: dict[tuple, list[int]], gc: list[str]
+) -> Column:
+    """The step-count bucket expression over collected edges: global
+    form is a flat sum of ``fb >= edge`` casts; grouped form is a
+    CASE with one branch per group (unseen groups cannot occur — the
+    map was built from the same rows the expression is applied to)."""
+
+    def steps(es: list[int]) -> Column:
+        if not es:
+            return F.lit(0)
+        acc: Column = (fb >= F.lit(es[0])).cast("int")
+        for e in es[1:]:
+            acc = acc + (fb >= F.lit(e)).cast("int")
+        return acc
+
+    if not gc:
+        return steps(edges[()])
+    expr = None
+    for gval, es in sorted(edges.items()):
+        cond = None
+        for c, v in zip(gc, gval):
+            term = F.col(c) == F.lit(v)
+            cond = term if cond is None else cond & term
+        expr = (
+            F.when(cond, steps(es))
+            if expr is None
+            else expr.when(cond, steps(es))
+        )
+    return expr
 
 
 def lineitem_quantile_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3065,7 +3224,14 @@ def _qgbt_scored(
         group_cols=gc,
         cache_key=(spark.sparkContext.applicationId, sf_dir),
     )
-    w = gbt_boost(None, 2, binned=binned, group_cols=gc, wide=True)
+    w = gbt_boost(
+        None,
+        2,
+        binned=binned,
+        group_cols=gc,
+        wide=True,
+        checkpoint=checkpoint,
+    )
     names = [name for name, *_ in STUMP_BINS]
     nu = F.lit(GBT_SHRINKAGE)
 

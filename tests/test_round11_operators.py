@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from inf2106_map_reduce_spark.functions import pipeline
 from inf2106_map_reduce_spark.operators import stats
+from inf2106_map_reduce_spark.tables import load_table
 from inf2106_map_reduce_spark.plans import explain_str
 from inf2106_map_reduce_spark.streaming import stateful as stream_stateful
 from inf2106_map_reduce_spark.streaming import windows as stream_windows
@@ -44,11 +45,21 @@ def test_tree_depth2_is_one_scan_per_level(spark, sf_oracle):
     """Depth-2 training scans the data exactly TWICE (root level +
     child level) — the one-pass-per-level partial-histogram pattern;
     the root choice reaches the second scan as a broadcast scalar,
-    never via a driver action."""
+    never via a driver action. r15: the root frame is materialized
+    (MATERIALIZE_STAGE_WINNERS), so the LIVE plan shows only the
+    level-2 scan plus the root's ExistingRDD; the unexecuted
+    ``checkpoint=False`` lineage still pins the two-scan contract."""
     df = stats.lineitem_tree_depth2(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 2, plan
+    assert _scan_count(plan, "lineitem") == 1, plan
+    assert "ExistingRDD" in plan  # the materialized root frame
     assert "CollectLimit" not in plan
+    li = load_table(spark, sf_oracle, "lineitem")
+    unexec = explain_str(
+        stats.tree_depth2(li, checkpoint=False), "formatted"
+    )
+    assert _scan_count(unexec, "lineitem") == 2, unexec
+    assert "ExistingRDD" not in unexec
 
 
 def test_tree_depth2_leaf_populations_are_consistent(spark, sf_oracle):
@@ -636,11 +647,21 @@ def test_weighted_reservoir_biases_toward_heavy_rows(spark, sf_oracle):
 def test_gbt_is_one_scan_per_stage(spark, sf_oracle):
     """Two boosting stages = exactly two data scans; the stage-1
     choice reaches stage 2 as a broadcast scalar, never a driver
-    action (the depth-2-tree plan contract)."""
+    action (the depth-2-tree plan contract). r15: the 1-row stage-1
+    winner is materialized (MATERIALIZE_STAGE_WINNERS), so the LIVE
+    plan shows stage 2's scan plus the winner's ExistingRDD; the
+    unexecuted ``checkpoint=False`` lineage pins both scans."""
     df = stats.lineitem_gbt_stages(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 2, plan
+    assert _scan_count(plan, "lineitem") == 1, plan
+    assert "ExistingRDD" in plan  # the materialized stage-1 winner
     assert "CollectLimit" not in plan
+    li = load_table(spark, sf_oracle, "lineitem")
+    unexec = explain_str(
+        stats.gbt_two_stage(li, checkpoint=False), "formatted"
+    )
+    assert _scan_count(unexec, "lineitem") == 2, unexec
+    assert "ExistingRDD" not in unexec
 
 
 def test_gbt_matches_independent_reference_fuzz(spark):

@@ -27,11 +27,24 @@ def _scan_count(plan: str, table: str) -> int:
 def test_gbt3_is_one_scan_per_stage(spark, sf_oracle):
     """Three boosting stages = exactly three data scans; each stage's
     winner reaches the next scan as a broadcast scalar, never a driver
-    action (the two-stage plan contract, one level deeper)."""
+    action (the two-stage plan contract, one level deeper). r15: the
+    per-stage winners are materialized (MATERIALIZE_STAGE_WINNERS),
+    so the LIVE plan shows only stage 3's scan plus winner
+    ExistingRDDs; the unexecuted ``checkpoint=False`` lineage pins
+    the three-scan contract."""
     df = stats.lineitem_gbt_stages3(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 3, plan
+    assert _scan_count(plan, "lineitem") == 1, plan
+    assert "ExistingRDD" in plan  # the materialized stage winners
     assert "CollectLimit" not in plan
+    from inf2106_map_reduce_spark.tables import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    unexec = explain_str(
+        stats.gbt_boost(li, 3, checkpoint=False), "formatted"
+    )
+    assert _scan_count(unexec, "lineitem") == 3, unexec
+    assert "ExistingRDD" not in unexec
 
 
 def test_gbt_boost_matches_independent_reference_fuzz(spark):

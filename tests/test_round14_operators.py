@@ -483,13 +483,27 @@ def test_quantile_binned_frame_routes_every_row(spark, sf_oracle):
 
 def test_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
     """The LightGBM cost model survives the bin swap: K = 2 stages =
-    exactly 2 live lineitem scans (the three bucket maps arrive as
-    checkpointed broadcasts, not rescans)."""
+    exactly 2 data scans (the three bucket maps arrive as
+    checkpointed broadcasts, not rescans). r15: stage winners are
+    materialized (MATERIALIZE_STAGE_WINNERS), so the LIVE plan shows
+    only stage 2's scan; the unexecuted ``checkpoint=False`` trainer
+    lineage pins the two-scan contract."""
     df = stats.lineitem_quantile_gbt(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 2, plan
-    assert "ExistingRDD" in plan  # the checkpointed bucket maps
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ExistingRDD" in plan  # checkpointed maps + stage winner
     assert "CollectLimit" not in plan
+    li = load_table(spark, sf_oracle, "lineitem")
+    unexec = explain_str(
+        stats.gbt_boost(
+            None,
+            2,
+            binned=stats._quantile_stump_binned(li),
+            checkpoint=False,
+        ),
+        "formatted",
+    )
+    assert unexec.count("lineitem.parquet") == 2, unexec
 
 
 def test_segmented_encoding_stump_matches_per_segment_runs(
@@ -573,11 +587,24 @@ def test_quantile_tree_children_partition_the_data(spark, sf_oracle):
 
 
 def test_quantile_tree_plan_is_one_scan_per_level(spark, sf_oracle):
+    """r15: the root frame is materialized (MATERIALIZE_STAGE_WINNERS)
+    so the LIVE plan shows only the level-2 scan; the unexecuted
+    ``checkpoint=False`` lineage pins the two-scan contract."""
     df = stats.lineitem_quantile_tree(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 2, plan
-    assert "ExistingRDD" in plan  # checkpointed bucket maps
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ExistingRDD" in plan  # checkpointed maps + root frame
     assert "CollectLimit" not in plan
+    li = load_table(spark, sf_oracle, "lineitem")
+    unexec = explain_str(
+        stats.tree_depth2(
+            None,
+            binned=stats._quantile_stump_binned(li),
+            checkpoint=False,
+        ),
+        "formatted",
+    )
+    assert unexec.count("lineitem.parquet") == 2, unexec
 
 
 # ---------------------------------------------------------------------------

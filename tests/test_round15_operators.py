@@ -55,10 +55,26 @@ def test_status_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
     stage winner join is a broadcast on the segment key)."""
     df = stats.lineitem_status_quantile_gbt(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 2, plan
-    assert "ExistingRDD" in plan  # the checkpointed bucket maps
+    # r15: stage winners materialized (MATERIALIZE_STAGE_WINNERS) —
+    # live plan shows stage 2's scan only; the unexecuted lineage
+    # below pins the two-scan contract
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ExistingRDD" in plan  # checkpointed maps + stage winner
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
+    unexec = explain_str(
+        stats.gbt_boost(
+            None,
+            2,
+            binned=stats._quantile_stump_binned(
+                _seg_lineitem(spark, sf_oracle), group_cols=("seg",)
+            ),
+            group_cols=("seg",),
+            checkpoint=False,
+        ),
+        "formatted",
+    )
+    assert unexec.count("lineitem.parquet") == 2, unexec
 
 
 def test_status_quantile_gbt_emits_full_trajectories(spark, sf_oracle):
@@ -150,10 +166,24 @@ def test_status_quantile_tree_plan_is_one_scan_per_level(
     broadcasts the per-segment root frame)."""
     df = stats.lineitem_status_quantile_tree(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 2, plan
+    # r15: root frame materialized — live plan shows the level-2
+    # scan only; the unexecuted lineage pins the two-scan contract
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "ExistingRDD" in plan
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
+    unexec = explain_str(
+        stats.tree_depth2(
+            None,
+            binned=stats._quantile_stump_binned(
+                _seg_lineitem(spark, sf_oracle), group_cols=("seg",)
+            ),
+            group_cols=("seg",),
+            checkpoint=False,
+        ),
+        "formatted",
+    )
+    assert unexec.count("lineitem.parquet") == 2, unexec
 
 
 def test_status_quantile_gbt3_is_greedy_prefix_stable(spark, sf_oracle):
@@ -187,9 +217,25 @@ def test_status_quantile_gbt3_plan_is_one_scan_per_stage(
 ):
     df = stats.lineitem_status_quantile_gbt3(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 3, plan
+    # r15: stage winners materialized — live plan shows stage 3's
+    # scan only; the unexecuted lineage pins the three-scan contract
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ExistingRDD" in plan
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
+    unexec = explain_str(
+        stats.gbt_boost(
+            None,
+            3,
+            binned=stats._quantile_stump_binned(
+                _seg_lineitem(spark, sf_oracle), group_cols=("seg",)
+            ),
+            group_cols=("seg",),
+            checkpoint=False,
+        ),
+        "formatted",
+    )
+    assert unexec.count("lineitem.parquet") == 3, unexec
 
 
 def test_grouped_gbt_rejects_reserved_group_cols(spark, sf_oracle):
