@@ -946,6 +946,12 @@ def _grouped_upsert_drain_from(
         )
 
     def _merge_batch(batch_df, epoch):
+        # (r15: an eager localCheckpoint of delta was tried here —
+        # the touched-group collect and the merge join each execute
+        # the span-file agg — and REVERTED: the materialization
+        # barrier cost as much as the re-read it saved, A/B medians
+        # within noise at sf0.1; the span files are small and
+        # page-cached either way.)
         delta = (
             batch_df.withColumn(
                 "g", (F.col("user_id") % n_groups).cast("int")
@@ -978,7 +984,17 @@ def _grouped_upsert_drain_from(
         cur = parts[0]
         for p in parts[1:]:
             cur = cur.unionByName(p)
-        merged = merge_latest(cur, delta, keys=("g", "user_id"))
+        # r15 OPTIMIZATION: repartitionByRange SAMPLES its child to
+        # pick range boundaries, so without materialization the whole
+        # merge subtree (full-outer join + prior-snapshot union)
+        # executed TWICE per batch — once for the sampling pass, once
+        # for the real shuffle+write. An eager localCheckpoint of the
+        # merged frame (the touched groups' keyed snapshots — the
+        # exact rows the write is about to materialize anyway) runs
+        # the join once; the sampling then reads in-memory rows.
+        merged = merge_latest(
+            cur, delta, keys=("g", "user_id")
+        ).localCheckpoint(eager=True)
         # repartition BY the partition column, not to one task: each
         # touched key group's snapshot is then written by its own
         # task in parallel (same v=<e>/g=<k> file layout — one task
@@ -1611,46 +1627,61 @@ def streaming_upsert_group_retention(
         for sub in os.listdir(os.path.join(table_root, name)):
             if sub.startswith("g="):
                 wrote.setdefault(int(sub.split("=", 1)[1]), []).append(v)
-    parts = []
+    # r15 OPTIMIZATION (guide §6/§2.4): the audit used to union one
+    # tiny per-(group, version) subtree per partition — a scan+agg
+    # plan PER RETAINED DIR and a spark.range(1) PER VACUUMED ROW,
+    # i.e. a plan whose operator count grew with |groups|·|versions|.
+    # Deletion stays driver/metastore metadata; the retained audit is
+    # now ONE basePath scan of the surviving partition tree (both
+    # partition columns projected from paths, counts map-side
+    # combined, grouped by (g, version) — the same shape the
+    # compaction audit already uses), and the vacuumed ids are one
+    # driver-local createDataFrame (bounded by the retention math,
+    # never data). Identical rows, order-insensitive.
+    vacuumed_ids: list[tuple[int, int]] = []
     for g, versions in sorted(wrote.items()):
         versions = sorted(versions)
         keep = set(versions[-UPSERT_KEEP_VERSIONS:])
         for v in versions:
-            gdir = os.path.join(table_root, f"v={v}", f"g={g}")
             if v not in keep:
-                shutil.rmtree(gdir)
-                parts.append(
-                    spark.range(1).select(
-                        F.lit("vacuumed").alias("disposition"),
-                        F.lit(g).alias("g"),
-                        F.lit(v).alias("version"),
-                        F.lit(None).cast("bigint").alias("n_keys"),
-                        F.lit(None).cast("bigint").alias("sum_n_events"),
-                        F.lit(None).cast("timestamp").alias("max_last_ts"),
-                    )
+                shutil.rmtree(
+                    os.path.join(table_root, f"v={v}", f"g={g}")
                 )
-            else:
-                snap = spark.read.parquet(gdir)
-                parts.append(
-                    snap.agg(
-                        F.count(F.lit(1)).alias("n_keys"),
-                        F.sum("n_events").cast("bigint").alias(
-                            "sum_n_events"
-                        ),
-                        F.max("last_ts").alias("max_last_ts"),
-                    ).select(
-                        F.lit("retained").alias("disposition"),
-                        F.lit(g).alias("g"),
-                        F.lit(v).alias("version"),
-                        "n_keys",
-                        "sum_n_events",
-                        "max_last_ts",
-                    )
-                )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+                vacuumed_ids.append((g, v))
+    retained = (
+        spark.read.option("basePath", table_root)
+        .parquet(table_root)
+        .groupBy(
+            F.col("g").cast("int").alias("g"),
+            F.col("v").cast("int").alias("version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_events").cast("bigint").alias("sum_n_events"),
+            F.max("last_ts").alias("max_last_ts"),
+        )
+        .select(
+            F.lit("retained").alias("disposition"),
+            "g",
+            "version",
+            "n_keys",
+            "sum_n_events",
+            "max_last_ts",
+        )
+    )
+    if not vacuumed_ids:
+        return retained
+    vacuumed = spark.createDataFrame(
+        [(g, v) for g, v in vacuumed_ids], "g int, version int"
+    ).select(
+        F.lit("vacuumed").alias("disposition"),
+        "g",
+        "version",
+        F.lit(None).cast("bigint").alias("n_keys"),
+        F.lit(None).cast("bigint").alias("sum_n_events"),
+        F.lit(None).cast("timestamp").alias("max_last_ts"),
+    )
+    return retained.unionByName(vacuumed)
 
 
 # ---------------------------------------------------------------------------
