@@ -695,6 +695,7 @@ def isotonic_calibration(
     n_bins: int = ROC_BINS,
     checkpoint: bool = True,
     group_cols: tuple[str, ...] = (),
+    weight_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Isotonic (PAV) calibration of a ``(p, y)`` scored frame over
     the fixed score histogram — the non-parametric upgrade of
@@ -722,7 +723,14 @@ def isotonic_calibration(
 
     Returns one row per occupied bin: ``(bin, n_rows, pos, rate,
     iso)`` with ``rate = pos/n`` raw and ``iso`` the fitted monotone
-    rate, both rounded to 9."""
+    rate, both rounded to 9.
+
+    ``weight_cols=(wn, wpos)`` accepts a PRE-AGGREGATED scored frame
+    (one row per (group..., p) cell with exact bigint row/positive
+    counts — e.g. the GBT scorer's joint-histogram cells, r15
+    optimization): the histogram's ``n``/``pos`` become Σwn/Σwpos,
+    the same integers the per-row form counts, and everything after
+    the histogram is untouched."""
     gc = list(group_cols)
     reserved = _ISO_INTERNAL_NAMES & set(gc)
     prefixed = [g for g in gc if g.startswith("_ga_")]
@@ -736,14 +744,25 @@ def isotonic_calibration(
             f"names: {sorted(reserved) + prefixed} (reserved: "
             f"{sorted(_ISO_INTERNAL_NAMES)} and the '_ga_' prefix)"
         )
-    hist = (
-        scored.select(*gc, _score_bin(n_bins).alias("bin"), "y")
-        .groupBy(*gc, "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("y").cast("bigint").alias("pos"),
+    if weight_cols is not None:
+        wn, wpos = weight_cols
+        hist = (
+            scored.select(*gc, _score_bin(n_bins).alias("bin"), wn, wpos)
+            .groupBy(*gc, "bin")
+            .agg(
+                F.sum(wn).alias("n"),
+                F.sum(wpos).alias("pos"),
+            )
         )
-    )
+    else:
+        hist = (
+            scored.select(*gc, _score_bin(n_bins).alias("bin"), "y")
+            .groupBy(*gc, "bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("bigint").alias("pos"),
+            )
+        )
     w_ord = Window.partitionBy(*gc).orderBy("bin")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # the occupied-bin index is consumed TWICE (both sides of the
@@ -1701,6 +1720,67 @@ def _stump_hist(binned: DataFrame, node_cols: list[str]) -> DataFrame:
     )
 
 
+def _joint_bin_hist(binned: DataFrame, gc: list[str]) -> DataFrame:
+    """Collapse a ``_stump_binned``-contract frame to its EXACT joint
+    bin histogram: one row per occupied (group..., b_qty, b_disc,
+    b_price) cell carrying the cell's row count and positive count
+    (``_jn``/``_jpos`` — both exact integers), eagerly checkpointed.
+
+    r15 OPTIMIZATION (guide §1.2 "the distributed algorithm", §2.3
+    "aggregate before you shuffle"): the multi-stage histogram
+    trainers (gbt_boost, gbt_two_stage, tree_depth2) previously
+    scanned the DATA once per stage/level, yet each stage's
+    per-(feature, bin) histogram — including the carried membership
+    sums — is a pure function of the three bin columns, and therefore
+    of this joint histogram: a stage's membership indicator ``m_i``
+    is decided by (f_i, t_i) against the row's bins, so
+    ``Σ_rows m_i·y == Σ_cells m_i(cell)·_jpos`` exactly (integer
+    arithmetic end to end — no FP is introduced or reordered).
+    Aggregating the joint cells ONCE (≤ Π|bins| = 4096 rows on the
+    16-bin fixed grid, ≤ |groups|·10³ on the equi-depth buckets) and
+    re-grouping the checkpointed cells per stage replaces K+1 full
+    data scans with ONE — the LightGBM-style histogram-reuse step.
+    At 100 TB the win is the same or larger: the shuffle already
+    carried only partial histograms; now the later stages don't
+    re-read and re-bin the fact table either. Every double downstream
+    is computed from the SAME integers through the SAME IEEE
+    expression tree, so results are bit-identical (equality between
+    the two paths pinned in tests/test_r15_optimization.py; the
+    checkpoint=False plan-inspection path keeps the per-stage
+    data-scan lineage for PLANS.md)."""
+    return (
+        binned.groupBy(*gc, *[f"b_{name}" for name, *_ in STUMP_BINS])
+        .agg(
+            F.count(F.lit(1)).alias("_jn"),
+            F.sum("y").cast("bigint").alias("_jpos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _stump_hist_from_joint(
+    frame: DataFrame, node_cols: list[str]
+) -> DataFrame:
+    """:func:`_stump_hist` derived from joint-histogram cells instead
+    of data rows: ``frame`` carries the bin columns plus the exact
+    cell weights ``_jn``/``_jpos`` (and optionally routing columns in
+    ``node_cols``); the per-(node, feature, bin) counts are weighted
+    sums of cells — identical integers to the per-row form."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.col(f"b_{name}").alias("bin")
+            )
+            for name, *_ in STUMP_BINS
+        ]
+    )
+    return (
+        frame.select(*node_cols, F.explode(pairs).alias("p"), "_jn", "_jpos")
+        .groupBy(*node_cols, "p.feature", "p.bin")
+        .agg(F.sum("_jn").alias("n"), F.sum("_jpos").alias("pos"))
+    )
+
+
 def decision_stump(df: DataFrame) -> DataFrame:
     """Histogram-split decision stump: the best ``bin <= t`` split per
     feature by Gini gain, with the global winner flagged — the split
@@ -1761,11 +1841,13 @@ def tree_depth2(
     The emitted child-split rows carry the four leaf populations
     (n/pos of each grandchild) — the depth-2 tree's leaf stats.
 
-    Plan: exactly ONE data scan per level (level 1: explode -> 48-row
-    histogram; level 2: scan x broadcast(root) -> explode -> 96-row
-    histogram) — the one-pass-per-level partial-histogram pattern that
-    makes histogram GBDT the 100 TB-honest tree trainer. Everything
-    after each scan operates on histogram rows only.
+    Plan (executed path): ONE data scan total — the joint bin
+    histogram (:func:`_joint_bin_hist`) is collapsed once; level 1's
+    48-row histogram and level 2's routed 96-row histogram are exact
+    weighted regroups of the same checkpointed cells (the L/R routing
+    is a pure function of the bin columns). Everything after the scan
+    operates on histogram rows only. The plan-inspection path
+    (``checkpoint=False``) keeps the one-scan-per-level lineage.
 
     A child with no valid split (single occupied bin on every feature)
     would emit no row — deterministic on both engines; with 16 bins
@@ -1795,7 +1877,17 @@ def tree_depth2(
     gc = list(group_cols)
     if binned is None:
         binned = _stump_binned(df)
-    gains1 = _split_gains(_stump_hist(binned, gc), gc)
+    # executed path: both levels' histograms derive from the ONE
+    # joint-bin collapse (see _joint_bin_hist) — the level-2 routing
+    # is a pure function of the bin columns, so the child histograms
+    # are exact weighted regroups of the same cells; lazy path keeps
+    # one data scan per level for PLANS.md
+    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
+    src = _joint_bin_hist(binned, gc) if ck else binned
+    gains1 = _split_gains(
+        _stump_hist_from_joint(src, gc) if ck else _stump_hist(binned, gc),
+        gc,
+    )
     w_glob = Window.partitionBy(*gc).orderBy(
         F.col("gain").desc(), "feature", "split_bin"
     )
@@ -1814,7 +1906,6 @@ def tree_depth2(
     # scan joins it back (see MATERIALIZE_STAGE_WINNERS — same values,
     # the level-2 plan compiles against a tiny ExistingRDD instead of
     # re-nesting the level-1 histogram subtree in its broadcast)
-    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
     if ck:
         root = root.localCheckpoint(eager=True)
     is_left = None
@@ -1824,9 +1915,9 @@ def tree_depth2(
         )
         is_left = term if is_left is None else is_left | term
     routed = (
-        binned.join(F.broadcast(root), gc)
+        src.join(F.broadcast(root), gc)
         if gc
-        else binned.crossJoin(F.broadcast(root))
+        else src.crossJoin(F.broadcast(root))
     )
     leafed = routed.select(
         *gc,
@@ -1834,10 +1925,15 @@ def tree_depth2(
         "root_feature",
         "root_bin",
         *[f"b_{name}" for name, *_ in STUMP_BINS],
-        "y",
+        *(("_jn", "_jpos") if ck else ("y",)),
     )
     node_cols = [*gc, "node", "root_feature", "root_bin"]
-    gains2 = _split_gains(_stump_hist(leafed, node_cols), node_cols)
+    gains2 = _split_gains(
+        _stump_hist_from_joint(leafed, node_cols)
+        if ck
+        else _stump_hist(leafed, node_cols),
+        node_cols,
+    )
     w_node = Window.partitionBy(*gc, "node").orderBy(
         F.col("gain").desc(), "feature", "split_bin"
     )
@@ -1920,17 +2016,30 @@ def gbt_two_stage(
     ``n_L1`` counts the bin's rows that fell in the stage-1 left
     leaf — the ONLY extra histogram column stage 2 needs.
 
-    Plan: one explode→partial-histogram scan per stage (stage 2's
-    scan carries the stage-1 choice as a broadcast scalar, the
-    depth-2-tree idiom); all split search runs on histogram rows.
-    Deeper ensembles iterate the identical shape — one scan and one
-    O(features × bins) epilogue per stage, the 100 TB GBDT loop.
+    Plan (executed path): ONE data scan total — both stages'
+    histograms are exact weighted regroups of the checkpointed joint
+    bin cells (:func:`_joint_bin_hist`; stage 2's ``l1`` routing is a
+    pure function of the bin columns), with the stage-1 choice still
+    joined back as a broadcast scalar; all split search runs on
+    histogram rows. The plan-inspection path (``checkpoint=False``)
+    keeps the one-scan-per-stage lineage — the shape deeper ensembles
+    iterate.
 
     Returns one row per stage: ``(stage, feature, split_bin, n_left,
     n_right, gamma_left, gamma_right, score)`` — γ published rounded
     to 9; ranking uses the round-9 score with (feature, split_bin)
     tie-break."""
-    cum1 = _cum_counts(_stump_hist(_stump_binned(df), []), [])
+    # executed path: one joint-bin collapse serves both stages (see
+    # _joint_bin_hist) — stage 2's l1 routing is a pure function of
+    # the bin columns, so its histogram is an exact weighted regroup
+    # of the same cells; lazy path keeps one data scan per stage
+    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
+    binned = _stump_binned(df)
+    src = _joint_bin_hist(binned, []) if ck else binned
+    cum1 = _cum_counts(
+        _stump_hist_from_joint(src, []) if ck else _stump_hist(binned, []),
+        [],
+    )
     nl, posl, nt, post = (F.col(c) for c in ("nl", "posl", "nt", "post"))
     ybar = post / nt
     sum_rl = posl - nl * ybar
@@ -1965,7 +2074,6 @@ def gbt_two_stage(
     )
     # materialize the 1-row stage-1 winner before stage 2's scan
     # joins it back (see MATERIALIZE_STAGE_WINNERS)
-    ck = MATERIALIZE_STAGE_WINNERS if checkpoint is None else checkpoint
     if ck:
         r1 = r1.localCheckpoint(eager=True)
     is_left = None
@@ -1975,7 +2083,7 @@ def gbt_two_stage(
         )
         is_left = term if is_left is None else is_left | term
     staged = (
-        _stump_binned(df)
+        src
         .crossJoin(F.broadcast(r1))
         .select(
             "root_feature",
@@ -1988,7 +2096,7 @@ def gbt_two_stage(
             "ybar",
             is_left.cast("int").alias("l1"),
             *[f"b_{name}" for name, *_ in STUMP_BINS],
-            "y",
+            *(("_jn", "_jpos") if ck else ("y",)),
         )
     )
     carry = [
@@ -2009,15 +2117,28 @@ def gbt_two_stage(
             for name, *_ in STUMP_BINS
         ]
     )
-    hist2 = (
-        staged.select(*carry, F.explode(pairs).alias("p"), "y", "l1")
-        .groupBy(*carry, "p.feature", "p.bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("y").cast("bigint").alias("pos"),
-            F.sum("l1").cast("bigint").alias("nl1"),
+    if ck:
+        hist2 = (
+            staged.select(
+                *carry, F.explode(pairs).alias("p"), "_jn", "_jpos", "l1"
+            )
+            .groupBy(*carry, "p.feature", "p.bin")
+            .agg(
+                F.sum("_jn").alias("n"),
+                F.sum("_jpos").alias("pos"),
+                F.sum(F.col("l1") * F.col("_jn")).alias("nl1"),
+            )
         )
-    )
+    else:
+        hist2 = (
+            staged.select(*carry, F.explode(pairs).alias("p"), "y", "l1")
+            .groupBy(*carry, "p.feature", "p.bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("bigint").alias("pos"),
+                F.sum("l1").cast("bigint").alias("nl1"),
+            )
+        )
     cum2 = _cum_counts(hist2, carry, extra=("nl1",))
     nl1l, nl1t = F.col("nl1l"), F.col("nl1t")
     gl, gr, yb = F.col("g_l"), F.col("g_r"), F.col("ybar")
@@ -2086,6 +2207,7 @@ def gbt_boost(
     group_cols: tuple[str, ...] = (),
     wide: bool = False,
     checkpoint: bool | None = None,
+    joint: DataFrame | None = None,
 ) -> DataFrame:
     """K-stage gradient boosting of histogram stumps under squared
     loss — :func:`gbt_two_stage`'s closed-form residual recursion
@@ -2114,11 +2236,16 @@ def gbt_boost(
     may differ in the last ulp — each entry's oracle mirrors its own
     formulation.
 
-    Plan: one explode→partial-histogram scan per stage; stage k's scan
-    carries the stage-(k−1) winner (itself carrying all earlier
-    choices) as a broadcast 1-row scalar — K scans total, never a
-    driver action. At 100 TB each scan shuffles O(features × bins)
-    partial histograms per task; the split search is histogram-sized.
+    Plan (executed path): ONE data scan total — the joint bin
+    histogram (see :func:`_joint_bin_hist`) is collapsed and
+    checkpointed up front, and every stage's per-(feature, bin)
+    histogram (including the carried membership sums) is an exact
+    weighted regroup of those aggregate-sized cells; stage k still
+    joins the stage-(k−1) winner back as a broadcast scalar. At
+    100 TB the one scan shuffles O(Π bins) partial joint cells per
+    task and the split search stays histogram-sized. The
+    plan-inspection path (``checkpoint=False``) keeps the original
+    one-explode→histogram-scan-per-stage lineage.
 
     Returns one row per stage: ``(stage, feature, split_bin, n_left,
     n_right, gamma_left, gamma_right, score)``, γ rounded to 9,
@@ -2179,12 +2306,25 @@ def gbt_boost(
         ]
     )
     winner: DataFrame | None = None
+    # executed path: collapse the data to its joint bin histogram ONCE
+    # and derive every stage's per-(feature, bin) histogram (incl. the
+    # membership sums) from the checkpointed cells — identical
+    # integers, K fewer data scans (see _joint_bin_hist). The lazy
+    # plan-inspection path (ck=False) keeps one data scan per stage.
+    # ``joint`` lets a caller that already collapsed the SAME binned
+    # frame (e.g. the isotonic scorer, which also scores the cells)
+    # share the one collapse instead of paying a second scan.
+    if ck:
+        src = joint if joint is not None else _joint_bin_hist(binned, gc)
+    else:
+        src = binned
+    data_cols = ("_jn", "_jpos") if ck else ("y",)
     for k in range(1, n_stages + 1):
         if k == 1:
             # the group key is carried from stage 1 (it partitions
             # every histogram and window below exactly like the
             # winner's carried columns do at k > 1)
-            cur, carry, mem_cols = binned, list(gc), []
+            cur, carry, mem_cols = src, list(gc), []
         else:
             mems = []
             for i in range(1, k):
@@ -2201,25 +2341,44 @@ def gbt_boost(
             # the group key (broadcast — ≤ |groups| rows); ungrouped:
             # the 1-row crossJoin scalar
             staged_in = (
-                binned.join(F.broadcast(winner), gc)
+                src.join(F.broadcast(winner), gc)
                 if gc
-                else binned.crossJoin(F.broadcast(winner))
+                else src.crossJoin(F.broadcast(winner))
             )
             cur = staged_in.select(
-                *carry, *mems, *[f"b_{name}" for name in names], "y"
+                *carry, *mems, *[f"b_{name}" for name in names], *data_cols
             )
-        hist = (
-            cur.select(*carry, F.explode(pairs).alias("p"), "y", *mem_cols)
-            .groupBy(*carry, "p.feature", "p.bin")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("y").cast("bigint").alias("pos"),
-                *[
-                    F.sum(m).cast("bigint").alias(f"{m}s")
-                    for m in mem_cols
-                ],
+        if ck:
+            # weighted regroup of the joint cells: n/pos/m_i-sums are
+            # Σ over cells of (_jn, _jpos, m_i·_jn) — the same bigint
+            # values the per-row aggregation produces
+            hist = (
+                cur.select(
+                    *carry, F.explode(pairs).alias("p"), *data_cols, *mem_cols
+                )
+                .groupBy(*carry, "p.feature", "p.bin")
+                .agg(
+                    F.sum("_jn").alias("n"),
+                    F.sum("_jpos").alias("pos"),
+                    *[
+                        F.sum(F.col(m) * F.col("_jn")).alias(f"{m}s")
+                        for m in mem_cols
+                    ],
+                )
             )
-        )
+        else:
+            hist = (
+                cur.select(*carry, F.explode(pairs).alias("p"), "y", *mem_cols)
+                .groupBy(*carry, "p.feature", "p.bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("y").cast("bigint").alias("pos"),
+                    *[
+                        F.sum(m).cast("bigint").alias(f"{m}s")
+                        for m in mem_cols
+                    ],
+                )
+            )
         cum = _cum_counts(
             hist, carry, extra=tuple(f"{m}s" for m in mem_cols)
         )
@@ -3178,22 +3337,28 @@ def lineitem_status_gbt_isotonic(
     PAV over at most 4 occupied histogram bins — exactly the
     score-resolution a 2-stage stump ensemble ships.
 
-    Scale: the trainer is the 2-scan grouped recursion; scoring is
-    ONE more scan joined broadcast against the ≤ |segments|-row wide
-    winner frame; the isotonic epilogue is histogram-sized. 3 row
-    scans + the 3 aggregate-sized bucket-map scans, all
-    map-side-combined."""
+    Scale: ONE data scan total (r15) — trainer stages AND the scorer
+    consume the checkpointed joint-bin cells (:func:`_joint_bin_hist`;
+    scores are a pure function of the bin columns, so the per-(seg, p)
+    counts are exact weighted regroups), and the isotonic epilogue
+    aggregates cell rows, all map-side-combined. Plus the 3
+    aggregate-sized bucket-map scans."""
+    scored = _status_qgbt_scored(spark, sf_dir)
     return isotonic_calibration(
-        _status_qgbt_scored(spark, sf_dir), group_cols=("seg",)
+        scored,
+        group_cols=("seg",),
+        weight_cols=("_jn", "_jpos") if "_jn" in scored.columns else None,
     )
 
 
 def _status_qgbt_scored(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> DataFrame:
-    """The grouped quantile-GBT's per-row scored frame ``(seg, p,
-    y)`` — every row routed through its segment's winner leaves
-    exactly like the trainer's carried membership (gbt_boost's m_i
+    """The grouped quantile-GBT's scored frame — per-row ``(seg, p,
+    y)`` on the lazy path, weighted cells ``(seg, p, _jn, _jpos)``
+    on the executed path (r15; see :func:`_qgbt_scored`) — every
+    row/cell routed through its segment's winner leaves exactly like
+    the trainer's carried membership (gbt_boost's m_i
     definition), using the SHIPPED round-9 leaf values with the sum
     rounded to 9 (the oracle's identical IEEE tree)."""
     return _qgbt_scored(
@@ -3207,12 +3372,16 @@ def _qgbt_scored(
     checkpoint: bool = True,
     grouped: bool = False,
 ) -> DataFrame:
-    """The quantile-GBT per-row scored frame, global or per-segment:
+    """The quantile-GBT scored frame, global or per-segment:
     ``grouped=True`` fits per-segment maps and per-segment winners
-    (scores joined back by the segment key, output ``(seg, p, y)``);
-    ``grouped=False`` uses the global maps and the 1-row winner frame
-    (crossJoin scalar idiom, output ``(p, y)``). One scorer
-    definition, both calibration entries."""
+    (scores joined back by the segment key); ``grouped=False`` uses
+    the global maps and the 1-row winner frame (crossJoin scalar
+    idiom). One scorer definition, both calibration entries. Output:
+    per-row ``(…, p, y)`` on the lazy path (``checkpoint=False``,
+    plan inspection), weighted joint-histogram cells
+    ``(…, p, _jn, _jpos)`` on the executed path (r15 — see the
+    inline comment; the consumer passes
+    ``weight_cols=("_jn", "_jpos")`` to isotonic_calibration)."""
     li = load_table(spark, sf_dir, "lineitem")
     gc: tuple[str, ...] = ()
     if grouped:
@@ -3224,6 +3393,14 @@ def _qgbt_scored(
         group_cols=gc,
         cache_key=(spark.sparkContext.applicationId, sf_dir),
     )
+    # r15 OPTIMIZATION: on the executed path the scorer consumes the
+    # SAME joint-histogram cells the trainer aggregates from (the
+    # per-row score p is a pure function of the bin columns, so the
+    # per-(group, p) counts are exact weighted regroups of the cells)
+    # — ONE data scan serves trainer AND scorer, and the downstream
+    # isotonic histogram aggregates ≤ cells rows instead of the data.
+    # The lazy plan-inspection path keeps the per-row scored frame.
+    cells = _joint_bin_hist(binned, list(gc)) if checkpoint else None
     w = gbt_boost(
         None,
         2,
@@ -3231,6 +3408,7 @@ def _qgbt_scored(
         group_cols=gc,
         wide=True,
         checkpoint=checkpoint,
+        joint=cells,
     )
     names = [name for name, *_ in STUMP_BINS]
     nu = F.lit(GBT_SHRINKAGE)
@@ -3247,11 +3425,16 @@ def _qgbt_scored(
         )
 
     p = F.round(F.col("ybar") + nu * leaf(1) + nu * leaf(2), 9)
+    src = cells if checkpoint else binned
     joined = (
-        binned.join(F.broadcast(w), list(gc))
+        src.join(F.broadcast(w), list(gc))
         if gc
-        else binned.crossJoin(F.broadcast(w))
+        else src.crossJoin(F.broadcast(w))
     )
+    if checkpoint:
+        # weighted cell-level scored frame — consumed via
+        # isotonic_calibration(weight_cols=("_jn", "_jpos"))
+        return joined.select(*gc, p.alias("p"), "_jn", "_jpos")
     return joined.select(*gc, p.alias("p"), F.col("y"))
 
 
@@ -3267,7 +3450,11 @@ def lineitem_gbt_isotonic(
     sums) fit to one monotone score→P(y=1) map over the 1024-bin
     histogram. Same scorer definition, 1-row broadcast winner frame,
     global PAV tail."""
-    return isotonic_calibration(_qgbt_scored(spark, sf_dir))
+    scored = _qgbt_scored(spark, sf_dir)
+    return isotonic_calibration(
+        scored,
+        weight_cols=("_jn", "_jpos") if "_jn" in scored.columns else None,
+    )
 
 
 #: Column set for the registry ANALYZE entry — lineitem's numeric

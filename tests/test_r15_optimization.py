@@ -12,6 +12,13 @@ The optimizations under test:
   of ``_quantile_stump_binned`` maps fine bins to equi-depth buckets
   with a codegen step-count expression (edges collected from the
   session-cached bucket map) instead of three broadcast joins.
+- ``stats._joint_bin_hist`` / ``_stump_hist_from_joint`` — the
+  executed path of the multi-stage trainers collapses the data to its
+  joint bin histogram ONCE and derives every stage's per-(feature,
+  bin) histogram (incl. membership sums) as exact weighted regroups
+  of the checkpointed cells; the checkpointed-equals-lazy tests above
+  therefore also pin this path, and the direct histogram-equality
+  test below pins the primitive itself.
 """
 
 from __future__ import annotations
@@ -44,6 +51,64 @@ def test_grouped_gbt_boost_checkpointed_equals_lazy(spark, sf_oracle):
             li, group_cols=("seg",), checkpoint=ck
         ),
         group_cols=("seg",),
+        checkpoint=ck,
+    )
+    assert _rows(mk(True)) == _rows(mk(False))
+
+
+def test_joint_hist_regroup_equals_per_row_hist(spark, sf_oracle):
+    """The joint-cell weighted regroup must reproduce the per-row
+    histogram EXACTLY (same bigint n/pos per (group, feature, bin)) —
+    the primitive every trainer stage now rests on. Checked global
+    and grouped."""
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    for gc in ([], ["seg"]):
+        # the grouped form needs the group col on the binned frame
+        binned = li.select(
+            *gc,
+            *[
+                stats._stump_bin_col(col, op, k).alias(f"b_{name}")
+                for name, col, op, k in stats.STUMP_BINS
+            ],
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        )
+        jh = stats._joint_bin_hist(binned, gc)
+        assert _rows(stats._stump_hist_from_joint(jh, gc)) == _rows(
+            stats._stump_hist(binned, gc)
+        )
+
+
+def test_grouped_tree_depth2_checkpointed_equals_lazy(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    mk = lambda ck: stats.tree_depth2(  # noqa: E731
+        None,
+        binned=stats._quantile_stump_binned(
+            li, group_cols=("seg",), checkpoint=ck
+        ),
+        group_cols=("seg",),
+        checkpoint=ck,
+    )
+    assert _rows(mk(True)) == _rows(mk(False))
+
+
+def test_gbt_boost_wide_checkpointed_equals_lazy(spark, sf_oracle):
+    """The wide (scorer-facing) winner frame must also be identical
+    between the joint-cell path and the lazy per-stage-scan path."""
+    li = load_table(spark, sf_oracle, "lineitem").withColumn(
+        "seg", F.col("l_linestatus")
+    )
+    mk = lambda ck: stats.gbt_boost(  # noqa: E731
+        None,
+        2,
+        binned=stats._quantile_stump_binned(
+            li, group_cols=("seg",), checkpoint=ck
+        ),
+        group_cols=("seg",),
+        wide=True,
         checkpoint=ck,
     )
     assert _rows(mk(True)) == _rows(mk(False))

@@ -43,16 +43,18 @@ def test_stump_is_single_scan(spark, sf_oracle):
 
 def test_tree_depth2_is_one_scan_per_level(spark, sf_oracle):
     """Depth-2 training scans the data exactly TWICE (root level +
-    child level) — the one-pass-per-level partial-histogram pattern;
-    the root choice reaches the second scan as a broadcast scalar,
-    never via a driver action. r15: the root frame is materialized
-    (MATERIALIZE_STAGE_WINNERS), so the LIVE plan shows only the
-    level-2 scan plus the root's ExistingRDD; the unexecuted
-    ``checkpoint=False`` lineage still pins the two-scan contract."""
+    child level) in the lineage — the one-pass-per-level partial-
+    histogram pattern; the root choice reaches the second scan as a
+    broadcast scalar, never via a driver action. r15: the executed
+    path collapses the data to its joint bin histogram ONCE
+    (stats._joint_bin_hist) and both levels regroup the checkpointed
+    cells, so the LIVE plan shows ZERO data scans (cells + root frame
+    are ExistingRDDs); the unexecuted ``checkpoint=False`` lineage
+    still pins the two-scan contract."""
     df = stats.lineitem_tree_depth2(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 1, plan
-    assert "ExistingRDD" in plan  # the materialized root frame
+    assert _scan_count(plan, "lineitem") == 0, plan
+    assert "ExistingRDD" in plan  # the materialized cells + root frame
     assert "CollectLimit" not in plan
     li = load_table(spark, sf_oracle, "lineitem")
     unexec = explain_str(
@@ -645,16 +647,17 @@ def test_weighted_reservoir_biases_toward_heavy_rows(spark, sf_oracle):
 
 
 def test_gbt_is_one_scan_per_stage(spark, sf_oracle):
-    """Two boosting stages = exactly two data scans; the stage-1
-    choice reaches stage 2 as a broadcast scalar, never a driver
-    action (the depth-2-tree plan contract). r15: the 1-row stage-1
-    winner is materialized (MATERIALIZE_STAGE_WINNERS), so the LIVE
-    plan shows stage 2's scan plus the winner's ExistingRDD; the
-    unexecuted ``checkpoint=False`` lineage pins both scans."""
+    """Two boosting stages = exactly two data scans in the lineage;
+    the stage-1 choice reaches stage 2 as a broadcast scalar, never a
+    driver action (the depth-2-tree plan contract). r15: the executed
+    path collapses the data to its joint bin histogram ONCE
+    (stats._joint_bin_hist) and both stages regroup the checkpointed
+    cells, so the LIVE plan shows ZERO data scans; the unexecuted
+    ``checkpoint=False`` lineage pins both scans."""
     df = stats.lineitem_gbt_stages(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 1, plan
-    assert "ExistingRDD" in plan  # the materialized stage-1 winner
+    assert _scan_count(plan, "lineitem") == 0, plan
+    assert "ExistingRDD" in plan  # the materialized cells + winner
     assert "CollectLimit" not in plan
     li = load_table(spark, sf_oracle, "lineitem")
     unexec = explain_str(

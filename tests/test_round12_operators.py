@@ -25,17 +25,18 @@ def _scan_count(plan: str, table: str) -> int:
 
 
 def test_gbt3_is_one_scan_per_stage(spark, sf_oracle):
-    """Three boosting stages = exactly three data scans; each stage's
-    winner reaches the next scan as a broadcast scalar, never a driver
-    action (the two-stage plan contract, one level deeper). r15: the
-    per-stage winners are materialized (MATERIALIZE_STAGE_WINNERS),
-    so the LIVE plan shows only stage 3's scan plus winner
-    ExistingRDDs; the unexecuted ``checkpoint=False`` lineage pins
-    the three-scan contract."""
+    """Three boosting stages = exactly three data scans in the
+    lineage; each stage's winner reaches the next scan as a broadcast
+    scalar, never a driver action (the two-stage plan contract, one
+    level deeper). r15: the executed path collapses the data to its
+    joint bin histogram ONCE (stats._joint_bin_hist) and every stage
+    regroups the checkpointed cells, so the LIVE plan shows ZERO data
+    scans; the unexecuted ``checkpoint=False`` lineage pins the
+    three-scan contract."""
     df = stats.lineitem_gbt_stages3(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert _scan_count(plan, "lineitem") == 1, plan
-    assert "ExistingRDD" in plan  # the materialized stage winners
+    assert _scan_count(plan, "lineitem") == 0, plan
+    assert "ExistingRDD" in plan  # the materialized cells + winners
     assert "CollectLimit" not in plan
     from inf2106_map_reduce_spark.tables import load_table
 

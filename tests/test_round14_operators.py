@@ -483,14 +483,15 @@ def test_quantile_binned_frame_routes_every_row(spark, sf_oracle):
 
 def test_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
     """The LightGBM cost model survives the bin swap: K = 2 stages =
-    exactly 2 data scans (the three bucket maps arrive as
-    checkpointed broadcasts, not rescans). r15: stage winners are
-    materialized (MATERIALIZE_STAGE_WINNERS), so the LIVE plan shows
-    only stage 2's scan; the unexecuted ``checkpoint=False`` trainer
-    lineage pins the two-scan contract."""
+    exactly 2 data scans in the lineage (the three bucket maps arrive
+    as checkpointed broadcasts, not rescans). r15: the executed path
+    collapses the data to its joint bin histogram ONCE
+    (stats._joint_bin_hist), so the LIVE plan shows ZERO data scans;
+    the unexecuted ``checkpoint=False`` trainer lineage pins the
+    two-scan contract."""
     df = stats.lineitem_quantile_gbt(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("lineitem.parquet") == 0, plan
     assert "ExistingRDD" in plan  # checkpointed maps + stage winner
     assert "CollectLimit" not in plan
     li = load_table(spark, sf_oracle, "lineitem")
@@ -587,12 +588,14 @@ def test_quantile_tree_children_partition_the_data(spark, sf_oracle):
 
 
 def test_quantile_tree_plan_is_one_scan_per_level(spark, sf_oracle):
-    """r15: the root frame is materialized (MATERIALIZE_STAGE_WINNERS)
-    so the LIVE plan shows only the level-2 scan; the unexecuted
-    ``checkpoint=False`` lineage pins the two-scan contract."""
+    """r15: the executed path collapses the data to its joint bin
+    histogram ONCE (stats._joint_bin_hist) and both levels regroup
+    the checkpointed cells, so the LIVE plan shows ZERO data scans;
+    the unexecuted ``checkpoint=False`` lineage pins the two-scan
+    contract."""
     df = stats.lineitem_quantile_tree(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("lineitem.parquet") == 0, plan
     assert "ExistingRDD" in plan  # checkpointed maps + root frame
     assert "CollectLimit" not in plan
     li = load_table(spark, sf_oracle, "lineitem")

@@ -50,16 +50,16 @@ def test_status_quantile_gbt_matches_per_segment_runs(spark, sf_oracle):
 
 def test_status_quantile_gbt_plan_is_one_scan_per_stage(spark, sf_oracle):
     """The grouped trainer keeps the LightGBM cost model: K = 2 stages
-    = exactly 2 live lineitem scans for ALL segments together (the
+    = exactly 2 lineage lineitem scans for ALL segments together (the
     per-segment bucket maps arrive as checkpointed broadcasts, the
     stage winner join is a broadcast on the segment key)."""
     df = stats.lineitem_status_quantile_gbt(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    # r15: stage winners materialized (MATERIALIZE_STAGE_WINNERS) —
-    # live plan shows stage 2's scan only; the unexecuted lineage
-    # below pins the two-scan contract
-    assert plan.count("lineitem.parquet") == 1, plan
-    assert "ExistingRDD" in plan  # checkpointed maps + stage winner
+    # r15: the executed path collapses the data to its joint bin
+    # histogram ONCE (stats._joint_bin_hist) — live plan shows ZERO
+    # data scans; the unexecuted lineage pins the two-scan contract
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "ExistingRDD" in plan  # checkpointed cells + stage winner
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
     unexec = explain_str(
@@ -161,14 +161,15 @@ def test_status_quantile_tree_matches_per_segment_runs(spark, sf_oracle):
 def test_status_quantile_tree_plan_is_one_scan_per_level(
     spark, sf_oracle
 ):
-    """Two levels = exactly 2 live lineitem scans for ALL segments
+    """Two levels = exactly 2 lineage lineitem scans for ALL segments
     (per-segment maps are checkpointed broadcasts; the routing join
     broadcasts the per-segment root frame)."""
     df = stats.lineitem_status_quantile_tree(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    # r15: root frame materialized — live plan shows the level-2
-    # scan only; the unexecuted lineage pins the two-scan contract
-    assert plan.count("lineitem.parquet") == 1, plan
+    # r15: both levels regroup the checkpointed joint bin cells
+    # (stats._joint_bin_hist) — live plan shows ZERO data scans; the
+    # unexecuted lineage pins the two-scan contract
+    assert plan.count("lineitem.parquet") == 0, plan
     assert "ExistingRDD" in plan
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
@@ -217,9 +218,10 @@ def test_status_quantile_gbt3_plan_is_one_scan_per_stage(
 ):
     df = stats.lineitem_status_quantile_gbt3(spark, sf_oracle)
     plan = explain_str(df, "formatted")
-    # r15: stage winners materialized — live plan shows stage 3's
-    # scan only; the unexecuted lineage pins the three-scan contract
-    assert plan.count("lineitem.parquet") == 1, plan
+    # r15: every stage regroups the checkpointed joint bin cells
+    # (stats._joint_bin_hist) — live plan shows ZERO data scans; the
+    # unexecuted lineage pins the three-scan contract
+    assert plan.count("lineitem.parquet") == 0, plan
     assert "ExistingRDD" in plan
     assert "CollectLimit" not in plan
     assert "BatchEvalPython" not in plan
