@@ -1589,13 +1589,15 @@ def semantic_dedup(
 
     Scale: the k-means pass is the fused-round Lloyd loop
     (vector._lloyd_iterate — one job per round, k×dim driver
-    broadcast); the pair stage is an equi-join on cid, cost
-    Σ|cluster|² — at corpus scale k grows with n to bound cluster
-    sizes (SemDeDup uses ~100k clusters for web corpora), keeping the
-    stage subquadratic. Scoring is the vectorized order-preserving
-    cosine (one Arrow matmul per batch), so the whole operator is
-    hash-checkable against an oracle that unrolls the same trajectory.
-    """
+    broadcast); the pair stage compares vectors cluster-locally
+    (cost Σ|cluster|²) — at corpus scale k grows with n to bound
+    cluster sizes (SemDeDup uses ~100k clusters for web corpora),
+    keeping the stage subquadratic. Scoring runs per cluster in one
+    applyInPandas pass (each vector crosses the Python boundary once,
+    candidates come back as scalars — see the inline r15 note); every
+    cosine is the same order-preserving left fold, so the whole
+    operator is hash-checkable against an oracle that unrolls the
+    same trajectory."""
     from inf2106_map_reduce_spark.functions import vector
 
     if assigned is None:
@@ -1619,20 +1621,84 @@ def semantic_dedup(
         # pre-computed (and already checkpointed) session assignment
         # stage — the registry path, shared with kmeans_clusters
         a = assigned
-    nb = a.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("cid").alias("nb_cid"),
-        F.col("emb").alias("nb_emb"),
+    # r15 OPTIMIZATION (guide §8 "shuffle keys and metadata instead of
+    # payloads" / §4.2): the pair stage used to equi-join the
+    # assignment against itself on cid and ship BOTH embeddings of
+    # every within-cluster pair through the cosine pandas UDF —
+    # O(Σ|cluster|² · dim) doubles across the JVM↔Python boundary
+    # (~256 MB at sf0.1 for a 1 MB corpus). Each cluster's vectors now
+    # cross ONCE (applyInPandas per cid), pairwise cosines are
+    # computed in-group with the IDENTICAL IEEE arithmetic as
+    # vector.cosine_batch — np.add.accumulate along the dim axis is
+    # the same sequential left fold per pair, per-vector norms are the
+    # same doubles the per-pair fold produced (same input, same ops;
+    # x*y and na*nb are commutative IEEE multiplies) — and only
+    # CANDIDATE SCALARS (vec_id, nb_id, cos) come back. The exact
+    # rounded threshold decision stays JVM-side: the group emits every
+    # pair with cos >= threshold − 1e-6 (F.round is HALF_UP, so a
+    # qualifying pair has cos >= threshold − 5e-7; the margin is
+    # strictly wider) and the same F.round(cos, 6) >= threshold filter
+    # as before makes every boundary call on the bit-identical double.
+    # Measured at sf0.1: warm 2.6 s → sub-second, and the first-touch
+    # Arrow volume collapses with it.
+    thr = float(threshold)
+
+    def _pair_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "nb_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["emb"].to_numpy()[order]]
+        )
+        # per-vector norms: same accumulate fold + sqrt as the
+        # per-pair UDF computed on the identical vector
+        norms = np.sqrt(np.add.accumulate(x * x, axis=1)[:, -1])
+        out_v: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        # chunk the higher-id side so transient memory stays bounded
+        # at chunk × n × dim doubles regardless of cluster size
+        chunk = max(1, 2_000_000 // (n * x.shape[1] or 1))
+        for s in range(1, n, chunk):
+            e = min(n, s + chunk)
+            # pairs (j, i) with j < i for i in [s, e): the fold over
+            # x_i * x_j along dims is cosine_batch's exact left fold
+            d = np.add.accumulate(
+                x[s:e, None, :] * x[None, :, :], axis=2
+            )[:, :, -1]
+            cos = d / (norms[s:e, None] * norms[None, :])
+            ii, jj = np.nonzero(
+                (np.arange(n)[None, :] < np.arange(s, e)[:, None])
+                & (cos >= thr - 1e-6)
+            )
+            out_v.append(ids[ii + s])
+            out_n.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(np.concatenate(out_v), dtype="int64"),
+                "nb_id": pd.Series(np.concatenate(out_n), dtype="int64"),
+                "cos": pd.Series(np.concatenate(out_c), dtype="float64"),
+            }
+        )
+
+    cand = (
+        a.select("cid", "vec_id", "emb")
+        .groupBy("cid")
+        .applyInPandas(_pair_scores, schema="vec_id long, nb_id long, cos double")
     )
     dup_of = (
-        a.join(
-            nb,
-            (F.col("cid") == F.col("nb_cid")) & (F.col("nb_id") < F.col("vec_id")),
-        )
-        .filter(
-            F.round(vector.cosine_batch(F.col("emb"), F.col("nb_emb")), 6)
-            >= F.lit(threshold)
-        )
+        cand.filter(F.round(F.col("cos"), 6) >= F.lit(threshold))
         .groupBy("vec_id")
         .agg(F.min("nb_id").alias("dup_of"))
     )

@@ -3470,6 +3470,43 @@ LINEITEM_STATS_COLS: tuple[str, ...] = (
 )
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a frame whose INPUT is too small to
+    give its scan more than one split, so a per-row-heavy epilogue
+    that would otherwise run inside the single scan task (here: the
+    Expand of the multi-``count(distinct)`` ANALYZE plan, which
+    duplicates every row |cols|+1-fold before the partial aggregate)
+    uses every core instead of serializing on one.
+
+    Scale-adaptive, never a constant (guide §2.5/§6): fires ONLY when
+    the optimizer's size estimate says the whole input fits in a
+    single scan split (``spark.sql.files.maxPartitionBytes``) — a
+    table big enough to parallelize its own scan is returned
+    untouched, so at 100 TB this is a structural no-op, never an
+    extra full-table shuffle. The spread width follows the session's
+    ``defaultParallelism`` (i.e. ``local[$SPARK_GRAFT_CPUS]`` in the
+    harness), so the driver's lower-core bench runs adapt.
+
+    Callers may only hang ORDER-INSENSITIVE aggregation downstream
+    (counts, exact distinct, min/max): a round-robin shuffle reorders
+    rows, which is invisible to those but not to double summation."""
+    spark = df.sparkSession
+    try:
+        size = int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        return df
+    if size > max_split:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def table_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE scan — the
     metastore stats a cost-based optimizer consumes (row count,
@@ -3497,7 +3534,10 @@ def table_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             F.max(c).cast("double").alias(f"_mx_{c}"),
             F.countDistinct(c).alias(f"_nd_{c}"),
         ]
-    row = df.agg(*aggs)
+    # narrow first (project early), then spread a single-split scan so
+    # the Expand runs on every core (r15; see _spread_small_scan —
+    # counts/min/max/NDV are order-insensitive, values unchanged)
+    row = _spread_small_scan(df.select(*cols)).agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("col_name"),
@@ -3590,7 +3630,15 @@ def table_stats_incremental(
             # injective over the corpus's non-negative numerics
             F.hll_sketch_agg(F.col(c).cast("string")).alias(f"_sk_{c}"),
         ]
-    partials = df.withColumn("_b", batch).groupBy("_b").agg(*aggs)
+    # spread single-split scans (r15; _spread_small_scan): counts,
+    # bounds and HLL registers (set-semantics max) are all
+    # order-insensitive, so the partials and the audit are identical
+    # under any row placement
+    partials = (
+        _spread_small_scan(df.withColumn("_b", batch).select("_b", *cols))
+        .groupBy("_b")
+        .agg(*aggs)
+    )
     m_aggs = [
         F.count(F.lit(1)).alias("_nb"),
         F.sum("_n").alias("_n"),
@@ -3605,7 +3653,7 @@ def table_stats_incremental(
             ).alias(f"_est_{c}"),
         ]
     merged = partials.agg(*m_aggs)
-    exact = df.agg(
+    exact = _spread_small_scan(df.select(*cols)).agg(
         *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols]
     )
     row = merged.crossJoin(F.broadcast(exact))
