@@ -8635,4 +8635,11 @@ def oracle_for(name: str, sf_dir: str) -> str | None:
         return _kmeans_converged_oracle(vector.converged_rounds_for(sf_dir))
     if name == "docs_kcore_neardup":
         return _k_core_oracle(dedup.kcore_rounds_for(sf_dir))
+    if name == "source_binaryfile_ingest":
+        # the static oracle embeds the GATE SF's filesystem path
+        # (read_blob takes a path, not a view) — cross-scale local
+        # verification must render the glob for the SF under test or
+        # the oracle hashes sf0.01's files against an sf0.001 run
+        # (caught by the r15 round-close sf0.001 driver-sim sweep)
+        return roundtrip.binaryfile_oracle(sf_dir)
     return REGISTRY[name].oracle

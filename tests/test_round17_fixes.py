@@ -104,3 +104,23 @@ def test_snapshot_resolver_tolerates_tail_float_reformatting():
         root, "r14", tail_for(0.05, "{:.3f}")
     )
     assert snap is None
+
+
+def test_oracle_for_renders_binaryfile_glob_at_the_requested_sf():
+    """r15 fix: the static oracle_sql() contract pins the binaryFile
+    oracle's read_blob glob to the GATE SF (read_blob takes a
+    filesystem path, not a registered view), so cross-scale local
+    verification must re-render it for the SF under test — without
+    this, a sf0.001 harness hashes sf0.01's files against an sf0.001
+    run (caught by the r15 round-close sf0.001 driver-sim sweep:
+    oracle read documents.parquet at 65,049 bytes where the sf0.001
+    file is 65,515)."""
+    from inf2106_map_reduce_spark.queries import REGISTRY, oracle_for
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        o = oracle_for("source_binaryfile_ingest", sf)
+        assert f"{sf}/*.parquet" in o
+    # the driver-facing static contract stays pinned to the gate SF
+    assert "/root/testdata/sf0.01/*.parquet" in (
+        REGISTRY["source_binaryfile_ingest"].oracle
+    )
