@@ -3491,20 +3491,52 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
     (counts, exact distinct, min/max): a round-robin shuffle reorders
     rows, which is invisible to those but not to double summation."""
     spark = df.sparkSession
-    try:
-        size = int(
-            df._jdf.queryExecution()
-            .optimizedPlan()
-            .stats()
-            .sizeInBytes()
-            .toString()
-        )
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except Exception:
-        return df
-    if size > max_split:
+    # py4j converts the Scala BigInt to a Python int directly — no
+    # .toString() hop (r15 shipped one, whose AttributeError the old
+    # bare except silently swallowed: the gate never evaluated and the
+    # helper was a no-op — r15 VERDICT item 4). The size estimate and
+    # the conf read are plain attribute/conf accesses on frames this
+    # module itself builds; let any failure surface rather than hide a
+    # broken gate behind an unconditional fallback again.
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    max_split = _parse_size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+    )
+    # Floor as well as ceiling (both measured, r16): the spread pays a
+    # roughly fixed round-robin shuffle + task-scheduling cost, repaid
+    # by the single-task epilogue it parallelizes — which scales with
+    # input bytes. Below ~1/32 of a split the epilogue is smaller than
+    # the shuffle (events_table_stats: 0.73 s → 0.95 s WITH the
+    # spread); above it the Expand win dominates (lineitem_table_stats
+    # 2.79 s → 2.22 s). Both bounds derive from the split size, never
+    # from the local core count.
+    if size > max_split or size <= max_split // 32:
         return df
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _parse_size_bytes(raw: str) -> int:
+    """Byte count of a Spark size conf string. The engine session sets
+    a bare digit string ("134217728") but a VANILLA session (the
+    driver's oracle harness) reports the DEFAULT as "134217728b", and
+    user overrides may carry any JVM size suffix — int() alone throws
+    on both."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]*)\s*", raw.lower())
+    if not m:
+        raise ValueError(f"unparseable size conf {raw!r}")
+    mult = {
+        "": 1,
+        "b": 1,
+        "k": 1024,
+        "kb": 1024,
+        "m": 1024**2,
+        "mb": 1024**2,
+        "g": 1024**3,
+        "gb": 1024**3,
+    }[m.group(2)]
+    return int(m.group(1)) * mult
 
 
 def table_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
@@ -3630,12 +3662,15 @@ def table_stats_incremental(
             # injective over the corpus's non-negative numerics
             F.hll_sketch_agg(F.col(c).cast("string")).alias(f"_sk_{c}"),
         ]
-    # spread single-split scans (r15; _spread_small_scan): counts,
-    # bounds and HLL registers (set-semantics max) are all
-    # order-insensitive, so the partials and the audit are identical
-    # under any row placement
+    # NOT spread (r16): once the _spread_small_scan gate actually
+    # fired (its r15 form was a verified no-op — see the helper), a
+    # 4×4 interleaved A/B of all four per-site combinations landed
+    # within noise (medians 2.08–2.16 s) — this plan's two scans each
+    # pay their own shuffle, offsetting the Expand parallelism, so the
+    # spread is rejected here on measurement
     partials = (
-        _spread_small_scan(df.withColumn("_b", batch).select("_b", *cols))
+        df.withColumn("_b", batch)
+        .select("_b", *cols)
         .groupBy("_b")
         .agg(*aggs)
     )
@@ -3653,7 +3688,7 @@ def table_stats_incremental(
             ).alias(f"_est_{c}"),
         ]
     merged = partials.agg(*m_aggs)
-    exact = _spread_small_scan(df.select(*cols)).agg(
+    exact = df.select(*cols).agg(
         *[F.countDistinct(c).alias(f"_nd_{c}") for c in cols]
     )
     row = merged.crossJoin(F.broadcast(exact))
