@@ -1262,6 +1262,135 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def fused_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """BOTH signature families — the ``n_hashes`` MinHash components
+    AND both SimHash widths — from ONE zero-shuffle Arrow pass over
+    the corpus (r16; r15 VERDICT item 1).
+
+    Every signature is a pure per-document function of the text, so
+    the two explode→shuffle→wide-aggregate stages this replaces
+    (:func:`minhash_signatures` at 64 hashes: 16 md5 digests per
+    exploded shingle row into a 64-column grouped min;
+    :func:`simhash_signatures_both`: one md5 per exploded word row
+    into 64 conditional sums) moved the word/shingle-count-sized
+    intermediate through a hash exchange only to regroup it by the
+    document it came from. Here each document's text crosses the
+    Python boundary once per batch (guide §4.2), the per-doc work runs
+    vectorized (one md5 buffer + one numpy min per doc for the MinHash
+    slices; one bit-matrix reduction for the SimHash sums), and only
+    doc-count signature rows come back — no explode, NO SHUFFLE: at
+    100 TB this removes the corpus-sized exchange entirely and scales
+    with the scan's own split count.
+
+    Bit-identical by construction (pinned in
+    tests/test_r16_optimization.py against both JVM builders):
+
+    - normalization replicates ``_norm_text`` exactly the way
+      :func:`minhash_band_cols_arrow` already does (strip SPACES only
+      = Spark ``trim``; lower; collapse ASCII ``\\s+``; keep empty
+      words — word_shingles keeps them too);
+    - MinHash mins compare raw 4-byte digest slices, which order
+      identically to the JVM's 8-hex-char substring strings (hex is a
+      monotone byte-wise encoding), and are rendered back to hex;
+    - SimHash bit sums are exact integer arithmetic on the same
+      per-word ±count contributions (empty words filtered, duplicates
+      weighted), with the 64-bit sign bit folded exactly as
+      :func:`simhash_signatures_both` does;
+    - presence matches the explode semantics: a doc with no shingles
+      carries NULL mh columns, a doc with no words NULL simhash —
+      the registry projections filter on those markers so each frame
+      holds exactly the rows the grouped aggregates produced.
+    """
+    import hashlib
+
+    import numpy as np
+
+    n_hashes = MINHASH_EST_HASHES if n_hashes is None else n_hashes
+    assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4"
+    n_dig = n_hashes // 4
+    n_words = SHINGLE_WORDS
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"mh{i} string" for i in range(n_hashes)]
+        + ["simhash32 bigint", "simhash64 bigint"]
+    )
+    cols = (
+        [id_col]
+        + [f"mh{i}" for i in range(n_hashes)]
+        + ["simhash32", "simhash64"]
+    )
+
+    def _sigs(pdfs):
+        import re as _re
+        from collections import Counter
+
+        md5 = hashlib.md5
+        ws = _re.compile(r"\s+", _re.ASCII)
+        prefixes = [f"{j}:".encode() for j in range(n_dig)]
+        bit32 = np.arange(32, dtype=np.uint32)
+        shift32 = np.arange(32, dtype=np.int64)
+        shift_hi = np.arange(32, 63, dtype=np.int64)
+        for pdf in pdfs:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = ws.sub(" ", text.strip(" ").lower()).split(" ")
+                mh: list[str | None] = [None] * n_hashes
+                if len(words) >= n_words:
+                    sh = {
+                        " ".join(words[i : i + n_words])
+                        for i in range(len(words) - n_words + 1)
+                    }
+                    buf = b"".join(
+                        md5(p + s.encode()).digest()
+                        for s in sh
+                        for p in prefixes
+                    )
+                    arr = np.frombuffer(buf, dtype=">u4").reshape(
+                        len(sh), n_hashes
+                    )
+                    mh = [
+                        int(v).to_bytes(4, "big").hex()
+                        for v in arr.min(axis=0)
+                    ]
+                wc = Counter(w for w in words if w != "")
+                if not wc:
+                    if mh[0] is None:
+                        continue
+                    rows.append((did, *mh, None, None))
+                    continue
+                wl = list(wc)
+                hbuf = b"".join(md5(w.encode()).digest()[:8] for w in wl)
+                hl = np.frombuffer(hbuf, dtype=">u4").reshape(len(wl), 2)
+                cnt = np.fromiter(
+                    (wc[w] for w in wl), dtype=np.int64, count=len(wl)
+                )
+                hbits = ((hl[:, 0][:, None] >> bit32) & 1).astype(np.int64)
+                lbits = ((hl[:, 1][:, None] >> bit32) & 1).astype(np.int64)
+                hsum = ((2 * hbits - 1) * cnt[:, None]).sum(axis=0)
+                lsum = ((2 * lbits - 1) * cnt[:, None]).sum(axis=0)
+                s32 = int(((hsum > 0).astype(np.int64) << shift32).sum())
+                s64 = int(
+                    ((lsum > 0).astype(np.int64) << shift32).sum()
+                ) + int(
+                    ((hsum[:31] > 0).astype(np.int64) << shift_hi).sum()
+                )
+                if hsum[31] > 0:
+                    s64 -= 1 << 63
+                rows.append((did, *mh, s32, s64))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, text_col).mapInPandas(_sigs, schema)
+
+
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
@@ -1311,16 +1440,16 @@ def build_registry_stage_cache(spark: SparkSession, sf_dir: str) -> dict[str, in
     scans of materialized partitions."""
     return {
         "shingles": _registry_shingles(spark, sf_dir).count(),
-        # one 64-hash signature stage serves three consumers: the LSH
-        # banding below reads its first 12 columns, the Jaccard
-        # estimator all 64, and the streaming ingest screen derives
-        # the snapshot band sets from its snapshot slice
+        # the first signature count builds the ONE fused Arrow pass
+        # (r16) that serves every signature consumer: the LSH banding
+        # reads the projection's first 12 minhash columns, the Jaccard
+        # estimator all 64, the streaming ingest screen the snapshot
+        # slice, and both SimHash widths project from the same frame
         "minhash_sigs64": _registry_minhash_sigs(spark, sf_dir).count(),
         "lsh_candidates": _registry_candidates(spark, sf_dir).count(),
         "jaccard_edges": _registry_edges(spark, sf_dir).count(),
         "components_minlabel": _registry_components(spark, sf_dir).count(),
-        # one shared stage serves both widths; both counts are scans
-        # of the same materialized frame after the first builds it
+        # projections of the already-materialized fused stage
         "simhash32_sigs": _registry_simhash32(spark, sf_dir).count(),
         "simhash64_sigs": _registry_simhash64(spark, sf_dir).count(),
     }
@@ -1334,27 +1463,43 @@ def _registry_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_stage(spark, sf_dir, "shingles", lambda: shingle_table(d))
 
 
-def _registry_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed 64-hash MinHash signature stage (doc_id, mh0..mh63)
-    over the shared shingle stage. Hash ``i`` is the i%4-th 8-hex slice
-    of ``md5(i//4 || ':' || shingle)`` minimized per doc — independent
-    of how many hashes are requested, so the first 12 columns ARE the
-    production banding signature and the full 64 are the estimator's.
-    One grouped aggregation per session feeds the LSH candidate build,
-    the Jaccard-estimator audit, and the streaming ingest screen's
-    snapshot band sets (which filter this frame to the snapshot
-    slice); the materialized stage is doc-count rows of fixed-width
-    strings — tiny relative to the corpus at any scale."""
+def _registry_signatures_fused(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpointed fused signature stage: one zero-shuffle Arrow pass
+    (:func:`fused_signatures`) yields the 64-hash MinHash signature
+    AND both SimHash widths per document — the two wide grouped
+    aggregates it replaced were the dedup stage build's dominant cost
+    (r15 bench: 2.2 s + 2.7 s of the 6.0 s line). The materialized
+    stage is doc-count rows of fixed-width strings/bigints — tiny
+    relative to the corpus at any scale."""
     d = load_table(spark, sf_dir, "documents")
     return _doc_stage(
         spark,
         sf_dir,
-        "minhash_sigs64",
-        lambda: minhash_signatures(
-            d,
-            n_hashes=MINHASH_EST_HASHES,
-            shingles=_registry_shingles(spark, sf_dir),
-        ),
+        "signatures_fused",
+        lambda: fused_signatures(d, n_hashes=MINHASH_EST_HASHES),
+    )
+
+
+def _registry_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-hash MinHash projection of the fused signature stage
+    (doc_id, mh0..mh63). Hash ``i`` is the i%4-th 8-hex slice of
+    ``md5(i//4 || ':' || shingle)`` minimized per doc — independent
+    of how many hashes are requested, so the first 12 columns ARE the
+    production banding signature and the full 64 are the estimator's.
+    One fused pass per session feeds the LSH candidate build, the
+    Jaccard-estimator audit, and the streaming ingest screen's
+    snapshot band sets (which filter this frame to the snapshot
+    slice). The NULL-mh filter reproduces the grouped-aggregate
+    presence semantics exactly: docs with no shingles never had a
+    signature row."""
+    return (
+        _registry_signatures_fused(spark, sf_dir)
+        .where(F.col("mh0").isNotNull())
+        .select(
+            "doc_id", *[f"mh{i}" for i in range(MINHASH_EST_HASHES)]
+        )
     )
 
 
@@ -1421,19 +1566,23 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _registry_simhash_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed BOTH-width SimHash signature stage (one bigint per
-    width per doc, via :func:`simhash_signatures_both` — one shared
-    explode+md5+shuffle for the two widths). Caching the signature
-    table is cheap where caching the WORD-hash table was measured too
-    expensive (r05/r06 — word-count-sized I/O vs the parallel
-    explode+md5 recompute): the expensive upstream runs exactly once
-    per session, and the checkpoint materializes only doc-count rows.
-    It also removes the 64-bit band self-join's double execution of
-    the signature aggregation structurally: both join branches read
-    the materialized stage instead of relying on exchange reuse."""
-    d = load_table(spark, sf_dir, "documents")
-    return _doc_stage(
-        spark, sf_dir, "simhash_both", lambda: simhash_signatures_both(d)
+    """BOTH-width SimHash projection of the fused signature stage (one
+    bigint per width per doc; values bit-identical to
+    :func:`simhash_signatures_both`, pinned in
+    tests/test_r16_optimization.py). Caching the signature table is
+    cheap where caching the WORD-hash table was measured too expensive
+    (r05/r06 — word-count-sized I/O vs the parallel explode+md5
+    recompute): the expensive upstream runs exactly once per session,
+    and the checkpoint materializes only doc-count rows. It also
+    removes the 64-bit band self-join's double execution of the
+    signature aggregation structurally: both join branches read the
+    materialized stage instead of relying on exchange reuse. The
+    NULL-simhash filter reproduces the grouped-aggregate presence
+    semantics: docs with no (non-empty) words never had a row."""
+    return (
+        _registry_signatures_fused(spark, sf_dir)
+        .where(F.col("simhash32").isNotNull())
+        .select("doc_id", "simhash32", "simhash64")
     )
 
 

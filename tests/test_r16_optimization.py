@@ -89,3 +89,72 @@ def test_spread_small_scan_values_unchanged(spark, sf_oracle):
         load_table(spark, sf_oracle, "lineitem"), st.LINEITEM_STATS_COLS
     )
     assert sorted(map(tuple, plain.collect())) == spread_rows
+
+
+# ---------------------------------------------------------------------------
+# Fused Arrow signature pass (r16): bit-identity against the JVM
+# grouped-aggregate builders it replaced in the registry stages.
+# ---------------------------------------------------------------------------
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_fused_signatures_match_jvm_builders(spark, sf_oracle):
+    from inf2106_map_reduce_spark.functions import dedup as dd
+
+    d = load_table(spark, sf_oracle, "documents")
+    fused = dd.fused_signatures(d)
+    mh_cols = [f"mh{i}" for i in range(dd.MINHASH_EST_HASHES)]
+    assert _sorted_rows(
+        fused.where("mh0 is not null").select("doc_id", *mh_cols)
+    ) == _sorted_rows(
+        dd.minhash_signatures(d, n_hashes=dd.MINHASH_EST_HASHES)
+    )
+    assert _sorted_rows(
+        fused.where("simhash32 is not null").select(
+            "doc_id", "simhash32", "simhash64"
+        )
+    ) == _sorted_rows(dd.simhash_signatures_both(d))
+
+
+def test_fused_signatures_edge_docs_match_jvm(spark):
+    from inf2106_map_reduce_spark.functions import dedup as dd
+
+    rows = [
+        (1, None),  # null text: absent from both frames
+        (2, ""),  # empty: absent from both
+        (3, "   "),  # spaces only: trim leaves nothing
+        (4, "\t"),  # tab survives trim, collapses to empty words
+        (5, "one two"),  # words but no 3-shingle: simhash only
+        (6, "ONE two THREE two one"),  # dups + case
+        (7, "\t leading tab text here"),  # leading empty word kept
+        (8, "a  b\tc\nd e"),  # mixed whitespace collapse
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fused = dd.fused_signatures(d, n_hashes=12)
+    mh_cols = [f"mh{i}" for i in range(12)]
+    assert _sorted_rows(
+        fused.where("mh0 is not null").select("doc_id", *mh_cols)
+    ) == _sorted_rows(dd.minhash_signatures(d, n_hashes=12))
+    assert _sorted_rows(
+        fused.where("simhash32 is not null").select(
+            "doc_id", "simhash32", "simhash64"
+        )
+    ) == _sorted_rows(dd.simhash_signatures_both(d))
+
+
+def test_registry_stages_project_from_fused_pass(spark, sf_oracle):
+    """The registry signature stages must carry the exact rows the
+    grouped aggregates produced (presence semantics included)."""
+    from inf2106_map_reduce_spark.functions import dedup as dd
+
+    d = load_table(spark, sf_oracle, "documents")
+    sigs = dd._registry_minhash_sigs(spark, sf_oracle)
+    assert _sorted_rows(sigs) == _sorted_rows(
+        dd.minhash_signatures(d, n_hashes=dd.MINHASH_EST_HASHES)
+    )
+    both = dd._registry_simhash_both(spark, sf_oracle)
+    assert _sorted_rows(both) == _sorted_rows(
+        dd.simhash_signatures_both(d)
+    )
