@@ -4,9 +4,10 @@
 ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {headline: sec}, "sf": ..., "n_queries": N}``.
 
-The printed line carries only ~12 headline queries so it survives the
-driver's bounded stdout-tail capture (round 1's 108-entry line got
-truncated → ``"parsed": null``); the full per-query map is written to
+The printed line carries only a fixed ~26-query headline subset so it
+survives the driver's bounded stdout-tail capture (round 1's
+108-entry line AND round 14's 81-entry line got truncated →
+``"parsed": null``); the full per-query map is written to
 ``BENCH_FULL.json`` at the repo root.
 
 Execution is measured with the noop sink (full plan runs, nothing
@@ -105,112 +106,51 @@ WARMUP = (
     "schema_evolution_read",
 )
 
-# includes the known most-expensive entries (dedup_stage_build,
-# dedup_simhash64_pairs, streaming_click_attribution) so the
-# driver-visible line tracks the true tail, not just the classics
+# The PRINTED payload's query map. r16 MEASUREMENT-PAYLOAD FIX
+# (r15 VERDICT item 3 of "what's wrong"): the printed map had grown to
+# 84 entries / ~3.2 KB against a driver stdout-tail capture that
+# truncated the (shorter!) r14 line into "parsed": null and nulled the
+# whole round-over-round comparison. The printed line now carries a
+# FIXED ~26-name subset — the most expensive bench lines plus the four
+# classic q-entries, every name chosen from the r15 printed map so the
+# round-over-round intersection stays non-empty — and the FULL
+# per-query map continues to go to BENCH_FULL.json (committed), where
+# nothing is ever dropped. tests/test_bench_contract.py asserts the
+# printed line stays under the capture bound.
 HEADLINE = (
+    # classics
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_product_type_profit",
     "q18_large_volume_customers",
-    "bucketed_orders_lineitem_join",
-    "window_top_orders_per_customer",
+    # dedup family tail (incl. the shared stage-build line)
     "dedup_stage_build",
-    "dedup_minhash_candidates",
-    "dedup_clusters",
-    "dedup_canonical_corpus",
-    "dedup_simhash64_pairs",
-    "ann_lsh",
-    "docs_hybrid_rrf",
-    "sketch_bloom_membership",
-    "docs_neardup_triangles",
-    "text_stats",
-    "streaming_tumbling_hourly",
-    "streaming_click_attribution",
-    "doc_word_count",
-    # the end-to-end composed corpus build (round 6 flagship)
-    "docs_training_manifest",
-    # round-8 new families
-    "docs_mmr_rerank",
-    "lineitem_logreg_returns",
-    "sketch_countmin_freq",
     "dedup_prefix_jaccard",
-    # model evaluation (late round 8): trainer-trajectory reuse +
-    # fixed-bin histogram reduce
-    "lineitem_logreg_auc",
-    # round-9 new families
-    "events_forecast_backtest",
-    "sketch_percentile_merge",
-    "emb_pca_power",
+    "dedup_simhash64_pairs",
+    # streaming tail
+    "streaming_session_timeout",
+    "streaming_upsert_group_retention",
+    "streaming_upsert_scd2",
+    "streaming_upsert_retention",
+    "streaming_click_attribution_full",
+    # trainer/isotonic tail
+    "lineitem_status_gbt_isotonic",
+    "lineitem_gbt_isotonic",
+    "lineitem_status_quantile_gbt3",
+    "lineitem_quantile_gbt3",
+    "lineitem_gbt_stages3",
+    # encoding/reliability tail (the r15 watch rows live here)
+    "lineitem_encoding_reliability",
+    "lineitem_encoding_stump",
+    "lineitem_status_encoding_stump",
+    "lineitem_status_reliability",
+    "lineitem_fold_reliability",
+    # ANALYZE family (r15/r16-touched)
+    "lineitem_table_stats",
+    "lineitem_stats_incremental",
+    # remaining >2 s lines
     "emb_nn_join",
     "orders_bootstrap_ci",
-    "media_phash_neardup",
-    # round-10 new entries
-    "streaming_session_timeout",
-    "bloom_runtime_join",
-    # round-11 new families
-    "lineitem_stump_gini",
-    "lineitem_tree_depth2",
-    "docs_group_reservoir",
-    "streaming_backfill_lag",
-    "orders_scd2_priority",
-    "docs_weighted_reservoir",
-    "lineitem_gbt_stages",
-    "streaming_upsert_latest",
-    # round-12 new families
-    "lineitem_gbt_stages3",
-    "lineitem_isotonic_calibration",
-    "lineitem_target_encoding",
-    "docs_ngram_novelty",
-    # round-13 new families
-    "lineitem_price_quantile_bins",
-    "lineitem_encoding_reliability",
-    "streaming_dlq_split",
-    "lineitem_flag_quantile_bins",
-    # round-13 late block
-    "streaming_dlq_redrive",
-    "lineitem_fold_reliability",
-    "lineitem_status_isotonic",
-    # round-14 new families
-    "lineitem_status_reliability",
-    "lineitem_binned_stump",
-    "streaming_dlq_retention",
-    # round-14 late block
-    "lineitem_multi_binned_stump",
-    "streaming_upsert_vacuum",
-    "lineitem_encoding_stump",
-    "lineitem_status_multi_stump",
-    "lineitem_quantile_gbt",
-    "lineitem_quantile_tree",
-    "streaming_upsert_retention",
-    "lineitem_status_encoding_stump",
-    "lineitem_quantile_gbt3",
-    # round-15 new families
-    "lineitem_status_quantile_gbt",
-    "streaming_upsert_group_retention",
-    "streaming_dlq_age_retention",
-    # round-15 late block
-    "lineitem_status_quantile_tree",
-    "streaming_upsert_asof_read",
-    "streaming_dlq_policy_retention",
-    "streaming_upsert_changes",
-    "lineitem_status_quantile_gbt3",
-    "streaming_upsert_changes_window",
-    # round-16 new entries
-    "streaming_upsert_changes_midwindow",
-    "streaming_upsert_compaction",
-    "lineitem_status_gbt_isotonic",
-    # round-16 late block
-    "lineitem_gbt_isotonic",
-    "lineitem_table_stats",
-    "streaming_upsert_write_amplification",
-    # round-16 final block
-    "docs_leakage_safe_split",
-    "events_table_stats",
-    # round-17 new entries
-    "streaming_click_attribution_full",
-    "streaming_upsert_scd2",
-    "lineitem_stats_incremental",
 )
 
 # Timed stages that are NOT registry queries: the shared dedup

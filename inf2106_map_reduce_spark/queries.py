@@ -8299,17 +8299,52 @@ ROTATION_STRIDE = 35
 
 #: Entries added or semantically changed in the CURRENT round. Keep
 #: small (<= WINDOW - STRIDE) or the coverage guarantee degrades.
-#: Round-17 block (r14 verdict items #5-7, budget in the
-#: ROTATION_STRIDE comment) — names are appended as each entry lands.
+#: Round-18 block (r15 VERDICT item 3: "changed" includes
+#: semantically-equivalent REWRITES — the equivalence is exactly the
+#: claim that needs the ground-truth oracle, and the r15 rotation
+#: sample missed nearly every r15-rewritten path). The round-16
+#: natural fill (offset 10) already covers the whole dedup family —
+#: dedup_semantic, every fused-signature consumer, prefix_jaccard —
+#: so the 15 slots go to the rewritten/changed paths the fill does
+#: NOT reach, highest-risk first.
 _ROUND_PRIORITY: tuple[str, ...] = (
-    # FULL OUTER stream-stream join — the last join-type hole in the
-    # streaming matrix; both null-extension semantics oracle-encoded
+    # r15 joint-bin rewrite, highest-risk composites (one scan serves
+    # trainer + scorer + isotonic calibration) — never driver-checked
+    # since the rewrite
+    "lineitem_gbt_isotonic",
+    "lineitem_status_gbt_isotonic",
+    # r15 upsert-sink rewrite (merge-frame checkpoint + single-scan
+    # retention audit) — the one sink entry the r15 sample missed
+    "streaming_upsert_group_retention",
+    # r16: ANALYZE scan-spread gate actually firing now (+ the
+    # incremental entry whose spread was removed on measurement)
+    "lineitem_table_stats",
+    "events_table_stats",
+    "lineitem_stats_incremental",
+    # r16: fused-signature consumer OUTSIDE the natural fill (the
+    # streaming ingest screen derives band sets from the fused stage)
+    "streaming_neardup_ingest",
+    # r15 joint-bin trainer family, rotating through r16/r17 —
+    # 3-stage quantile composites first (deepest regroup chains)
+    "lineitem_status_quantile_gbt3",
+    "lineitem_quantile_gbt3",
+    "lineitem_gbt_stages3",
+    "lineitem_status_quantile_gbt",
+    "lineitem_quantile_gbt",
+    # r15 regressed-watch rows (settle protocol this round): hard
+    # driver rows pin their VALUES while the bench settles their cost
+    "lineitem_status_encoding_stump",
+    "lineitem_status_isotonic",
+    "lineitem_status_multi_stump",
+)
+
+#: The round-17 priority block (3 names) as retired at round-18 open:
+#: CORRECTNESS_r15 carries a fully-green hard row for every name (the
+#: carry protocol's exit condition), kept as a named record for the
+#: staleness audit.
+_ROUND17_PRIORITY: tuple[str, ...] = (
     "streaming_click_attribution_full",
-    # SCD2 history composed ON the upsert sink's CDC changelog —
-    # validity intervals from the stepwise feeds, one window pass
     "streaming_upsert_scd2",
-    # incremental table-stats refresh via mergeable HLL partials —
-    # the merge-of-parts == stats-of-whole contract, envelope-audited
     "lineitem_stats_incremental",
 )
 

@@ -469,3 +469,28 @@ def test_anchor_names_exist_in_registry():
         if n not in known
     ]
     assert not missing, missing
+
+
+def test_printed_payload_survives_the_capture_bound():
+    """r16 (r15 VERDICT): the one-line JSON must fit the driver's
+    stdout-tail capture with margin — r14's 81-entry line truncated
+    into ``"parsed": null`` and nulled the round comparison. Build the
+    payload exactly as bench.main() does, with worst-case-width
+    values, and bound the rendered line."""
+    import json
+
+    queries = {k: 999.999 for k in bench.HEADLINE}
+    payload = {
+        "metric": "total_wall_sec_all_queries",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "n_queries": 999,
+        "calibration_sec": 0.999,
+        "calibration_probes": [0.999] * 9,
+        "calibration_probe_positions": [999] * 9,
+        "calibration_scan_sec": 0.999,
+        "calibration_scan_probes": [0.999, 0.999],
+    }
+    assert len(json.dumps(payload)) < 2000
