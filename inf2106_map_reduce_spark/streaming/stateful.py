@@ -45,6 +45,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from inf2106_map_reduce_spark.session import WORK_ROOT
 
 from inf2106_map_reduce_spark.streaming.runtime import (
+    PY_STATE_KEYS_PER_PARTITION,
     scoped_state_partitions,
     state_partitions_for,
 )
@@ -90,7 +91,15 @@ def _run_to_table(
     )
     with scoped_state_partitions(
         spark,
-        n=state_partitions_for(state_keys, cache_key=cache_key),
+        # the Python-state grain: this module's operators are the
+        # applyInPandasWithState lanes, where every group pays a
+        # per-group Python round-trip — see
+        # runtime.PY_STATE_KEYS_PER_PARTITION for the measurements
+        n=state_partitions_for(
+            state_keys,
+            cache_key=cache_key,
+            keys_per_partition=PY_STATE_KEYS_PER_PARTITION,
+        ),
         out=out_stream,
         output_mode=mode,
     ):
