@@ -49,20 +49,22 @@ STATE_KEYS_PER_PARTITION = 100_000
 STATE_PARTITIONS_FLOOR = 4
 STATE_PARTITIONS_CAP = 1024
 
-#: Finer grain for PYTHON-state operators (applyInPandasWithState):
-#: unlike the JVM stateful operators the 100k rule sizes, every GROUP
-#: here pays a per-group Arrow/pandas round-trip through the Python
-#: worker (~0.5-1 ms each), so the partition count must also bound the
-#: SERIAL per-task Python time, not just state size. ~200 keys per
-#: partition keeps that under ~0.2 s/task/batch. Measured r16 on
-#: streaming_session_timeout (sf0.1, ~1,400 keys, same-session
-#: medians): 4 partitions 7.7 s, 8 partitions 6.0 s, 32 partitions
-#: 6.7 s (state-store per-partition maintenance starts to dominate) —
-#: ceil(1400/200) = 7 lands at the measured optimum and the rule keeps
-#: tracking the DATA, not the local core count. Floor/cap and the env
-#: override apply unchanged; at deployment scale the 1024 cap binds
-#: either way.
-PY_STATE_KEYS_PER_PARTITION = 200
+#: Partitioning rule for PYTHON-state operators
+#: (applyInPandasWithState): unlike the JVM stateful operators the
+#: 100k rule sizes, every GROUP here pays a per-group Arrow/pandas
+#: round-trip through the Python worker (~0.5-1 ms each), so the
+#: per-batch cost is ≈ a·P (per-partition state-store maintenance:
+#: provider instances, delta files, commits) + b·keys/P (serial
+#: per-group Python time per task). Minimizing gives the balance
+#: point P* = sqrt(keys·b/a); b/a was fit on two measured rungs of
+#: streaming_session_timeout (same-session medians, r16):
+#: sf0.1 / 1,400 keys — P=4: 7.7 s (8.27 s in the adoption A/B),
+#: P=8: 6.0 s, P=32: 6.7 s; 32× rung / ~45k keys — P=16: 59.8 s,
+#: P=64: 42.7 s, P=224: 67–128 s. ``ceil(sqrt(keys/16))`` lands at 10
+#: and 53, inside the measured optimum's shallow basin on both rungs,
+#: and keeps tracking the DATA, never the local core count. Floor/cap
+#: and the env override apply unchanged.
+PY_STATE_KEYS_PER_SQ = 16
 
 
 #: Session-scoped memo for the cardinality estimate: the same key
@@ -76,28 +78,29 @@ _ESTIMATE_CACHE: dict[tuple, int] = {}
 def state_partitions_for(
     source_keys: DataFrame | None,
     cache_key: tuple | None = None,
-    keys_per_partition: int | None = None,
+    py_state: bool = False,
 ) -> int:
     """Derive the state partition count from the data: one
     ``approx_count_distinct`` over a BATCH view of the state key
     columns (a cheap column-pruned scan, run once before the stream
-    starts), then ``clamp(ceil(keys / grain), 4, 1024)`` where the
-    grain defaults to the JVM-stateful 100k rule; Python-state callers
-    pass :data:`PY_STATE_KEYS_PER_PARTITION`.
+    starts), then ``clamp(ceil(keys / 100k), 4, 1024)`` for JVM
+    stateful operators, or the sqrt balance point
+    ``clamp(ceil(sqrt(keys / PY_STATE_KEYS_PER_SQ)), 4, 1024)`` for
+    Python-state operators (``py_state=True`` — see
+    :data:`PY_STATE_KEYS_PER_SQ` for the model and measurements).
 
     ``SPARK_GRAFT_STATE_PARTITIONS`` still wins when set (a deployment
     that knows its steady-state cardinality errs high explicitly);
     passing ``None`` falls back to the same default. ``cache_key``
     (e.g. ``(app_id, sf_dir, table, cols...)``) memoizes the estimate
     for repeated drains of the same source within a session (the raw
-    key-count estimate is memoized, so callers with different grains
+    key-count estimate is memoized, so callers with different rules
     share one scan)."""
     env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
     if env:
         return int(env)
     if source_keys is None:
         return STATE_PARTITIONS
-    grain = keys_per_partition or STATE_KEYS_PER_PARTITION
     if cache_key is not None and cache_key in _ESTIMATE_CACHE:
         n_keys = _ESTIMATE_CACHE[cache_key]
     else:
@@ -108,10 +111,11 @@ def state_partitions_for(
         ).collect()[0]["k"]
         if cache_key is not None:
             _ESTIMATE_CACHE[cache_key] = n_keys
-    return max(
-        STATE_PARTITIONS_FLOOR,
-        min(STATE_PARTITIONS_CAP, math.ceil(n_keys / grain)),
-    )
+    if py_state:
+        n = math.ceil(math.sqrt(n_keys / PY_STATE_KEYS_PER_SQ))
+    else:
+        n = math.ceil(n_keys / STATE_KEYS_PER_PARTITION)
+    return max(STATE_PARTITIONS_FLOOR, min(STATE_PARTITIONS_CAP, n))
 
 
 #: AvailableNow queries drain one data batch and stop; the trailing

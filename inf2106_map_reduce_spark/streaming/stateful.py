@@ -45,7 +45,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from inf2106_map_reduce_spark.session import WORK_ROOT
 
 from inf2106_map_reduce_spark.streaming.runtime import (
-    PY_STATE_KEYS_PER_PARTITION,
     scoped_state_partitions,
     state_partitions_for,
 )
@@ -91,14 +90,12 @@ def _run_to_table(
     )
     with scoped_state_partitions(
         spark,
-        # the Python-state grain: this module's operators are the
+        # the Python-state rule: this module's operators are the
         # applyInPandasWithState lanes, where every group pays a
         # per-group Python round-trip — see
-        # runtime.PY_STATE_KEYS_PER_PARTITION for the measurements
+        # runtime.PY_STATE_KEYS_PER_SQ for the model and measurements
         n=state_partitions_for(
-            state_keys,
-            cache_key=cache_key,
-            keys_per_partition=PY_STATE_KEYS_PER_PARTITION,
+            state_keys, cache_key=cache_key, py_state=True
         ),
         out=out_stream,
         output_mode=mode,
