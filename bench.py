@@ -159,8 +159,12 @@ HEADLINE = (
 # timing it as its own line keeps those six lines honest (each then
 # measures only its own derivation; without this the whole build cost
 # landed on whichever consumer ran first and the rest read as
-# near-zero cache hits).
-PSEUDO_STAGES = ("dedup_stage_build",)
+# near-zero cache hits). r16 adds the shared unigram token-count
+# stage on the same accounting: five docs entries derive from one
+# (doc, word, tf) table per session instead of five explode+count
+# rebuilds; its one-time build gets its own line so the first
+# consumer in loop order doesn't absorb it.
+PSEUDO_STAGES = ("dedup_stage_build", "docs_tf_stage_build")
 
 
 def main() -> None:
@@ -254,6 +258,14 @@ def main() -> None:
     t0 = time.perf_counter()
     build_registry_stage_cache(spark, sf_dir)
     timings["dedup_stage_build"] = round(time.perf_counter() - t0, 3)
+
+    from inf2106_map_reduce_spark.functions.text import (
+        registry_token_counts,
+    )
+
+    t0 = time.perf_counter()
+    registry_token_counts(spark, sf_dir).count()
+    timings["docs_tf_stage_build"] = round(time.perf_counter() - t0, 3)
 
     n_timed = 0
     for name, spec in sorted(REGISTRY.items()):

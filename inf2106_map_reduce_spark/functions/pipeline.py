@@ -639,7 +639,10 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average unigram log-probability under the corpus's
     own unigram model — the CCNet/Gopher-style "perplexity filter"
@@ -659,18 +662,14 @@ def unigram_logprob(
     fold — the same summation-order-proofing as the dot-product
     oracles, so the result hash-matches DuckDB exactly.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    w = df.select(
-        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
-    # one corpus explode+agg, materialized; corpus word counts and the
-    # total re-aggregate the (doc, word) tf table instead of
-    # re-exploding the corpus per branch
-    tf = (
-        w.groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if tf is None:
+        # one corpus explode+agg, materialized; corpus word counts and
+        # the total re-aggregate the (doc, word) tf table instead of
+        # re-exploding the corpus per branch (tf= short-circuits with
+        # the shared registry stage — text.registry_token_counts)
+        tf = text_fns.unigram_tf_table(
+            df, id_col, text_col
+        ).localCheckpoint(eager=True)
     cnt = tf.groupBy("word").agg(F.sum("tf").cast("bigint").alias("c"))
     n_total = tf.agg(F.sum("tf").cast("bigint").alias("nt"))
     terms = (
@@ -700,8 +699,12 @@ def unigram_logprob(
 
 
 def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: corpus-model unigram log-prob score per doc."""
-    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+    """Registry query: corpus-model unigram log-prob score per doc,
+    derived from the shared session token-count stage."""
+    return unigram_logprob(
+        load_table(spark, sf_dir, "documents"),
+        tf=text_fns.registry_token_counts(spark, sf_dir),
+    )
 
 
 def source_mixture_weights(
@@ -1163,7 +1166,10 @@ def docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def unigram_entropy(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document unigram entropy (nats) + type count — the lexical
     diversity companion to :func:`unigram_logprob`: low entropy marks
@@ -1180,17 +1186,13 @@ def unigram_entropy(
     ``0.0 - sum`` so a zero-entropy doc can't produce -0.0 on one
     engine and 0.0 on the other.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    w = df.select(
-        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
-    # tf feeds both the per-doc total and the term join — materialize
-    # so the corpus explode runs once, not per consumer branch
-    tf = (
-        w.groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if tf is None:
+        # tf feeds both the per-doc total and the term join —
+        # materialize so the corpus explode runs once, not per
+        # consumer branch (tf= short-circuits with the shared stage)
+        tf = text_fns.unigram_tf_table(
+            df, id_col, text_col
+        ).localCheckpoint(eager=True)
     n = tf.groupBy(id_col).agg(F.sum("tf").alias("n"))
     p = F.col("tf") / F.col("n")
     terms = tf.join(n, id_col).select(
@@ -1215,14 +1217,19 @@ def unigram_entropy(
 
 
 def docs_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: per-doc unigram entropy over documents."""
-    return unigram_entropy(load_table(spark, sf_dir, "documents"))
+    """Registry query: per-doc unigram entropy over documents, derived
+    from the shared session token-count stage."""
+    return unigram_entropy(
+        load_table(spark, sf_dir, "documents"),
+        tf=text_fns.registry_token_counts(spark, sf_dir),
+    )
 
 
 def adaptive_quality(
     docs: DataFrame,
     percentile: float = 0.1,
     lang_col: str = "lang",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-language adaptive quality gate (the CCNet move): instead of
     one corpus-wide perplexity cutoff — which silently deletes whole
@@ -1237,7 +1244,7 @@ def adaptive_quality(
     in one aggregation buffer — swap to approx_percentile past ~10⁹
     docs per language. The verdict join is |langs|-sized → broadcast.
     """
-    lp = unigram_logprob(docs).join(
+    lp = unigram_logprob(docs, tf=tf).join(
         docs.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
     ).localCheckpoint(eager=True)
     stats = lp.groupBy("lang").agg(
@@ -1255,8 +1262,12 @@ def adaptive_quality(
 
 
 def docs_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: per-language p10 logprob gate over documents."""
-    return adaptive_quality(load_table(spark, sf_dir, "documents"))
+    """Registry query: per-language p10 logprob gate over documents,
+    derived from the shared session token-count stage."""
+    return adaptive_quality(
+        load_table(spark, sf_dir, "documents"),
+        tf=text_fns.registry_token_counts(spark, sf_dir),
+    )
 
 
 #: DSIR target slice: percent of docs (content-hash selected) treated
@@ -1270,6 +1281,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_percent: int = DSIR_TARGET_PERCENT,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance score (Xie et al., "Data Selection for
     Language Models via Importance Resampling"): per-document average
@@ -1292,15 +1304,11 @@ def dsir_scores(
     Determinism: per-term rounding to 9 + word-sorted fold + final
     round 6 (the unigram-family recipe).
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    w = df.select(
-        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
-    tf = (
-        w.groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if tf is None:
+        # tf= short-circuits with the shared registry stage
+        tf = text_fns.unigram_tf_table(
+            df, id_col, text_col
+        ).localCheckpoint(eager=True)
 
     def bucket(col: Column) -> Column:
         return (
@@ -1368,8 +1376,11 @@ def dsir_scores(
 
 def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: DSIR importance scores vs the content-hash
-    target slice."""
-    return dsir_scores(load_table(spark, sf_dir, "documents"))
+    target slice, derived from the shared session token-count stage."""
+    return dsir_scores(
+        load_table(spark, sf_dir, "documents"),
+        tf=text_fns.registry_token_counts(spark, sf_dir),
+    )
 
 
 def bigram_logprob(

@@ -93,7 +93,52 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({"fp_md5": h, "fp_int64": h64})
 
 
-def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def unigram_tf_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The unigram substrate shared by the whole scoring family:
+    ``(id, word, tf)`` term counts over non-empty whitespace tokens of
+    the normalized text — exactly the explode + grouped count that
+    :func:`tfidf`, ``unigram_logprob``, ``unigram_entropy`` and
+    ``dsir_scores`` each rebuilt per query before r16."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+
+
+#: Session-scoped cache for the registry's shared unigram term-count
+#: stage over the documents corpus — the dedup _STAGE_CACHE idiom:
+#: five registry entries (tfidf_terms, docs_unigram_logprob,
+#: docs_entropy, docs_dsir_scores, docs_adaptive_quality) consume the
+#: same (doc, word, tf) table; a production pipeline tokenizes ONCE
+#: and derives every unigram product from it. Built lazily, eagerly
+#: localCheckpoint-ed (the tf table is Zipf-bounded per doc — far
+#: smaller than the corpus at any scale), keyed by (application,
+#: sf_dir). Direct calls with custom frames never cache.
+_TF_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def registry_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inf2106_map_reduce_spark.tables import load_table as _lt
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _TF_STAGE_CACHE.get(key)
+    if tf is None:
+        tf = unigram_tf_table(
+            _lt(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _TF_STAGE_CACHE[key] = tf
+    return tf
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
     """Per-(doc, word) TF-IDF over normalized words: raw term count,
     document frequency, and tf · (ln((N+1)/(df+1)) + 1) (smoothed IDF,
     sklearn-style).
@@ -103,12 +148,10 @@ def tfidf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Data
     in (no driver action). No ranking/top-k inside — downstream callers
     pick their own cut, and the unranked table has a deterministic
     oracle (float ties in tf·idf can rank-swap across engines).
-    """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    w = df.select(
-        F.col(id_col), F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
-    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    ``tf`` short-circuits the term-count build with a precomputed
+    :func:`unigram_tf_table` frame (the shared registry stage)."""
+    if tf is None:
+        tf = unigram_tf_table(df, id_col, text_col)
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
@@ -151,8 +194,12 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: full (doc, word) TF-IDF table over documents."""
-    return tfidf(load_table(spark, sf_dir, "documents"))
+    """Registry query: full (doc, word) TF-IDF table over documents,
+    derived from the shared session token-count stage."""
+    return tfidf(
+        load_table(spark, sf_dir, "documents"),
+        tf=registry_token_counts(spark, sf_dir),
+    )
 
 
 def bigrams_udtf_query(spark: SparkSession, sf_dir: str) -> DataFrame:

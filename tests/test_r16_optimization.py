@@ -158,3 +158,22 @@ def test_registry_stages_project_from_fused_pass(spark, sf_oracle):
     assert _sorted_rows(both) == _sorted_rows(
         dd.simhash_signatures_both(d)
     )
+
+
+def test_shared_token_stage_matches_self_built(spark, sf_oracle):
+    """The five registry consumers of the shared unigram token-count
+    stage must compute exactly what their self-built forms compute."""
+    from inf2106_map_reduce_spark.functions import text as tx
+    from inf2106_map_reduce_spark.functions import pipeline as pl
+
+    d = load_table(spark, sf_oracle, "documents")
+    shared = tx.registry_token_counts(spark, sf_oracle)
+    assert _sorted_rows(shared) == _sorted_rows(tx.unigram_tf_table(d))
+    for self_built, from_stage in (
+        (tx.tfidf(d), tx.tfidf(d, tf=shared)),
+        (pl.unigram_logprob(d), pl.unigram_logprob(d, tf=shared)),
+        (pl.unigram_entropy(d), pl.unigram_entropy(d, tf=shared)),
+        (pl.dsir_scores(d), pl.dsir_scores(d, tf=shared)),
+        (pl.adaptive_quality(d), pl.adaptive_quality(d, tf=shared)),
+    ):
+        assert _sorted_rows(self_built) == _sorted_rows(from_stage)
