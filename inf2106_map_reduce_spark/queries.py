@@ -8324,13 +8324,18 @@ _ROUND_PRIORITY: tuple[str, ...] = (
     # r16: fused-signature consumer OUTSIDE the natural fill (the
     # streaming ingest screen derives band sets from the fused stage)
     "streaming_neardup_ingest",
-    # r15 joint-bin trainer family, rotating through r16/r17 —
-    # 3-stage quantile composites first (deepest regroup chains)
+    # r16: the shared unigram token-count stage rewrite — four of its
+    # five consumers fall outside the natural fill
+    # (docs_adaptive_quality is covered by the fill)
+    "tfidf_terms",
+    "docs_unigram_logprob",
+    "docs_entropy",
+    "docs_dsir_scores",
+    # r15 joint-bin trainer family, rotating through r16/r17 — the
+    # deepest remaining regroup chain (the isotonic composites above
+    # cover the other two 3-stage shapes); the rest of the family
+    # rides the rotation guarantee
     "lineitem_status_quantile_gbt3",
-    "lineitem_quantile_gbt3",
-    "lineitem_gbt_stages3",
-    "lineitem_status_quantile_gbt",
-    "lineitem_quantile_gbt",
     # r15 regressed-watch rows (settle protocol this round): hard
     # driver rows pin their VALUES while the bench settles their cost
     "lineitem_status_encoding_stump",
